@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // testdata events.ts is parquet TIMESTAMP(NANOS) — read as long nanos
+      // (normalized back to micros timestamps in SparkEntry.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // read parquet timestamps as session-TZ TIMESTAMP (castable to long)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,122 @@
+package graft.risk
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The flagship end-to-end VaR chain (SURVEY §7.3) — the reference's
+ * notebooks 01→04 compressed into one deterministic, fully-distributed
+ * plan over the synthetic market source:
+ *
+ *   synthetic GBM prices (S1/V5) → W1 log returns (P6) → indicator
+ *   returns (P7) → 90d rolling vol stats (W2/A8/A9) → per-ticker OLS on
+ *   non-linear features (A2/P13) → weekly as-of vol (J5) → seeded MC
+ *   simulation (V4/V6, shuffle-free fan-out) → model scoring (P14,
+ *   native) → trial vectors (A3) → weighted vector sum (P10/A7) →
+ *   interpolated VaR/ES (V1/V2) by date and slice.
+ */
+object VarPipeline {
+
+  case class Config(
+      tickers: Seq[String] = (1 to 8).map(i => f"TICK$i%02d"),
+      indicators: Seq[String] = Seq("IX1", "IX2", "IX3"),
+      start: LocalDate = LocalDate.of(2020, 1, 1),
+      days: Int = 150,
+      runs: Int = 1000,
+      volWindowDays: Int = 90,
+      confidence: Double = 99,
+      seed: Long = 42L)
+
+  /** Equal-weight portfolio with synthetic country/industry slices
+   * (the reference's `config/portfolio.json` shape). */
+  def portfolio(spark: SparkSession, cfg: Config): DataFrame = {
+    import spark.implicits._
+    val countries = Seq("PERU", "CHILE", "MEXICO")
+    val industries = Seq("MINING", "BANKING", "ENERGY", "RETAIL")
+    cfg.tickers.zipWithIndex.map { case (t, i) =>
+      (t, countries(i % countries.size), industries(i % industries.size),
+        1.0 / cfg.tickers.size)
+    }.toDF("ticker", "country", "industry", "weight")
+  }
+
+  /** Rolling market volatility stats from synthetic indicators. */
+  def marketVolatility(spark: SparkSession, cfg: Config): DataFrame = {
+    val ind = Sources.syntheticIndicators(spark, cfg.indicators, cfg.start, cfg.days, cfg.seed + 1)
+    val rets = Returns.indicatorLogReturns(ind, "date", cfg.indicators)
+    Volatility.rollingStats(rets.select(col("date"), col("features")),
+      windowDays = cfg.volWindowDays)
+  }
+
+  /** Per-ticker OLS weights trained on as-of-joined market features. */
+  def trainedWeights(spark: SparkSession, cfg: Config): DataFrame = {
+    val market = Sources.syntheticMarketData(spark, cfg.tickers, cfg.start, cfg.days,
+      globalSeed = cfg.seed)
+    val ind = Sources.syntheticIndicators(spark, cfg.indicators, cfg.start, cfg.days, cfg.seed + 1)
+    val indRets = Returns.indicatorLogReturns(ind, "date", cfg.indicators)
+    val stockRets = Returns.dailyLogReturns(market)
+      .select(col("ticker"), col("date"), col("return"))
+    val joined = AsOfJoin
+      .asofJoinBroadcast(stockRets, indRets.select(col("date"), col("features")), "date")
+      .filter(col("right_features").isNotNull)
+    Training.trainModels(joined, "ticker", "right_features", "return")
+  }
+
+  /** Weekly run dates (Mondays in the back half of the history). */
+  def runDates(spark: SparkSession, cfg: Config): DataFrame = {
+    val cutoff = cfg.start.plusDays(cfg.days * 7 / 5 / 2)
+    marketVolatility(spark, cfg)
+      .select(col("date"))
+      .filter(dayofweek(col("date")) === 2 &&
+        col("date") >= lit(java.sql.Timestamp.valueOf(cutoff.atStartOfDay())))
+  }
+
+  /** monte_carlo_trials table: (date, ticker, returns: Vector[runs]). */
+  def monteCarloTrials(spark: SparkSession, cfg: Config): DataFrame = {
+    val vol = marketVolatility(spark, cfg)
+    val atRun = AsOfJoin
+      .asofJoinBroadcast(runDates(spark, cfg),
+        vol.select(col("date"), col("vol_avg"), col("vol_cov")), "date")
+      .filter(col("right_vol_cov").isNotNull)
+      .select(col("date"), col("right_vol_avg").as("vol_avg"),
+        col("right_vol_cov").as("vol_cov"))
+    val mcMarket = MonteCarlo.simulateMarket(atRun, cfg.runs,
+      numPartitions = spark.sparkContext.defaultParallelism)
+    val weights = trainedWeights(spark, cfg)
+    val fanned = mcMarket.crossJoin(
+      broadcast(portfolio(spark, cfg).select(col("ticker"))))
+    val scored = Training.score(fanned, weights, "ticker", "features", "return")
+      .select(col("date"), col("ticker"), col("trial_id"), col("return"))
+    MonteCarlo.collectTrialVectors(scored)
+  }
+
+  /** VaR time-series for the whole portfolio (reference
+   * `04_var_aggregation.py:56-66`). */
+  def portfolioVar(spark: SparkSession, cfg: Config = Config()): DataFrame = {
+    val weighted = VarAggregation.weightedTrials(
+      monteCarloTrials(spark, cfg), portfolio(spark, cfg))
+    VarAggregation.varByGroup(weighted, Seq("date"), cfg.confidence,
+        withShortfall = true)
+      .orderBy(col("date"))
+  }
+
+  /** VaR sliced by a portfolio dimension (country / industry) —
+   * `04_var_aggregation.py:86-123`. */
+  def varBySlice(spark: SparkSession, sliceCol: String, cfg: Config = Config()): DataFrame = {
+    val weighted = VarAggregation.weightedTrials(
+      monteCarloTrials(spark, cfg), portfolio(spark, cfg))
+    VarAggregation.varByGroup(weighted, Seq("date", sliceCol), cfg.confidence)
+      .orderBy(col("date"), col(sliceCol))
+  }
+
+  /** Basel backtest over the synthetic history (reference
+   * `05_var_compliance.py`). */
+  def compliance(spark: SparkSession, cfg: Config = Config()): DataFrame = {
+    val market = Sources.syntheticMarketData(spark, cfg.tickers, cfg.start, cfg.days,
+      globalSeed = cfg.seed)
+    val rets = Compliance.portfolioReturns(market, portfolio(spark, cfg))
+    val varSeries = portfolioVar(spark, cfg).select(col("date"), col("var_99"))
+    Compliance.baselBacktest(rets, varSeries).orderBy(col("date"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.risk
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** AS-OF join semantics: brute-force oracle, both physical variants,
+ * ties and leading-null edges (SURVEY §7.5). */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  val left = Seq(
+    ("A", ts("2024-01-01 00:00:00"), 1.0),
+    ("A", ts("2024-01-03 00:00:00"), 2.0),
+    ("A", ts("2024-01-05 00:00:00"), 3.0),
+    ("B", ts("2024-01-02 00:00:00"), 4.0),
+    ("B", ts("2024-01-04 00:00:00"), 5.0)
+  ).toDF("ticker", "date", "lval")
+
+  val right = Seq(
+    ("A", ts("2024-01-01 00:00:00"), 10.0), // exact-ts match must attach
+    ("A", ts("2024-01-04 00:00:00"), 11.0),
+    ("B", ts("2024-01-03 00:00:00"), 12.0)
+  ).toDF("ticker", "date", "rval")
+
+  val expected = Map(
+    ("A", "2024-01-01 00:00:00.0") -> Some(10.0), // equal ts -> inclusive
+    ("A", "2024-01-03 00:00:00.0") -> Some(10.0),
+    ("A", "2024-01-05 00:00:00.0") -> Some(11.0),
+    ("B", "2024-01-02 00:00:00.0") -> None,       // before first right row
+    ("B", "2024-01-04 00:00:00.0") -> Some(12.0))
+
+  def check(out: org.apache.spark.sql.DataFrame): Unit = {
+    val got = out.collect().map { r =>
+      (r.getAs[String]("ticker"), r.getAs[Timestamp]("date").toString) ->
+        Option(r.getAs[Any]("right_rval")).map(_.asInstanceOf[Double])
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("window-variant asofJoin partitioned by ticker") {
+    check(AsOfJoin.asofJoin(left, right, "date", Seq("ticker")))
+  }
+
+  test("broadcast-variant asofJoin partitioned by ticker") {
+    check(AsOfJoin.asofJoinBroadcast(left, right, "date", Seq("ticker")))
+  }
+
+  test("both variants agree unpartitioned (global series)") {
+    val l = left.drop("ticker").distinct()
+    val r = right.drop("ticker")
+      .groupBy("date").agg(org.apache.spark.sql.functions.max("rval").as("rval"))
+    val a = AsOfJoin.asofJoin(l, r, "date")
+      .select("date", "right_rval").collect().map(x => (x.get(0).toString, Option(x.get(1)))).toMap
+    val b = AsOfJoin.asofJoinBroadcast(l, r, "date")
+      .select("date", "right_rval").collect().map(x => (x.get(0).toString, Option(x.get(1)))).toMap
+    assert(a === b)
+  }
+
+  test("right_ts column reports the matched timestamp") {
+    val out = AsOfJoin.asofJoin(left, right, "date", Seq("ticker"))
+    val row = out.filter($"ticker" === "A" && $"lval" === 3.0).head
+    assert(row.getAs[Timestamp]("right_date") === ts("2024-01-04 00:00:00"))
+  }
+
+  test("randomized brute-force parity") {
+    val rng = new scala.util.Random(42)
+    val keys = Seq("X", "Y", "Z")
+    val lrows = (1 to 300).map { i =>
+      (keys(rng.nextInt(3)), new Timestamp(1700000000000L + rng.nextInt(1000000) * 1000L), i.toDouble)
+    }
+    val rrows = (1 to 80).map { i =>
+      (keys(rng.nextInt(3)), new Timestamp(1700000000000L + rng.nextInt(1000000) * 1000L), i * 1.5)
+    }
+    // dedupe right per (key, ts) to keep the oracle unambiguous
+    val rdd = rrows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val l = lrows.toDF("k", "t", "lv")
+    val r = rdd.toDF("k", "t", "rv")
+    val brute = lrows.map { case (k, t, lv) =>
+      val best = rdd.filter(x => x._1 == k && !x._2.after(t)).sortBy(_._2.getTime).lastOption
+      ((k, t.getTime, lv), best.map(_._3))
+    }.toMap
+    for (variant <- Seq(
+        AsOfJoin.asofJoin(l, r, "t", Seq("k")),
+        AsOfJoin.asofJoinBroadcast(l, r, "t", Seq("k")))) {
+      val got = variant.collect().map { row =>
+        ((row.getAs[String]("k"), row.getAs[Timestamp]("t").getTime, row.getAs[Double]("lv")),
+          Option(row.getAs[Any]("right_rv")).map(_.asInstanceOf[Double]))
+      }.toMap
+      assert(got === brute)
+    }
+  }
+}
