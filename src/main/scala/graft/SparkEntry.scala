@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.risk.{AsOfJoin, Calendar, MonteCarlo, Returns, Training, VarPipeline, functions => R}
+import graft.data.{Dedup, Multimodal, Similarity, TextFunctions => T}
 
 /**
  * Driver contract — one `queries` entry per implemented operator from
@@ -225,6 +226,98 @@ object SparkEntry {
       events(s, dir).select(col("event_type")).distinct()
         .orderBy(col("event_type"))
     }),
+    // ------------------------- text analysis (training-data pipeline ops)
+    "q19_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), T.wordCount(col("text")).as("words"),
+          T.bpeTokenCount(col("text")).as("bpe"), T.punctCount(col("text")).as("punct"),
+          T.qualityScore(col("text")).as("q"))
+        .groupBy(col("source"))
+        .agg(sum(col("words")).as("sum_words"), sum(col("bpe")).as("sum_bpe"),
+          sum(col("punct")).as("sum_punct"),
+          // integer micro-units: exact under any summation order
+          sum(round(col("q") * 1e6, 0).cast("long")).as("q_micros"),
+          count(lit(1)).as("n"))
+        .orderBy(col("source"))
+    }),
+    "q20_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), T.langId(col("text")).as("predicted"),
+          T.qualityScore(col("text")).as("q"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("q") * 1e6, 0).cast("long")).as("q_micros"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+    "q21_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), T.fingerprint(col("text")).as("fp"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("fp")).as("n_distinct"), min(col("fp")).as("min_fp"),
+          max(col("fp")).as("max_fp"), count(lit(1)).as("n"))
+        .orderBy(col("source"))
+    }),
+    // ------------------------------------ near-dup dedup (MinHash/SimHash)
+    "q22_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          floor(T.wordCount(col("text")) / 10), shingleN = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q23_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, k = 16, bands = 4, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q24_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), Dedup.simhash(col("text")).as("sh"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("sh")).as("n_distinct"), min(col("sh")).as("min_sh"),
+          max(col("sh")).as("max_sh"))
+        .orderBy(col("source"))
+    }),
+    "q25_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.cosineNearDupPairs(e, "vec_id", "v", threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // ----------------------------------------- similarity search (ANN/KNN)
+    "q26_knn_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, "vec_id", "v", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q27_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.lshTopK(e.filter(col("vec_id") < 20), e, "vec_id", "v",
+          k = 3, numPlanes = 8, dim = 64)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // -------------------------------------------- multimodal binary (stub)
+    "q28_multimodal" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      media
+        .withColumn("meta", Multimodal.mediaMetadata(col("content"), col("format")))
+        .withColumn("frames", Multimodal.sampleBytes(col("content"), stride = 7, maxFrames = 16))
+        .select(col("format"), col("meta.byte_len").as("byte_len"),
+          col("meta.checksum").as("checksum"),
+          aggregate(col("frames"), lit(0L), (a, x) => a + x).as("frame_sum"))
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n"), sum(col("byte_len")).as("sum_bytes"),
+          min(col("checksum")).as("min_checksum"), sum(col("frame_sum")).as("sum_frames"))
+        .orderBy(col("format"))
+    }),
     // ------------------------------- Monte-Carlo chain (rows-only checks)
     "q30_mc_portfolio_var" -> ((s, _) => {
       VarPipeline.portfolioVar(s, miniCfg)
@@ -246,6 +339,39 @@ object SparkEntry {
   private val miniCfg = VarPipeline.Config(
     runs = 500, days = 120, tickers = (1 to 6).map(i => s"TICK0$i"),
     indicators = Seq("IX1", "IX2", "IX3"))
+
+  // ---- DuckDB fragments mirroring graft.data.TextFunctions/Dedup exactly
+  private def sqlQuote(xs: Seq[String]) = xs.map(w => s"'$w'").mkString(", ")
+  private val tokSql = "regexp_split_to_array(trim(text), '\\s+')"
+  private def stopSql(words: Seq[String]) =
+    s"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+      s"t -> list_contains([${sqlQuote(words)}], t)))"
+  private val punctSql = "len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))"
+  private val bpeSql = "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
+  private def h28Sql(x: String) = s"CAST(concat('0x', substr(md5($x),1,7)) AS BIGINT)"
+  private def h60Sql(x: String) = s"CAST(concat('0x', substr(md5($x),1,15)) AS BIGINT)"
+  /** quality score — operation order mirrors TextFunctions.qualityScore
+   * term by term so FP results are bit-identical. */
+  private val qualitySql =
+    s"""0.5 * least(words / 100.0, 1.0)
+       | + 0.25 * (1.0 - least((punct / greatest(length(text),1)) * 5.0, 1.0))
+       | + 0.25 * least((stop_en / greatest(words,1)) * 5.0, 1.0)""".stripMargin
+  /** distinct 28-bit hashes of word 3-gram shingles (Dedup.shingleHashes). */
+  private val shingleSql =
+    s"""list_distinct(list_transform(range(1, greatest(len(toks)-2, 0)+1),
+       | i -> ${h28Sql("concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])")}))""".stripMargin
+  /** 16-function minhash signature (Dedup.minhashSignature params). */
+  private val sigSql =
+    """list_transform(range(0,16),
+      | i -> list_min(list_transform(sh, h -> (h*(2*i+1) + (7919*i+13)) % 2147483647)))""".stripMargin
+  /** 28-bit simhash terms (Dedup.simhash). */
+  private val simhashSql = (0 until 28).map { j =>
+    s"(CASE WHEN 2*len(list_filter(hs, h -> ((h>>$j)&1)=1)) > len(hs) THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" + ")
+  /** Hyperplane literals identical to Similarity.planes(8, 64). */
+  private val planesSql = Similarity.planes(8, 64).zipWithIndex.map { case (p, i) =>
+    s"($i, [${p.mkString(", ")}])"
+  }.mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -368,6 +494,117 @@ object SparkEntry {
       """SELECT o_orderkey, round(o_totalprice,2) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q18_distinct" ->
-      "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q19_text_stats" ->
+      s"""SELECT source, CAST(sum(words) AS BIGINT) AS sum_words,
+         |CAST(sum(bpe) AS BIGINT) AS sum_bpe, CAST(sum(punct) AS BIGINT) AS sum_punct,
+         |CAST(sum(CAST(round(($qualitySql)*1000000, 0) AS BIGINT)) AS BIGINT) AS q_micros,
+         |count(*) AS n
+         |FROM (SELECT source, text, len($tokSql) AS words, $bpeSql AS bpe,
+         |      $punctSql AS punct, ${stopSql(T.StopEn)} AS stop_en FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q20_lang_id" ->
+      s"""SELECT lang,
+         |CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |     WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+         |     WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+         |     WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS predicted,
+         |count(*) AS n,
+         |CAST(sum(CAST(round(($qualitySql)*1000000, 0) AS BIGINT)) AS BIGINT) AS q_micros
+         |FROM (SELECT lang, text, len($tokSql) AS words, $punctSql AS punct,
+         |      ${stopSql(T.StopEn)} AS s_en, ${stopSql(T.StopEs)} AS s_es,
+         |      ${stopSql(T.StopDe)} AS s_de, ${stopSql(T.StopFr)} AS s_fr,
+         |      ${stopSql(T.StopEn)} AS stop_en FROM documents)
+         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "q21_fingerprint" ->
+      s"""SELECT source, count(DISTINCT fp) AS n_distinct, min(fp) AS min_fp,
+         |max(fp) AS max_fp, count(*) AS n
+         |FROM (SELECT source,
+         |  ${h60Sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS fp
+         |  FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q22_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, CAST(floor(len(toks)/10) AS BIGINT) AS block,
+         |    $shingleSql AS sh
+         |  FROM (SELECT doc_id, text, $tokSql AS toks FROM documents))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.sh, b.sh)) /
+         |        CAST(greatest(len(list_distinct(a.sh || b.sh)), 1) AS DOUBLE), 6) AS jaccard
+         |FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) /
+         |      CAST(greatest(len(list_distinct(a.sh || b.sh)), 1) AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q23_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, sh, $sigSql AS sig
+         |  FROM (SELECT doc_id, $shingleSql AS sh
+         |        FROM (SELECT doc_id, text, $tokSql AS toks FROM documents))
+         |  WHERE len(sh) > 0)
+         |SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard, round(jaccard, 6) AS jaccard
+         |FROM (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  len(list_filter(range(1,17), i -> a.sig[i] = c.sig[i])) / 16.0 AS est_jaccard,
+         |  len(list_intersect(a.sh, c.sh)) /
+         |    CAST(greatest(len(list_distinct(a.sh || c.sh)), 1) AS DOUBLE) AS jaccard
+         |  FROM t a JOIN t c ON a.doc_id < c.doc_id
+         |  WHERE len(list_filter(range(0,4), b ->
+         |    a.sig[b*4+1] = c.sig[b*4+1] AND a.sig[b*4+2] = c.sig[b*4+2] AND
+         |    a.sig[b*4+3] = c.sig[b*4+3] AND a.sig[b*4+4] = c.sig[b*4+4])) > 0)
+         |WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "q24_simhash" ->
+      s"""SELECT source, count(DISTINCT sh) AS n_distinct, min(sh) AS min_sh, max(sh) AS max_sh
+         |FROM (SELECT source, $simhashSql AS sh
+         |  FROM (SELECT source, list_transform(list_distinct($tokSql),
+         |        tk -> ${h28Sql("tk")}) AS hs FROM documents))
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q25_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT id_a, id_b, round(sim, 6) AS sim
+         |FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q26_knn_brute" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(q.v, c.v) /
+         |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+         |        c.vec_id) AS rank
+         |  FROM e q CROSS JOIN e c
+         |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q27_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |planes AS (SELECT * FROM (VALUES $planesSql) pl(p, coef)),
+         |buck AS (SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(v, coef) >= 0
+         |    THEN 1<<p ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e CROSS JOIN planes GROUP BY vec_id)
+         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(q.v, c.v) /
+         |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+         |        c.vec_id) AS rank
+         |  FROM e q JOIN buck bq ON bq.vec_id = q.vec_id
+         |  JOIN buck bc ON bc.bucket = bq.bucket
+         |  JOIN e c ON c.vec_id = bc.vec_id
+         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q28_multimodal" ->
+      s"""SELECT format, count(*) AS n, CAST(sum(byte_len) AS BIGINT) AS sum_bytes,
+         |min(checksum) AS min_checksum, CAST(sum(frame_sum) AS BIGINT) AS sum_frames
+         |FROM (SELECT concat('img/', source) AS format,
+         |  octet_length(encode(text)) AS byte_len,
+         |  ${h60Sql("lower(hex(encode(text)))")} AS checksum,
+         |  list_aggregate(list_transform(
+         |    range(0, least(CAST(ceil(octet_length(encode(text))/7.0) AS INT), 16)),
+         |    f -> CAST(concat('0x', substr(lower(hex(encode(text))), f*14+1, 2)) AS BIGINT)),
+         |    'sum') AS frame_sum
+         |  FROM documents) GROUP BY format ORDER BY format""".stripMargin
   )
 }

@@ -1,0 +1,99 @@
+package graft.data
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization, quality scoring, language-ID heuristics, and portable
+ * document hashing/fingerprinting.
+ *
+ * Everything here is a native Catalyst expression (whole-stage codegen, no
+ * UDF serialization) and every hash is *engine-portable*: `hash60`/`hash28`
+ * are hex prefixes of standard MD5, so a DuckDB/Trino/Postgres oracle can
+ * reproduce them exactly (`CAST('0x' || substr(md5(s),1,15) AS BIGINT)`).
+ * Spark's builtin `hash`/`xxhash64` would be faster but are
+ * implementation-defined — fine for production, useless for cross-engine
+ * verification; both spellings are kept (`fastHash64`).
+ */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def wordCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword segmentation: maximal letter runs, digit runs, or
+   * single punctuation — the regex analogue of a byte-pair pre-tokenizer
+   * (GPT-2 style pre-split, without the merges table). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isInCollection(stopwords)))
+
+  // Small per-language function-word lists for the language-ID heuristic.
+  val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+  val StopEs = Seq("el", "la", "de", "y", "que", "en", "los", "un", "una", "es")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "von", "ein", "zu", "den", "mit")
+  val StopFr = Seq("le", "la", "les", "et", "des", "est", "un", "une", "du", "que")
+
+  /**
+   * Heuristic language ID: score = function-word hits per language,
+   * argmax with deterministic preference order en > es > de > fr, `und`
+   * (undetermined) when no list scores > 0. A real pipeline would swap in
+   * character-n-gram profiles; the operator shape (score columns + argmax)
+   * is the same.
+   */
+  def langId(text: Column): Column = {
+    val en = stopwordCount(text, StopEn)
+    val es = stopwordCount(text, StopEs)
+    val de = stopwordCount(text, StopDe)
+    val fr = stopwordCount(text, StopFr)
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /**
+   * Composite document quality score in [0,1]: length saturation (cap at
+   * 100 words) + low punctuation density + healthy stopword rate — the
+   * C4/Gopher-style cheap quality filters folded to one number.
+   */
+  def qualityScore(text: Column): Column = {
+    val n = wordCount(text)
+    val lenScore = least(n / lit(100.0), lit(1.0))
+    val punctRatio = punctCount(text) / greatest(length(text), lit(1)).cast("double")
+    val stopRatio = stopwordCount(text, StopEn) / greatest(n, lit(1)).cast("double")
+    lit(0.5) * lenScore +
+      lit(0.25) * (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) +
+      lit(0.25) * least(stopRatio * 5.0, lit(1.0))
+  }
+
+  /** 60-bit engine-portable hash: first 15 hex chars of MD5 as a long.
+   * DuckDB twin: `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`. */
+  def hash60(s: Column): Column = conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** 28-bit portable hash — small enough that `a*h+b` stays in 64 bits for
+   * the minhash family in [[Dedup]]. */
+  def hash28(s: Column): Column = conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
+  /** Production-speed 64-bit hash (not cross-engine portable). */
+  def fastHash64(s: Column): Column = xxhash64(s)
+
+  /** Canonical text form for fingerprinting: lowercase, collapsed
+   * whitespace. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Document fingerprint = portable hash of the normalized text (catches
+   * case/whitespace-only duplicates that exact match misses). */
+  def fingerprint(text: Column): Column = hash60(normalizeText(text))
+}

@@ -1,0 +1,119 @@
+package graft.data
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "THE  quick brown fox jumps over the lazy dog"), // 0 modulo case/ws
+    (3L, "completely different text about spark engines and data")
+  ).toDF("doc_id", "text")
+
+  test("tokens / wordCount / bpe / punct") {
+    val r = docs.select(TextFunctions.wordCount($"text").as("w"),
+      TextFunctions.punctCount($"text").as("p"),
+      TextFunctions.bpeTokenCount($"text").as("b")).collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(9, 9, 9, 8))
+    assert(r.forall(_.getInt(1) == 0))
+    assert(r.map(_.getInt(2)).toSeq == Seq(9, 9, 9, 8))
+  }
+
+  test("fingerprint collapses case/whitespace-only variants") {
+    val fps = docs.select($"doc_id", TextFunctions.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(2L))
+    assert(fps(0L) != fps(1L))
+    assert(fps.values.forall(v => v > 0 && v < (1L << 60)))
+  }
+
+  test("langId picks dominant stopword language, und when none") {
+    val r = Seq("the cat is on the mat", "el gato es de la casa",
+        "der hund ist von berlin und zu haus", "le chat est du jardin les fleurs",
+        "zzz qqq xxx")
+      .toDF("text").select(TextFunctions.langId($"text")).as[String].collect()
+    assert(r.toSeq == Seq("en", "es", "de", "fr", "und"))
+  }
+
+  test("minhash signature estimates jaccard, LSH finds the near-dup pair") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleN = 3, k = 16, bands = 4, threshold = 0.3).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((0L, 1L))) // 7-gram overlap of 9 → J≈0.56
+    assert(ids.contains((0L, 2L)) || ids.contains((2L, 0L)) ||
+      pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 2L))
+    pairs.foreach { r =>
+      assert(r.getDouble(3) >= 0.3) // exact jaccard respects the threshold
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    assert(!ids.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("simhash: deterministic; near-dup → small hamming") {
+    val r = docs.select(Dedup.simhash($"text")).as[Long].collect()
+    val r2 = docs.select(Dedup.simhash($"text")).as[Long].collect()
+    assert(r.toSeq == r2.toSeq)
+    val h = Dedup.hamming(lit(r(0)), lit(r(1)))
+    val d01 = spark.range(1).select(h).as[Long].head()
+    assert(d01 <= 10) // one-word swap flips few bits
+    assert(r.forall(v => v >= 0 && v < (1L << 28)))
+  }
+
+  test("jaccard on shingle sets") {
+    val t = docs.select($"doc_id", Dedup.shingleHashes($"text", 3).as("sh"))
+    val j = t.as("a").crossJoin(t.as("b"))
+      .filter($"a.doc_id" === 0 && $"b.doc_id" === 1)
+      .select(Dedup.jaccard($"a.sh", $"b.sh")).as[Double].head()
+    assert(math.abs(j - 6.0 / 8.0) < 1e-12) // 6 shared of 8 total 3-grams
+  }
+
+  test("cosine and brute-force top-k") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.9, 0.1, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0)), (3L, Array(-1.0, 0.0, 0.0))
+    ).toDF("vec_id", "v")
+    val top = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, "vec_id", "v", 2)
+      .orderBy($"rank").collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(top.head.getDouble(2) > 0.99)
+  }
+
+  test("lsh buckets are deterministic and self-consistent") {
+    val ps = Similarity.planes(8, 3)
+    assert(ps.flatten.forall(c => c >= -1.0 && c < 1.0))
+    assert(Similarity.planeCoef(2, 1) == Similarity.planeCoef(2, 1))
+    val vecs = Seq((0L, Array(1.0, 2.0, 3.0)), (1L, Array(1.0, 2.0, 3.0)))
+      .toDF("vec_id", "v")
+    val b = vecs.select(Similarity.lshBucket($"v", ps)).as[Long].collect()
+    assert(b(0) == b(1) && b(0) >= 0 && b(0) < 256)
+  }
+
+  test("multimodal: metadata, frame sampling, typed decode stub") {
+    val media = Multimodal.mediaFromDocuments(
+      docs.withColumn("source", lit("s0")).withColumnRenamed("text", "text"))
+    val meta = media.select($"media_id", col("content"),
+        Multimodal.mediaMetadata($"content", $"format").as("m"),
+        Multimodal.sampleBytes($"content", 7, 16).as("frames"))
+      .select($"media_id", $"m.byte_len", $"frames").collect()
+    assert(meta.forall(r => r.getInt(1) > 0))
+    // frame values are bytes 0..255 sampled at stride 7
+    meta.foreach { r =>
+      val frames = r.getSeq[Int](2)
+      assert(frames.nonEmpty && frames.forall(v => v >= 0 && v <= 255))
+      assert(frames.head == 't'.toInt || frames.head == 'T'.toInt || frames.head == 'c'.toInt)
+    }
+    import Multimodal._
+    implicit val s = spark
+    val feats = decodeFeatures(media.as[MediaRow]).collect()
+    assert(feats.length == 4)
+    assert(feats.forall(_.features.length == StubCodec.FeatureDim))
+    assert(feats.forall(_.features.forall(v => v >= 0.0 && v <= 1.0)))
+    // deterministic: same bytes → same features
+    val again = decodeFeatures(media.as[MediaRow]).collect()
+    assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (a, b) => a.features.sameElements(b.features) })
+  }
+}
