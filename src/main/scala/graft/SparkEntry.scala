@@ -229,9 +229,11 @@ object SparkEntry {
     // ------------------------- text analysis (training-data pipeline ops)
     "q19_text_stats" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("source"), T.wordCount(col("text")).as("words"),
+        .withColumn("ltoks", T.tokens(lower(col("text"))))
+        .select(col("source"), size(col("ltoks")).as("words"),
           T.bpeTokenCount(col("text")).as("bpe"), T.punctCount(col("text")).as("punct"),
-          T.qualityScore(col("text")).as("q"))
+          T.qualityScoreFromParts(size(col("ltoks")), T.punctCount(col("text")),
+            length(col("text")), T.stopwordHits(col("ltoks"), T.StopEn)).as("q"))
         .groupBy(col("source"))
         .agg(sum(col("words")).as("sum_words"), sum(col("bpe")).as("sum_bpe"),
           sum(col("punct")).as("sum_punct"),
@@ -242,8 +244,10 @@ object SparkEntry {
     }),
     "q20_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("lang"), T.langId(col("text")).as("predicted"),
-          T.qualityScore(col("text")).as("q"))
+        .withColumn("ltoks", T.tokens(lower(col("text"))))
+        .select(col("lang"), T.langIdFromTokens(col("ltoks")).as("predicted"),
+          T.qualityScoreFromParts(size(col("ltoks")), T.punctCount(col("text")),
+            length(col("text")), T.stopwordHits(col("ltoks"), T.StopEn)).as("q"))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("q") * 1e6, 0).cast("long")).as("q_micros"))

@@ -12,6 +12,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // testdata events.ts is parquet TIMESTAMP(NANOS) — read as long nanos
       // (normalized back to micros timestamps in SparkEntry.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -40,14 +40,26 @@ object Dedup {
         concat_ws(" ", (0 until n).map(k => element_at(toks, (i + lit(k + 1)).cast("int"))): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct 28-bit shingle hashes of a text column. */
+  /** Distinct, SORTED 28-bit shingle hashes of a text column (sorted so
+   * [[jaccardSorted]] can merge-scan; set semantics unchanged). */
   def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(wordShingles(tokens(text), n), s => hash28(s)))
+    call_function("shingle_hashes", tokens(text), lit(n))
+
+  /** Extension-free composable twin of [[shingleHashes]] — identical
+   * output, kept as the portability reference for SQL oracles. */
+  def shingleHashesComposable(text: Column, n: Int): Column =
+    sort_array(array_distinct(transform(wordShingles(tokens(text), n), s => hash28(s))))
 
   /** MinHash signature: for each of k universal hashes, the min over the
    * shingle-hash set. NULL-free input required (guard empty shingles
    * upstream). */
   def minhashSignature(hashes: Column, k: Int): Column =
+    call_function("vec_minhash", hashes, lit(k))
+
+  /** Composable (extension-free) twin of [[minhashSignature]] — k
+   * interpreted array walks instead of graft.plans.MinHashSig's one-pass
+   * loop; identical output, kept as the portability reference. */
+  def minhashSignatureComposable(hashes: Column, k: Int): Column =
     array((0 until k).map { i =>
       val (a, b) = hashParams(i)
       array_min(transform(hashes, h => (h * a + b) % P))
@@ -67,6 +79,11 @@ object Dedup {
     size(array_intersect(a, b)) /
       greatest(size(array_union(a, b)), lit(1)).cast("double")
 
+  /** Jaccard via the codegen'd merge-scan expression — inputs must be
+   * sorted distinct `array<long>` ([[shingleHashes]] output). */
+  def jaccardSorted(a: Column, b: Column): Column =
+    call_function("vec_jaccard_sorted", a, b)
+
   /** Fraction of equal signature positions — the MinHash Jaccard
    * estimate. */
   def signatureAgreement(sigA: Column, sigB: Column, k: Int): Column =
@@ -75,7 +92,12 @@ object Dedup {
 
   /** 28-bit SimHash over the distinct tokens of a text column: bit j set
    * iff more than half the token hashes have bit j set. */
-  def simhash(text: Column, bits: Int = 28): Column = {
+  def simhash(text: Column, bits: Int = 28): Column =
+    call_function("vec_simhash", array_distinct(tokens(text)), lit(bits))
+
+  /** Extension-free composable twin of [[simhash]] — bits × interpreted
+   * array scans; identical output, kept as the portability reference. */
+  def simhashComposable(text: Column, bits: Int = 28): Column = {
     val hashes = transform(array_distinct(tokens(text)), t => hash28(t))
     val n = size(hashes)
     (0 until bits).map { j =>
@@ -106,21 +128,40 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sigs = docs
+    // The repartition AFTER the signature projection is load-bearing twice
+    // over: (1) it spreads the (often single-file) input across cores, and
+    // (2) it materializes sh/sig as exchanged attributes. Without the
+    // barrier, Catalyst collapses the projections into the generator input
+    // and the 16 element_at(sig,·) band-key references each re-inline the
+    // whole minhash+md5 chain (generator projections get no subexpression
+    // elimination) — measured 25× slower at sf0.1.
+    def sigs(src: DataFrame) = src
       .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), k))
-      .withColumn("band", explode(bandKeys(col("sig"), bands, rows)))
-    val a = sigs.select(col("band"), col("id").as("id_a"),
-      col("sh").as("sh_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("band"), col("id").as("id_b"),
+      .repartition(src.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), col("sh"), col("sig"),
+        posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band_idx", "band")))
+    val a = sigs(docs).select(col("band"), col("band_idx"),
+      col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a"))
+    val b = sigs(docs).select(col("band"), col("id").as("id_b"),
       col("sh").as("sh_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band"))
+    // a pair sharing m bands appears m times; keep only the FIRST agreeing
+    // band per pair — O(k) integer compares, vs. a distinct() shuffle AND
+    // m-fold duplicated est/exact-jaccard work
+    val firstAgreeingBand = (0 until bands).foldRight(lit(-1)) { (bd, rest) =>
+      val bandAgrees = (0 until rows)
+        .map(r => element_at(col("sig_a"), bd * rows + r + 1) ===
+          element_at(col("sig_b"), bd * rows + r + 1))
+        .reduce(_ && _)
+      when(bandAgrees, lit(bd)).otherwise(rest)
+    }
+    a.join(broadcast(b), Seq("band"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("band_idx") === firstAgreeingBand)
       .select(col("id_a"), col("id_b"),
         signatureAgreement(col("sig_a"), col("sig_b"), k).as("est_jaccard"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
+        jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -144,13 +185,20 @@ object Dedup {
       blockCol: Column,
       shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val t = docs.select(col(idCol).as("id"), blockCol.as("block"),
+    def t(src: DataFrame) = src.select(col(idCol).as("id"), blockCol.as("block"),
       shingleHashes(col(textCol), shingleN).as("sh"))
-    val a = t.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = t.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("block"))
+    // same broadcast-build / repartitioned-probe shape as minhashNearDups:
+    // block keys are low-cardinality, so a shuffle join would serialize
+    val a = t(repartitioned(docs)).select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = t(repartitioned(docs)).select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(broadcast(b), Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Spread a (typically single-file) input across the session's
+   * parallelism for CPU-bound pair scans. */
+  private def repartitioned(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -35,7 +35,13 @@ object TextFunctions {
     size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0)))
 
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
-    size(filter(tokens(lower(text)), t => t.isInCollection(stopwords)))
+    stopwordHits(tokens(lower(text)), stopwords)
+
+  /** Stopword hits from a pre-computed lowercase token array — lets a
+   * query tokenize once and score many lists (langId = 4 lists + quality
+   * = 1 more; re-splitting per list quintuples the regex work). */
+  def stopwordHits(lowerToks: Column, stopwords: Seq[String]): Column =
+    size(filter(lowerToks, t => t.isInCollection(stopwords)))
 
   // Small per-language function-word lists for the language-ID heuristic.
   val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
@@ -50,11 +56,14 @@ object TextFunctions {
    * character-n-gram profiles; the operator shape (score columns + argmax)
    * is the same.
    */
-  def langId(text: Column): Column = {
-    val en = stopwordCount(text, StopEn)
-    val es = stopwordCount(text, StopEs)
-    val de = stopwordCount(text, StopDe)
-    val fr = stopwordCount(text, StopFr)
+  def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
+
+  /** [[langId]] over a pre-computed lowercase token array. */
+  def langIdFromTokens(lowerToks: Column): Column = {
+    val en = stopwordHits(lowerToks, StopEn)
+    val es = stopwordHits(lowerToks, StopEs)
+    val de = stopwordHits(lowerToks, StopDe)
+    val fr = stopwordHits(lowerToks, StopFr)
     when(en >= es && en >= de && en >= fr && en > 0, "en")
       .when(es >= de && es >= fr && es > 0, "es")
       .when(de >= fr && de > 0, "de")
@@ -67,23 +76,37 @@ object TextFunctions {
    * 100 words) + low punctuation density + healthy stopword rate — the
    * C4/Gopher-style cheap quality filters folded to one number.
    */
-  def qualityScore(text: Column): Column = {
-    val n = wordCount(text)
-    val lenScore = least(n / lit(100.0), lit(1.0))
-    val punctRatio = punctCount(text) / greatest(length(text), lit(1)).cast("double")
-    val stopRatio = stopwordCount(text, StopEn) / greatest(n, lit(1)).cast("double")
+  def qualityScore(text: Column): Column =
+    qualityScoreFromParts(wordCount(text), punctCount(text), length(text),
+      stopwordCount(text, StopEn))
+
+  /** [[qualityScore]] from pre-computed parts (words/punct/chars/en-stop
+   * hits) — term order is load-bearing: the DuckDB oracle mirrors it for
+   * bit-identical doubles. */
+  def qualityScoreFromParts(words: Column, punct: Column, chars: Column,
+      stopEn: Column): Column = {
+    val lenScore = least(words / lit(100.0), lit(1.0))
+    val punctRatio = punct / greatest(chars, lit(1)).cast("double")
+    val stopRatio = stopEn / greatest(words, lit(1)).cast("double")
     lit(0.5) * lenScore +
       lit(0.25) * (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) +
       lit(0.25) * least(stopRatio * 5.0, lit(1.0))
   }
 
   /** 60-bit engine-portable hash: first 15 hex chars of MD5 as a long.
-   * DuckDB twin: `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`. */
-  def hash60(s: Column): Column = conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+   * DuckDB twin: `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`.
+   * Native graft.plans.Md5PrefixHash — same value as the conv/substr/md5
+   * chain, ~60x cheaper (no per-call digest alloc or hex-string parse). */
+  def hash60(s: Column): Column = call_function("md5_prefix_hash", s, lit(15))
 
   /** 28-bit portable hash — small enough that `a*h+b` stays in 64 bits for
    * the minhash family in [[Dedup]]. */
-  def hash28(s: Column): Column = conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+  def hash28(s: Column): Column = call_function("md5_prefix_hash", s, lit(7))
+
+  /** Extension-free composable twin of [[hash60]]/[[hash28]] (the
+   * portability reference the SQL oracles mirror). */
+  def hashPrefixComposable(s: Column, nibbles: Int): Column =
+    conv(substring(md5(s), 1, nibbles), 16, 10).cast("long")
 
   /** Production-speed 64-bit hash (not cross-engine portable). */
   def fastHash64(s: Column): Column = xxhash64(s)

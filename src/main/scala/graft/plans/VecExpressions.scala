@@ -1,0 +1,429 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.data.Dedup
+
+/**
+ * Native Catalyst expression for the hot loop of similarity search: the
+ * dot product of two `array<double>` columns.
+ *
+ * The composable spelling — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` —
+ * allocates an intermediate 64-element array per row pair and evaluates
+ * three higher-order functions interpretively. At ~12M candidate pairs
+ * (sf0.1 near-dup scan) that dominates the query. This expression compiles
+ * to a tight unboxed `for` loop inside whole-stage codegen: no
+ * allocation, no virtual calls.
+ *
+ * Summation is sequential left-to-right — bit-identical to both the
+ * composable spelling and DuckDB's `list_dot_product`, so oracle parity
+ * is preserved.
+ */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  // ExpectsInputTypes is unusable outside org.apache.spark.sql in 4.x
+  // (AbstractDataType went private[sql]) — check types directly instead.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+    (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+}
+
+/**
+ * Jaccard similarity of two SORTED, de-duplicated `array<long>` columns,
+ * via a linear merge scan — no per-pair hash-set build, no allocation.
+ *
+ * `array_intersect`/`array_union` cost a hash-set construction per pair;
+ * on a 1M-candidate-pair near-dup scan that is the whole query. Inputs
+ * must be sorted distinct (`sort_array(array_distinct(...))` — sortedness
+ * does not change set semantics, so external oracles using generic
+ * intersect/union counts agree exactly).
+ */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_jaccard_sorted"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    SortedJaccard.jaccard(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ${SortedJaccard.getClass.getName.stripSuffix("$")}.jaccard($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedJaccard {
+  /** Merge-scan |A∩B| / |A∪B| for sorted distinct arrays. */
+  def jaccard(x: ArrayData, y: ArrayData): Double = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var common = 0
+    while (i < nx && j < ny) {
+      val a = x.getLong(i)
+      val b = y.getLong(j)
+      if (a == b) { common += 1; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    val union = nx + ny - common
+    if (union == 0) 0.0 else common.toDouble / union
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_jaccard_sorted"),
+    new ExpressionInfo(classOf[SortedJaccard].getName, "vec_jaccard_sorted"),
+    (children: Seq[Expression]) => SortedJaccard(children(0), children(1)))
+}
+
+/**
+ * One-pass k-function MinHash signature of an `array<long>` of 28-bit
+ * element hashes: `sig[i] = min over h of (h·(2i+1) + (7919i+13)) mod
+ * (2^31−1)`.
+ *
+ * The composable spelling (k separate `array_min(transform(...))`) walks
+ * the array k times through interpreted lambdas with boxed longs; this is
+ * one tight unboxed n×k loop. Integer math — bit-identical to the
+ * composable version and any SQL oracle.
+ */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], k)
+
+  // Real codegen matters beyond speed of the loop itself: a
+  // CodegenFallback here would knock the whole projection out of
+  // whole-stage codegen AND out of subexpression elimination, so a plan
+  // that fans `sig` into 16 band-key references would recompute the
+  // entire minhash+md5 chain 16× per row (measured: 8.5s → 0.4s at sf0.1).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.MinHashSig.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** One-pass n×k signature loop (shared by eval and codegen). */
+  def compute(xs: ArrayData, k: Int): ArrayData = {
+    val n = xs.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = xs.getLong(i)
+      var f = 0
+      while (f < k) {
+        val v = (h * (2L * f + 1) + (7919L * f + 13)) % Dedup.P
+        if (v < sig(f)) sig(f) = v
+        f += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  // SQL surface takes k as a literal second argument
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_minhash"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "vec_minhash"),
+    (children: Seq[Expression]) => MinHashSig(children(0),
+      children(1).eval().asInstanceOf[Number].intValue()))
+}
+
+/**
+ * Long hash from the first `nibbles` hex chars of MD5 — the native twin of
+ * `conv(substr(md5(s),1,nibbles),16,10)`.
+ *
+ * The composable chain costs ~30µs per value interpreted: a fresh
+ * MessageDigest per call, a 32-char hex string, a substring, and a
+ * string→long radix parse. This computes the same number straight from
+ * the digest bytes with a thread-local digest (~0.5µs). Values are
+ * identical, so SQL oracles keep using the conv() spelling.
+ */
+case class Md5PrefixHash(child: Expression, nibbles: Int)
+    extends UnaryExpression {
+
+  require(nibbles > 0 && nibbles <= 15, "nibbles must be 1..15 to fit a signed long")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Md5PrefixHash.hash(input.asInstanceOf[UTF8String], nibbles)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Md5PrefixHash.hash($c, $nibbles);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5PrefixHash {
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** First `nibbles` hex chars of md5(s) as a long (big-endian nibbles). */
+  def hash(s: UTF8String, nibbles: Int): Long = {
+    val md = digest.get()
+    md.reset()
+    hashBytes(md.digest(s.getBytes), nibbles)
+  }
+
+  def hashBytes(d: Array[Byte], nibbles: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < nibbles) {
+      val b = d(i >> 1) & 0xff
+      val nib = if ((i & 1) == 0) b >> 4 else b & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("md5_prefix_hash"),
+    new ExpressionInfo(classOf[Md5PrefixHash].getName, "md5_prefix_hash"),
+    (children: Seq[Expression]) => Md5PrefixHash(children(0),
+      children(1).eval().asInstanceOf[Number].intValue()))
+}
+
+/**
+ * Fused shingle hasher: `array<string>` tokens → sorted distinct
+ * `array<long>` of 28-bit MD5-prefix hashes of space-joined word
+ * `n`-grams. One pass, no per-shingle string churn, no interpreted
+ * lambdas — replaces the
+ * `sort_array(array_distinct(transform(shingles(...), md5...)))` chain
+ * that dominated the near-dup queries. Bit-identical to the composable
+ * spelling (same UTF-8 bytes are digested).
+ */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ShingleHashes.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private val SPACE = Array[Byte](' ')
+
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val nTok = toks.numElements()
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](nTok - n + 1)
+    var i = 0
+    while (i <= nTok - n) {
+      md.reset()
+      var k = 0
+      while (k < n) {
+        if (k > 0) md.update(SPACE)
+        md.update(toks.getUTF8String(i + k).getBytes)
+        k += 1
+      }
+      out(i) = Md5PrefixHash.hashBytes(md.digest(), 7)
+      i += 1
+    }
+    // sorted distinct
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_hashes"),
+    new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+    (children: Seq[Expression]) => ShingleHashes(children(0),
+      children(1).eval().asInstanceOf[Number].intValue()))
+}
+
+/**
+ * Fused SimHash: `array<string>` (distinct) tokens → `bits`-wide simhash
+ * long. Per token: 28-bit MD5-prefix hash; per bit: majority vote across
+ * tokens. Replaces `bits × size(filter(...))` interpreted array scans with
+ * one pass. Bit-identical to the composable spelling (same hashes, same
+ * strict-majority rule `2·ones > n`).
+ */
+case class SimHash(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  require(bits > 0 && bits <= 28, "bits must be 1..28 (28-bit token hashes)")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash.compute(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SimHash.compute($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash {
+  def compute(toks: ArrayData, bits: Int): Long = {
+    val n = toks.numElements()
+    val ones = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = Md5PrefixHash.hash(toks.getUTF8String(i), 7)
+      var j = 0
+      while (j < bits) {
+        ones(j) += ((h >> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var v = 0L
+    var j = 0
+    while (j < bits) {
+      if (2 * ones(j) > n) v |= 1L << j
+      j += 1
+    }
+    v
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_simhash"),
+    new ExpressionInfo(classOf[SimHash].getName, "vec_simhash"),
+    (children: Seq[Expression]) => SimHash(children(0),
+      children(1).eval().asInstanceOf[Number].intValue()))
+}
+
+/**
+ * Session extension registering graft's native expressions; enable with
+ * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+ */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction(DotProduct.descriptor)
+    ext.injectFunction(SortedJaccard.descriptor)
+    ext.injectFunction(MinHashSig.descriptor)
+    ext.injectFunction(Md5PrefixHash.descriptor)
+    ext.injectFunction(ShingleHashes.descriptor)
+    ext.injectFunction(SimHash.descriptor)
+  }
+}

@@ -64,19 +64,23 @@ object VarPipeline {
   }
 
   /** Weekly run dates (Mondays in the back half of the history). */
-  def runDates(spark: SparkSession, cfg: Config): DataFrame = {
+  def runDates(spark: SparkSession, cfg: Config): DataFrame =
+    runDatesFrom(marketVolatility(spark, cfg), cfg)
+
+  private def runDatesFrom(vol: DataFrame, cfg: Config): DataFrame = {
     val cutoff = cfg.start.plusDays(cfg.days * 7 / 5 / 2)
-    marketVolatility(spark, cfg)
-      .select(col("date"))
+    vol.select(col("date"))
       .filter(dayofweek(col("date")) === 2 &&
         col("date") >= lit(java.sql.Timestamp.valueOf(cutoff.atStartOfDay())))
   }
 
   /** monte_carlo_trials table: (date, ticker, returns: Vector[runs]). */
   def monteCarloTrials(spark: SparkSession, cfg: Config): DataFrame = {
-    val vol = marketVolatility(spark, cfg)
+    // tiny (one row/day) but feeds the plan twice (run dates + as-of
+    // right side) through an unpartitioned window — cache, don't recompute
+    val vol = marketVolatility(spark, cfg).cache()
     val atRun = AsOfJoin
-      .asofJoinBroadcast(runDates(spark, cfg),
+      .asofJoinBroadcast(runDatesFrom(vol, cfg),
         vol.select(col("date"), col("vol_avg"), col("vol_cov")), "date")
       .filter(col("right_vol_cov").isNotNull)
       .select(col("date"), col("right_vol_avg").as("vol_avg"),
