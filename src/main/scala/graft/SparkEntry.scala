@@ -100,6 +100,17 @@ object SparkEntry {
         .select(col("o_orderkey"), col("rolling_sum_cents"), col("rolling_n"))
         .orderBy(col("o_orderkey"))
     }),
+    "q08_rolling_global_chunked" -> ((s, dir) => {
+      // UNPARTITIONED trailing window via the chunk+overlap scale path
+      // (graft.risk.Windows) — oracle is the plain global RANGE window,
+      // proving the parallel plan computes identical results
+      val o = t(s, dir, "orders")
+        .withColumn("__cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      graft.risk.Windows.chunkedTrailingRange(o, "o_orderdate", 90, 365,
+          ("rolling_sum_cents", sum(col("__cents"))), ("rolling_n", count(lit(1))))
+        .select(col("o_orderkey"), col("rolling_sum_cents"), col("rolling_n"))
+        .orderBy(col("o_orderkey"))
+    }),
     // ---------------------------------------------- VaR math (V1/V2/V3)
     "q07_var_es" -> ((s, dir) => {
       events(s, dir)
@@ -419,6 +430,15 @@ object SparkEntry {
         |      CAST(round(o_totalprice*100,0) AS BIGINT) AS cents FROM orders)
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        |  RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q08_rolling_global_chunked" ->
+      """SELECT o_orderkey,
+        |CAST(sum(cents) OVER w AS BIGINT) AS rolling_sum_cents,
+        |count(*) OVER w AS rolling_n
+        |FROM (SELECT o_orderkey, o_orderdate,
+        |      CAST(round(o_totalprice*100,0) AS BIGINT) AS cents FROM orders)
+        |WINDOW w AS (ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
         |  RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
     "q07_var_es" ->

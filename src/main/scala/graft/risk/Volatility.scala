@@ -37,4 +37,44 @@ object Volatility {
       .withColumn("vol_cov", functions.covMatrixUdf(col("__window")))
       .drop("__window")
   }
+
+  /**
+   * The 100TB path for the same computation: an UNPARTITIONED trailing
+   * range window collapses to one task (SURVEY §4 pitfall 1). Here the
+   * series is chunked by time; every row is replicated into its own chunk
+   * and the next one, the window runs inside each chunk partition, and
+   * only rows evaluated in their home chunk are kept. Each row still sees
+   * its full trailing window (chunk length ≥ lookback guarantees the
+   * window spans at most the previous chunk), but the plan is a shuffle on
+   * chunk ids + parallel windows instead of a single global sort task.
+   *
+   * Output is bit-identical to [[rollingStats]] with no partition cols
+   * (same rows, same in-window order).
+   */
+  def rollingStatsChunked(
+      returns: DataFrame,
+      dateCol: String = "date",
+      featuresCol: String = "features",
+      windowDays: Int = 90,
+      chunkDays: Int = 365): DataFrame = {
+    require(chunkDays >= windowDays,
+      s"chunkDays ($chunkDays) must cover the lookback ($windowDays)")
+    val chunkLen = chunkDays.toLong * 86400L
+    val epoch = col(dateCol).cast("long")
+    val home = floor(epoch / chunkLen)
+    val w = Window
+      .partitionBy(col("__chunk"))
+      .orderBy(col(dateCol).cast("long"))
+      .rangeBetween(-windowDays.toLong * 86400L, 0L)
+    returns
+      .withColumn("__home", home)
+      // replicate into home and next chunk (as look-back context)
+      .withColumn("__chunk", explode(array(col("__home"), col("__home") + 1)))
+      .withColumn("__window", collect_list(col(featuresCol)).over(w))
+      .filter(col("__chunk") === col("__home"))
+      .filter(size(col("__window")) > 1)
+      .withColumn("vol_avg", functions.meanVectorUdf(col("__window")))
+      .withColumn("vol_cov", functions.covMatrixUdf(col("__window")))
+      .drop("__window", "__home", "__chunk")
+  }
 }

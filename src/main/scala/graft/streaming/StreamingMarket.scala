@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Incremental market ingest — the Structured Streaming face of the batch
+ * engine (the reference hints at incremental runs,
+ * `config/application.yaml:2-3`, but never implements them; SURVEY §2.9).
+ *
+ * Two canonical stateful shapes:
+ *  - event-time **windowed aggregation with watermark** for indicator
+ *    stats (the streaming analogue of the batch range window W2) — pure
+ *    declarative plan, state bounded by the watermark;
+ *  - **flatMapGroupsWithState** for running per-ticker log returns (the
+ *    streaming analogue of the W1 two-row window) — explicit keyed state
+ *    holding the previous close.
+ *
+ * Both compose with the batch column functions unchanged: a stream is
+ * just a DataFrame whose plan runs forever.
+ */
+object StreamingMarket {
+
+  case class PriceTick(ticker: String, ts: Timestamp, close: Double)
+  case class ReturnTick(ticker: String, ts: Timestamp, close: Double, ret: Double)
+  case class PrevClose(ts: Long, close: Double)
+
+  /**
+   * Sliding event-time mean/min/max/count per indicator window. Late rows
+   * beyond the watermark are dropped (state is bounded: watermark + window
+   * length per key).
+   */
+  def windowedIndicatorStats(
+      ticks: DataFrame,
+      valueCol: String = "close",
+      watermark: String = "1 day",
+      windowLen: String = "7 days",
+      slide: String = "1 day"): DataFrame =
+    ticks
+      .withWatermark("ts", watermark)
+      .groupBy(col("ticker"), window(col("ts"), windowLen, slide))
+      .agg(
+        avg(col(valueCol)).as("mean"),
+        min(col(valueCol)).as("min"),
+        max(col(valueCol)).as("max"),
+        count(lit(1)).as("n"))
+      .select(col("ticker"), col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("mean"), col("min"),
+        col("max"), col("n"))
+
+  /**
+   * Running log returns per ticker with explicit keyed state: each batch's
+   * rows are processed in event-time order against the stored previous
+   * close; the first tick of a series returns 0.0 (the batch W1 `first`
+   * semantics — ln(close/close), not null).
+   */
+  def runningLogReturns(ticks: Dataset[PriceTick])(
+      implicit spark: SparkSession): Dataset[ReturnTick] = {
+    import spark.implicits._
+    ticks
+      .groupByKey(_.ticker)
+      .flatMapGroupsWithState[PrevClose, ReturnTick](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (ticker: String, rows: Iterator[PriceTick], state: GroupState[PrevClose]) =>
+          // micro-batch iterators carry no order guarantee — impose event time
+          val ordered = rows.toSeq.sortBy(_.ts.getTime)
+          var prev = state.getOption
+          val out = ordered.map { t =>
+            val base = prev match {
+              case Some(p) if p.ts <= t.ts.getTime => p.close
+              case _ => t.close
+            }
+            prev = Some(PrevClose(t.ts.getTime, t.close))
+            ReturnTick(ticker, t.ts, t.close, math.log(t.close / base))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** File-source ingest of the batch schema (parquet drops into the same
+   * transforms used by the batch pipeline). */
+  def readPriceStream(spark: SparkSession, dir: String): Dataset[PriceTick] = {
+    import spark.implicits._
+    spark.readStream
+      .schema("ticker STRING, ts TIMESTAMP, close DOUBLE")
+      .parquet(dir)
+      .as[PriceTick]
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import StreamingMarket._
+
+class StreamingMarketSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int = 0) =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  test("runningLogReturns: stateful prev-close across micro-batches") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PriceTick]
+    val q = runningLogReturns(input.toDS())
+      .writeStream.format("memory").queryName("rets")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(PriceTick("A", ts(1), 100.0), PriceTick("A", ts(2), 110.0),
+      PriceTick("B", ts(1), 50.0))
+    q.processAllAvailable()
+    input.addData(PriceTick("A", ts(3), 121.0)) // state must remember 110
+    q.processAllAvailable()
+
+    val out = spark.table("rets").as[ReturnTick].collect()
+      .map(r => (r.ticker, r.ts.toString.take(10), BigDecimal(r.ret)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).sorted
+    assert(out.toSeq == Seq(
+      ("A", "2024-01-01", 0.0),
+      ("A", "2024-01-02", BigDecimal(math.log(110.0 / 100.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("A", "2024-01-03", BigDecimal(math.log(121.0 / 110.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      ("B", "2024-01-01", 0.0)))
+    q.stop()
+  }
+
+  test("windowedIndicatorStats: event-time windows with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PriceTick]
+    val q = windowedIndicatorStats(input.toDF(), windowLen = "2 days", slide = "1 day")
+      .writeStream.format("memory").queryName("winstats")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(PriceTick("IX", ts(1, 6), 10.0), PriceTick("IX", ts(2, 6), 20.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the early windows
+    input.addData(PriceTick("IX", ts(10, 6), 1.0))
+    q.processAllAvailable()
+
+    val rows = spark.table("winstats")
+      .select("window_start", "mean", "n").collect()
+      .map(r => (r.get(0).toString.take(10), r.getDouble(1), r.getLong(2))).sorted
+    // 2-day windows sliding by 1 day: day1 appears in [12-31,1-1] and [1-1,1-2] etc.
+    assert(rows.contains(("2024-01-01", 15.0, 2L))) // window covering both ticks
+    assert(rows.exists(_._3 == 1L))
+    q.stop()
+  }
+
+  test("chunked rolling stats == unpartitioned rolling stats") {
+    import org.apache.spark.sql.functions._
+    val days = (1 to 60).map(d => (Timestamp.valueOf(f"2024-${1 + (d - 1) / 28}%02d-${1 + (d - 1) % 28}%02d 00:00:00"),
+      Array((d * 7 % 13).toDouble, (d * 3 % 5).toDouble)))
+    val df = days.toDF("date", "features")
+    val full = graft.risk.Volatility.rollingStats(df, windowDays = 10)
+      .select(col("date"), col("vol_avg"), col("vol_cov"))
+    val chunked = graft.risk.Volatility.rollingStatsChunked(df, windowDays = 10, chunkDays = 14)
+      .select(col("date"), col("vol_avg"), col("vol_cov"))
+    val a = full.orderBy("date").collect().map(_.toString)
+    val b = chunked.orderBy("date").collect().map(_.toString)
+    assert(a.length == b.length && a.length > 40)
+    assert(a.sameElements(b))
+  }
+}
