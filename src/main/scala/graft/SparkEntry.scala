@@ -154,19 +154,20 @@ object SparkEntry {
     }),
     "q12_group_ols" -> ((s, dir) => {
       import s.implicits._
+      // sum-decomposable OLS Aggregator: map-side partial aggregation,
+      // fixed-size normal-equation buffers per group (vs mapGroups
+      // materializing every group's rows post-shuffle)
       val rows = t(s, dir, "lineitem")
-        .select(col("l_returnflag").as("g"), col("l_quantity").as("x"),
-          col("l_extendedprice").as("y"))
-        .as[(String, Double, Double)]
-      rows.groupByKey(_._1)
-        .mapGroups { (g, it) =>
-          val a = it.toArray
-          val w = Training.fitOls(a.map(r => Array(r._2)), a.map(_._3))
-          (g, w(0), w(1))
-        }
-        .toDF("l_returnflag", "intercept", "slope")
-        .select(col("l_returnflag"), round(col("intercept"), 2).as("intercept"),
-          round(col("slope"), 4).as("slope"))
+        .select(col("l_returnflag").as("ticker"),
+          array(col("l_quantity")).cast("array<double>").as("features"),
+          col("l_extendedprice").as("label"))
+        .as[Training.TrainRow]
+      rows.groupByKey(_.ticker)
+        .agg(new Training.OlsAggregator(1).toColumn.name("w"))
+        .toDF("l_returnflag", "w")
+        .select(col("l_returnflag"),
+          round(element_at(col("w"), 1), 2).as("intercept"),
+          round(element_at(col("w"), 2), 4).as("slope"))
         .orderBy(col("l_returnflag"))
     }),
     // ------------------------------------------------------ as-of join (J5)

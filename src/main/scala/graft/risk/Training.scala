@@ -59,6 +59,91 @@ object Training {
     reg.estimateRegressionParameters()
   }
 
+  /** Normal-equation sufficient statistics: X'X (row-major, with intercept
+   * column) and X'y. Sum-decomposable ⇒ partial aggregation. */
+  case class OlsBuffer(xtx: Array[Double], xty: Array[Double])
+
+  /**
+   * Per-group OLS as a typed `Aggregator` over the normal equations.
+   *
+   * `mapGroups` ([[trainModels]]) shuffles and materializes every group's
+   * rows; this aggregator reduces each row into a (d+1)² buffer with
+   * map-side combine, so at 100TB only fixed-size buffers cross the wire —
+   * the right shape when groups are huge. `d` = feature dim (intercept
+   * added internally); expand features (e.g. `VarMath.nonLinearFeatures`)
+   * before aggregating.
+   */
+  class OlsAggregator(d: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[TrainRow, OlsBuffer, Array[Double]] {
+    private val n = d + 1
+
+    override def zero: OlsBuffer = OlsBuffer(new Array(n * n), new Array(n))
+
+    override def reduce(b: OlsBuffer, row: TrainRow): OlsBuffer = {
+      val x = new Array[Double](n)
+      x(0) = 1.0
+      System.arraycopy(row.features, 0, x, 1, d)
+      var i = 0
+      while (i < n) {
+        val xi = x(i)
+        b.xty(i) += xi * row.label
+        var j = 0
+        while (j < n) { b.xtx(i * n + j) += xi * x(j); j += 1 }
+        i += 1
+      }
+      b
+    }
+
+    override def merge(a: OlsBuffer, b: OlsBuffer): OlsBuffer = {
+      var i = 0
+      while (i < n * n) { a.xtx(i) += b.xtx(i); i += 1 }
+      i = 0
+      while (i < n) { a.xty(i) += b.xty(i); i += 1 }
+      a
+    }
+
+    override def finish(b: OlsBuffer): Array[Double] = {
+      val m = new org.apache.commons.math3.linear.Array2DRowRealMatrix(n, n)
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) { m.setEntry(i, j, b.xtx(i * n + j)); j += 1 }
+        i += 1
+      }
+      new org.apache.commons.math3.linear.LUDecomposition(m).getSolver
+        .solve(new org.apache.commons.math3.linear.ArrayRealVector(b.xty))
+        .toArray
+    }
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[OlsBuffer] =
+      org.apache.spark.sql.Encoders.product[OlsBuffer]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  /** [[trainModels]] via [[OlsAggregator]] (partial aggregation; the scale
+   * path). `rawDim` = dimensionality of `featuresCol` BEFORE non-linear
+   * expansion. */
+  def trainModelsAgg(
+      df: DataFrame,
+      rawDim: Int,
+      tickerCol: String = "ticker",
+      featuresCol: String = "features",
+      labelCol: String = "return"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(tickerCol).cast("string").as("ticker"),
+        col(featuresCol).cast("array<double>").as("features"),
+        col(labelCol).cast("double").as("label"))
+      .na.drop()
+      .as[TrainRow]
+      .map(r => TrainRow(r.ticker, VarMath.nonLinearFeatures(r.features), r.label))
+      .groupByKey(_.ticker)
+      .agg(new OlsAggregator(4 * rawDim).toColumn.name("weights"))
+      .toDF("ticker", "weights")
+  }
+
   /**
    * Score: y_hat = w0 + w[1:] . nonLinearFeatures(features). Pure native
    * plan: broadcast-join the (tiny) weights table, then codegen'd
