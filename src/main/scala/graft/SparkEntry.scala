@@ -302,6 +302,14 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q25b_neardup_lsh_bucketed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.cosineNearDupPairsBucketed(e, "vec_id", "v", threshold = 0.4,
+          numPlanes = 8, dim = 64)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // ----------------------------------------- similarity search (ANN/KNN)
     "q26_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -316,6 +324,15 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       Similarity.lshTopK(e.filter(col("vec_id") < 20), e, "vec_id", "v",
           k = 3, numPlanes = 8, dim = 64)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q27b_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, "vec_id", "v",
+          k = 3, nCells = 8, nProbe = 2, dim = 64)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rank"))
@@ -588,6 +605,43 @@ object SparkEntry {
          |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q25b_neardup_lsh_bucketed" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |planes AS (SELECT * FROM (VALUES $planesSql) pl(p, coef)),
+         |buck AS (SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(v, coef) >= 0
+         |    THEN 1<<p ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e CROSS JOIN planes GROUP BY vec_id)
+         |SELECT id_a, id_b, round(sim, 6) AS sim
+         |FROM (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |  list_dot_product(a.v, c.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+         |  FROM e a JOIN buck ba ON ba.vec_id = a.vec_id
+         |  JOIN buck bc ON bc.bucket = ba.bucket
+         |  JOIN e c ON c.vec_id = bc.vec_id
+         |  WHERE a.vec_id < c.vec_id)
+         |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q27b_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |planes AS (SELECT * FROM (VALUES $planesSql) pl(p, coef)),
+         |cellsim AS (SELECT vec_id, p, list_dot_product(v, coef) AS s
+         |  FROM e CROSS JOIN planes),
+         |ccell AS (SELECT vec_id, p AS cell FROM cellsim
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, p DESC) = 1),
+         |qcell AS (SELECT vec_id, p AS cell FROM cellsim WHERE vec_id < 20
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, p DESC) <= 2)
+         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(q.v, c.v) /
+         |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+         |        c.vec_id) AS rank
+         |  FROM e q JOIN qcell ON qcell.vec_id = q.vec_id
+         |  JOIN ccell ON ccell.cell = qcell.cell
+         |  JOIN e c ON c.vec_id = ccell.vec_id
+         |  WHERE q.vec_id <> c.vec_id)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q26_knn_brute" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (

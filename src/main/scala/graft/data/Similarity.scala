@@ -142,6 +142,68 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /**
+   * Scale path for [[cosineNearDupPairs]]: LSH-bucket the corpus first and
+   * compare only within buckets — shuffle on a small int key, quadratic
+   * work confined per bucket (recall < 1; more planes ⇒ smaller buckets ⇒
+   * faster and lower recall). Same output shape.
+   */
+  def cosineNearDupPairsBucketed(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numPlanes: Int,
+      dim: Int): DataFrame = {
+    val ps = planes(numPlanes, dim)
+    def side(prefix: String) =
+      withNorm(repartitioned(vectors), idCol, vecCol, prefix)
+        .withColumn("bucket", lshBucket(col(s"${prefix}v"), ps))
+    side("a_").join(side("b_"), Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
+        simCol("a_", "b_").as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /**
+   * IVF-style ANN: corpus assigned to the nearest of `nCells` seed
+   * centroids (deterministic MD5-derived seeds — swap for trained k-means
+   * centroids in production); each query probes its `nProbe` closest cells.
+   * Same output shape as [[bruteForceTopK]]; recall < 1.
+   */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbe: Int,
+      dim: Int): DataFrame = {
+    val cents = planes(nCells, dim) // reuse the deterministic coef generator
+    def cellSims(v: Column) = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(dotNative(v, array(c.map(lit): _*)).as("s"), lit(i).as("cell"))
+    }: _*)
+    // corpus rows land in their single best cell
+    val c = withNorm(repartitioned(corpus), idCol, vecCol, "c_")
+      .withColumn("cell", sort_array(cellSims(col("c_v")), asc = false)(0)("cell"))
+    // queries probe their nProbe best cells
+    val q = withNorm(queries, idCol, vecCol, "q_")
+      .withColumn("cell",
+        explode(slice(transform(sort_array(cellSims(col("q_v")), asc = false),
+          s => s("cell")), 1, nProbe)))
+    val rank = row_number().over(
+      Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id")))
+    broadcast(q).join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        simCol("q_", "c_").as("sim"))
+      .withColumn("rank", rank)
+      .filter(col("rank") <= k)
+  }
+
   /** Spread a (typically single-file) input across the session's
    * parallelism for CPU-bound pair scans. */
   private def repartitioned(df: DataFrame): DataFrame =
