@@ -366,6 +366,22 @@ object SparkEntry {
       VarPipeline.monteCarloTrials(s, miniCfg)
         .select(c("date"), c("ticker"), R.varAtVec(c("returns"), lit(95.0)).as("var_95"))
         .orderBy(c("date"), c("ticker"))
+    }),
+    "q34_risk_contribution" -> ((s, _) => {
+      import graft.risk.{VarEngine, VarPipeline => VP}
+      VarEngine.riskContribution(VP.monteCarloTrials(s, miniCfg),
+          VP.portfolio(s, miniCfg), "industry",
+          Seq("MINING", "BANKING", "ENERGY", "RETAIL"))
+        .orderBy(col("date"))
+    }),
+    "q35_compliance_daily" -> ((s, _) => {
+      import graft.risk.{Sources, VarEngine, VarPipeline => VP}
+      val market = Sources.syntheticMarketData(s, miniCfg.tickers, miniCfg.start,
+        miniCfg.days, globalSeed = miniCfg.seed)
+      val varSeries = VarEngine.varTimeSeries(VP.monteCarloTrials(s, miniCfg),
+        VP.portfolio(s, miniCfg)).select(col("date"), col("var_99"))
+      VarEngine.complianceReport(market, VP.portfolio(s, miniCfg), varSeries)
+        .orderBy(col("date"))
     })
   )
 

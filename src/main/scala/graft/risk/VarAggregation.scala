@@ -71,7 +71,9 @@ object VarAggregation {
       .pivot(sliceCol, sliceValues)
       .agg(first(col(varCol)))
     val total = sliceValues.map(col).reduce(_ + _)
-    sliceValues.foldLeft(pivoted)((df, c) => df.withColumn(c, col(c) / total))
+    // one projection: a foldLeft of withColumn(c, c/total) would rebind
+    // `total` to already-normalized columns after the first iteration
+    pivoted.select(col(dateCol) +: sliceValues.map(c => (col(c) / total).as(c)): _*)
   }
 }
 
