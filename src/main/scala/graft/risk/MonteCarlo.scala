@@ -26,6 +26,65 @@ import org.apache.spark.sql.functions._
  */
 object MonteCarlo {
 
+  /**
+   * Direct-fill trial-vector aggregate: `(trial_id, return)` rows → dense
+   * `Vector` with `returns[trial_id] = return`, grown on demand.
+   *
+   * The composable spelling (`sort_array(collect_list(struct))` + UDF)
+   * buffers every row as an object, interpret-sorts 32k structs per group
+   * and unboxes two 32k Seqs per group; this aggregator writes each return
+   * straight into a primitive double array — no per-row objects, no sort
+   * (the index IS the order), fixed-size buffers merged positionally.
+   */
+  class TrialVectorAggregator
+      extends org.apache.spark.sql.expressions.Aggregator[
+        TrialVectorAggregator.In, TrialVectorAggregator.Buf,
+        org.apache.spark.ml.linalg.Vector] {
+    import TrialVectorAggregator.{Buf, In}
+
+    override def zero: Buf = Buf(0, Array.emptyDoubleArray)
+
+    override def reduce(buf: Buf, r: In): Buf = {
+      val i = r.trial_id.toInt
+      val arr =
+        if (buf.arr.length > i) buf.arr
+        else { // amortized power-of-two growth (trial ids arrive in order)
+          val b = new Array[Double](Integer.highestOneBit(math.max(i + 1, 16)) << 1)
+          System.arraycopy(buf.arr, 0, b, 0, buf.arr.length)
+          b
+        }
+      arr(i) = r.ret
+      Buf(math.max(buf.len, i + 1), arr)
+    }
+
+    override def merge(a: Buf, b: Buf): Buf =
+      if (a.len >= b.len) { // disjoint trial ids: non-zero wins
+        var i = 0
+        while (i < b.len) { if (b.arr(i) != 0.0) a.arr(i) = b.arr(i); i += 1 }
+        a
+      } else merge(b, a)
+
+    override def finish(buf: Buf): org.apache.spark.ml.linalg.Vector =
+      org.apache.spark.ml.linalg.Vectors.dense(
+        java.util.Arrays.copyOf(buf.arr, buf.len))
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.product[Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[org.apache.spark.ml.linalg.Vector] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[org.apache.spark.ml.linalg.Vector]()
+  }
+
+  object TrialVectorAggregator {
+    case class In(trial_id: Long, ret: Double)
+    case class Buf(len: Int, arr: Array[Double])
+
+    /** Untyped-agg column: `asColumn(trialCol, returnCol)`. */
+    def asColumn(trial: org.apache.spark.sql.Column,
+        ret: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.udaf(new TrialVectorAggregator,
+        org.apache.spark.sql.Encoders.product[In]).apply(trial, ret)
+  }
+
   /** Lower-triangular Cholesky factor of a symmetric PSD matrix, with a
    * tiny diagonal jitter retry for semi-definite inputs (numpy's
    * multivariate_normal tolerates PSD via SVD; we stay closer to exact). */
@@ -116,6 +175,22 @@ object MonteCarlo {
    * window row identity; SURVEY §7.5).
    */
   def collectTrialVectors(
+      simulated: DataFrame,
+      dateCol: String = "date",
+      tickerCol: String = "ticker",
+      trialCol: String = "trial_id",
+      returnCol: String = "return"): DataFrame = {
+    simulated
+      .groupBy(col(dateCol), col(tickerCol))
+      .agg(TrialVectorAggregator.asColumn(col(trialCol), col(returnCol)).as("returns"))
+  }
+
+  /** Reference-shaped composable twin of [[collectTrialVectors]]:
+   * `sort_array(collect_list(struct))` + dense-vector UDF. Semantically
+   * identical, but at 32k trials × 27 tickers the interpreted struct sort
+   * and the boxed Seq UDF dominate the whole pipeline (measured: the
+   * aggregator path collapses a >15-minute stage to seconds). */
+  def collectTrialVectorsComposable(
       simulated: DataFrame,
       dateCol: String = "date",
       tickerCol: String = "ticker",
