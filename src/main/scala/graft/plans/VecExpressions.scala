@@ -414,6 +414,73 @@ object SimHash {
 }
 
 /**
+ * Fused non-linear scoring: `ŷ = w₀ + Σⱼ w·[x, sign(x)x², x³, sign(x)√|x|]`
+ * over raw `array<double>` factors — the reference's `predict_non_linears
+ * (non_linear_features(x))` (`utils/var_utils.py:47-62`) in one pass.
+ *
+ * The composable spelling (`predictLinear(weights, nonLinearFeatures(f))`)
+ * allocates the 4k-element expanded array per row and folds it through
+ * three interpreted higher-order functions; at 45M scored returns
+ * (reference-scale Monte Carlo) that is the hot loop. FP evaluation order
+ * matches the composable twin exactly: terms accumulate from 0.0 in
+ * expansion order, then w₀ is added last.
+ */
+case class PredictNonLinear(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "predict_nonlinear"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double> weights, array<double> features), got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(w: Any, f: Any): Any =
+    PredictNonLinear.score(w.asInstanceOf[ArrayData], f.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, f) =>
+      s"${ev.value} = graft.plans.PredictNonLinear.score($w, $f);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PredictNonLinear {
+  /** weights = [w0, 4 per raw factor…]; features = raw factors. */
+  def score(w: ArrayData, f: ArrayData): Double = {
+    val k = f.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < k) {
+      val x = f.getDouble(j)
+      val sg = math.signum(x)
+      val b = 4 * j
+      // mirror functions.nonLinearFeatures term order and association:
+      s += w.getDouble(b + 1) * x
+      s += w.getDouble(b + 2) * (sg * x * x)
+      s += w.getDouble(b + 3) * (x * x * x)
+      s += w.getDouble(b + 4) * (sg * math.sqrt(math.abs(x)))
+      j += 1
+    }
+    w.getDouble(0) + s
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("predict_nonlinear"),
+    new ExpressionInfo(classOf[PredictNonLinear].getName, "predict_nonlinear"),
+    (children: Seq[Expression]) => PredictNonLinear(children(0), children(1)))
+}
+
+/**
  * Session extension registering graft's native expressions; enable with
  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
  */
@@ -425,5 +492,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(Md5PrefixHash.descriptor)
     ext.injectFunction(ShingleHashes.descriptor)
     ext.injectFunction(SimHash.descriptor)
+    ext.injectFunction(PredictNonLinear.descriptor)
   }
 }

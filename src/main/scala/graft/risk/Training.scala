@@ -157,6 +157,23 @@ object Training {
       outCol: String = "predicted"): DataFrame = {
     df
       .join(broadcast(weights.withColumnRenamed("ticker", tickerCol)), Seq(tickerCol))
+      .withColumn(outCol, call_function("predict_nonlinear",
+        col("weights").cast("array<double>"),
+        col(featuresCol).cast("array<double>")))
+      .drop("weights")
+  }
+
+  /** Composable twin of the fused scorer in [[score]] — identical FP
+   * result (graft.plans.PredictNonLinear mirrors term order); kept as the
+   * portability reference. */
+  def scoreComposable(
+      df: DataFrame,
+      weights: DataFrame,
+      tickerCol: String = "ticker",
+      featuresCol: String = "features",
+      outCol: String = "predicted"): DataFrame = {
+    df
+      .join(broadcast(weights.withColumnRenamed("ticker", tickerCol)), Seq(tickerCol))
       .withColumn(outCol,
         functions.predictLinear(col("weights"),
           functions.nonLinearFeatures(col(featuresCol).cast("array<double>"))))

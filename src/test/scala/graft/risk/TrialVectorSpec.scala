@@ -29,4 +29,26 @@ class TrialVectorSpec extends SparkSpec {
       assert(v1.size == 257 && v1 == v2)
     }
   }
+
+  test("fused predict_nonlinear == composable predictLinear, bit-exact") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 300).map { i =>
+      (s"T${i % 4}", Array.fill(5)(rnd.nextDouble() * 4 - 2))
+    }
+    val df = rows.toDF("ticker", "features")
+    val weights = (0 to 3).map(i => (s"T$i", Array.fill(21)(rnd.nextDouble() - 0.5)))
+      .toDF("ticker", "weights")
+    val fused = Training.score(df, weights, outCol = "p")
+      .select(col("ticker"), col("features"), col("p")).collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1), r.getDouble(2))).sortBy(x => (x._1, x._2.head))
+    val comp = Training.scoreComposable(df, weights, outCol = "p")
+      .select(col("ticker"), col("features"), col("p")).collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1), r.getDouble(2))).sortBy(x => (x._1, x._2.head))
+    assert(fused.length == comp.length)
+    fused.zip(comp).foreach { case ((t1, _, p1), (t2, _, p2)) =>
+      assert(t1 == t2)
+      assert(java.lang.Double.doubleToLongBits(p1) == java.lang.Double.doubleToLongBits(p2),
+        s"$t1: $p1 != $p2")
+    }
+  }
 }
