@@ -287,6 +287,14 @@ object SparkEntry {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q29_dedup_clusters" -> ((s, dir) => {
+      // near-dup pairs -> connected components -> duplicate-cluster table
+      // (the survivor-selection step); oracle = recursive-CTE closure
+      val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, k = 16, bands = 4, threshold = 0.3)
+      Dedup.dupClusters(pairs.select(col("id_a"), col("id_b")))
+        .orderBy(col("cluster"))
+    }),
     "q24_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("source"), Dedup.simhash(col("text")).as("sh"))
@@ -417,6 +425,22 @@ object SparkEntry {
   private val simhashSql = (0 until 28).map { j =>
     s"(CASE WHEN 2*len(list_filter(hs, h -> ((h>>$j)&1)=1)) > len(hs) THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
+  /** Per-doc shingle set + minhash signature table (q23/q29 base). */
+  private val minhashSigTableSql =
+    s"""SELECT doc_id, sh, $sigSql AS sig
+       |  FROM (SELECT doc_id, $shingleSql AS sh
+       |        FROM (SELECT doc_id, text, $tokSql AS toks FROM documents))
+       |  WHERE len(sh) > 0""".stripMargin
+  /** LSH candidate pairs with est/exact jaccard over table `t`. */
+  private val minhashCandidatesSql =
+    """SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+      |  len(list_filter(range(1,17), i -> a.sig[i] = c.sig[i])) / 16.0 AS est_jaccard,
+      |  len(list_intersect(a.sh, c.sh)) /
+      |    CAST(greatest(len(list_distinct(a.sh || c.sh)), 1) AS DOUBLE) AS jaccard
+      |  FROM t a JOIN t c ON a.doc_id < c.doc_id
+      |  WHERE len(list_filter(range(0,4), b ->
+      |    a.sig[b*4+1] = c.sig[b*4+1] AND a.sig[b*4+2] = c.sig[b*4+2] AND
+      |    a.sig[b*4+3] = c.sig[b*4+3] AND a.sig[b*4+4] = c.sig[b*4+4])) > 0""".stripMargin
   /** Hyperplane literals identical to Similarity.planes(8, 64). */
   private val planesSql = Similarity.planes(8, 64).zipWithIndex.map { case (p, i) =>
     s"($i, [${p.mkString(", ")}])"
@@ -593,20 +617,22 @@ object SparkEntry {
          |      CAST(greatest(len(list_distinct(a.sh || b.sh)), 1) AS DOUBLE) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "q23_minhash_lsh" ->
-      s"""WITH t AS (SELECT doc_id, sh, $sigSql AS sig
-         |  FROM (SELECT doc_id, $shingleSql AS sh
-         |        FROM (SELECT doc_id, text, $tokSql AS toks FROM documents))
-         |  WHERE len(sh) > 0)
+      s"""WITH t AS ($minhashSigTableSql)
          |SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard, round(jaccard, 6) AS jaccard
-         |FROM (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-         |  len(list_filter(range(1,17), i -> a.sig[i] = c.sig[i])) / 16.0 AS est_jaccard,
-         |  len(list_intersect(a.sh, c.sh)) /
-         |    CAST(greatest(len(list_distinct(a.sh || c.sh)), 1) AS DOUBLE) AS jaccard
-         |  FROM t a JOIN t c ON a.doc_id < c.doc_id
-         |  WHERE len(list_filter(range(0,4), b ->
-         |    a.sig[b*4+1] = c.sig[b*4+1] AND a.sig[b*4+2] = c.sig[b*4+2] AND
-         |    a.sig[b*4+3] = c.sig[b*4+3] AND a.sig[b*4+4] = c.sig[b*4+4])) > 0)
+         |FROM ($minhashCandidatesSql)
          |WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "q29_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS ($minhashSigTableSql),
+         |prs AS (SELECT id_a, id_b FROM ($minhashCandidatesSql) WHERE jaccard >= 0.3),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM prs
+         |          UNION SELECT id_b, id_a FROM prs),
+         |reach(node, lab) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+         |comp AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node)
+         |SELECT cluster, count(*) AS n_docs, max(node) AS max_id
+         |FROM comp GROUP BY cluster ORDER BY cluster""".stripMargin,
     "q24_simhash" ->
       s"""SELECT source, count(DISTINCT sh) AS n_distinct, min(sh) AS min_sh, max(sh) AS max_sh
          |FROM (SELECT source, $simhashSql AS sh

@@ -197,6 +197,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * Connected components over near-dup pairs → duplicate clusters, the
+   * survivor-selection step of a dedup pipeline: every doc in a component
+   * gets the component's min id as its cluster label.
+   *
+   * Iterative min-label propagation to fixpoint: each round, every node
+   * takes the min label among itself and its neighbors; rounds =
+   * component diameter (near-dup clusters are shallow — a handful). Each
+   * round is one shuffle on node id; the label frontier is persisted and
+   * the loop stops when no label changes. For graphs with giant
+   * components, swap in the large-star/small-star algorithm behind the
+   * same signature.
+   *
+   * Input: pairs `(id_a, id_b)`; output: `(id, cluster)` for every id
+   * that appears in at least one pair.
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster")).as("nbr_cluster"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))).as("cluster"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") < col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster summary from pair output: one row per duplicate cluster with
+   * its size and id range — the "keep min id, drop the rest" dedup
+   * decision table. */
+  def dupClusters(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
+
   /** Spread a (typically single-file) input across the session's
    * parallelism for CPU-bound pair scans. */
   private def repartitioned(df: DataFrame): DataFrame =

@@ -116,4 +116,17 @@ class DataSpec extends SparkSpec {
     assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
       .forall { case (a, b) => a.features.sameElements(b.features) })
   }
+
+  test("connectedComponents: chains collapse to min id; components stay separate") {
+    // chain 1-2-3-4 (diameter 3), pair {10,11}, pair {20,21}+{21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val clusters = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(clusters.toSeq == Seq((1L, 4L, 4L), (10L, 2L, 11L), (20L, 3L, 22L)))
+  }
 }
