@@ -58,7 +58,7 @@ object Similarity {
   /** Sign-bucket id: bit p set iff dot(v, plane_p) >= 0. */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val d = dotNative(v, array(p.map(lit): _*))
+      val d = dotNative(v, array(p.toIndexedSeq.map(lit): _*))
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -182,8 +182,8 @@ object Similarity {
       nProbe: Int,
       dim: Int): DataFrame = {
     val cents = planes(nCells, dim) // reuse the deterministic coef generator
-    def cellSims(v: Column) = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(dotNative(v, array(c.map(lit): _*)).as("s"), lit(i).as("cell"))
+    def cellSims(v: Column) = array(cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(dotNative(v, array(c.toIndexedSeq.map(lit): _*)).as("s"), lit(i).as("cell"))
     }: _*)
     // corpus rows land in their single best cell
     val c = withNorm(repartitioned(corpus), idCol, vecCol, "c_")
