@@ -273,6 +273,16 @@ object SparkEntry {
           max(col("fp")).as("max_fp"), count(lit(1)).as("n"))
         .orderBy(col("source"))
     }),
+    "q36_vocabulary" -> ((s, dir) => {
+      // corpus vocabulary stats: explode tokens -> distinct aggregation
+      t(s, dir, "documents")
+        .select(col("lang"), explode(T.tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_vocab"),
+          min(col("tok")).as("first_tok"), max(col("tok")).as("last_tok"),
+          sum(length(col("tok"))).as("sum_len"))
+        .orderBy(col("lang"))
+    }),
     // ------------------------------------ near-dup dedup (MinHash/SimHash)
     "q22_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -605,6 +615,13 @@ object SparkEntry {
          |  ${h60Sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS fp
          |  FROM documents)
          |GROUP BY source ORDER BY source""".stripMargin,
+    "q36_vocabulary" ->
+      s"""SELECT lang, count(*) AS n_tokens, count(DISTINCT tok) AS n_vocab,
+         |min(tok) AS first_tok, max(tok) AS last_tok,
+         |CAST(sum(length(tok)) AS BIGINT) AS sum_len
+         |FROM (SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |      FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q22_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, CAST(floor(len(toks)/10) AS BIGINT) AS block,
          |    $shingleSql AS sh
