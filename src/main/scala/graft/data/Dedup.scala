@@ -156,7 +156,11 @@ object Dedup {
         .reduce(_ && _)
       when(bandAgrees, lit(bd)).otherwise(rest)
     }
-    a.join(broadcast(b), Seq("band"))
+    // SHUFFLE hash join on the band key — never broadcast: b carries every
+    // doc's shingle set + signature, i.e. the corpus. Band keys are
+    // MD5-derived strings (high cardinality, uniform), so the shuffle
+    // spreads evenly and each reducer sees only docs sharing a band.
+    a.hint("shuffle_hash").join(b, Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("band_idx") === firstAgreeingBand)
       .select(col("id_a"), col("id_b"),
@@ -184,14 +188,25 @@ object Dedup {
       textCol: String,
       blockCol: Column,
       shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      salts: Int = 16): DataFrame = {
     def t(src: DataFrame) = src.select(col(idCol).as("id"), blockCol.as("block"),
       shingleHashes(col(textCol), shingleN).as("sh"))
-    // same broadcast-build / repartitioned-probe shape as minhashNearDups:
-    // block keys are low-cardinality, so a shuffle join would serialize
-    val a = t(repartitioned(docs)).select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = t(repartitioned(docs)).select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(broadcast(b), Seq("block"))
+    // Block keys are low-cardinality, so a plain shuffle join on `block`
+    // would serialize onto a handful of reducers. Salt instead of
+    // broadcasting the corpus: the probe side lands in ONE salt bucket
+    // (hash(id) % salts), the build side is replicated into every bucket,
+    // so each (a,b) pair meets exactly once and a hot block spreads over
+    // `salts` reducers. Build-side shuffle volume grows salts× — bounded
+    // and tunable, vs. a broadcast that ships the whole shingle table to
+    // every executor and OOMs long before 100 TB.
+    val a = t(repartitioned(docs))
+      .select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"),
+        pmod(hash(col("id")), lit(salts)).as("__salt"))
+    val b = t(repartitioned(docs))
+      .select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"),
+        explode(sequence(lit(0), lit(salts - 1))).as("__salt"))
+    a.hint("shuffle_hash").join(b, Seq("block", "__salt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -202,46 +217,66 @@ object Dedup {
    * survivor-selection step of a dedup pipeline: every doc in a component
    * gets the component's min id as its cluster label.
    *
-   * Iterative min-label propagation to fixpoint: each round, every node
-   * takes the min label among itself and its neighbors; rounds =
-   * component diameter (near-dup clusters are shallow — a handful). Each
-   * round is one shuffle on node id; the label frontier is persisted and
-   * the loop stops when no label changes. For graphs with giant
-   * components, swap in the large-star/small-star algorithm behind the
-   * same signature.
+   * Alternating **large-star / small-star** (Kiveris et al., "Connected
+   * Components in MapReduce and Beyond"): each round collapses the edge
+   * set toward star graphs rooted at each component's min id, converging
+   * in O(log² n) rounds even on giant components (vs. diameter rounds for
+   * plain min-label propagation). Each half-round is ONE shuffle on a
+   * node id (window-min, no self-join), and every round is
+   * `localCheckpoint`ed so lineage — and with it planner time and the
+   * recompute-on-failure cost — stays constant regardless of round count.
+   * Convergence is an exact set check on the checkpointed edges, not a
+   * probe job over an ever-deeper plan.
    *
    * Input: pairs `(id_a, id_b)`; output: `(id, cluster)` for every id
-   * that appears in at least one pair.
+   * that appears in at least one pair (roots label themselves).
    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // undirected edge list, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // canonical edge orientation: src > dst, no self-loops, distinct
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
       .distinct()
-      .persist()
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
-      .persist()
+
+    // large-star: connect every neighbor LARGER than u to
+    // min(Γ(u) ∪ {u}); one window-min over the symmetric neighbor list
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      nbrs
+        .withColumn("__m", least(min(col("dst")).over(w), col("src")))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("__m").as("dst"))
+    }
+
+    // small-star: on large→small oriented edges, connect every smaller
+    // neighbor (and u itself) to min(Γ⁻(u))
+    def smallStar(e: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      val withMin = e.withColumn("__m", min(col("dst")).over(w))
+      withMin.select(col("dst").as("src"), col("__m").as("dst"))
+        .union(withMin.select(col("src"), col("__m").as("dst")))
+    }
+
+    var edges = canon(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("cluster")).as("nbr_cluster"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))).as("cluster"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") < col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      val next = canon(smallStar(largeStar(edges))).localCheckpoint()
+      // exact fixpoint test on materialized data: same cardinality and
+      // next ⊆ edges ⟺ equal sets (both sides distinct)
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
       i += 1
     }
-    edges.unpersist()
-    labels
+    // converged edge set is a star forest (member → component min)
+    edges.select(col("src").as("id"), col("dst").as("cluster"))
+      .union(edges.select(col("dst").as("id"), col("dst").as("cluster")))
+      .groupBy(col("id"))
+      .agg(min(col("cluster")).as("cluster"))
   }
 
   /** Cluster summary from pair output: one row per duplicate cluster with
