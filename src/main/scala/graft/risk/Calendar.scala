@@ -31,6 +31,11 @@ object Calendar {
    * Reindex `df` to a daily calendar per key and forward-fill `valueCols`.
    * Duplicate rows per (keys, day) are first reduced with `max` so the
    * result is deterministic. `dateCol` in the output is a `date`.
+   *
+   * With `keyCols` empty (one global series) the fill runs through
+   * [[Windows.chunkedFfill]] so the plan parallelizes instead of
+   * collapsing to a single-task global window; with real keys the keyed
+   * window is already parallel and cheaper (one pass, no carry join).
    */
   def reindexFfill(
       df: DataFrame,
@@ -43,18 +48,27 @@ object Calendar {
       .agg(max(col(valueCols.head)).as(valueCols.head),
         valueCols.tail.map(c => max(col(c)).as(c)): _*)
 
-    val keys = df.select(keyCols.map(col): _*).distinct()
-    val grid = calendarFor(df, dateCol, businessDaysOnly)
+    // keys and calendar bounds derive from `reduced`, NOT from `df`: all
+    // consumers then share one identical aggregation subplan, whose
+    // shuffle Exchange Spark reuses (ReuseExchange), so an expensive input
+    // plan is computed once instead of once per consumer
+    val calendar = calendarFor(reduced, dateCol, businessDaysOnly)
       .withColumnRenamed("date", dateCol)
-      .crossJoin(broadcast(keys))
+    val grid =
+      if (keyCols.isEmpty) calendar
+      else calendar.crossJoin(broadcast(reduced.select(keyCols.map(col): _*).distinct()))
 
     val joined = grid.join(reduced, keyCols :+ dateCol, "left")
-    val w = Window
-      .partitionBy(keyCols.map(col): _*)
-      .orderBy(col(dateCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    valueCols.foldLeft(joined) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    if (keyCols.isEmpty)
+      Windows.chunkedFfill(joined, dateCol, Nil, valueCols)
+    else {
+      val w = Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(col(dateCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      valueCols.foldLeft(joined) { (d, c) =>
+        d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
     }
   }
 }

@@ -1,7 +1,6 @@
 package graft.risk
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -43,11 +42,12 @@ object Compliance {
     val overlaid = AsOfJoin
       .asofJoinBroadcast(dailyReturns, varSeries, dateCol)
       .filter(col("right_var_99").isNotNull)
-    val w = Window
-      .orderBy(col(dateCol).cast("long"))
-      .rangeBetween(-windowDays.toLong * 86400L, 0L)
-    overlaid
-      .withColumn("__trailing", collect_list(col("return")).over(w))
+    // trailing window via time-chunking (Windows.chunkedTrailingRange):
+    // shuffle-on-chunk + parallel windows instead of the single-task
+    // unpartitioned spelling; results identical
+    Windows.chunkedTrailingRange(overlaid, dateCol, windowDays,
+        chunkDays = windowDays,
+        ("__trailing", collect_list(col("return"))))
       .withColumn("breaches",
         functions.breachCount(col("__trailing"), col("right_var_99")))
       .withColumn("basel", functions.baselZone(col("breaches")))

@@ -50,9 +50,12 @@ object Returns {
       indicators: DataFrame,
       dateCol: String = "date",
       indicatorCols: Seq[String]): DataFrame = {
-    val w = Window.orderBy(col(dateCol))
-    val withRets = indicatorCols.foldLeft(indicators) { (df, c) =>
-      df.withColumn(c, functions.indicatorLogReturn(lag(col(c), 1).over(w), col(c)))
+    // one global series: chunked lag (Windows.chunkedLag) instead of an
+    // unpartitioned window, so the plan parallelizes at scale; exact for
+    // gaps ≤ the chunk length (3 years on a daily series)
+    val lagged = Windows.chunkedLag(indicators, dateCol, indicatorCols)
+    val withRets = indicatorCols.foldLeft(lagged) { (df, c) =>
+      df.withColumn(c, functions.indicatorLogReturn(col("__lag_" + c), col(c)))
     }
     withRets
       .na.drop(indicatorCols)

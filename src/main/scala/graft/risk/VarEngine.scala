@@ -66,11 +66,15 @@ object VarEngine {
     val backtest = Compliance.baselBacktest(
       Compliance.portfolioReturns(stocks, portfolio), varSeries,
       windowDays = windowDays)
+    // The backtest series is one row per trading day — bounded by the
+    // calendar (tens of KB for decades), NOT by data volume — while its
+    // plan embeds the full MC chain. reindexFfill scans its input several
+    // times (reduce, calendar bounds, fill, carry); materializing the tiny
+    // series once stops those scans re-running the expensive upstream.
     Calendar.reindexFfill(
-      backtest.withColumn("__k", lit(1)),
-      Seq("__k"), "date",
+      backtest.localCheckpoint(),
+      Nil, "date",
       Seq("return", "right_var_99", "breaches", "basel"))
-      .drop("__k")
       .withColumnRenamed("right_var_99", "var_99")
   }
 }

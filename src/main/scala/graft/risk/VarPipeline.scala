@@ -45,8 +45,10 @@ object VarPipeline {
   def marketVolatility(spark: SparkSession, cfg: Config): DataFrame = {
     val ind = Sources.syntheticIndicators(spark, cfg.indicators, cfg.start, cfg.days, cfg.seed + 1)
     val rets = Returns.indicatorLogReturns(ind, "date", cfg.indicators)
-    Volatility.rollingStats(rets.select(col("date"), col("features")),
-      windowDays = cfg.volWindowDays)
+    // chunked scale path — bit-identical to the unpartitioned spelling
+    Volatility.rollingStatsChunked(rets.select(col("date"), col("features")),
+      windowDays = cfg.volWindowDays,
+      chunkDays = math.max(365, cfg.volWindowDays))
   }
 
   /** Per-ticker OLS weights trained on as-of-joined market features. */
