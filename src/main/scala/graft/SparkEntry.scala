@@ -385,6 +385,31 @@ object SparkEntry {
         .select(c("date"), c("ticker"), R.varAtVec(c("returns"), lit(95.0)).as("var_95"))
         .orderBy(c("date"), c("ticker"))
     }),
+    // persisted-table hand-off: 03 writes monte_carlo_trials clustered,
+    // 04 re-reads it — same result as q33 but from the STORED table
+    "q33b_mc_trials_stored" -> ((s, _) => {
+      import org.apache.spark.sql.functions.{col => c}
+      import graft.risk.Warehouse
+      val prev = s.catalog.currentDatabase
+      Warehouse.reset(s, "graft_bench_wh", "/tmp/graft_bench_wh")
+      Warehouse.createAndUse(s, "graft_bench_wh", "/tmp/graft_bench_wh")
+      VarPipeline.materializeHandoff(s, miniCfg,
+        Map("volatility" -> "market_volatility", "mc_trials" -> "monte_carlo_trials"))
+      val stored = Warehouse.table(s, "monte_carlo_trials")
+      s.sql(s"USE `$prev`")
+      stored
+        .select(c("date"), c("ticker"), R.varAtVec(c("returns"), lit(95.0)).as("var_95"))
+        .orderBy(c("date"), c("ticker"))
+    }),
+    // file-based config sources: portfolio/indicators/app config from
+    // reference-shaped JSON/YAML fixtures feeding the full pipeline
+    "q37_file_config" -> ((s, _) => {
+      val dir = "/root/repo/src/test/resources/config"
+      val (cfg, pf) = graft.risk.Configs.fromFiles(s,
+        s"$dir/application.yaml", s"$dir/portfolio.json", s"$dir/indicators.json")
+      VarPipeline.varBySlice(s, "country", cfg.copy(runs = 100, days = 100), Some(pf))
+        .orderBy(col("date"), col("country"))
+    }),
     "q34_risk_contribution" -> ((s, _) => {
       import graft.risk.{VarEngine, VarPipeline => VP}
       VarEngine.riskContribution(VP.monteCarloTrials(s, miniCfg),

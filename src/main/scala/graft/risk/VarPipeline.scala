@@ -30,7 +30,9 @@ object VarPipeline {
       seed: Long = 42L)
 
   /** Equal-weight portfolio with synthetic country/industry slices
-   * (the reference's `config/portfolio.json` shape). */
+   * (the reference's `config/portfolio.json` shape). Callers with a real
+   * portfolio file load it via [[Configs.portfolio]] and pass it through
+   * the `pf` parameter of the pipeline entry points instead. */
   def portfolio(spark: SparkSession, cfg: Config): DataFrame = {
     import spark.implicits._
     val countries = Seq("PERU", "CHILE", "MEXICO")
@@ -76,8 +78,11 @@ object VarPipeline {
         col("date") >= lit(java.sql.Timestamp.valueOf(cutoff.atStartOfDay())))
   }
 
-  /** monte_carlo_trials table: (date, ticker, returns: Vector[runs]). */
-  def monteCarloTrials(spark: SparkSession, cfg: Config): DataFrame = {
+  /** monte_carlo_trials table: (date, ticker, returns: Vector[runs]).
+   * `pf` overrides the synthetic portfolio (e.g. file-loaded via
+   * [[Configs.fromFiles]]); its tickers must match `cfg.tickers`. */
+  def monteCarloTrials(spark: SparkSession, cfg: Config,
+      pf: Option[DataFrame] = None): DataFrame = {
     // tiny (one row/day) but feeds the plan twice (run dates + as-of
     // right side) through an unpartitioned window — cache, don't recompute
     val vol = marketVolatility(spark, cfg).cache()
@@ -91,7 +96,7 @@ object VarPipeline {
       numPartitions = spark.sparkContext.defaultParallelism)
     val weights = trainedWeights(spark, cfg)
     val fanned = mcMarket.crossJoin(
-      broadcast(portfolio(spark, cfg).select(col("ticker"))))
+      broadcast(pf.getOrElse(portfolio(spark, cfg)).select(col("ticker"))))
     val scored = Training.score(fanned, weights, "ticker", "features", "return")
       .select(col("date"), col("ticker"), col("trial_id"), col("return"))
     MonteCarlo.collectTrialVectors(scored)
@@ -99,9 +104,11 @@ object VarPipeline {
 
   /** VaR time-series for the whole portfolio (reference
    * `04_var_aggregation.py:56-66`). */
-  def portfolioVar(spark: SparkSession, cfg: Config = Config()): DataFrame = {
+  def portfolioVar(spark: SparkSession, cfg: Config = Config(),
+      pf: Option[DataFrame] = None): DataFrame = {
+    val p = pf.getOrElse(portfolio(spark, cfg))
     val weighted = VarAggregation.weightedTrials(
-      monteCarloTrials(spark, cfg), portfolio(spark, cfg))
+      monteCarloTrials(spark, cfg, pf), p)
     VarAggregation.varByGroup(weighted, Seq("date"), cfg.confidence,
         withShortfall = true)
       .orderBy(col("date"))
@@ -109,20 +116,38 @@ object VarPipeline {
 
   /** VaR sliced by a portfolio dimension (country / industry) —
    * `04_var_aggregation.py:86-123`. */
-  def varBySlice(spark: SparkSession, sliceCol: String, cfg: Config = Config()): DataFrame = {
+  def varBySlice(spark: SparkSession, sliceCol: String, cfg: Config = Config(),
+      pf: Option[DataFrame] = None): DataFrame = {
     val weighted = VarAggregation.weightedTrials(
-      monteCarloTrials(spark, cfg), portfolio(spark, cfg))
+      monteCarloTrials(spark, cfg, pf), pf.getOrElse(portfolio(spark, cfg)))
     VarAggregation.varByGroup(weighted, Seq("date", sliceCol), cfg.confidence)
       .orderBy(col("date"), col(sliceCol))
   }
 
   /** Basel backtest over the synthetic history (reference
    * `05_var_compliance.py`). */
-  def compliance(spark: SparkSession, cfg: Config = Config()): DataFrame = {
+  /**
+   * The reference's persisted-table notebook hand-off: materialize
+   * `market_volatility` (01 writes it) and `monte_carlo_trials` (03
+   * writes it, ZORDER date/ticker) as clustered managed tables in the
+   * CURRENT database, for 04/05 to re-read with [[Warehouse.table]] —
+   * "on-demand VaR over a stored trials table". Table names come from
+   * `application.yaml`'s `database.tables` ([[Configs.AppConfig.tables]]).
+   */
+  def materializeHandoff(spark: SparkSession, cfg: Config,
+      tables: Map[String, String], pf: Option[DataFrame] = None): Unit = {
+    Warehouse.saveTable(spark, marketVolatility(spark, cfg),
+      tables("volatility"), Seq("date"), numFiles = 8)
+    Warehouse.saveTable(spark, monteCarloTrials(spark, cfg, pf),
+      tables("mc_trials"), Seq("date", "ticker"), numFiles = 8)
+  }
+
+  def compliance(spark: SparkSession, cfg: Config = Config(),
+      pf: Option[DataFrame] = None): DataFrame = {
     val market = Sources.syntheticMarketData(spark, cfg.tickers, cfg.start, cfg.days,
       globalSeed = cfg.seed)
-    val rets = Compliance.portfolioReturns(market, portfolio(spark, cfg))
-    val varSeries = portfolioVar(spark, cfg).select(col("date"), col("var_99"))
+    val rets = Compliance.portfolioReturns(market, pf.getOrElse(portfolio(spark, cfg)))
+    val varSeries = portfolioVar(spark, cfg, pf).select(col("date"), col("var_99"))
     Compliance.baselBacktest(rets, varSeries).orderBy(col("date"))
   }
 }

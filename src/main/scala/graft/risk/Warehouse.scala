@@ -1,0 +1,63 @@
+package graft.risk
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Warehouse DDL + persisted-table hand-off (S3/S4/S7) — the reference's
+ * notebook workflow materializes each stage as a managed table and the
+ * next notebook re-reads it:
+ *
+ *  - `config/configure_notebook.py:17-27`: `CREATE DATABASE IF NOT EXISTS
+ *    {name} LOCATION '{path}'`, `USE {name}`, and a `teardown()` that
+ *    drops the database cascade;
+ *  - `03_var_monte_carlo.py:147-162`: write `monte_carlo_trials`,
+ *    `OPTIMIZE ... ZORDER BY (date, ticker)`;
+ *  - `04_var_aggregation.py:13`, `05_var_compliance.py:23,46`: re-read.
+ *
+ * Tables are parquet (this container has no Delta), written clustered via
+ * [[Sinks.writeClustered]] so readers filtering on the cluster keys prune
+ * files from parquet min/max stats — the ZORDER intent. Table names
+ * normally come from `application.yaml`'s `database.tables` map
+ * ([[Configs.AppConfig.tables]]).
+ */
+object Warehouse {
+
+  /** `CREATE DATABASE IF NOT EXISTS name LOCATION path` + `USE name`. */
+  def createAndUse(spark: SparkSession, name: String, path: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name` LOCATION '$path'")
+    spark.sql(s"USE `$name`")
+  }
+
+  /** The reference's `teardown()`: drop the database and everything in it. */
+  def teardown(spark: SparkSession, name: String): Unit = {
+    spark.sql("USE default")
+    spark.sql(s"DROP DATABASE IF EXISTS `$name` CASCADE")
+  }
+
+  /** Teardown + delete the location files: an in-memory catalog dropped
+   * with the JVM leaves managed-table files behind, which a later
+   * `saveAsTable` refuses to overwrite — this makes re-runs idempotent
+   * (the reference's `teardown()` pairs the DROP with `dbutils.fs.rm`). */
+  def reset(spark: SparkSession, name: String, path: String): Unit = {
+    teardown(spark, name)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /**
+   * Materialize a stage result as a managed parquet table, clustered on
+   * `clusterCols` (the ZORDER replacement): range-partition + sort, write
+   * to the database location, register the table over the files.
+   */
+  def saveTable(spark: SparkSession, df: DataFrame, table: String,
+      clusterCols: Seq[String], numFiles: Int = 20): Unit = {
+    import org.apache.spark.sql.functions.col
+    val sorted = df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+    sorted.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** Re-read a persisted stage table (the next notebook's first line). */
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}
