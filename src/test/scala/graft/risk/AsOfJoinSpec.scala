@@ -64,6 +64,53 @@ class AsOfJoinSpec extends SparkSpec {
     assert(row.getAs[Timestamp]("right_date") === ts("2024-01-04 00:00:00"))
   }
 
+  test("broadcast variant: duplicate (key, ts) right rows do not fan out") {
+    val dupRight = Seq(
+      ("A", ts("2024-01-01 00:00:00"), 10.0),
+      ("A", ts("2024-01-01 00:00:00"), 9.0),  // duplicate ts, smaller value
+      ("A", ts("2024-01-04 00:00:00"), 11.0),
+      ("A", ts("2024-01-04 00:00:00"), 11.5), // duplicate ts, larger value
+      ("B", ts("2024-01-03 00:00:00"), 12.0)
+    ).toDF("ticker", "date", "rval")
+    val out = AsOfJoin.asofJoinBroadcast(left, right = dupRight, "date", Seq("ticker"))
+    // exactly one output row per left row
+    assert(out.count() === left.count())
+    val got = out.collect().map { r =>
+      (r.getAs[String]("ticker"), r.getAs[Timestamp]("date").toString) ->
+        Option(r.getAs[Any]("right_rval")).map(_.asInstanceOf[Double])
+    }.toMap
+    // greatest value-tuple wins deterministically among duplicates
+    assert(got(("A", "2024-01-01 00:00:00.0")) === Some(10.0))
+    assert(got(("A", "2024-01-05 00:00:00.0")) === Some(11.5))
+    assert(got(("B", "2024-01-04 00:00:00.0")) === Some(12.0))
+  }
+
+  test("randomized duplicate-heavy right side: one row per left row, det values") {
+    val rng = new scala.util.Random(7)
+    val lrows = (1 to 200).map { i =>
+      ("K", new Timestamp(1700000000000L + rng.nextInt(100000) * 1000L), i.toDouble)
+    }
+    // every right ts appears 1-4 times with different values
+    val rrows = (1 to 60).flatMap { i =>
+      val t = new Timestamp(1700000000000L + rng.nextInt(100000) * 1000L)
+      (0 to rng.nextInt(3)).map(j => ("K", t, i * 10.0 + j))
+    }
+    val out = AsOfJoin.asofJoinBroadcast(
+      lrows.toDF("k", "t", "lv"), rrows.toDF("k", "t", "rv"), "t", Seq("k"))
+    assert(out.count() === 200)
+    // oracle: among rows with max ts <= t, the max value (greatest tuple)
+    val brute = lrows.map { case (k, t, lv) =>
+      val cand = rrows.filter(x => !x._2.after(t))
+      val best = cand.sortBy(x => (x._2.getTime, x._3)).lastOption
+      ((k, t.getTime, lv), best.map(_._3))
+    }.toMap
+    val got = out.collect().map { row =>
+      ((row.getAs[String]("k"), row.getAs[Timestamp]("t").getTime, row.getAs[Double]("lv")),
+        Option(row.getAs[Any]("right_rv")).map(_.asInstanceOf[Double]))
+    }.toMap
+    assert(got === brute)
+  }
+
   test("randomized brute-force parity") {
     val rng = new scala.util.Random(42)
     val keys = Seq("X", "Y", "Z")
