@@ -19,13 +19,17 @@ object functions {
   // ---------------------------------------------------------------- native
 
   /** Log return ln(close/first) — `compute_return` (`utils/var_udf.py:5-8`)
-   * as a codegen'd native expression, no UDF. */
-  def logReturn(close: Column, first: Column): Column = log(close / first)
+   * as a codegen'd native expression, no UDF. `try_divide` so a zero
+   * previous price yields null (dropped by downstream aggregates) instead
+   * of failing the whole job under ANSI mode — one bad tick must not kill
+   * a 100 TB scan; `log` itself already nulls non-positive ratios. */
+  def logReturn(close: Column, first: Column): Column = log(try_divide(close, first))
 
   /** Indicator-style log return ln(prev/cur) — NB the reference's
    * deliberate sign convention at `01_var_market_etl.py:144` (negative of
-   * the conventional return); preserved for parity. */
-  def indicatorLogReturn(prev: Column, cur: Column): Column = log(prev / cur)
+   * the conventional return); preserved for parity. Zero-divisor-safe
+   * like [[logReturn]]. */
+  def indicatorLogReturn(prev: Column, cur: Column): Column = log(try_divide(prev, cur))
 
   /** Squared error (p-a)^2 — `wsse_udf` (`utils/var_udf.py:11-13`). */
   def wsse(predicted: Column, actual: Column): Column =
