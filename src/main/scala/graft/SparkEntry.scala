@@ -305,6 +305,29 @@ object SparkEntry {
       Dedup.dupClusters(pairs.select(col("id_a"), col("id_b")))
         .orderBy(col("cluster"))
     }),
+    "q29b_dedup_survivors" -> ((s, dir) => {
+      // the step that shrinks the corpus: drop every cluster member
+      // except the min id, keep unpaired docs
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleN = 3, k = 16, bands = 4, threshold = 0.3)
+      Dedup.deduplicate(docs, "doc_id", pairs.select(col("id_a"), col("id_b")))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+    "q38_winnow" -> ((s, dir) => {
+      // winnowing (rolling k-gram hash + window-min) fingerprints; the
+      // repartition barrier materializes the k-gram hashes so the
+      // per-window slice reads an attribute, not a re-inlined MD5 chain
+      t(s, dir, "documents")
+        .select(col("doc_id"), T.kgramHashes(col("text"), 5).as("kg"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), T.winnowFromKgrams(col("kg"), w = 4).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"),
+          try_element_at(col("fp"), lit(1)).as("fp_min"),
+          try_element_at(col("fp"), lit(-1)).as("fp_max"))
+        .orderBy(col("doc_id"))
+    }),
     "q24_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("source"), Dedup.simhash(col("text")).as("sh"))
@@ -675,6 +698,33 @@ object SparkEntry {
          |comp AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node)
          |SELECT cluster, count(*) AS n_docs, max(node) AS max_id
          |FROM comp GROUP BY cluster ORDER BY cluster""".stripMargin,
+    "q29b_dedup_survivors" ->
+      s"""WITH RECURSIVE t AS ($minhashSigTableSql),
+         |prs AS (SELECT id_a, id_b FROM ($minhashCandidatesSql) WHERE jaccard >= 0.3),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM prs
+         |          UNION SELECT id_b, id_a FROM prs),
+         |reach(node, lab) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+         |comp AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster)
+         |ORDER BY doc_id""".stripMargin,
+    "q38_winnow" ->
+      s"""WITH n AS (SELECT doc_id,
+         |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm FROM documents),
+         |g AS (SELECT doc_id,
+         |    CASE WHEN len(norm) >= 5
+         |      THEN list_transform(range(1, len(norm)-5+2), i -> ${h28Sql("substr(norm, i, 5)")})
+         |      ELSE []::BIGINT[] END AS hs FROM n),
+         |f AS (SELECT doc_id, list_sort(list_distinct(
+         |    CASE WHEN len(hs) >= 4
+         |      THEN list_transform(range(1, len(hs)-4+2), j -> list_min(list_slice(hs, j, j+3)))
+         |      WHEN len(hs) > 0 THEN [list_min(hs)]
+         |      ELSE []::BIGINT[] END)) AS fp FROM g)
+         |SELECT doc_id, len(fp) AS n_fp, fp[1] AS fp_min, fp[-1] AS fp_max
+         |FROM f ORDER BY doc_id""".stripMargin,
     "q24_simhash" ->
       s"""SELECT source, count(DISTINCT sh) AS n_distinct, min(sh) AS min_sh, max(sh) AS max_sh
          |FROM (SELECT source, $simhashSql AS sh

@@ -287,6 +287,22 @@ object Dedup {
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_id"))
 
+  /**
+   * End-to-end survivor selection: given near-dup `pairs` over `docs`,
+   * keep each duplicate cluster's min-id member and every unpaired doc,
+   * dropping the rest — the step that actually shrinks a training corpus.
+   *
+   * Plan shape: the drop list (cluster members ≠ min id) is sized by the
+   * DUPLICATES, not the corpus, and the corpus-side anti join is one
+   * shuffle on the id key (AQE will broadcast the drop list when small).
+   */
+  def deduplicate(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Spread a (typically single-file) input across the session's
    * parallelism for CPU-bound pair scans. */
   private def repartitioned(df: DataFrame): DataFrame =

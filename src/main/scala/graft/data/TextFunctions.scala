@@ -119,4 +119,52 @@ object TextFunctions {
   /** Document fingerprint = portable hash of the normalized text (catches
    * case/whitespace-only duplicates that exact match misses). */
   def fingerprint(text: Column): Column = hash60(normalizeText(text))
+
+  /** Character k-gram hashes of the normalized text (the rolling-hash
+   * stream winnowing selects from): position i ↦ hash28(norm[i, i+k)).
+   * Empty for texts shorter than k. */
+  def kgramHashes(text: Column, k: Int): Column = {
+    val norm = normalizeText(text)
+    val n = length(norm)
+    when(n >= k,
+      transform(sequence(lit(1), n - k + 1), i => hash28(norm.substr(i, lit(k)))))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  /**
+   * Winnowing selection (Schleimer/Wilkerson/Aiken, the MOSS local
+   * fingerprinting algorithm) over a MATERIALIZED k-gram hash array
+   * column: slide a w-window over the hash stream, keep each window's
+   * minimum, emit the distinct sorted selection. Any substring match of
+   * length ≥ w+k−1 between two documents is guaranteed to contribute at
+   * least one shared fingerprint, at ~1/w the density of full k-gram
+   * sets — the standard plagiarism/near-dup sketch when shingle sets are
+   * too heavy.
+   *
+   * `hs` MUST be a real (exchanged/materialized) attribute, not an
+   * inline [[kgramHashes]] expression: higher-order functions get no
+   * subexpression elimination, so `slice(hs, j, w)` over an inline
+   * expression re-evaluates the whole MD5 chain per window — O(n²)
+   * hashing per document (measured: minutes/doc instead of µs). Same
+   * hazard and same fix as the minhash band keys (Dedup.scala): put a
+   * `repartition` barrier between the hash projection and this one.
+   *
+   * Degenerate cases: fewer than w k-grams → one window over them all;
+   * no k-grams → empty.
+   */
+  def winnowFromKgrams(hs: Column, w: Int = 4): Column = {
+    val m = size(hs)
+    val mins = when(m >= w,
+        transform(sequence(lit(1), m - w + 1), j => array_min(slice(hs, j, lit(w)))))
+      .when(m > 0, array(array_min(hs)))
+      .otherwise(array().cast("array<long>"))
+    sort_array(array_distinct(mins))
+  }
+
+  /** One-shot [[winnowFromKgrams]]∘[[kgramHashes]] for ad-hoc use on
+   * SHORT texts; at scale use the two-projection + barrier shape (see
+   * [[winnowFromKgrams]] scaladoc). All hashes MD5-derived ([[hash28]])
+   * so a DuckDB oracle reproduces fingerprints bit-for-bit. */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    winnowFromKgrams(kgramHashes(text, k), w)
 }

@@ -129,4 +129,44 @@ class DataSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(clusters.toSeq == Seq((1L, 4L, 4L), (10L, 2L, 11L), (20L, 3L, 22L)))
   }
+
+  test("deduplicate keeps cluster minima and unpaired docs") {
+    val corpus = Seq(1L, 2L, 3L, 4L, 10L, 11L, 50L, 99L).toDF("doc_id")
+      .withColumn("payload", col("doc_id") * 2)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.deduplicate(corpus, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // 1 survives its chain, 10 its pair; 50/99 were never paired
+    assert(kept == Seq(1L, 10L, 50L, 99L))
+    // all columns of the input survive
+    assert(Dedup.deduplicate(corpus, "doc_id", pairs).columns.toSeq ==
+      Seq("doc_id", "payload"))
+  }
+
+  test("winnowing: window-min guarantee, identity on normalized twins, selectivity") {
+    import graft.data.{TextFunctions => T}
+    val fps = docs.select(col("doc_id"),
+        T.winnowFingerprints(col("text"), k = 5, w = 4).as("fp"),
+        T.kgramHashes(col("text"), 5).as("kg"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1).toSet, r.getSeq[Long](2).toSet)).toMap
+    // identical modulo case/whitespace -> identical fingerprint set
+    assert(fps(0L)._1 == fps(2L)._1)
+    // fingerprints are a non-empty selection of the k-gram hashes
+    for ((_, (fp, kg)) <- fps) {
+      assert(fp.nonEmpty && fp.subsetOf(kg))
+      assert(fp.size <= kg.size)
+    }
+    // docs sharing a long substring (first ~40 chars) share >= 1 fingerprint
+    assert((fps(0L)._1 intersect fps(1L)._1).nonEmpty)
+    // unrelated docs share nothing
+    assert((fps(0L)._1 intersect fps(3L)._1).isEmpty)
+    // short/empty texts degrade gracefully
+    val edge = Seq((0L, ""), (1L, "abc"), (2L, "abcdef")).toDF("doc_id", "text")
+      .select(col("doc_id"), T.winnowFingerprints(col("text"), 5, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(edge(0L).isEmpty)            // shorter than k
+    assert(edge(1L).isEmpty)            // still shorter than k
+    assert(edge(2L).size == 1)          // 2 k-grams < w -> single window
+  }
 }
