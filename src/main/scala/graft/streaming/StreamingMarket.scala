@@ -90,4 +90,50 @@ object StreamingMarket {
       .parquet(dir)
       .as[PriceTick]
   }
+
+  /**
+   * Streaming dedup — the incremental face of the batch fingerprint
+   * dedup (q21): drop any document whose normalized-text fingerprint
+   * ([[graft.data.TextFunctions.fingerprint]]) was already admitted
+   * within the watermark horizon. `dropDuplicatesWithinWatermark` keys
+   * state on the 60-bit fingerprint only (not the text) and evicts it
+   * as the watermark passes — bounded state, which is the honest
+   * contract for an endless corpus: exact FOREVER-dedup of a stream
+   * needs unbounded state; at 100 TB/day the horizon IS the semantics.
+   */
+  def streamingDedup(
+      docs: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "1 day"): DataFrame =
+    docs
+      .withColumn("fp", graft.data.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /**
+   * Streaming windowed VaR: per event-time window, collect the return
+   * samples and evaluate the same linear-interpolation quantile as the
+   * batch engine ([[graft.risk.functions.varAtVec]]) when the watermark
+   * closes the window (append mode ⇒ each window emits exactly once,
+   * complete). The streaming twin of the batch `varByGroup` over a
+   * trailing window; state per window is bounded by the watermark.
+   */
+  def streamingVar(
+      returns: DataFrame,
+      confidence: Double = 99,
+      returnCol: String = "ret",
+      tsCol: String = "ts",
+      watermark: String = "1 day",
+      windowLen: String = "7 days",
+      slide: String = "1 day"): DataFrame =
+    returns
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide))
+      .agg(collect_list(col(returnCol)).as("__rets"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        size(col("__rets")).as("n"),
+        graft.risk.functions.varAt(array_sort(col("__rets")),
+          lit(confidence)).as(s"var_${confidence.toInt}"))
 }

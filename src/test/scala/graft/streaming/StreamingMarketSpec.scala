@@ -61,6 +61,50 @@ class StreamingMarketSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streamingDedup: fingerprint duplicates dropped across batches, state keyed on fp") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = streamingDedup(
+        input.toDF().toDF("doc_id", "ts", "text"), watermark = "1 day")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData((1L, ts(1), "the quick brown fox"),
+      (2L, ts(1, 2), "THE  quick brown FOX"),  // dup modulo case/ws
+      (3L, ts(1, 4), "something else entirely"))
+    q.processAllAvailable()
+    input.addData((4L, ts(1, 6), "the quick brown fox")) // cross-batch dup
+    q.processAllAvailable()
+
+    val kept = spark.table("dedup").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+    q.stop()
+  }
+
+  test("streamingVar: closed event-time windows emit the batch quantile") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val q = streamingVar(input.toDF().toDF("ts", "ret"),
+        confidence = 95, watermark = "1 day", windowLen = "2 days", slide = "2 days")
+      .writeStream.format("memory").queryName("svar")
+      .outputMode(OutputMode.Append()).start()
+
+    val rets = Seq(-0.05, -0.02, 0.01, 0.03, -0.01)
+    input.addData(rets.zipWithIndex.map { case (r, i) => (ts(1, i), r) }: _*)
+    q.processAllAvailable()
+    input.addData((ts(20), 0.0)) // advance watermark, close the window
+    q.processAllAvailable()
+
+    val rows = spark.table("svar").collect()
+      .map(r => (r.getAs[Int]("n"), r.getAs[Double]("var_95")))
+    assert(rows.exists { case (n, v) =>
+      n == 5 && math.abs(v - graft.risk.VarMath.valueAtRisk(rets.toArray, 95)) < 1e-12
+    })
+    q.stop()
+  }
+
   test("chunked rolling stats == unpartitioned rolling stats") {
     import org.apache.spark.sql.functions._
     val days = (1 to 60).map(d => (Timestamp.valueOf(f"2024-${1 + (d - 1) / 28}%02d-${1 + (d - 1) % 28}%02d 00:00:00"),
