@@ -378,6 +378,17 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q27c_ann_ivf_kmeans" -> ((s, dir) => {
+      // IVF with Lloyd-trained centroids (deterministic MD5-seeded init)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cents = Similarity.trainIvfCentroids(e, "v", nCells = 8, dim = 64, iters = 3)
+      Similarity.ivfTopKWith(e.filter(col("vec_id") < 20), e, "vec_id", "v",
+          k = 3, nProbe = 2, cents)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // -------------------------------------------- multimodal binary (stub)
     "q28_multimodal" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))

@@ -180,18 +180,34 @@ object Similarity {
       k: Int,
       nCells: Int,
       nProbe: Int,
-      dim: Int): DataFrame = {
-    val cents = planes(nCells, dim) // reuse the deterministic coef generator
-    def cellSims(v: Column) = array(cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      dim: Int): DataFrame =
+    ivfTopKWith(queries, corpus, idCol, vecCol, k, nProbe,
+      planes(nCells, dim)) // deterministic seed centroids
+
+  /** Per-centroid dot scores as (s, cell) structs — `sort_array desc`
+   * picks max-dot cells (ties break toward the lower cell id). */
+  private def cellSims(v: Column, cents: Array[Array[Double]]): Column =
+    array(cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       struct(dotNative(v, array(c.toIndexedSeq.map(lit): _*)).as("s"), lit(i).as("cell"))
     }: _*)
+
+  /** [[ivfTopK]] against explicit centroids (seed planes or
+   * [[trainIvfCentroids]] output). */
+  def ivfTopKWith(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      cents: Array[Array[Double]]): DataFrame = {
     // corpus rows land in their single best cell
     val c = withNorm(repartitioned(corpus), idCol, vecCol, "c_")
-      .withColumn("cell", sort_array(cellSims(col("c_v")), asc = false)(0)("cell"))
+      .withColumn("cell", sort_array(cellSims(col("c_v"), cents), asc = false)(0)("cell"))
     // queries probe their nProbe best cells
     val q = withNorm(queries, idCol, vecCol, "q_")
       .withColumn("cell",
-        explode(slice(transform(sort_array(cellSims(col("q_v")), asc = false),
+        explode(slice(transform(sort_array(cellSims(col("q_v"), cents), asc = false),
           s => s("cell")), 1, nProbe)))
     val rank = row_number().over(
       Window.partitionBy(col("query_id"))
@@ -202,6 +218,50 @@ object Similarity {
         simCol("q_", "c_").as("sim"))
       .withColumn("rank", rank)
       .filter(col("rank") <= k)
+  }
+
+  /**
+   * Distributed Lloyd k-means for the IVF cell centroids (the "train"
+   * step the seed planes stand in for). Per iteration: assign every
+   * vector to its max-dot centroid (broadcast literals, no shuffle of
+   * the vectors), then recompute each cell's mean in ONE hash
+   * aggregation — `Summarizer.sum` gives element-wise partial sums, so
+   * only nCells × dim doubles cross the wire regardless of corpus size.
+   * Deterministic end to end: MD5-seeded init, deterministic
+   * assignment ties (lower cell id wins), empty cells keep their
+   * previous centroid. Centroids (KBs) live on the driver — that is
+   * the IVF design, not a scale compromise.
+   */
+  def trainIvfCentroids(
+      vectors: DataFrame,
+      vecCol: String,
+      nCells: Int,
+      dim: Int,
+      iters: Int = 5): Array[Array[Double]] = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val data = repartitioned(vectors)
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .cache()
+    var cents = planes(nCells, dim)
+    try {
+      for (_ <- 0 until iters) {
+        val stats = data
+          .withColumn("cell", sort_array(cellSims(col("v"), cents), asc = false)(0)("cell"))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"),
+            vector_to_array(org.apache.spark.ml.stat.Summarizer
+              .sum(array_to_vector(col("v")))).as("s"))
+          .collect()
+        val next = cents.map(_.clone())
+        stats.foreach { r =>
+          val cell = r.getInt(0)
+          val n = r.getLong(1).toDouble
+          next(cell) = r.getSeq[Double](2).map(_ / n).toArray
+        }
+        cents = next
+      }
+      cents
+    } finally { data.unpersist(); () }
   }
 
   /** Spread a (typically single-file) input across the session's

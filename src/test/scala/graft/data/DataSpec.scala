@@ -130,6 +130,39 @@ class DataSpec extends SparkSpec {
     assert(clusters.toSeq == Seq((1L, 4L, 4L), (10L, 2L, 11L), (20L, 3L, 22L)))
   }
 
+  test("k-means IVF training: deterministic, WCSS non-increasing, assignment respected") {
+    val rng = new scala.util.Random(11)
+    // 3 well-separated blobs in 4-d
+    val centers = Seq(Array(5.0, 0, 0, 0), Array(0.0, 5, 0, 0), Array(0.0, 0, 5, 0))
+    val vecs = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(_ + rng.nextGaussian() * 0.1))
+    }.toDF("vec_id", "v")
+
+    val t3 = Similarity.trainIvfCentroids(vecs, "v", nCells = 3, dim = 4, iters = 3)
+    val t3again = Similarity.trainIvfCentroids(vecs, "v", nCells = 3, dim = 4, iters = 3)
+    assert(t3.map(_.toSeq).toSeq == t3again.map(_.toSeq).toSeq) // deterministic
+
+    def wcss(cents: Array[Array[Double]]): Double = {
+      val rows = vecs.collect().map(_.getSeq[Double](1).toArray)
+      rows.map { v =>
+        cents.map(c => c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      }.sum
+    }
+    val w0 = wcss(Similarity.planes(3, 4))
+    val w3 = wcss(t3)
+    val w6 = wcss(Similarity.trainIvfCentroids(vecs, "v", nCells = 3, dim = 4, iters = 6))
+    assert(w3 <= w0 && w6 <= w3 + 1e-9)
+
+    // trained IVF answers match brute force on separable blobs (full probe)
+    val q = vecs.filter(col("vec_id") < 6)
+    val ivf = Similarity.ivfTopKWith(q, vecs, "vec_id", "v", k = 2, nProbe = 3, t3)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toString).sorted
+    val brute = Similarity.bruteForceTopK(q, vecs, "vec_id", "v", k = 2)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toString).sorted
+    assert(ivf.sameElements(brute))
+  }
+
   test("deduplicate keeps cluster minima and unpaired docs") {
     val corpus = Seq(1L, 2L, 3L, 4L, 10L, 11L, 50L, 99L).toDF("doc_id")
       .withColumn("payload", col("doc_id") * 2)
