@@ -28,7 +28,9 @@ object SparkEntry {
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed a double's
+        // exact range, so float division shifts the micros by ±1
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }
@@ -403,6 +405,27 @@ object SparkEntry {
           min(col("checksum")).as("min_checksum"), sum(col("frame_sum")).as("sum_frames"))
         .orderBy(col("format"))
     }),
+    "q40_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (12h idle timeout): one shuffle on
+      // user_id, lag + running sum inside the partition — the canonical
+      // big-data event-log operator
+      val gapUs = 43200L * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("__new", when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs, 1)
+          .otherwise(0))
+        .withColumn("session_id", sum(col("__new")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"),
+          max(col("dur_us")).as("max_dur_us"), min(col("dur_us")).as("min_dur_us"))
+        .orderBy(col("user_id"))
+    }),
     // ------------------------------- Monte-Carlo chain (rows-only checks)
     "q30_mc_portfolio_var" -> ((s, _) => {
       VarPipeline.portfolioVar(s, miniCfg)
@@ -709,6 +732,24 @@ object SparkEntry {
          |comp AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node)
          |SELECT cluster, count(*) AS n_docs, max(node) AS max_id
          |FROM comp GROUP BY cluster ORDER BY cluster""".stripMargin,
+    "q40_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000 THEN 1
+        |       ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g),
+        |per AS (SELECT user_id, session_id, count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  max(dur_us) AS max_dur_us, min(dur_us) AS min_dur_us
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q29b_dedup_survivors" ->
       s"""WITH RECURSIVE t AS ($minhashSigTableSql),
          |prs AS (SELECT id_a, id_b FROM ($minhashCandidatesSql) WHERE jaccard >= 0.3),

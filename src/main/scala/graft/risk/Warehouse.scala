@@ -60,4 +60,22 @@ object Warehouse {
 
   /** Re-read a persisted stage table (the next notebook's first line). */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /**
+   * Bucketed managed table: co-locates rows by `hash(bucketCols) % n` at
+   * WRITE time, so later equi-joins and aggregations on the bucket keys
+   * run exchange-free — the shuffle is paid once at ingest instead of
+   * per query. This is the parquet/catalog equivalent of Delta's
+   * clustered layout for the reference's re-read-heavy workflow: two
+   * tables bucketed the same way join with zero Exchange in the plan
+   * (see WarehouseSpec's plan assertion). Sorting within buckets also
+   * lets sort-merge join skip its sort.
+   */
+  def saveBucketedTable(spark: SparkSession, df: DataFrame, table: String,
+      bucketCols: Seq[String], numBuckets: Int = 16): Unit = {
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
 }

@@ -50,6 +50,38 @@ class WarehouseSpec extends SparkSpec {
     } finally Warehouse.teardown(spark, "graft_handoff_spec")
   }
 
+  test("bucketed tables join and aggregate exchange-free on the bucket key") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_wh4").toString
+    Warehouse.createAndUse(spark, "graft_bucket_spec", loc)
+    try {
+      import spark.implicits._
+      val trials = (1 to 5000).map(i => (s"T${i % 40}", i.toDouble)).toDF("ticker", "v")
+      val pf = (0 until 40).map(i => (s"T$i", 1.0 / 40)).toDF("ticker", "weight")
+      Warehouse.saveBucketedTable(spark, trials, "b_trials", Seq("ticker"), 8)
+      Warehouse.saveBucketedTable(spark, pf, "b_portfolio", Seq("ticker"), 8)
+
+      // disable auto-broadcast so the join must rely on bucketing alone
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = Warehouse.table(spark, "b_trials")
+          .join(Warehouse.table(spark, "b_portfolio"), Seq("ticker"))
+          .groupBy(col("ticker")).agg(sum(col("v") * col("weight")).as("wv"))
+        // values correct
+        val got = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val exp = (1 to 5000).groupBy(i => s"T${i % 40}")
+          .map { case (t, is) => t -> is.map(_.toDouble / 40).sum }
+        assert(got.keySet == exp.keySet)
+        exp.foreach { case (t, v) => assert(math.abs(got(t) - v) < 1e-9) }
+        // bucketing co-located both sides: join + agg run with ZERO shuffle
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"expected shuffle-free plan, got:\n$plan")
+        assert(plan.contains("SelectedBucketsCount"), "expected bucketed scans")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    } finally Warehouse.teardown(spark, "graft_bucket_spec")
+  }
+
   test("clustered table write prunes files on the cluster key") {
     val loc = java.nio.file.Files.createTempDirectory("graft_wh3").toString
     Warehouse.createAndUse(spark, "graft_prune_spec", loc)
