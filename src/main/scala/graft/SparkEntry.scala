@@ -405,6 +405,22 @@ object SparkEntry {
           min(col("checksum")).as("min_checksum"), sum(col("frame_sum")).as("sum_frames"))
         .orderBy(col("format"))
     }),
+    "q39_repetition" -> ((s, dir) => {
+      // Gopher-style repetition filters: type-token ratio, top-token
+      // share, duplicate-line fraction — all native array expressions
+      t(s, dir, "documents")
+        .select(col("source"),
+          T.typeTokenRatio(col("text")).as("ttr"),
+          T.topTokenFraction(col("text")).as("ttf"),
+          T.dupLineFraction(col("text")).as("dlf"))
+        .groupBy(col("source"))
+        .agg(round(avg(col("ttr")), 6).as("avg_ttr"),
+          round(min(col("ttr")), 6).as("min_ttr"),
+          round(avg(col("ttf")), 6).as("avg_ttf"),
+          round(max(col("ttf")), 6).as("max_ttf"),
+          round(sum(col("dlf")), 6).as("sum_dlf"))
+        .orderBy(col("source"))
+    }),
     "q40_sessionize" -> ((s, dir) => {
       // gap-based sessionization (12h idle timeout): one shuffle on
       // user_id, lag + running sum inside the partition — the canonical
@@ -732,6 +748,25 @@ object SparkEntry {
          |comp AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node)
          |SELECT cluster, count(*) AS n_docs, max(node) AS max_id
          |FROM comp GROUP BY cluster ORDER BY cluster""".stripMargin,
+    "q39_repetition" ->
+      s"""WITH base AS (SELECT source,
+         |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+         |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+         |    l -> len(l) > 0) AS lines
+         |  FROM documents),
+         |m AS (SELECT source,
+         |  len(list_distinct(toks)) / CAST(greatest(len(toks), 1) AS DOUBLE) AS ttr,
+         |  coalesce(list_max(list_transform(list_distinct(toks),
+         |    t -> len(list_filter(toks, x -> x = t)))), 0)
+         |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS ttf,
+         |  CASE WHEN len(lines) > 1
+         |    THEN (len(lines) - len(list_distinct(lines))) / CAST(len(lines) AS DOUBLE)
+         |    ELSE 0.0 END AS dlf
+         |  FROM base)
+         |SELECT source, round(avg(ttr), 6) AS avg_ttr, round(min(ttr), 6) AS min_ttr,
+         |  round(avg(ttf), 6) AS avg_ttf, round(max(ttf), 6) AS max_ttf,
+         |  round(sum(dlf), 6) AS sum_dlf
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "q40_sessionize" ->
       """WITH g AS (SELECT user_id, event_id, ts,
         |  CASE WHEN lag(ts) OVER w IS NULL

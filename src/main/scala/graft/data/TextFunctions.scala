@@ -167,4 +167,34 @@ object TextFunctions {
    * so a DuckDB oracle reproduces fingerprints bit-for-bit. */
   def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
     winnowFromKgrams(kgramHashes(text, k), w)
+
+  // ------------------------------------- repetition signals (Gopher-style)
+
+  /** Type-token ratio: distinct tokens / tokens (lowercased). Low values
+   * flag repetitive machine-generated text. 1.0 for empty docs. */
+  def typeTokenRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    array_size(array_distinct(toks)) / greatest(array_size(toks), lit(1)).cast("double")
+  }
+
+  /** Fraction of all tokens taken by the single most frequent token
+   * (lowercased) — the Gopher "top word frequency" repetition filter.
+   * 0.0 for empty docs. */
+  def topTokenFraction(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val counts = transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)))
+    coalesce(array_max(counts), lit(0)) / greatest(array_size(toks), lit(1)).cast("double")
+  }
+
+  /** Fraction of lines that duplicate an earlier line of the same doc —
+   * the Gopher duplicate-line filter. Lines split on newline, trimmed;
+   * 0.0 for single-line or empty docs. */
+  def dupLineFraction(text: Column): Column = {
+    val lines = filter(transform(split(text, "\\n"), l => trim(l)), l => length(l) > 0)
+    val n = array_size(lines)
+    when(n > 1,
+      (n - array_size(array_distinct(lines))) / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
 }

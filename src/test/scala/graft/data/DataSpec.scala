@@ -163,6 +163,24 @@ class DataSpec extends SparkSpec {
     assert(ivf.sameElements(brute))
   }
 
+  test("repetition signals: ttr, top-token fraction, duplicate lines") {
+    import graft.data.{TextFunctions => T}
+    val d = Seq(
+      (0L, "a a a a b"),                 // ttr 2/5, top 'a' 4/5
+      (1L, "all words here are unique"), // ttr 1.0, top 1/5
+      (2L, "x\n y \nx\nz\n\nx")          // lines x,y,x,z,x -> 2 dups / 5
+    ).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        T.typeTokenRatio(col("text")).as("ttr"),
+        T.topTokenFraction(col("text")).as("ttf"),
+        T.dupLineFraction(col("text")).as("dlf"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(0L) == ((0.4, 0.8, 0.0)))
+    assert(got(1L) == ((1.0, 0.2, 0.0)))
+    assert(got(2L)._3 == 0.4)
+  }
+
   test("deduplicate keeps cluster minima and unpaired docs") {
     val corpus = Seq(1L, 2L, 3L, 4L, 10L, 11L, 50L, 99L).toDF("doc_id")
       .withColumn("payload", col("doc_id") * 2)
