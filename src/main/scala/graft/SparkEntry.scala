@@ -318,13 +318,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q38_winnow" -> ((s, dir) => {
-      // winnowing (rolling k-gram hash + window-min) fingerprints; the
-      // repartition barrier materializes the k-gram hashes so the
-      // per-window slice reads an attribute, not a re-inlined MD5 chain
+      // winnowing (rolling k-gram hash + window-min) fingerprints via the
+      // fused one-pass native expression; repartition spreads the
+      // (single-file) input across cores
       t(s, dir, "documents")
-        .select(col("doc_id"), T.kgramHashes(col("text"), 5).as("kg"))
+        .select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), T.winnowFromKgrams(col("kg"), w = 4).as("fp"))
+        .select(col("doc_id"), T.winnowFingerprintsNative(col("text"), 5, 4).as("fp"))
         .select(col("doc_id"), size(col("fp")).as("n_fp"),
           try_element_at(col("fp"), lit(1)).as("fp_min"),
           try_element_at(col("fp"), lit(-1)).as("fp_max"))

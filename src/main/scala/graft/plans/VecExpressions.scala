@@ -481,6 +481,91 @@ object PredictNonLinear {
 }
 
 /**
+ * Fused winnowing fingerprint over a NORMALIZED text column: character
+ * k-gram MD5-prefix hashes → monotonic-deque sliding-window minima →
+ * sorted distinct selection, all in one pass per document.
+ *
+ * The composable spelling (`transform(sequence(...), j ->
+ * array_min(slice(hs, j, w)))` over a materialized hash array) evaluates
+ * interpreted lambdas and allocates a w-element GenericArrayData per
+ * window — and if `hs` is NOT materialized first, higher-order functions
+ * get no subexpression elimination, so every window re-runs the whole
+ * MD5 chain: O(n²) hashing per doc. This expression is O(n): each
+ * k-gram hashed once (thread-local digest, char-based substring = same
+ * UTF-8 bytes as `Column.substr`), window minima via a deque, then
+ * sort+dedupe. Bit-identical to
+ * `sort_array(array_distinct(TextFunctions.winnowFromKgrams(...)))`'s
+ * output, so the DuckDB oracle keeps the composable spelling.
+ */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k > 0 && w > 0, "k and w must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprint.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.WinnowFingerprint.compute($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFingerprint {
+  def compute(norm: UTF8String, k: Int, w: Int): ArrayData = {
+    val n = norm.numChars()
+    val m = n - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hs(i) = Md5PrefixHash.hash(norm.substring(i, i + k), 7)
+      i += 1
+    }
+    val eff = if (m < w) m else w      // degenerate: one window over all
+    val nw = m - eff + 1
+    val mins = new Array[Long](nw)
+    // monotonic deque of indices, front = min of current window
+    val dq = new Array[Int](m)
+    var head = 0; var tail = 0         // [head, tail) live
+    i = 0
+    while (i < m) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - eff) head += 1
+      if (i >= eff - 1) mins(i - eff + 1) = hs(dq(head))
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var uniq = 0
+    i = 0
+    while (i < nw) {
+      if (i == 0 || mins(i) != mins(i - 1)) { mins(uniq) = mins(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, uniq))
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow_fingerprint"),
+    new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
+    (children: Seq[Expression]) => WinnowFingerprint(children(0),
+      children(1).eval().asInstanceOf[Number].intValue(),
+      children(2).eval().asInstanceOf[Number].intValue()))
+}
+
+/**
  * Session extension registering graft's native expressions; enable with
  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
  */
@@ -493,5 +578,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(ShingleHashes.descriptor)
     ext.injectFunction(SimHash.descriptor)
     ext.injectFunction(PredictNonLinear.descriptor)
+    ext.injectFunction(WinnowFingerprint.descriptor)
   }
 }

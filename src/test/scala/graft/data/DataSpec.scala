@@ -163,6 +163,25 @@ class DataSpec extends SparkSpec {
     assert(ivf.sameElements(brute))
   }
 
+  test("native winnow_fingerprint is bit-identical to the composable spelling") {
+    import graft.data.{TextFunctions => T}
+    val rng = new scala.util.Random(3)
+    val alphabet = "abcde fgh  ij"
+    val rows = (0L until 60L).map { i =>
+      val len = rng.nextInt(40) // includes < k and < w+k-1 degenerates
+      (i, (0 until len).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    }.toDF("doc_id", "text")
+    for ((k, w) <- Seq((5, 4), (3, 7), (1, 1))) {
+      val both = rows.select(
+          T.winnowFingerprints(col("text"), k, w).as("comp"),
+          T.winnowFingerprintsNative(col("text"), k, w).as("nat"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"k=$k w=$w")
+      }
+    }
+  }
+
   test("repetition signals: ttr, top-token fraction, duplicate lines") {
     import graft.data.{TextFunctions => T}
     val d = Seq(
