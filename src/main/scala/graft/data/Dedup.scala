@@ -303,6 +303,37 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /**
+   * One-call corpus shrink: exact-duplicate removal (normalized
+   * fingerprint, keeps min id per fingerprint) followed by MinHash-LSH
+   * near-dup clustering and survivor selection.
+   *
+   * The exact stage FIRST is load-bearing at scale: identical documents
+   * all land in the same LSH bands, so ten thousand copies of one page
+   * would meet quadratically in the band join. Collapsing them to one
+   * representative beforehand (a narrow hash groupBy) caps that blow-up;
+   * the near-dup stage then works on distinct content only.
+   */
+  def dedupCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val keepExact = docs
+      .withColumn("__fp", fp)
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__fp")
+    val exact = docs.join(keepExact, Seq(idCol), "left_semi")
+    val pairs = minhashNearDups(exact, idCol, textCol, shingleN, k, bands, threshold)
+      .select(col("id_a"), col("id_b"))
+    deduplicate(exact, idCol, pairs)
+  }
+
   /** Spread a (typically single-file) input across the session's
    * parallelism for CPU-bound pair scans. */
   private def repartitioned(df: DataFrame): DataFrame =

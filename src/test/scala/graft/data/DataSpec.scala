@@ -163,6 +163,22 @@ class DataSpec extends SparkSpec {
     assert(ivf.sameElements(brute))
   }
 
+  test("dedupCorpus: exact dups collapse first, then near-dups cluster") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog sits calmly today"),
+      (2L, "THE  quick brown fox jumps over the lazy dog sits calmly today"), // exact dup of 1 (normalized)
+      (3L, "the quick brown fox jumps over the lazy dog sits calmly tonight"), // near-dup of 1
+      (4L, "completely different text about spark engines and columnar data processing")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(corpus, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // 2 collapses into 1 exactly; 3 clusters with 1 via minhash; 4 unique
+    assert(kept == Seq(1L, 4L))
+    // all original columns survive
+    assert(Dedup.dedupCorpus(corpus, "doc_id", "text").columns.toSeq ==
+      Seq("doc_id", "text"))
+  }
+
   test("native winnow_fingerprint is bit-identical to the composable spelling") {
     import graft.data.{TextFunctions => T}
     val rng = new scala.util.Random(3)

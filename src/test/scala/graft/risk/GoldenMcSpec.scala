@@ -61,9 +61,15 @@ class GoldenMcSpec extends SparkSpec {
   private def canonDouble(d: Double): String =
     new java.math.BigDecimal(d).round(new java.math.MathContext(6)).toString
 
-  queries.foreach { q =>
+  /** The flagship `entry` is smoke-checked rows>0 by the driver — pin its
+   * values too (it is the first thing anyone runs). */
+  private def run(q: String): DataFrame =
+    if (q == "entry") SparkEntry.entry(spark)
+    else SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+
+  ("entry" +: queries).foreach { q =>
     test(s"$q matches its golden snapshot") {
-      val got = canon(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
+      val got = canon(run(q))
       val file = new File(goldenDir, s"$q.csv")
       if (sys.env.contains("GOLDEN_REGEN")) {
         goldenDir.mkdirs()
