@@ -442,6 +442,115 @@ object SparkEntry {
           max(col("dur_us")).as("max_dur_us"), min(col("dur_us")).as("min_dur_us"))
         .orderBy(col("user_id"))
     }),
+    // PII scrub: augment each doc with synthetic id-derived PII (the corpus
+    // has none), redact, hash-verify the full redacted text per source
+    "q41_pii_redact" -> ((s, dir) => {
+      val aug = concat(col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com via http://ex.org/d/"), col("doc_id").cast("string"),
+        lit("?x=1 or 10.0."), (col("doc_id") % 250).cast("string"),
+        lit(".7, call +1 (555) 010-"), (col("doc_id") % 10000).cast("string"), lit("."))
+      t(s, dir, "documents")
+        .withColumn("red", T.redactPii(aug))
+        .withColumn("pii", T.piiCounts(aug))
+        .withColumn("h60", T.hash60(col("red")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(length(col("red"))).as("sum_chars"),
+          expr("bit_xor(h60)").as("hash_xor"),
+          sum(col("pii.urls")).as("n_urls"), sum(col("pii.emails")).as("n_emails"),
+          sum(col("pii.ips")).as("n_ips"))
+        .orderBy(col("source"))
+    }),
+    // C4 line/document quality filtering over a deterministic multi-line
+    // augmentation (the raw corpus is single-line and punctuation-free)
+    "q42_c4_filter" -> ((s, dir) => {
+      val aug = concat(lit("Header\n"), col("text"), lit(". More details follow here now.\nshort line\n"),
+        when(col("doc_id") % 7 === 0, lit("code sample { x } here.")).otherwise(lit("plain tail text also here.")))
+      t(s, dir, "documents")
+        .withColumn("kept", T.c4KeptLines(aug))
+        .withColumn("clean", T.c4CleanText(aug))
+        .withColumn("keep", T.c4Keep(aug))
+        .withColumn("h60", T.hash60(col("clean")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(size(col("kept"))).as("sum_kept_lines"),
+          sum(length(col("clean"))).as("sum_clean_chars"),
+          sum(col("keep").cast("long")).as("n_keep"),
+          expr("bit_xor(h60)").as("hash_xor"))
+        .orderBy(col("source"))
+    }),
+    // binned range join: events into OVERLAPPING 5-day windows placed every
+    // 3 days — equi-join on bin key (no BroadcastNestedLoopJoin)
+    "q43_range_join_binned" -> ((s, dir) => {
+      import graft.data.Relational
+      val day = 86400000000L // µs
+      val base = 1704067200000000L // 2024-01-01T00:00:00Z µs (events epoch)
+      val ranges = s.range(0, 10).select(
+        concat(lit("r0"), col("id").cast("string")).as("range_id"),
+        (lit(base) + col("id") * lit(3 * day)).as("lo"),
+        (lit(base) + col("id") * lit(3 * day) + lit(5 * day) - 1).as("hi"))
+      val points = events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pt"))
+      Relational.rangeJoinBinned(points, ranges, "pt", "lo", "hi", binWidth = 7 * day)
+        .groupBy(col("range_id"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+          min(col("pt")).as("min_pt"), max(col("pt")).as("max_pt"))
+        .orderBy(col("range_id"))
+    }),
+    // broadcast interval lookup (as-of + end-bound filter) over
+    // NON-OVERLAPPING weekly windows; the big events side never shuffles
+    "q43b_range_lookup_asof" -> ((s, dir) => {
+      import graft.data.Relational
+      val day = 86400000000L
+      val base = 1704067200000000L
+      val ranges = s.range(0, 4).select(
+        concat(lit("w"), col("id").cast("string")).as("id"),
+        (lit(base) + col("id") * lit(7 * day)).as("pt"),
+        (lit(base) + col("id") * lit(7 * day) + lit(6 * day) - 1).as("hi"))
+      val points = events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pt"))
+      Relational.rangeLookupAsOf(points, ranges, "pt", "pt", "hi")
+        .groupBy(col("range_id"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+          min(col("pt")).as("min_pt"), max(col("pt")).as("max_pt"))
+        .orderBy(col("range_id"))
+    }),
+    // per-group top-k: top-3 line items by revenue per supplier (single
+    // shuffle on the group key, rank survives for verification)
+    "q44_topk_per_group" -> ((s, dir) => {
+      import graft.data.Relational
+      val li = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      Relational.topKPerGroup(li, Seq("l_suppkey"),
+          Seq(col("revenue").desc, col("l_orderkey").asc, col("l_linenumber").asc), 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("l_suppkey"), col("rank"))
+    }),
+    // rollup with grouping id (subtotals + grand total in one pass)
+    "q45_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+          count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"), col("gid"))
+        .orderBy(col("gid"), col("flag"), col("status"))
+    }),
+    // semi/anti joins: customers with an F-status order vs customers with
+    // no orders at all, tagged and counted per nation
+    "q46_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val semi = c.join(o.filter(col("o_orderstatus") === "F"),
+          c("c_custkey") === o("o_custkey"), "leftsemi")
+        .select(col("c_nationkey"), lit("has_f_order").as("tag"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "leftanti")
+        .select(col("c_nationkey"), lit("no_orders").as("tag"))
+      semi.unionByName(anti)
+        .groupBy(col("c_nationkey"), col("tag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"), col("tag"))
+    }),
     // ------------------------------- Monte-Carlo chain (rows-only checks)
     "q30_mc_portfolio_var" -> ((s, _) => {
       VarPipeline.portfolioVar(s, miniCfg)
@@ -454,7 +563,7 @@ object SparkEntry {
     }),
     "q33_mc_trials" -> ((s, _) => {
       import org.apache.spark.sql.functions.{col => c}
-      VarPipeline.monteCarloTrials(s, miniCfg)
+      VarPipeline.sharedTrials(s, miniCfg)
         .select(c("date"), c("ticker"), R.varAtVec(c("returns"), lit(95.0)).as("var_95"))
         .orderBy(c("date"), c("ticker"))
     }),
@@ -485,7 +594,7 @@ object SparkEntry {
     }),
     "q34_risk_contribution" -> ((s, _) => {
       import graft.risk.{VarEngine, VarPipeline => VP}
-      VarEngine.riskContribution(VP.monteCarloTrials(s, miniCfg),
+      VarEngine.riskContribution(VP.sharedTrials(s, miniCfg),
           VP.portfolio(s, miniCfg), "industry",
           Seq("MINING", "BANKING", "ENERGY", "RETAIL"))
         .orderBy(col("date"))
@@ -494,7 +603,7 @@ object SparkEntry {
       import graft.risk.{Sources, VarEngine, VarPipeline => VP}
       val market = Sources.syntheticMarketData(s, miniCfg.tickers, miniCfg.start,
         miniCfg.days, globalSeed = miniCfg.seed)
-      val varSeries = VarEngine.varTimeSeries(VP.monteCarloTrials(s, miniCfg),
+      val varSeries = VarEngine.varTimeSeries(VP.sharedTrials(s, miniCfg),
         VP.portfolio(s, miniCfg)).select(col("date"), col("var_99"))
       VarEngine.complianceReport(market, VP.portfolio(s, miniCfg), varSeries)
         .orderBy(col("date"))
@@ -905,6 +1014,95 @@ object SparkEntry {
          |    range(0, least(CAST(ceil(octet_length(encode(text))/7.0) AS INT), 16)),
          |    f -> CAST(concat('0x', substr(lower(hex(encode(text))), f*14+1, 2)) AS BIGINT)),
          |    'sum') AS frame_sum
-         |  FROM documents) GROUP BY format ORDER BY format""".stripMargin
+         |  FROM documents) GROUP BY format ORDER BY format""".stripMargin,
+    "q41_pii_redact" ->
+      s"""WITH aug AS (SELECT source,
+         |  concat(text, ' Contact user', CAST(doc_id AS VARCHAR),
+         |    '@mail.example.com via http://ex.org/d/', CAST(doc_id AS VARCHAR),
+         |    '?x=1 or 10.0.', CAST(doc_id % 250 AS VARCHAR),
+         |    '.7, call +1 (555) 010-', CAST(doc_id % 10000 AS VARCHAR), '.') AS a
+         |  FROM documents),
+         |red AS (SELECT source, a,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(a,
+         |    'https?://[^\\s]+', '<URL>', 'g'),
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         |    '\\+?\\d[\\d()./ -]{6,}\\d\\b', '<PHONE>', 'g') AS r
+         |  FROM aug)
+         |SELECT source, count(*) AS n, CAST(sum(length(r)) AS BIGINT) AS sum_chars,
+         |  bit_xor(${h60Sql("r")}) AS hash_xor,
+         |  CAST(sum(len(regexp_extract_all(a, 'https?://[^\\s]+'))) AS BIGINT) AS n_urls,
+         |  CAST(sum(len(regexp_extract_all(a,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+         |  CAST(sum(len(regexp_extract_all(regexp_replace(a, 'https?://[^\\s]+', '<URL>', 'g'),
+         |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))) AS BIGINT) AS n_ips
+         |FROM red GROUP BY source ORDER BY source""".stripMargin,
+    "q42_c4_filter" ->
+      s"""WITH aug AS (SELECT source,
+         |  concat('Header', chr(10), text, '. More details follow here now.', chr(10),
+         |    'short line', chr(10),
+         |    CASE WHEN doc_id % 7 = 0 THEN 'code sample { x } here.'
+         |         ELSE 'plain tail text also here.' END) AS a
+         |  FROM documents),
+         |k AS (SELECT source,
+         |  list_filter(
+         |    list_filter(list_transform(string_split(a, chr(10)), l -> trim(l)),
+         |      l -> length(l) > 0),
+         |    l -> len(regexp_split_to_array(l, '\\s+')) >= 5
+         |      AND regexp_matches(l, '[.!?"]$$')) AS kept
+         |  FROM aug),
+         |c AS (SELECT source, kept, array_to_string(kept, chr(10)) AS clean FROM k),
+         |w AS (SELECT *, len(regexp_split_to_array(trim(clean), '\\s+')) AS words FROM c)
+         |SELECT source, count(*) AS n,
+         |  CAST(sum(len(kept)) AS BIGINT) AS sum_kept_lines,
+         |  CAST(sum(length(clean)) AS BIGINT) AS sum_clean_chars,
+         |  CAST(sum(CASE WHEN len(kept) >= 1 AND words >= 50 AND words <= 100000
+         |    AND NOT contains(lower(clean), 'lorem ipsum')
+         |    AND NOT contains(clean, '{') THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  bit_xor(${h60Sql("clean")}) AS hash_xor
+         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    "q43_range_join_binned" ->
+      """WITH r AS (SELECT 'r0' || CAST(i AS VARCHAR) AS range_id,
+        |  1704067200000000 + i*259200000000 AS lo,
+        |  1704067200000000 + i*259200000000 + 431999999999 AS hi
+        |  FROM range(0,10) t(i)),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS pt FROM events)
+        |SELECT range_id, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  min(pt) AS min_pt, max(pt) AS max_pt
+        |FROM p JOIN r ON p.pt BETWEEN r.lo AND r.hi
+        |GROUP BY range_id ORDER BY range_id""".stripMargin,
+    "q43b_range_lookup_asof" ->
+      """WITH r AS (SELECT 'w' || CAST(i AS VARCHAR) AS range_id,
+        |  1704067200000000 + i*604800000000 AS lo,
+        |  1704067200000000 + i*604800000000 + 518399999999 AS hi
+        |  FROM range(0,4) t(i)),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS pt FROM events)
+        |SELECT range_id, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  min(pt) AS min_pt, max(pt) AS max_pt
+        |FROM p JOIN r ON p.pt BETWEEN r.lo AND r.hi
+        |GROUP BY range_id ORDER BY range_id""".stripMargin,
+    "q44_topk_per_group" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, revenue, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY revenue DESC, l_orderkey, l_linenumber) AS rank
+        |  FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |        round(l_extendedprice*(1-l_discount),4) AS revenue FROM lineitem))
+        |WHERE rank <= 3 ORDER BY l_suppkey, rank""".stripMargin,
+    "q45_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  round(sum(l_quantity),4) AS sum_qty, count(*) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, flag, status""".stripMargin,
+    "q46_semi_anti" ->
+      """SELECT c_nationkey, tag, count(*) AS n FROM (
+        |  SELECT c_nationkey, 'has_f_order' AS tag FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM orders o
+        |                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |  UNION ALL
+        |  SELECT c_nationkey, 'no_orders' AS tag FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        |GROUP BY c_nationkey, tag ORDER BY c_nationkey, tag""".stripMargin
   )
 }

@@ -1,0 +1,91 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Generic relational operators the built-in API spells awkwardly at scale:
+ * point-in-interval (range) joins and per-group top-k.
+ *
+ * Range joins are the classic Spark trap: `a.join(b, a.ts between b.lo and
+ * b.hi)` has no equi-key, so Catalyst falls back to
+ * BroadcastNestedLoopJoin — O(|points|·|ranges|) comparisons, a
+ * full-cartesian shuffle when neither side broadcasts. Both spellings here
+ * keep an equi-key in the join so the planner picks a hash/merge join:
+ *
+ *  - [[rangeJoinBinned]]: replicate each interval into the fixed-width
+ *    bins it spans, equi-join points on bin, post-filter exact
+ *    containment. Handles OVERLAPPING intervals; shuffle is on the bin
+ *    key, replication factor = interval length / bin width. The 100 TB
+ *    path.
+ *  - [[rangeLookupAsOf]]: for a SMALL interval table (calendar periods,
+ *    rate tables), an as-of join on interval start (broadcast
+ *    binary-search, zero shuffle of the points side) + end-bound filter.
+ *    Exact for non-overlapping intervals.
+ */
+object Relational {
+
+  /**
+   * Binned range join of `points` (long column `ptCol`) into `ranges`
+   * (long columns `startCol`..`endCol`, inclusive). Works for overlapping
+   * intervals; every (point, containing-interval) pair is emitted exactly
+   * once (a point and any covering interval share at least one bin, and
+   * the containment filter runs on the deduped bin pair — each interval
+   * lands in a given bin at most once).
+   *
+   * `div` (truncating integer division) is monotonic, so bin(pt) always
+   * lies within [bin(start), bin(end)] — no float division of epoch-scale
+   * longs (exactness trap) and negative values stay correct.
+   *
+   * Pick `binWidth` ≈ the typical interval length: replication factor is
+   * ceil(len/binWidth)+1 while point-side bin cardinality stays high
+   * enough to spread the shuffle.
+   */
+  def rangeJoinBinned(points: DataFrame, ranges: DataFrame, ptCol: String,
+      startCol: String, endCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val overlap = points.columns.toSet.intersect(ranges.columns.toSet)
+    require(overlap.isEmpty, s"column collision between sides: $overlap")
+    val bin = "__range_bin"
+    val p = points.withColumn(bin, expr(s"`$ptCol` div ${binWidth}L"))
+    val r = ranges.withColumn(bin,
+      explode(expr(s"sequence(`$startCol` div ${binWidth}L, `$endCol` div ${binWidth}L)")))
+    p.join(r, Seq(bin))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop(bin)
+  }
+
+  /**
+   * Broadcast interval lookup via as-of join: match each point to the
+   * interval with the greatest `startCol` ≤ point, keep it only when the
+   * point is also ≤ its `endCol`. Inner-join semantics (unmatched points
+   * drop). EXACT only when intervals don't overlap (at most one interval
+   * can contain the point among those starting before it — the as-of
+   * winner). The interval table is collected + broadcast
+   * ([[graft.risk.AsOfJoin.asofJoinBroadcast]]), so the big points side
+   * never shuffles.
+   */
+  def rangeLookupAsOf(points: DataFrame, ranges: DataFrame, ptCol: String,
+      startCol: String, endCol: String,
+      rangePrefix: String = "range_"): DataFrame = {
+    val r = ranges.withColumnRenamed(startCol, ptCol)
+    val joined = graft.risk.AsOfJoin.asofJoinBroadcast(points, r, ptCol,
+      rightPrefix = rangePrefix)
+    joined.filter(col(rangePrefix + endCol).isNotNull &&
+      col(ptCol) <= col(rangePrefix + endCol))
+  }
+
+  /**
+   * Top `k` rows per group, ranked by `order` (pass explicit tie-breakers
+   * for deterministic output). One shuffle on the group key; each group
+   * sorts (and spills) locally — the idiomatic scalable spelling. The
+   * rank survives as `rankCol`.
+   */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+      k: Int, rankCol: String = "rank"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+}

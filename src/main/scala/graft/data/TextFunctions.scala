@@ -205,4 +205,68 @@ object TextFunctions {
       (n - array_size(array_distinct(lines))) / n.cast("double"))
       .otherwise(lit(0.0))
   }
+
+  // --------------------------------------------------------- PII scrubbing
+  // Patterns restricted to the regex subset Java regex and RE2 (DuckDB)
+  // evaluate identically: character classes, bounded repeats, ASCII \b —
+  // no lookaround, no backreferences. Redaction is a plain codegen'd
+  // regexp_replace chain (one pass per pattern, no UDF).
+
+  /** URLs first: they may embed emails/IPs that must not double-redact. */
+  val UrlRe = "https?://[^\\s]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** International-ish phone: optional +, then 8+ of digits/separators,
+   * digit-bounded so prose numbers ("in 1999") never match. */
+  val PhoneRe = "\\+?\\d[\\d()./ -]{6,}\\d\\b"
+
+  /** Replace URLs, emails, IPv4s, and phone-shaped digit runs with typed
+   * placeholder tokens — the standard pre-training PII scrub. Order is
+   * load-bearing (URL ⊃ email ⊃ IP ⊃ phone); each stage sees the previous
+   * stage's output. */
+  def redactPii(text: Column): Column = {
+    val noUrl = regexp_replace(text, UrlRe, "<URL>")
+    val noEmail = regexp_replace(noUrl, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    regexp_replace(noIp, PhoneRe, "<PHONE>")
+  }
+
+  /** Count of PII hits by kind, for audit dashboards without materializing
+   * redacted text. */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(UrlRe), lit(0))).as("urls"),
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("emails"),
+    size(regexp_extract_all(regexp_replace(text, UrlRe, "<URL>"),
+      lit(Ipv4Re), lit(0))).as("ips"))
+
+  // ------------------------------------------- C4-style quality filtering
+  // Raffel et al. 2020 §2.2 heuristics, re-expressed as array lambdas over
+  // the line split (one pass, codegen, no UDF).
+
+  /** Non-empty trimmed lines of a document. */
+  def docLines(text: Column): Column =
+    filter(transform(split(text, "\\n"), l => trim(l)), l => length(l) > 0)
+
+  /** C4 line filter: keep lines with ≥ `minWords` words ending in terminal
+   * punctuation (period, !, ?, closing quote). */
+  def c4KeptLines(text: Column, minWords: Int = 5): Column =
+    filter(docLines(text), l =>
+      size(split(l, "\\s+")) >= minWords && l.rlike("[.!?\"]$"))
+
+  /** Document text rebuilt from the surviving lines. */
+  def c4CleanText(text: Column, minWords: Int = 5): Column =
+    array_join(c4KeptLines(text, minWords), "\n")
+
+  /** C4 document-level keep decision over the CLEANED text: word count in
+   * [minDocWords, maxDocWords], no "lorem ipsum", no curly brace (code),
+   * at least `minLines` surviving lines. */
+  def c4Keep(text: Column, minWords: Int = 5, minLines: Int = 1,
+      minDocWords: Int = 50, maxDocWords: Int = 100000): Column = {
+    val kept = c4KeptLines(text, minWords)
+    val clean = array_join(kept, "\n")
+    val words = size(split(trim(clean), "\\s+"))
+    size(kept) >= minLines &&
+      words >= minDocWords && words <= maxDocWords &&
+      !lower(clean).contains("lorem ipsum") && !clean.contains("{")
+  }
 }

@@ -99,8 +99,16 @@ object AsOfJoin {
       if (partitionCols.isEmpty) lit("")
       else concat_ws(sep, partitionCols.map(c => col(c).cast("string")): _*)
 
-    // micros precision: timestamp->long cast truncates to seconds.
-    val tsMicros = (c: String) => unix_micros(col(c).cast("timestamp"))
+    // micros precision: timestamp->long cast truncates to seconds, so go
+    // through unix_micros — but an already-numeric ts column (epoch micros
+    // from a range-join caller) must pass through untouched: casting a
+    // 1.7e15-micros long to timestamp reads it as SECONDS and the ×1e6
+    // round-trip overflows Long, scrambling the binary-search order.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def tsMicrosOf(df: DataFrame, c: String) = df.schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => col(c).cast("long")
+      case _ => unix_micros(col(c).cast("timestamp"))
+    }
 
     // The right side is small by contract, but its PLAN may be expensive
     // (e.g. the full MC chain producing a daily VaR series) and it is
@@ -110,7 +118,7 @@ object AsOfJoin {
     val rightM = right.localCheckpoint()
 
     val rightTs: Map[String, Array[Long]] = rightM
-      .select(keyExpr(right).as(keyCol), tsMicros(tsCol).as("ts"))
+      .select(keyExpr(right).as(keyCol), tsMicrosOf(rightM, tsCol).as("ts"))
       .groupBy(keyCol)
       .agg(sort_array(collect_list("ts")).as("ts"))
       .collect()
@@ -135,7 +143,7 @@ object AsOfJoin {
     val rightValueCols = right.columns.filterNot(c => c == tsCol || partitionCols.contains(c))
     val rightRenamed = rightM.select(
       partitionCols.map(col) ++
-        Seq(tsMicros(tsCol).as(matchTs), col(tsCol).as(rightPrefix + tsCol)) ++
+        Seq(tsMicrosOf(rightM, tsCol).as(matchTs), col(tsCol).as(rightPrefix + tsCol)) ++
         rightValueCols.map(c => col(c).as(rightPrefix + c)): _*)
 
     // Duplicate (key, ts) right rows would fan the equi-join out — every
@@ -151,7 +159,7 @@ object AsOfJoin {
         payloadCols.map(c => col("__p").getField(c).as(c)): _*)
 
     left
-      .withColumn(matchTs, lookup(keyExpr(left), tsMicros(tsCol)))
+      .withColumn(matchTs, lookup(keyExpr(left), tsMicrosOf(left, tsCol)))
       .join(broadcast(rightUnique), partitionCols :+ matchTs, "left")
       .drop(matchTs)
   }

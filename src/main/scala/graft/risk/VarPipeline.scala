@@ -1,9 +1,11 @@
 package graft.risk
 
 import java.time.LocalDate
+import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * The flagship end-to-end VaR chain (SURVEY §7.3) — the reference's
@@ -102,13 +104,34 @@ object VarPipeline {
     MonteCarlo.collectTrialVectors(scored)
   }
 
+  // One cached trials table per (session, cfg) — the in-memory twin of the
+  // reference's persisted notebook hand-off (03 writes monte_carlo_trials
+  // once, 04/05 both re-read the stored table). Only the default-portfolio
+  // path memoizes; a caller-supplied `pf` gets a fresh plan. Entries die
+  // with their session (keyed by applicationId); the map itself holds only
+  // plan references.
+  private val trialsCache = new ConcurrentHashMap[(String, Config), DataFrame]()
+
+  /** monte_carlo_trials computed once per (session, cfg) and served from a
+   * MEMORY_AND_DISK cache thereafter. All aggregation entry points
+   * ([[portfolioVar]], [[varBySlice]], [[compliance]]) read this, exactly
+   * as the reference's notebooks 04/05 both read the one stored
+   * `monte_carlo_trials` table rather than re-simulating. */
+  def sharedTrials(spark: SparkSession, cfg: Config): DataFrame =
+    trialsCache.computeIfAbsent((spark.sparkContext.applicationId, cfg),
+      _ => monteCarloTrials(spark, cfg).persist(StorageLevel.MEMORY_AND_DISK))
+
+  private def trialsFor(spark: SparkSession, cfg: Config,
+      pf: Option[DataFrame]): DataFrame =
+    if (pf.isEmpty) sharedTrials(spark, cfg) else monteCarloTrials(spark, cfg, pf)
+
   /** VaR time-series for the whole portfolio (reference
    * `04_var_aggregation.py:56-66`). */
   def portfolioVar(spark: SparkSession, cfg: Config = Config(),
       pf: Option[DataFrame] = None): DataFrame = {
     val p = pf.getOrElse(portfolio(spark, cfg))
     val weighted = VarAggregation.weightedTrials(
-      monteCarloTrials(spark, cfg, pf), p)
+      trialsFor(spark, cfg, pf), p)
     VarAggregation.varByGroup(weighted, Seq("date"), cfg.confidence,
         withShortfall = true)
       .orderBy(col("date"))
@@ -119,7 +142,7 @@ object VarPipeline {
   def varBySlice(spark: SparkSession, sliceCol: String, cfg: Config = Config(),
       pf: Option[DataFrame] = None): DataFrame = {
     val weighted = VarAggregation.weightedTrials(
-      monteCarloTrials(spark, cfg, pf), pf.getOrElse(portfolio(spark, cfg)))
+      trialsFor(spark, cfg, pf), pf.getOrElse(portfolio(spark, cfg)))
     VarAggregation.varByGroup(weighted, Seq("date", sliceCol), cfg.confidence)
       .orderBy(col("date"), col(sliceCol))
   }
@@ -138,7 +161,7 @@ object VarPipeline {
       tables: Map[String, String], pf: Option[DataFrame] = None): Unit = {
     Warehouse.saveTable(spark, marketVolatility(spark, cfg),
       tables("volatility"), Seq("date"), numFiles = 8)
-    Warehouse.saveTable(spark, monteCarloTrials(spark, cfg, pf),
+    Warehouse.saveTable(spark, trialsFor(spark, cfg, pf),
       tables("mc_trials"), Seq("date", "ticker"), numFiles = 8)
   }
 

@@ -255,4 +255,62 @@ class DataSpec extends SparkSpec {
     assert(edge(1L).isEmpty)            // still shorter than k
     assert(edge(2L).size == 1)          // 2 k-grams < w -> single window
   }
+
+  test("redactPii replaces URLs, emails, IPs, phones with typed tokens") {
+    val in = Seq(
+      "mail me at jo.doe+x@sub.example.co.uk today",
+      "see https://a.b/c?d=e&f=g#h and http://plain.org",
+      "server at 192.168.0.1 responded",
+      "call +1 (555) 123-4567 or 020-7946 0958 now",
+      "born in 1999, scored 100 points", // prose digits must survive
+      "no pii here at all").toDF("text")
+    val out = in.select(TextFunctions.redactPii(col("text"))).as[String].collect()
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "see <URL> and <URL>")
+    assert(out(2) == "server at <IP> responded")
+    assert(out(3) == "call <PHONE> or <PHONE> now")
+    assert(out(4) == "born in 1999, scored 100 points")
+    assert(out(5) == "no pii here at all")
+    // an email inside a URL redacts once, as the URL
+    val nested = Seq("x http://e.com/mail?to=a@b.cd y").toDF("text")
+      .select(TextFunctions.redactPii(col("text"))).as[String].collect()
+    assert(nested(0) == "x <URL> y")
+  }
+
+  test("piiCounts tallies hits without double-counting URL innards") {
+    val r = Seq("a@b.cd and http://h.io/u@v.wx plus 10.0.0.1 and 8.8.8.8")
+      .toDF("text").select(TextFunctions.piiCounts(col("text")).as("p"))
+      .select(col("p.urls"), col("p.emails"), col("p.ips"))
+      .as[(Int, Int, Int)].collect().head
+    // the URL-embedded email still email-matches (counts are per-pattern
+    // on raw text), but IPs are counted after URL masking
+    assert(r == ((1, 2, 2)))
+  }
+
+  test("c4 line filter keeps punctuated >=5-word lines; doc keep applies") {
+    val doc = Seq(
+      "Short line\n" +                                      // <5 words
+      "This perfectly fine sentence ends with a period.\n" +
+      "this one has five words!\n" +
+      "unterminated line with many words here though\n" +   // no terminal punct
+      "Is this a quoted question?\n").toDF("text")
+    val kept = doc.select(TextFunctions.c4KeptLines(col("text"))).as[Seq[String]]
+      .collect().head
+    assert(kept == Seq("This perfectly fine sentence ends with a period.",
+      "this one has five words!", "Is this a quoted question?"))
+    // keep: needs >=50 words after cleaning -> this small doc fails
+    val keep = doc.select(TextFunctions.c4Keep(col("text"))).as[Boolean].collect().head
+    assert(!keep)
+    // a 60-word punctuated doc with no brace/lorem passes
+    val big = (("word " * 59) + "end.")
+    val bigKeep = Seq(big).toDF("text")
+      .select(TextFunctions.c4Keep(col("text"))).as[Boolean].collect().head
+    assert(bigKeep)
+    // same doc with a brace or lorem ipsum is dropped
+    for (poison <- Seq(("word " * 59) + "brace { end.", ("word " * 58) + "lorem ipsum end.")) {
+      val k = Seq(poison).toDF("text")
+        .select(TextFunctions.c4Keep(col("text"))).as[Boolean].collect().head
+      assert(!k, poison.take(20))
+    }
+  }
 }

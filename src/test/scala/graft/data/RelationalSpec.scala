@@ -1,0 +1,75 @@
+package graft.data
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteRangeJoin(points: Seq[(Long, Long)],
+      ranges: Seq[(String, Long, Long)]): Set[(Long, String)] =
+    (for {
+      (eid, pt) <- points
+      (rid, lo, hi) <- ranges
+      if pt >= lo && pt <= hi
+    } yield (eid, rid)).toSet
+
+  private val ranges = Seq( // overlapping, unsorted, negative values included
+    ("a", -10L, 5L), ("b", 0L, 20L), ("c", 15L, 15L), ("d", 100L, 130L))
+  private val points = Seq(
+    (1L, -10L), (2L, -1L), (3L, 0L), (4L, 5L), (5L, 6L), (6L, 15L),
+    (7L, 20L), (8L, 21L), (9L, 99L), (10L, 100L), (11L, 130L), (12L, 131L))
+
+  test("rangeJoinBinned matches brute force for overlapping ranges, any binWidth") {
+    val p = points.toDF("event_id", "pt")
+    val r = ranges.toDF("range_id", "lo", "hi")
+    for (bw <- Seq(1L, 3L, 7L, 1000L)) {
+      val got = Relational.rangeJoinBinned(p, r, "pt", "lo", "hi", bw)
+        .select($"event_id", $"range_id").as[(Long, String)].collect().toSet
+      assert(got == bruteRangeJoin(points, ranges), s"binWidth=$bw")
+    }
+  }
+
+  test("rangeJoinBinned emits each containing pair exactly once") {
+    val p = points.toDF("event_id", "pt")
+    val r = ranges.toDF("range_id", "lo", "hi")
+    val rows = Relational.rangeJoinBinned(p, r, "pt", "lo", "hi", 2L)
+      .select($"event_id", $"range_id").as[(Long, String)].collect()
+    assert(rows.length == rows.toSet.size)
+  }
+
+  test("rangeJoinBinned rejects column collisions and bad binWidth") {
+    val p = points.toDF("event_id", "pt")
+    val r = ranges.toDF("range_id", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      Relational.rangeJoinBinned(p, r, "pt", "lo", "hi", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Relational.rangeJoinBinned(p, r.withColumnRenamed("lo", "pt"), "pt", "pt", "hi", 1L)
+    }
+  }
+
+  test("rangeLookupAsOf matches brute force for non-overlapping ranges") {
+    val nonOverlap = Seq(("a", 0L, 9L), ("b", 10L, 19L), ("d", 40L, 49L))
+    val pts = Seq((1L, 0L), (2L, 5L), (3L, 9L), (4L, 10L), (5L, 25L),
+      (6L, 39L), (7L, 40L), (8L, 49L), (9L, 50L), (10L, -1L))
+    val got = Relational.rangeLookupAsOf(pts.toDF("event_id", "pt"),
+        nonOverlap.toDF("id", "lo", "hi").withColumnRenamed("lo", "pt"),
+        "pt", "pt", "hi")
+      .select($"event_id", $"range_id").as[(Long, String)].collect().toSet
+    assert(got == bruteRangeJoin(pts, nonOverlap).map { case (e, r) => (e, r) })
+  }
+
+  test("topKPerGroup keeps exactly k best rows per group with rank") {
+    val df = Seq(
+      ("g1", 1L, 5.0), ("g1", 2L, 9.0), ("g1", 3L, 9.0), ("g1", 4L, 1.0),
+      ("g2", 5L, 2.0), ("g3", 6L, 3.0), ("g3", 7L, 4.0))
+      .toDF("g", "id", "score")
+    val got = Relational.topKPerGroup(df, Seq("g"),
+        Seq($"score".desc, $"id".asc), 2)
+      .select($"g", $"id", $"rank").as[(String, Long, Int)].collect().toSet
+    // g1 ties on 9.0 break by id asc; only 2 survive of 4
+    assert(got == Set(("g1", 2L, 1), ("g1", 3L, 2),
+      ("g2", 5L, 1), ("g3", 7L, 1), ("g3", 6L, 2)))
+  }
+}
