@@ -551,6 +551,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("c_nationkey"), col("tag"))
     }),
+    // portable HyperLogLog: approximate distinct users per event type,
+    // sketch state integer-exact and MD5-derived so the oracle reproduces
+    // the sketch itself, next to the exact count for accuracy reading
+    "q47_hll_distinct" -> ((s, dir) => {
+      import graft.data.Sketches
+      val ev = events(s, dir).select(col("event_type"), col("user_id"))
+      Sketches.hllDistinct(ev, Seq("event_type"), col("user_id"), p = 8)
+        .join(ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact")), Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
+    // deterministic hash split + subsample: row-stable train/valid/test
+    // labels and a 10% sample, reproducible on any partitioning/engine
+    "q48_hash_split" -> ((s, dir) => {
+      import graft.data.Sampling
+      t(s, dir, "documents")
+        .withColumn("split", Sampling.hashSplit(col("doc_id"),
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)))
+        .withColumn("in_sample",
+          Sampling.hashSlot(col("doc_id"), 10000, "s1") < 1000)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("in_sample").cast("long")).as("n_sampled"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"), col("split"))
+    }),
+    // skew-safe salted join: row-identical to the plain equi join, hot
+    // keys spread over 8 reducers (oracle is the plain join)
+    "q49_salted_join" -> ((s, dir) => {
+      import graft.data.Relational
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      Relational.saltedJoin(o, c, Seq("o_custkey"), saltFactor = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+    }),
     // ------------------------------- Monte-Carlo chain (rows-only checks)
     "q30_mc_portfolio_var" -> ((s, _) => {
       VarPipeline.portfolioVar(s, miniCfg)
@@ -1103,6 +1140,48 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT c_nationkey, 'no_orders' AS tag FROM customer c
         |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
-        |GROUP BY c_nationkey, tag ORDER BY c_nationkey, tag""".stripMargin
+        |GROUP BY c_nationkey, tag ORDER BY c_nationkey, tag""".stripMargin,
+    "q47_hll_distinct" -> {
+      val c = graft.data.Sketches.rawConstant(8) // identical double both engines
+      s"""WITH h AS (SELECT event_type,
+         |  ${h60Sql("CAST(user_id AS VARCHAR)")} AS hh FROM events),
+         |r AS (SELECT event_type, hh // 4503599627370496 AS bucket,
+         |    max(CASE WHEN hh % 4503599627370496 > 0
+         |             THEN 53 - length(format('{:b}', hh % 4503599627370496))
+         |             ELSE 53 END) AS rho
+         |  FROM h GROUP BY event_type, bucket),
+         |st AS (SELECT event_type,
+         |    CAST(sum((1::BIGINT) << CAST(54 - rho AS INT)) AS BIGINT) AS s_hit,
+         |    CAST(count(*) AS BIGINT) AS n_buckets
+         |  FROM r GROUP BY event_type),
+         |fin AS (SELECT event_type,
+         |    s_hit + (256 - n_buckets) * ((1::BIGINT) << 54) AS hll_state, n_buckets
+         |  FROM st),
+         |est AS (SELECT *, $c / CAST(hll_state AS DOUBLE) AS raw FROM fin)
+         |SELECT e.event_type, hll_state, n_buckets,
+         |  round(CASE WHEN raw <= 640.0 AND (256 - n_buckets) > 0
+         |             THEN 256.0 * ln(256.0 / (256.0 - n_buckets))
+         |             ELSE raw END, 2) AS approx_distinct,
+         |  x.n_exact
+         |FROM est e JOIN (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |                 FROM events GROUP BY event_type) x USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
+    "q48_hash_split" ->
+      s"""WITH d AS (SELECT source, doc_id,
+         |  ${h60Sql("concat(CAST(doc_id AS VARCHAR), '')")} % 10000 AS slot,
+         |  ${h60Sql("concat(CAST(doc_id AS VARCHAR), 's1')")} % 10000 AS slot2
+         |  FROM documents)
+         |SELECT source,
+         |  CASE WHEN slot < 8000 THEN 'train'
+         |       WHEN slot < 9000 THEN 'valid' ELSE 'test' END AS split,
+         |  count(*) AS n,
+         |  CAST(sum(CASE WHEN slot2 < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM d GROUP BY source, split ORDER BY source, split""".stripMargin,
+    "q49_salted_join" ->
+      """SELECT c_nationkey, round(sum(o_totalprice),2) AS sum_price, count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
   )
 }

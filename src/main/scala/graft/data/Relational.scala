@@ -77,6 +77,35 @@ object Relational {
   }
 
   /**
+   * Skew-safe equi join: spread each hot left key over `saltFactor`
+   * shuffle partitions by salting, replicating the (smaller) right side
+   * `saltFactor`× to compensate. Result is row-identical to
+   * `left.join(right, keys, joinType)` — each (left row, right row) pair
+   * meets in exactly one salted partition — but the hottest key's rows
+   * now land on `saltFactor` reducers instead of one.
+   *
+   * AQE's skew-join handles this automatically for sort-merge joins; this
+   * is the explicit spelling for when the skew is known ahead of time or
+   * AQE is unavailable (e.g. inside a cached/bucketed stage). Supports
+   * `inner` and `left` joins (right/full would need the salt on the other
+   * side).
+   */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    require(Set("inner", "left", "leftouter", "left_outer").contains(joinType),
+      s"salt lives on the left side; joinType $joinType unsupported")
+    val salt = "__join_salt"
+    // any deterministic spread works — correctness never depends on WHICH
+    // salt a row gets, only that the right side covers all of them
+    val l = left.withColumn(salt,
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
+    val r = right.withColumn(salt,
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    l.join(r, keys :+ salt, joinType).drop(salt)
+  }
+
+  /**
    * Top `k` rows per group, ranked by `order` (pass explicit tie-breakers
    * for deterministic output). One shuffle on the group key; each group
    * sorts (and spills) locally — the idiomatic scalable spelling. The

@@ -1,0 +1,56 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic, engine-portable sampling for training-data pipelines.
+ *
+ * `df.sample(fraction)` is seed-dependent and partition-layout-dependent —
+ * rerun the job with different parallelism and you get a different corpus.
+ * These operators key every decision off the MD5-prefix hash of a stable
+ * id ([[TextFunctions.hash60]]), so the same row makes the same decision
+ * on any cluster, any partitioning, any engine (a DuckDB/Trino twin
+ * reproduces the exact sample). That stability is what makes train/test
+ * splits auditable and incremental re-runs append-consistent at 100 TB.
+ *
+ * All decisions are narrow codegen'd expressions on the scan — filters
+ * push down ahead of any shuffle.
+ */
+object Sampling {
+
+  /** In [0, den) slot of the key's hash — the shared primitive. A second
+   * `salt` string decorrelates independent samples over the same keys. */
+  def hashSlot(key: Column, den: Int, salt: String = ""): Column =
+    pmod(TextFunctions.hash60(concat(key.cast("string"), lit(salt))), lit(den))
+
+  /** Keep rows whose key hashes into `num`/`den` of the slot space.
+   * Deterministic: the same key always lands in or out. */
+  def hashSample(df: DataFrame, key: Column, num: Int, den: Int = 10000,
+      salt: String = ""): DataFrame = {
+    require(num >= 0 && num <= den, s"need 0 <= num <= den, got $num/$den")
+    df.filter(hashSlot(key, den, salt) < num)
+  }
+
+  /**
+   * Label each row with a split name by cumulative hash-slot ranges, e.g.
+   * `fractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)`.
+   * Fractions are scaled to 10000 slots (0.01% granularity); any slot
+   * remainder from rounding goes to the LAST split. Row-stable: a doc
+   * keeps its split across reruns and incremental loads.
+   */
+  def hashSplit(key: Column, fractions: Seq[(String, Double)],
+      salt: String = ""): Column = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val den = 10000
+    val slot = hashSlot(key, den, salt)
+    val bounds = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => math.round(f * den).toInt)
+    fractions.init.zip(bounds.init).reverse
+      .foldLeft(lit(fractions.last._1): Column) { case (acc, ((name, _), hi)) =>
+        when(slot < hi, name).otherwise(acc)
+      }
+  }
+}

@@ -60,6 +60,24 @@ class RelationalSpec extends SparkSpec {
     assert(got == bruteRangeJoin(pts, nonOverlap).map { case (e, r) => (e, r) })
   }
 
+  test("saltedJoin is row-identical to the plain join, inner and left") {
+    val left = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"), (3L, "e"))
+      .toDF("k", "lv") // key 1 is "hot"
+    val right = Seq((1L, 10.0), (1L, 11.0), (2L, 20.0)).toDF("k", "rv")
+    for (jt <- Seq("inner", "left")) {
+      val plain = left.join(right, Seq("k"), jt)
+        .select($"k", $"lv", $"rv").collect()
+        .map(r => (r.getLong(0), r.getString(1), String.valueOf(r.get(2)))).sorted.toSeq
+      val salted = Relational.saltedJoin(left, right, Seq("k"), 4, jt)
+        .select($"k", $"lv", $"rv").collect()
+        .map(r => (r.getLong(0), r.getString(1), String.valueOf(r.get(2)))).sorted.toSeq
+      assert(salted == plain, jt)
+    }
+    intercept[IllegalArgumentException] {
+      Relational.saltedJoin(left, right, Seq("k"), 4, "right")
+    }
+  }
+
   test("topKPerGroup keeps exactly k best rows per group with rank") {
     val df = Seq(
       ("g1", 1L, 5.0), ("g1", 2L, 9.0), ("g1", 3L, 9.0), ("g1", 4L, 1.0),

@@ -1,0 +1,66 @@
+package graft.data
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SketchesSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hllDistinct: estimate within sketch error bounds, exact integer state") {
+    val n = 5000
+    val df = (0 until n).map(i => ("g", s"user_$i")).toDF("g", "v")
+    val r = Sketches.hllDistinct(df, Seq("g"), $"v", p = 8)
+      .select($"hll_state", $"n_buckets", $"approx_distinct")
+      .collect().head
+    val est = r.getDouble(2)
+    // p=8 => standard error ~6.5%; allow 4 sigma
+    assert(math.abs(est - n) / n < 0.26, s"estimate $est for $n distinct")
+    assert(r.getLong(1) <= 256)
+  }
+
+  test("hllDistinct: duplicate-insensitive and partition-invariant") {
+    val base = (0 until 1000).map(i => ("g", s"id_$i"))
+    val dup = base ++ base ++ base.take(500)
+    val a = Sketches.hllDistinct(base.toDF("g", "v"), Seq("g"), $"v")
+      .select($"hll_state").as[Long].collect().head
+    val b = Sketches.hllDistinct(dup.toDF("g", "v").repartition(17), Seq("g"), $"v")
+      .select($"hll_state").as[Long].collect().head
+    assert(a == b) // same distinct set -> identical sketch state
+  }
+
+  test("hllDistinct: small-range linear counting kicks in and is near-exact") {
+    val df = (0 until 30).map(i => ("g", s"k$i")).toDF("g", "v")
+    val est = Sketches.hllDistinct(df, Seq("g"), $"v")
+      .select($"approx_distinct").as[Double].collect().head
+    assert(math.abs(est - 30) < 4, s"linear-counting estimate $est for 30")
+  }
+
+  test("hashSplit: stable labels, correct proportions, hashSample subsets") {
+    val ids = (0 until 10000).map(_.toLong).toDF("id")
+    val split = Sampling.hashSplit($"id", Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val counts = ids.groupBy(split.as("s")).count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") - 8000.0) / 8000 < 0.05, counts.toString)
+    assert(math.abs(counts("valid") - 1000.0) / 1000 < 0.15, counts.toString)
+    assert(math.abs(counts("test") - 1000.0) / 1000 < 0.15, counts.toString)
+    // repartitioning must not move any row between splits
+    val l1 = ids.select($"id", split.as("s")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val l2 = ids.repartition(13).select($"id", split.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(l1 == l2)
+    // a 20% hash sample contains the 10% sample with the same salt
+    val s10 = Sampling.hashSample(ids, $"id", 1000).as[Long].collect().toSet
+    val s20 = Sampling.hashSample(ids, $"id", 2000).as[Long].collect().toSet
+    assert(s10.subsetOf(s20))
+    assert(math.abs(s10.size - 1000.0) / 1000 < 0.15, s10.size.toString)
+    // different salt decorrelates: overlap near 10% of 10%, not 100%
+    val other = Sampling.hashSample(ids, $"id", 1000, salt = "x").as[Long].collect().toSet
+    assert((s10 intersect other).size < 400)
+  }
+
+  test("hashSplit rejects fractions that don't sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(lit(1L), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+}
