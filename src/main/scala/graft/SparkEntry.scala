@@ -588,6 +588,30 @@ object SparkEntry {
         .agg(round(sum(col("o_totalprice")), 2).as("sum_price"), count(lit(1)).as("n"))
         .orderBy(col("c_nationkey"))
     }),
+    // CDC compaction: latest event per user (topKPerGroup k=1 — the
+    // "keep newest version of each key" upsert read path)
+    "q50_latest_per_key" -> ((s, dir) => {
+      import graft.data.Relational
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      Relational.topKPerGroup(ev, Seq("user_id"),
+          Seq(col("ts_us").desc, col("event_id").desc), 1)
+        .drop("rank")
+        .withColumn("value", round(col("value"), 6))
+        .orderBy(col("user_id"))
+    }),
+    // Morton/z-order clustering key: bit-interleaved, engine-portable —
+    // the multi-dimensional upgrade of the lexicographic clustered write
+    "q51_zorder_key" -> ((s, dir) => {
+      import graft.risk.Sinks
+      t(s, dir, "lineitem")
+        .withColumn("z", Sinks.zorderKey(
+          Seq(col("l_orderkey"), col("l_suppkey")), bits = 10))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), min(col("z")).as("min_z"),
+          max(col("z")).as("max_z"), sum(col("z")).as("sum_z"))
+        .orderBy(col("l_returnflag"))
+    }),
     // ------------------------------- Monte-Carlo chain (rows-only checks)
     "q30_mc_portfolio_var" -> ((s, _) => {
       VarPipeline.portfolioVar(s, miniCfg)
@@ -1182,6 +1206,22 @@ object SparkEntry {
     "q49_salted_join" ->
       """SELECT c_nationkey, round(sum(o_totalprice),2) AS sum_price, count(*) AS n
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q50_latest_per_key" ->
+      """SELECT user_id, event_id, ts_us, round(value, 6) AS value FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q51_zorder_key" -> {
+      val z = Seq("l_orderkey", "l_suppkey").zipWithIndex.flatMap { case (c, i) =>
+        (0 until 10).map(b => s"((($c % 1024) >> $b) & 1) * ${1L << (b * 2 + i)}")
+      }.mkString(" + ")
+      s"""SELECT l_returnflag, count(*) AS n, min(z) AS min_z, max(z) AS max_z,
+         |  CAST(sum(z) AS BIGINT) AS sum_z
+         |FROM (SELECT l_returnflag, $z AS z FROM lineitem)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    }
   )
 }

@@ -78,4 +78,28 @@ object Warehouse {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
   }
+
+  /**
+   * MERGE INTO replacement for parquet tables: upsert `updates` into
+   * `table` by `keys`, latest `versionCol` wins (updates shadow existing
+   * rows at equal version). Copy-on-write like Delta without a log:
+   * union + latest-per-key + table rewrite — one shuffle on the keys.
+   * The merged result is materialized (`localCheckpoint`) before the
+   * overwrite because the new table contents are derived from the files
+   * being replaced.
+   */
+  def upsertTable(spark: SparkSession, table: String, updates: DataFrame,
+      keys: Seq[String], versionCol: String,
+      clusterCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val current = spark.table(table).withColumn("__src", lit(0))
+    val merged = graft.data.Relational.topKPerGroup(
+        current.unionByName(updates.withColumn("__src", lit(1))),
+        keys, Seq(col(versionCol).desc, col("__src").desc), k = 1,
+        rankCol = "__rank")
+      .drop("__rank", "__src")
+    val materialized = merged.localCheckpoint()
+    saveTable(spark, materialized, table,
+      if (clusterCols.nonEmpty) clusterCols else keys)
+  }
 }

@@ -100,4 +100,32 @@ class WarehouseSpec extends SparkSpec {
       assert(hitFiles == 1, s"expected 1 file hit, got $hitFiles")
     } finally Warehouse.teardown(spark, "graft_prune_spec")
   }
+
+  test("upsertTable: latest version wins, updates shadow at equal version") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_wh4").toString
+    Warehouse.createAndUse(spark, "graft_upsert_spec", loc)
+    try {
+      import spark.implicits._
+      val base = Seq(("k1", 1L, "old1"), ("k2", 1L, "old2"), ("k3", 5L, "keep3"))
+        .toDF("k", "ver", "payload")
+      Warehouse.saveTable(spark, base, "upsert_t", Seq("k"))
+      val updates = Seq(
+        ("k1", 2L, "new1"),  // newer version replaces
+        ("k3", 5L, "tie3"),  // equal version: update wins
+        ("k4", 1L, "ins4"))  // brand-new key inserts
+        .toDF("k", "ver", "payload")
+      Warehouse.upsertTable(spark, "upsert_t", updates, Seq("k"), "ver")
+      val got = Warehouse.table(spark, "upsert_t")
+        .select($"k", $"ver", $"payload").as[(String, Long, String)]
+        .collect().sorted.toSeq
+      assert(got == Seq(("k1", 2L, "new1"), ("k2", 1L, "old2"),
+        ("k3", 5L, "tie3"), ("k4", 1L, "ins4")))
+      // stale update does NOT regress the row
+      val stale = Seq(("k1", 1L, "stale1")).toDF("k", "ver", "payload")
+      Warehouse.upsertTable(spark, "upsert_t", stale, Seq("k"), "ver")
+      val k1 = Warehouse.table(spark, "upsert_t").filter($"k" === "k1")
+        .select($"payload").as[String].collect().toSeq
+      assert(k1 == Seq("new1"))
+    } finally Warehouse.teardown(spark, "graft_upsert_spec")
+  }
 }
