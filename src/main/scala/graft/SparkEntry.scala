@@ -612,6 +612,40 @@ object SparkEntry {
           max(col("z")).as("max_z"), sum(col("z")).as("sum_z"))
         .orderBy(col("l_returnflag"))
     }),
+    // bloom-prefiltered join: filter the big side by a broadcast Bloom of
+    // the selective side's keys before the exact join (row-identical to
+    // the plain join; the oracle IS the plain join)
+    "q52_bloom_join" -> ((s, dir) => {
+      import graft.data.Relational
+      val hot = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      Relational.bloomPrefilterJoin(li, hot, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("revenue")), 2).as("sum_rev"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // fixed-bin histogram: the 2-shuffle distribution primitive (exact
+    // bin counts, oracle-checked bin by bin)
+    "q53_histogram" -> ((s, dir) => {
+      import graft.data.Sketches
+      Sketches.fixedHistogram(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          col("l_extendedprice"), lo = 0.0, hi = 60000.0, nBins = 20)
+        .orderBy(col("l_returnflag"), col("bin"))
+    }),
+    // histogram-interpolated median: approximate quantile without a sort,
+    // error bounded by one bin width — exact-formula oracle
+    "q53b_hist_quantile" -> ((s, dir) => {
+      import graft.data.Sketches
+      val h = Sketches.fixedHistogram(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_extendedprice"), lo = 0.0, hi = 60000.0, nBins = 20)
+      Sketches.histogramQuantile(h, Seq("l_returnflag"),
+          lo = 0.0, hi = 60000.0, nBins = 20, p = 0.5)
+        .withColumn("q_approx", round(col("q_approx"), 6))
+        .orderBy(col("l_returnflag"))
+    }),
     // ------------------------------- Monte-Carlo chain (rows-only checks)
     "q30_mc_portfolio_var" -> ((s, _) => {
       VarPipeline.portfolioVar(s, miniCfg)
@@ -1222,6 +1256,40 @@ object SparkEntry {
          |  CAST(sum(z) AS BIGINT) AS sum_z
          |FROM (SELECT l_returnflag, $z AS z FROM lineitem)
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
+    "q52_bloom_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_rev, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 300000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q53_histogram" -> {
+      val scale = 20 / 60000.0 // interpolated so both engines use one double
+      s"""SELECT l_returnflag,
+         |  CAST(least(greatest(floor((l_extendedprice - 0.0) * $scale), 0), 19) AS BIGINT) AS bin,
+         |  count(*) AS bin_n
+         |FROM lineitem GROUP BY l_returnflag, bin
+         |ORDER BY l_returnflag, bin""".stripMargin
+    },
+    "q53b_hist_quantile" -> {
+      val scale = 20 / 60000.0
+      val width = (60000.0 - 0.0) / 20
+      s"""WITH g AS (SELECT l_returnflag,
+         |    CAST(least(greatest(floor((l_extendedprice - 0.0) * $scale), 0), 19) AS BIGINT) AS bin,
+         |    count(*) AS bin_n
+         |  FROM lineitem GROUP BY l_returnflag, bin),
+         |c AS (SELECT *,
+         |    sum(bin_n) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+         |    sum(bin_n) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM g),
+         |sel AS (SELECT l_returnflag, min(bin) AS bin FROM c
+         |  WHERE CAST(cum AS DOUBLE) >= CAST(n AS DOUBLE) * 0.5
+         |  GROUP BY l_returnflag)
+         |SELECT c.l_returnflag, CAST(c.n AS BIGINT) AS n_total,
+         |  round(0.0 + (c.bin + (CAST(c.n AS DOUBLE) * 0.5 - CAST(c.cum - c.bin_n AS DOUBLE))
+         |               / CAST(c.bin_n AS DOUBLE)) * $width, 6) AS q_approx
+         |FROM c JOIN sel ON c.l_returnflag = sel.l_returnflag AND c.bin = sel.bin
+         |ORDER BY c.l_returnflag""".stripMargin
     }
   )
 }

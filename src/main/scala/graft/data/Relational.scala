@@ -77,6 +77,37 @@ object Relational {
   }
 
   /**
+   * Bloom-prefiltered equi join: build a Bloom filter over the (smaller)
+   * right side's keys, broadcast it, drop left rows that cannot match
+   * BEFORE the join shuffle, then run the exact join. Row-identical to
+   * `left.join(right, Seq(key))` — false positives are removed by the
+   * exact join, false negatives don't exist — but the big side's shuffle
+   * carries only ~selectivity + fpp of its rows. The standard trick when
+   * the right side is too big to broadcast yet joins selectively
+   * (Spark's own runtime bloom InjectRuntimeFilter does this for SMJ
+   * under AQE; this is the explicit, always-on spelling).
+   */
+  def bloomPrefilterJoin(left: DataFrame, right: DataFrame, key: String,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = left.sparkSession
+    // one pass over the small side to size + fill the filter
+    val rightM = right.localCheckpoint()
+    val n = math.max(rightM.count(), 1L)
+    val bf = rightM.stat.bloomFilter(key, n, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    import org.apache.spark.sql.types.{LongType, IntegerType, StringType}
+    val might = left.schema(key).dataType match {
+      case LongType | IntegerType =>
+        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+      case StringType =>
+        udf((k: String) => k != null && bc.value.mightContainString(k))
+      case dt => throw new IllegalArgumentException(
+        s"bloom prefilter supports long/int/string keys, got $dt")
+    }
+    left.filter(might(col(key))).join(rightM, Seq(key))
+  }
+
+  /**
    * Skew-safe equi join: spread each hot left key over `saltFactor`
    * shuffle partitions by salting, replicating the (smaller) right side
    * `saltFactor`× to compensate. Result is row-identical to

@@ -82,4 +82,53 @@ object Sketches {
       lit(m.toDouble) * log(lit(m.toDouble) / empty))
       .otherwise(raw)
   }
+
+  /**
+   * Fixed-bin histogram of `value` per group over [lo, hi): one
+   * partial-aggregated shuffle, fixed nBins-row state per group — the
+   * quantile/distribution primitive that replaces a full sort at 100 TB.
+   * Values below `lo` clamp to bin 0, at/above `hi` to bin nBins-1, so
+   * mass is never dropped. Bin ids are integer-exact cross-engine (one
+   * double multiply+floor, same IEEE result everywhere).
+   */
+  def fixedHistogram(df: DataFrame, groupCols: Seq[String], value: Column,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, s"need nBins>0 and hi>lo, got $nBins, [$lo,$hi)")
+    val raw = floor((value.cast("double") - lit(lo)) * lit(nBins / (hi - lo)))
+    val bin = least(greatest(raw, lit(0.0)), lit((nBins - 1).toDouble)).cast("long")
+    df.groupBy((groupCols.map(col) :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("bin_n"))
+  }
+
+  /**
+   * Quantile estimated from a [[fixedHistogram]] result by linear
+   * interpolation inside the covering bin (one more tiny shuffle on the
+   * group key). Error ≤ one bin width. `p` in (0,1).
+   */
+  def histogramQuantile(hist: DataFrame, groupCols: Seq[String],
+      lo: Double, hi: Double, nBins: Int, p: Double): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    val width = (hi - lo) / nBins
+    val agg = hist.groupBy(groupCols.map(col): _*)
+      .agg(collect_list(struct(col("bin"), col("bin_n"))).as("bins"),
+        sum(col("bin_n")).as("n_total"))
+      .withColumn("bins", sort_array(col("bins")))
+    // walk the sorted (bin, count) list: find the bin where the running
+    // count crosses p*n, interpolate position within it
+    agg.select(groupCols.map(col) ++ Seq(
+      col("n_total"),
+      aggregate(col("bins"),
+        struct(lit(0L).as("cum"), lit(Double.NaN).as("q")),
+        (acc, b) => {
+          val target = col("n_total").cast("double") * lit(p)
+          val cum2 = acc.getField("cum") + b.getField("bin_n")
+          val frac = (target - acc.getField("cum").cast("double")) /
+            b.getField("bin_n").cast("double")
+          struct(cum2.as("cum"),
+            when(isnan(acc.getField("q")) && cum2.cast("double") >= target,
+              lit(lo) + (b.getField("bin").cast("double") + frac) * lit(width))
+              .otherwise(acc.getField("q")).as("q"))
+        },
+        acc => acc.getField("q")).as("q_approx")): _*)
+  }
 }

@@ -60,6 +60,20 @@ class RelationalSpec extends SparkSpec {
     assert(got == bruteRangeJoin(pts, nonOverlap).map { case (e, r) => (e, r) })
   }
 
+  test("bloomPrefilterJoin is row-identical to the plain join") {
+    val left = (1L to 2000L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (1L to 2000L by 17).map(i => (i, i * 2.0)).toDF("k", "rv")
+    val plain = left.join(right, Seq("k"))
+      .select($"k", $"lv", $"rv").as[(Long, String, Double)].collect().sorted.toSeq
+    val bloomed = Relational.bloomPrefilterJoin(left, right, "k")
+      .select($"k", $"lv", $"rv").as[(Long, String, Double)].collect().sorted.toSeq
+    assert(bloomed == plain)
+    // string keys work too
+    val ls = left.select(concat(lit("k"), $"k").as("k"), $"lv")
+    val rs = right.select(concat(lit("k"), $"k").as("k"), $"rv")
+    assert(Relational.bloomPrefilterJoin(ls, rs, "k").count() == plain.size)
+  }
+
   test("saltedJoin is row-identical to the plain join, inner and left") {
     val left = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"), (3L, "e"))
       .toDF("k", "lv") // key 1 is "hot"

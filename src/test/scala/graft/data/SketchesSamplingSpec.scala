@@ -58,6 +58,21 @@ class SketchesSamplingSpec extends SparkSpec {
     assert((s10 intersect other).size < 400)
   }
 
+  test("fixedHistogram: clamped bins, exact counts; quantile within one bin width") {
+    val vals = (1 to 10000).map(i => ("g", i.toDouble)) ++
+      Seq(("g", -5.0), ("g", 20000.0)) // out-of-range clamps, not drops
+    val df = vals.toDF("g", "v")
+    val hist = Sketches.fixedHistogram(df, Seq("g"), $"v", lo = 0.0, hi = 10000.0, nBins = 10)
+    val counts = hist.select($"bin", $"bin_n").as[(Long, Long)].collect().toMap
+    assert(counts.values.sum == 10002L)
+    assert(counts(0L) == 1000L) // 1..999 plus the clamped -5
+    assert(counts(9L) == 1002L) // 9000..9999 plus clamped 10000 and 20000
+    val q = Sketches.histogramQuantile(hist, Seq("g"), 0.0, 10000.0, 10, p = 0.5)
+      .select($"q_approx").as[Double].collect().head
+    // true median of 1..10000 (+2 clamped outliers) ~ 5000; bin width 1000
+    assert(math.abs(q - 5000.0) <= 1000.0, q.toString)
+  }
+
   test("hashSplit rejects fractions that don't sum to 1") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(lit(1L), Seq("a" -> 0.5, "b" -> 0.4))
