@@ -646,6 +646,20 @@ object SparkEntry {
         .withColumn("q_approx", round(col("q_approx"), 6))
         .orderBy(col("l_returnflag"))
     }),
+    // distributed PCA on the embedding column (fixed-point moment
+    // accumulation -> bit-deterministic under any partitioning; driver
+    // Jacobi eigensolve; broadcast-literal projection). No SQL oracle —
+    // golden-pinned in GoldenMcSpec like the MC chain.
+    "q54_pca" -> ((s, dir) => {
+      import graft.data.Pca
+      val e = t(s, dir, "embeddings")
+      val model = Pca.fit(e, "embedding", k = 4)
+      Pca.transform(e, "embedding", model)
+        .select(col("vec_id"), col("label"),
+          round(col("pc0"), 6).as("pc0"), round(col("pc1"), 6).as("pc1"),
+          round(col("pc2"), 6).as("pc2"), round(col("pc3"), 6).as("pc3"))
+        .orderBy(col("vec_id"))
+    }),
     // ------------------------------- Monte-Carlo chain (rows-only checks)
     "q30_mc_portfolio_var" -> ((s, _) => {
       VarPipeline.portfolioVar(s, miniCfg)
