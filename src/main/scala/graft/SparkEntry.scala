@@ -646,6 +646,37 @@ object SparkEntry {
         .withColumn("q_approx", round(col("q_approx"), 6))
         .orderBy(col("l_returnflag"))
     }),
+    // corpus mixture sampling: per-source keep rates, hash-deterministic
+    "q55_mixture_sample" -> ((s, dir) => {
+      import graft.data.Sampling
+      val docs = t(s, dir, "documents")
+      val kept = Sampling.mixtureSample(docs, col("source"), col("doc_id"),
+        Map("src0" -> 0.8, "src1" -> 0.5), defaultRate = 0.2, salt = "mix")
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+        .join(kept.groupBy(col("source")).agg(count(lit(1)).as("n_kept")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+    // bigram top-k per source: LM corpus n-gram stats (explode sliding
+    // window -> two-level count -> per-group rank)
+    "q56_ngram_topk" -> ((s, dir) => {
+      import graft.data.Relational
+      val toks = T.tokens(lower(col("text")))
+      val bigrams = when(size(toks) > 1,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val counts = t(s, dir, "documents")
+        .select(col("source"), explode(bigrams).as("bg"))
+        .groupBy(col("source"), col("bg"))
+        .agg(count(lit(1)).as("n"))
+      Relational.topKPerGroup(counts, Seq("source"),
+          Seq(col("n").desc, col("bg").asc), 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("source"), col("rank"))
+    }),
     // distributed PCA on the embedding column (fixed-point moment
     // accumulation -> bit-deterministic under any partitioning; driver
     // Jacobi eigensolve; broadcast-literal projection). No SQL oracle —
@@ -1304,6 +1335,28 @@ object SparkEntry {
          |               / CAST(c.bin_n AS DOUBLE)) * $width, 6) AS q_approx
          |FROM c JOIN sel ON c.l_returnflag = sel.l_returnflag AND c.bin = sel.bin
          |ORDER BY c.l_returnflag""".stripMargin
-    }
+    },
+    "q55_mixture_sample" ->
+      s"""WITH d AS (SELECT source, doc_id,
+         |  ${h60Sql("concat(CAST(doc_id AS VARCHAR), 'mix')")} % 10000 AS slot
+         |  FROM documents),
+         |k AS (SELECT source, count(*) AS n_kept FROM d
+         |  WHERE slot < CAST((CASE WHEN source = 'src0' THEN 0.8
+         |                          WHEN source = 'src1' THEN 0.5
+         |                          ELSE 0.2 END) * 10000 AS BIGINT)
+         |  GROUP BY source)
+         |SELECT t.source, t.n_total, coalesce(k.n_kept, 0) AS n_kept
+         |FROM (SELECT source, count(*) AS n_total FROM documents GROUP BY source) t
+         |LEFT JOIN k USING (source) ORDER BY source""".stripMargin,
+    "q56_ngram_topk" ->
+      """WITH b AS (SELECT source, unnest(list_transform(range(1, len(toks)),
+        |    i -> concat(toks[i], ' ', toks[i+1]))) AS bg
+        |  FROM (SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)),
+        |g AS (SELECT source, bg, count(*) AS n FROM b GROUP BY source, bg),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY n DESC, bg) AS rank FROM g)
+        |SELECT source, bg, n, rank FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin
   )
 }

@@ -33,6 +33,25 @@ object Sampling {
   }
 
   /**
+   * Per-group sampling rates — corpus mixture weighting ("keep 80% of
+   * wiki, 20% of web"). Each row keeps with its group's rate,
+   * hash-deterministic per key; groups absent from `rates` use
+   * `defaultRate`. The when-chain is order-independent (group values are
+   * mutually exclusive), so map iteration order cannot change results.
+   */
+  def mixtureSample(df: DataFrame, groupCol: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String = ""): DataFrame = {
+    (rates.values ++ Seq(defaultRate)).foreach(r =>
+      require(r >= 0 && r <= 1, s"rates must be in [0,1], got $r"))
+    val den = 10000
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (g, r)) =>
+      when(groupCol === lit(g), lit(r)).otherwise(acc)
+    }
+    df.filter(hashSlot(key, den, salt) < (rate * den).cast("long"))
+  }
+
+  /**
    * Label each row with a split name by cumulative hash-slot ranges, e.g.
    * `fractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)`.
    * Fractions are scaled to 10000 slots (0.01% granularity); any slot

@@ -73,6 +73,24 @@ class SketchesSamplingSpec extends SparkSpec {
     assert(math.abs(q - 5000.0) <= 1000.0, q.toString)
   }
 
+  test("mixtureSample applies per-group rates deterministically") {
+    val df = (0 until 3000).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
+    val kept = Sampling.mixtureSample(df, $"g", $"id",
+      Map("g0" -> 0.9, "g1" -> 0.1), defaultRate = 0.5)
+    val counts = kept.groupBy($"g").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("g0") - 900.0) / 900 < 0.1, counts.toString)
+    assert(math.abs(counts("g1") - 100.0) / 100 < 0.4, counts.toString)
+    assert(math.abs(counts("g2") - 500.0) / 500 < 0.15, counts.toString)
+    // deterministic: same rows kept on any partitioning
+    val k2 = Sampling.mixtureSample(df.repartition(11), $"g", $"id",
+      Map("g0" -> 0.9, "g1" -> 0.1), defaultRate = 0.5)
+    assert(kept.select($"id").as[Long].collect().toSet ==
+      k2.select($"id").as[Long].collect().toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(df, $"g", $"id", Map("g0" -> 1.5), 0.5)
+    }
+  }
+
   test("hashSplit rejects fractions that don't sum to 1") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(lit(1L), Seq("a" -> 0.5, "b" -> 0.4))
