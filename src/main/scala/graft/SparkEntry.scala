@@ -663,12 +663,18 @@ object SparkEntry {
     // window -> two-level count -> per-group rank)
     "q56_ngram_topk" -> ((s, dir) => {
       import graft.data.Relational
-      val toks = T.tokens(lower(col("text")))
+      // materialize the token array behind an exchange first: higher-order
+      // lambdas get no subexpression elimination, so an INLINE tokens()
+      // would re-split the text per bigram index (O(n^2) — the q38 trap)
+      val tokenized = t(s, dir, "documents")
+        .select(col("source"), T.tokens(lower(col("text"))).as("toks"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val toks = col("toks")
       val bigrams = when(size(toks) > 1,
         transform(sequence(lit(1), size(toks) - 1),
           i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
         .otherwise(array().cast("array<string>"))
-      val counts = t(s, dir, "documents")
+      val counts = tokenized
         .select(col("source"), explode(bigrams).as("bg"))
         .groupBy(col("source"), col("bg"))
         .agg(count(lit(1)).as("n"))
@@ -676,6 +682,30 @@ object SparkEntry {
           Seq(col("n").desc, col("bg").asc), 5)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("source"), col("rank"))
+    }),
+    // capstone: the one-call corpus-preparation pipeline (C4 filter ->
+    // PII redact -> lang/quality tag -> exact dedup -> split) over a
+    // deterministic multi-line augmentation, with an id-shifted twin of
+    // every doc so redaction-collapse dedup is actually exercised
+    "q57_corpus_prepare" -> ((s, dir) => {
+      import graft.data.Corpus
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val twins = base.unionByName(base.withColumn("doc_id", col("doc_id") + 1000))
+      val aug = twins.withColumn("text", concat(
+        lit("Intro line\n"), col("text"),
+        lit(". Details follow in this sentence.\nContact user"),
+        col("doc_id").cast("string"),
+        lit("@mail.example.com or call +1 (555) 010-"),
+        (col("doc_id") % 97).cast("string"), lit(" now okay.\n"),
+        when(col("doc_id") % 7 === 0, lit("code sample { x } here."))
+          .otherwise(lit("plain tail text also here."))))
+      Corpus.prepare(aug)
+        .withColumn("h60", T.hash60(col("text")))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_words")).as("sum_words"),
+          sum(round(col("quality") * 1e6, 0).cast("long")).as("q_micros"),
+          expr("bit_xor(h60)").as("hash_xor"))
+        .orderBy(col("split"), col("lang"))
     }),
     // distributed PCA on the embedding column (fixed-point moment
     // accumulation -> bit-deterministic under any partitioning; driver
@@ -1357,6 +1387,60 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY source
         |    ORDER BY n DESC, bg) AS rank FROM g)
         |SELECT source, bg, n, rank FROM r WHERE rank <= 5
-        |ORDER BY source, rank""".stripMargin
+        |ORDER BY source, rank""".stripMargin,
+    "q57_corpus_prepare" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |    UNION ALL SELECT doc_id + 1000 AS doc_id, text FROM documents),
+         |aug AS (SELECT doc_id, concat('Intro line', chr(10), text,
+         |    '. Details follow in this sentence.', chr(10), 'Contact user',
+         |    CAST(doc_id AS VARCHAR), '@mail.example.com or call +1 (555) 010-',
+         |    CAST(doc_id % 97 AS VARCHAR), ' now okay.', chr(10),
+         |    CASE WHEN doc_id % 7 = 0 THEN 'code sample { x } here.'
+         |         ELSE 'plain tail text also here.' END) AS a
+         |  FROM base),
+         |cl AS (SELECT doc_id, array_to_string(
+         |    list_filter(list_filter(list_transform(string_split(a, chr(10)),
+         |        l -> trim(l)), l -> length(l) > 0),
+         |      l -> len(regexp_split_to_array(l, '\\s+')) >= 5
+         |        AND regexp_matches(l, '[.!?"]$$')), chr(10)) AS clean,
+         |    len(list_filter(list_filter(list_transform(string_split(a, chr(10)),
+         |        l -> trim(l)), l -> length(l) > 0),
+         |      l -> len(regexp_split_to_array(l, '\\s+')) >= 5
+         |        AND regexp_matches(l, '[.!?"]$$'))) AS n_lines
+         |  FROM aug),
+         |keepf AS (SELECT doc_id, clean FROM (SELECT *,
+         |      len(regexp_split_to_array(trim(clean), '\\s+')) AS w FROM cl)
+         |  WHERE n_lines >= 1 AND w >= 50 AND w <= 100000
+         |    AND NOT contains(lower(clean), 'lorem ipsum')
+         |    AND NOT contains(clean, '{')),
+         |red AS (SELECT doc_id AS id,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(clean,
+         |      'https?://[^\\s]+', '<URL>', 'g'),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         |      '\\+?\\d[\\d()./ -]{6,}\\d\\b', '<PHONE>', 'g') AS text
+         |  FROM keepf),
+         |tag AS (SELECT id, text, words, punct, stop_en, s_en, s_es, s_de, s_fr,
+         |    ${h60Sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS fp
+         |  FROM (SELECT id, text, len($tokSql) AS words, $punctSql AS punct,
+         |      ${stopSql(T.StopEn)} AS stop_en, ${stopSql(T.StopEn)} AS s_en,
+         |      ${stopSql(T.StopEs)} AS s_es, ${stopSql(T.StopDe)} AS s_de,
+         |      ${stopSql(T.StopFr)} AS s_fr
+         |    FROM red)),
+         |surv AS (SELECT min(id) AS id FROM tag GROUP BY fp),
+         |fin AS (SELECT * FROM tag WHERE id IN (SELECT id FROM surv)),
+         |spl AS (SELECT *,
+         |    CASE WHEN slot < 8000 THEN 'train'
+         |         WHEN slot < 9000 THEN 'valid' ELSE 'test' END AS split,
+         |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |         WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+         |         WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+         |         WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS lang
+         |  FROM (SELECT *,
+         |      ${h60Sql("concat(CAST(id AS VARCHAR), '')")} % 10000 AS slot FROM fin))
+         |SELECT split, lang, count(*) AS n, CAST(sum(words) AS BIGINT) AS sum_words,
+         |  CAST(sum(CAST(round(($qualitySql)*1000000, 0) AS BIGINT)) AS BIGINT) AS q_micros,
+         |  bit_xor(${h60Sql("text")}) AS hash_xor
+         |FROM spl GROUP BY split, lang ORDER BY split, lang""".stripMargin
   )
 }

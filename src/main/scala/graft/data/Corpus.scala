@@ -1,0 +1,69 @@
+package graft.data
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * One-call training-corpus preparation — the standard pre-training data
+ * flow composed from this package's operators, in the order production
+ * pipelines run it:
+ *
+ *   1. C4 line/document quality filtering ([[TextFunctions.c4CleanText]] /
+ *      [[TextFunctions.c4Keep]]) — drop boilerplate lines, then junk docs;
+ *   2. PII redaction on the surviving text ([[TextFunctions.redactPii]]);
+ *   3. language ID + quality score tagging ([[TextFunctions.langId]] /
+ *      [[TextFunctions.qualityScore]]);
+ *   4. exact deduplication on the normalized fingerprint of the REDACTED
+ *      text (smallest id survives — dedup after redaction so docs equal
+ *      modulo their PII collapse);
+ *   5. deterministic train/valid/test labeling ([[Sampling.hashSplit]]).
+ *
+ * Every stage is a narrow codegen'd projection or one keyed shuffle
+ * (fingerprint groupBy, the only exchange) — the whole prepare is TWO
+ * stages at any scale. Near-duplicate clustering is deliberately not
+ * inlined here: run [[Dedup.dedupCorpus]] on the output when shingle-level
+ * near-dup is wanted (it is its own multi-stage pipeline).
+ *
+ * Output: id, text (cleaned+redacted), lang, quality, n_words, split.
+ */
+object Corpus {
+
+  def prepare(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id",
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+      minWords: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    // The clean+redact chain (array lambdas + 4 regex passes) is the
+    // expensive projection, and it has MANY downstream consumers: langId's
+    // four stopword filters, the quality parts, the fingerprint, and both
+    // sides of the dedup self-join diamond. Catalyst collapses projections
+    // (no subexpression elimination through lambdas), so an inline column
+    // would re-run the whole chain per consumer — materialize it behind
+    // ONE exchange instead; the self-join below then reuses that shuffle
+    // output (ReusedExchange) rather than recomputing.
+    val cleaned = docs
+      .filter(TextFunctions.c4Keep(col(textCol), minWords = minWords))
+      .select(col(idCol).as("id"),
+        TextFunctions.redactPii(
+          TextFunctions.c4CleanText(col(textCol), minWords)).as("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val ltoks = TextFunctions.tokens(lower(col("text")))
+    val tagged = cleaned.select(
+      col("id"),
+      col("text"),
+      TextFunctions.langIdFromTokens(ltoks).as("lang"),
+      TextFunctions.qualityScoreFromParts(TextFunctions.wordCount(col("text")),
+        TextFunctions.punctCount(col("text")), length(col("text")),
+        TextFunctions.stopwordHits(ltoks, TextFunctions.StopEn)).as("quality"),
+      TextFunctions.wordCount(col("text")).as("n_words"),
+      TextFunctions.fingerprint(col("text")).as("__fp"))
+    // exact dedup: smallest id per redacted-text fingerprint survives
+    val survivors = tagged
+      .groupBy(col("__fp")).agg(min(col("id")).as("id"))
+      .select(col("id"))
+    tagged.join(survivors, Seq("id"), "leftsemi")
+      .drop("__fp")
+      .withColumn("split", Sampling.hashSplit(col("id"), splits))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.data
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val longBody = ("the quick brown fox jumps over the lazy dog and " * 7).trim
+
+  test("prepare: filters junk, redacts, dedups redaction-twins, labels splits") {
+    val docs = Seq(
+      // 0/1: identical after PII redaction (different emails) -> dedup to id 0
+      (0L, s"$longBody and then some more words arrive here.\nWrite to a0@ex.com for info today."),
+      (1L, s"$longBody and then some more words arrive here.\nWrite to b1@ex.com for info today."),
+      // 2: too short after line filtering -> dropped by the word-count gate
+      (2L, "Tiny doc with barely any words here.\nshort"),
+      // 3: contains a brace -> dropped
+      (3L, s"$longBody with a code sample {{ x }} inline here today."),
+      // 4: unique long doc -> kept
+      (4L, s"$longBody plus an entirely different closing sentence right here.")
+    ).toDF("doc_id", "text")
+    val out = Corpus.prepare(docs).orderBy($"id")
+    val rows = out.select($"id", $"text", $"lang", $"split").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 4L)) // 1 deduped, 2+3 dropped
+    // PII is gone, the redaction token is present where an email was
+    assert(rows.head.getString(1).contains("<EMAIL>"))
+    assert(rows.forall(r => !r.getString(1).contains("@ex.com")))
+    // heavy English function words -> tagged en
+    assert(rows.forall(_.getString(2) == "en"))
+    assert(rows.forall(r => Set("train", "valid", "test")(r.getString(3))))
+    // quality/word counts are computed on the REDACTED text
+    val n = out.filter($"id" === 0).select($"n_words").as[Int].head()
+    assert(n > 70 && n < 90, n.toString)
+  }
+
+  test("prepare is deterministic across partitionings") {
+    val docs = (0 until 200).map { i =>
+      (i.toLong, s"$longBody unique closing number ${i % 50} appears here today.")
+    }.toDF("doc_id", "text")
+    def run(parts: Int) = Corpus.prepare(docs.repartition(parts))
+      .select($"id", $"split").as[(Long, String)].collect().toSet
+    val a = run(1)
+    assert(a == run(13))
+    // 50 distinct texts (i%50) -> 50 survivors, smallest ids
+    assert(a.map(_._1) == (0L until 50L).toSet)
+  }
+}
