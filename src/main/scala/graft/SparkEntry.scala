@@ -683,6 +683,24 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("source"), col("rank"))
     }),
+    // count-min sketch over document tokens: fixed 4x512 counter state,
+    // probe estimates >= exact counts (collision error only); the sketch
+    // itself is oracle-verified, completing the sketch family (HLL
+    // distinct / histogram quantile / CMS frequency)
+    "q58_cms_tokens" -> ((s, dir) => {
+      import s.implicits._
+      import graft.data.Sketches
+      val toks = t(s, dir, "documents")
+        .select(explode(T.tokens(lower(col("text")))).as("tok"))
+      val counters = Sketches.cmsCounters(toks, col("tok"), depth = 4, width = 512)
+      val probes = Seq("the", "table", "query", "spark", "zzzz").toDF("tok")
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      Sketches.cmsEstimate(counters, probes, col("tok"), depth = 4, width = 512)
+        .join(exact, Seq("tok"), "left")
+        .select(col("tok"), col("cms_est"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+        .orderBy(col("tok"))
+    }),
     // capstone: the one-call corpus-preparation pipeline (C4 filter ->
     // PII redact -> lang/quality tag -> exact dedup -> split) over a
     // deterministic multi-line augmentation, with an id-shifted twin of
@@ -1441,6 +1459,22 @@ object SparkEntry {
          |SELECT split, lang, count(*) AS n, CAST(sum(words) AS BIGINT) AS sum_words,
          |  CAST(sum(CAST(round(($qualitySql)*1000000, 0) AS BIGINT)) AS BIGINT) AS q_micros,
          |  bit_xor(${h60Sql("text")}) AS hash_xor
-         |FROM spl GROUP BY split, lang ORDER BY split, lang""".stripMargin
+         |FROM spl GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q58_cms_tokens" ->
+      s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |c AS (SELECT row, slot, count(*) AS cnt FROM (
+         |    SELECT i AS row,
+         |      ${h60Sql("concat(tok, 'cms' || CAST(i AS VARCHAR))")} % 512 AS slot
+         |    FROM toks CROSS JOIN range(0,4) t(i)) GROUP BY row, slot),
+         |p AS (SELECT unnest(['the','table','query','spark','zzzz']) AS tok),
+         |e AS (SELECT p.tok, i, coalesce(c.cnt, 0) AS cnt
+         |  FROM p CROSS JOIN range(0,4) t(i)
+         |  LEFT JOIN c ON c.row = i AND c.slot =
+         |    ${h60Sql("concat(p.tok, 'cms' || CAST(i AS VARCHAR))")} % 512),
+         |est AS (SELECT tok, CAST(min(cnt) AS BIGINT) AS cms_est FROM e GROUP BY tok),
+         |ex AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok)
+         |SELECT est.tok, est.cms_est, coalesce(ex.n_exact, 0) AS n_exact
+         |FROM est LEFT JOIN ex USING (tok) ORDER BY tok""".stripMargin
   )
 }

@@ -84,6 +84,48 @@ object Sketches {
   }
 
   /**
+   * Count-min sketch counters over `key`: `depth` independent hash rows ×
+   * `width` slots, one partial-aggregated shuffle, fixed depth×width
+   * state no matter the key cardinality. Hashes are salted MD5 prefixes,
+   * so — like [[hllDistinct]] — the sketch itself is engine-portable and
+   * oracle-verifiable, not just its estimates.
+   */
+  def cmsCounters(df: DataFrame, key: Column, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth>=1, width>=2, got $depth×$width")
+    val rows = (0 until depth).map { i =>
+      struct(lit(i).as("row"),
+        pmod(TextFunctions.hash60(concat(key.cast("string"), lit(s"cms$i"))),
+          lit(width)).as("slot"))
+    }
+    df.select(explode(array(rows: _*)).as("rs"))
+      .groupBy(col("rs.row").as("row"), col("rs.slot").as("slot"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from [[cmsCounters]]: for each probe key,
+   * the MINIMUM counter across its `depth` slots (the count-min bound:
+   * estimate ≥ true count, error from collisions only). Probes are tiny —
+   * the counter table broadcasts. */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, key: Column,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val slotted = (0 until depth).foldLeft(probes) { (acc, i) =>
+      acc.withColumn(s"__slot$i",
+        pmod(TextFunctions.hash60(concat(key.cast("string"), lit(s"cms$i"))),
+          lit(width)))
+    }
+    val joined = (0 until depth).foldLeft(slotted) { (acc, i) =>
+      acc.join(broadcast(counters
+          .select(col("row"), col("slot").as(s"__slot$i"), col("cnt").as(s"__cnt$i")))
+          .filter(col("row") === i).drop("row"),
+        Seq(s"__slot$i"), "left")
+    }
+    val est = least((0 until depth).map(i => coalesce(col(s"__cnt$i"), lit(0L))): _*)
+    joined.withColumn("cms_est", est)
+      .drop((0 until depth).flatMap(i => Seq(s"__slot$i", s"__cnt$i")): _*)
+  }
+
+  /**
    * Fixed-bin histogram of `value` per group over [lo, hi): one
    * partial-aggregated shuffle, fixed nBins-row state per group — the
    * quantile/distribution primitive that replaces a full sort at 100 TB.

@@ -73,6 +73,22 @@ class SketchesSamplingSpec extends SparkSpec {
     assert(math.abs(q - 5000.0) <= 1000.0, q.toString)
   }
 
+  test("count-min: estimate >= exact, exact for dominant keys, fixed state") {
+    // zipf-ish: key k appears 1000/k times
+    val data = (1 to 50).flatMap(k => Seq.fill(1000 / k)(s"key$k")).map(Tuple1(_))
+      .toDF("k")
+    val counters = Sketches.cmsCounters(data, $"k", depth = 4, width = 256)
+    assert(counters.count() <= 4 * 256) // bounded state
+    val probes = Seq("key1", "key7", "key50", "missing").toDF("k")
+    val est = Sketches.cmsEstimate(counters, probes, $"k", depth = 4, width = 256)
+      .select($"k", $"cms_est").as[(String, Long)].collect().toMap
+    val exact = Map("key1" -> 1000L, "key7" -> 142L, "key50" -> 20L, "missing" -> 0L)
+    // count-min bound: never under-estimates
+    exact.foreach { case (k, n) => assert(est(k) >= n, s"$k: ${est(k)} < $n") }
+    // with 50 keys in 4x256 slots, collisions are rare: within 5% slack
+    exact.foreach { case (k, n) => assert(est(k) <= n + 50, s"$k: ${est(k)} >> $n") }
+  }
+
   test("mixtureSample applies per-group rates deterministically") {
     val df = (0 until 3000).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "id")
     val kept = Sampling.mixtureSample(df, $"g", $"id",
