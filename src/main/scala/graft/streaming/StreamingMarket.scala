@@ -112,6 +112,35 @@ object StreamingMarket {
       .dropDuplicatesWithinWatermark("fp")
 
   /**
+   * Streaming twin of [[graft.data.Corpus.prepare]]: the stateless stages
+   * (C4 filter/clean, PII redaction, language/quality tagging, split
+   * labels) run unchanged on a stream — they are narrow projections —
+   * and exact dedup becomes watermark-bounded
+   * `dropDuplicatesWithinWatermark` on the redacted-text fingerprint
+   * (first arrival wins within the watermark horizon, the streaming
+   * substitute for batch's min-id-per-fingerprint). State is bounded by
+   * the watermark; at 100 TB/day the fingerprint store holds one day of
+   * 8-byte keys.
+   */
+  def streamingCorpusPrepare(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", tsCol: String = "ts",
+      watermark: String = "1 day",
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)): DataFrame = {
+    import graft.data.{Sampling, TextFunctions => TF}
+    docs
+      .filter(TF.c4Keep(col(textCol)))
+      .withColumn("__t", TF.redactPii(TF.c4CleanText(col(textCol))))
+      .select(col(idCol).as("id"), col(tsCol), col("__t").as("text"),
+        TF.langId(col("__t")).as("lang"),
+        TF.qualityScore(col("__t")).as("quality"),
+        TF.fingerprint(col("__t")).as("fp"),
+        Sampling.hashSplit(col(idCol), splits).as("split"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
+  /**
    * Streaming windowed VaR: per event-time window, collect the return
    * samples and evaluate the same linear-interpolation quantile as the
    * batch engine ([[graft.risk.functions.varAtVec]]) when the watermark

@@ -105,6 +105,34 @@ class StreamingMarketSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streamingCorpusPrepare: clean+redact+tag on stream, cross-batch dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val body = ("the quick brown fox jumps over the lazy dog and " * 7).trim
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = streamingCorpusPrepare(
+        input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("scorpus")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      (1L, ts(1), s"$body and then some more words arrive here.\nWrite to a@ex.com for info today."),
+      (2L, ts(1), "Too short to keep.\nreally"))
+    q.processAllAvailable()
+    // batch 2: doc 3 duplicates doc 1 AFTER redaction (different email)
+    input.addData(
+      (3L, ts(2), s"$body and then some more words arrive here.\nWrite to b@ex.com for info today."),
+      (4L, ts(2), s"$body plus a different closing sentence right here today."))
+    q.processAllAvailable()
+
+    val rows = spark.table("scorpus").select("id", "text", "lang", "split").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L)) // 2 junk, 3 dup
+    val doc1 = rows.find(_.getLong(0) == 1L).get
+    assert(doc1.getString(1).contains("<EMAIL>") && !doc1.getString(1).contains("@ex.com"))
+    assert(rows.forall(_.getString(2) == "en"))
+    assert(rows.forall(r => Set("train", "valid", "test")(r.getString(3))))
+    q.stop()
+  }
+
   test("chunked rolling stats == unpartitioned rolling stats") {
     import org.apache.spark.sql.functions._
     val days = (1 to 60).map(d => (Timestamp.valueOf(f"2024-${1 + (d - 1) / 28}%02d-${1 + (d - 1) % 28}%02d 00:00:00"),
