@@ -683,6 +683,28 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("source"), col("rank"))
     }),
+    // full outer join with null-filled sides (customers vs suppliers per
+    // nation — nations may exist on either side only)
+    "q59_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, Seq("nation"), "full_outer")
+        .select(col("nation"), coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nation"))
+    }),
+    // set operations: nations present in both key sets / only one
+    "q60_setops" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nation"))
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nation"))
+      val both = cn.intersect(sn).withColumn("tag", lit("both"))
+      val custOnly = cn.except(sn).withColumn("tag", lit("cust_only"))
+      val suppOnly = sn.except(cn).withColumn("tag", lit("supp_only"))
+      both.unionByName(custOnly).unionByName(suppOnly)
+        .orderBy(col("tag"), col("nation"))
+    }),
     // count-min sketch over document tokens: fixed 4x512 counter state,
     // probe estimates >= exact counts (collision error only); the sketch
     // itself is oracle-verified, completing the sketch family (HLL
@@ -1475,6 +1497,27 @@ object SparkEntry {
          |est AS (SELECT tok, CAST(min(cnt) AS BIGINT) AS cms_est FROM e GROUP BY tok),
          |ex AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok)
          |SELECT est.tok, est.cms_est, coalesce(ex.n_exact, 0) AS n_exact
-         |FROM est LEFT JOIN ex USING (tok) ORDER BY tok""".stripMargin
+         |FROM est LEFT JOIN ex USING (tok) ORDER BY tok""".stripMargin,
+    "q59_outer_join" ->
+      """SELECT coalesce(c.nation, s.nation) AS nation,
+        |  coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nation, count(*) AS n_cust
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nation, count(*) AS n_supp
+        |      FROM supplier GROUP BY 1) s ON c.nation = s.nation
+        |ORDER BY nation""".stripMargin,
+    "q60_setops" ->
+      """SELECT nation, 'both' AS tag FROM
+        |  (SELECT c_nationkey AS nation FROM customer
+        |   INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nation, 'cust_only' AS tag FROM
+        |  (SELECT c_nationkey AS nation FROM customer
+        |   EXCEPT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nation, 'supp_only' AS tag FROM
+        |  (SELECT s_nationkey AS nation FROM supplier
+        |   EXCEPT SELECT c_nationkey FROM customer)
+        |ORDER BY tag, nation""".stripMargin
   )
 }
