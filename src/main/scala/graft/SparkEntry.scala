@@ -323,7 +323,7 @@ object SparkEntry {
       // (single-file) input across cores
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition()
         .select(col("doc_id"), T.winnowFingerprintsNative(col("text"), 5, 4).as("fp"))
         .select(col("doc_id"), size(col("fp")).as("n_fp"),
           try_element_at(col("fp"), lit(1)).as("fp_min"),
@@ -668,7 +668,7 @@ object SparkEntry {
       // would re-split the text per bigram index (O(n^2) — the q38 trap)
       val tokenized = t(s, dir, "documents")
         .select(col("source"), T.tokens(lower(col("text"))).as("toks"))
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition()
       val toks = col("toks")
       val bigrams = when(size(toks) > 1,
         transform(sequence(lit(1), size(toks) - 1),

@@ -47,7 +47,7 @@ object Corpus {
       .select(col(idCol).as("id"),
         TextFunctions.redactPii(
           TextFunctions.c4CleanText(col(textCol), minWords)).as("text"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition() // count from spark.sql.shuffle.partitions — scales with cluster config
     val ltoks = TextFunctions.tokens(lower(col("text")))
     val tagged = cleaned.select(
       col("id"),
