@@ -96,14 +96,14 @@ object Relational {
     val bf = rightM.stat.bloomFilter(key, n, fpp)
     val bc = spark.sparkContext.broadcast(bf)
     import org.apache.spark.sql.types.{LongType, IntegerType, StringType}
-    val might = left.schema(key).dataType match {
+    val might = (left.schema(key).dataType match {
       case LongType | IntegerType =>
         udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
       case StringType =>
         udf((k: String) => k != null && bc.value.mightContainString(k))
       case dt => throw new IllegalArgumentException(
         s"bloom prefilter supports long/int/string keys, got $dt")
-    }
+    }).withName("bloomMightContain")
     left.filter(might(col(key))).join(rightM, Seq(key))
   }
 

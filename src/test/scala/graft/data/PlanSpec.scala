@@ -1,0 +1,82 @@
+package graft.data
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/**
+ * Physical-plan regression gate for the scale-critical shapes: these
+ * assertions pin the PLAN, not the values, so a refactor that silently
+ * reintroduces a broadcast-the-corpus join or a nested-loop range join
+ * fails the suite even though every value check still passes.
+ */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withNoAutoBroadcast[T](f: => T): T = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("minhash LSH band join never broadcasts the signature table") {
+    val docs = (0 until 50).map(i => (i.toLong, s"some document text number ${i % 9} with shared words"))
+      .toDF("doc_id", "text")
+    withNoAutoBroadcast {
+      val p = plan(Dedup.minhashNearDups(docs, "doc_id", "text"))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+      // the candidate join must be a shuffle join on the band key
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(2000))
+    }
+  }
+
+  test("rangeJoinBinned stays an equi join when nothing can broadcast") {
+    val points = (1L to 1000L).map(i => (i, i * 10)).toDF("event_id", "pt")
+    val ranges = (1L to 500L).map(i => (s"r$i", i * 17, i * 17 + 100))
+      .toDF("range_id", "lo", "hi")
+    withNoAutoBroadcast {
+      val p = plan(Relational.rangeJoinBinned(points, ranges, "pt", "lo", "hi", 64))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        p.take(2000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(2000))
+    }
+  }
+
+  test("bloomPrefilterJoin filters the big side BELOW the join") {
+    // parquet-backed left side: a LocalRelation would let the optimizer
+    // evaluate the (deterministic) UDF filter eagerly and erase it from
+    // the plan; a file scan keeps it as a real Filter node
+    val dir = java.nio.file.Files.createTempDirectory("planspec_b").toString + "/l"
+    (1L to 500L).map(i => (i, s"v$i")).toDF("k", "lv").write.parquet(dir)
+    val left = spark.read.parquet(dir)
+    val right = (1L to 500L by 7).map(i => (i, i * 2.0)).toDF("k", "rv")
+    val p = plan(Relational.bloomPrefilterJoin(left, right, "k"))
+    // the UDF filter must sit under the join node, i.e. appear after it in
+    // the top-down plan string
+    val joinAt = p.indexOf("Join")
+    val filterAt = p.indexOf("bloomMightContain")
+    assert(joinAt >= 0 && filterAt > joinAt, p.take(2000))
+  }
+
+  test("saltedJoin joins on the salt key (spreads each hot key)") {
+    val left = (1L to 100L).map(i => (1L, i)).toDF("k", "lv") // one hot key
+    val right = Seq((1L, "x")).toDF("k", "rv")
+    withNoAutoBroadcast {
+      val p = plan(Relational.saltedJoin(left, right, Seq("k"), 8))
+      assert(p.contains("__join_salt"), p.take(2000))
+    }
+  }
+
+  test("scan pruning: a two-column projection reads two columns") {
+    val dir = java.nio.file.Files.createTempDirectory("planspec").toString + "/t"
+    (1 to 100).map(i => (i.toLong, s"s$i", i * 1.0, i * 2.0))
+      .toDF("a", "b", "c", "d").write.parquet(dir)
+    val p = plan(spark.read.parquet(dir).filter($"a" > 10).select($"a", $"c"))
+    assert(p.contains("ReadSchema: struct<a:bigint,c:double>"), p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(a), GreaterThan(a,10)]"), p.take(2000))
+  }
+}
