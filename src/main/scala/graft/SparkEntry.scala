@@ -730,7 +730,9 @@ object SparkEntry {
     "q57_corpus_prepare" -> ((s, dir) => {
       import graft.data.Corpus
       val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val twins = base.unionByName(base.withColumn("doc_id", col("doc_id") + 1000))
+      // offset far above any doc_id at any sf — twin ids must not collide
+      val twins = base.unionByName(
+        base.withColumn("doc_id", col("doc_id") + 10000000L))
       val aug = twins.withColumn("text", concat(
         lit("Intro line\n"), col("text"),
         lit(". Details follow in this sentence.\nContact user"),
@@ -1324,11 +1326,11 @@ object SparkEntry {
          |             ELSE 53 END) AS rho
          |  FROM h GROUP BY event_type, bucket),
          |st AS (SELECT event_type,
-         |    CAST(sum((1::BIGINT) << CAST(54 - rho AS INT)) AS BIGINT) AS s_hit,
+         |    CAST(sum((1::BIGINT) << CAST(53 - rho AS INT)) AS BIGINT) AS s_hit,
          |    CAST(count(*) AS BIGINT) AS n_buckets
          |  FROM r GROUP BY event_type),
          |fin AS (SELECT event_type,
-         |    s_hit + (256 - n_buckets) * ((1::BIGINT) << 54) AS hll_state, n_buckets
+         |    s_hit + (256 - n_buckets) * ((1::BIGINT) << 53) AS hll_state, n_buckets
          |  FROM st),
          |est AS (SELECT *, $c / CAST(hll_state AS DOUBLE) AS raw FROM fin)
          |SELECT e.event_type, hll_state, n_buckets,
@@ -1411,9 +1413,9 @@ object SparkEntry {
          |  ${h60Sql("concat(CAST(doc_id AS VARCHAR), 'mix')")} % 10000 AS slot
          |  FROM documents),
          |k AS (SELECT source, count(*) AS n_kept FROM d
-         |  WHERE slot < CAST((CASE WHEN source = 'src0' THEN 0.8
-         |                          WHEN source = 'src1' THEN 0.5
-         |                          ELSE 0.2 END) * 10000 AS BIGINT)
+         |  WHERE slot < (CASE WHEN source = 'src0' THEN 8000
+         |                     WHEN source = 'src1' THEN 5000
+         |                     ELSE 2000 END)
          |  GROUP BY source)
          |SELECT t.source, t.n_total, coalesce(k.n_kept, 0) AS n_kept
          |FROM (SELECT source, count(*) AS n_total FROM documents GROUP BY source) t
@@ -1430,7 +1432,7 @@ object SparkEntry {
         |ORDER BY source, rank""".stripMargin,
     "q57_corpus_prepare" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents
-         |    UNION ALL SELECT doc_id + 1000 AS doc_id, text FROM documents),
+         |    UNION ALL SELECT doc_id + 10000000 AS doc_id, text FROM documents),
          |aug AS (SELECT doc_id, concat('Intro line', chr(10), text,
          |    '. Details follow in this sentence.', chr(10), 'Contact user',
          |    CAST(doc_id AS VARCHAR), '@mail.example.com or call +1 (555) 010-',

@@ -33,7 +33,6 @@ object Corpus {
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
       minWords: Int = 5): DataFrame = {
-    val spark = docs.sparkSession
     // The clean+redact chain (array lambdas + 4 regex passes) is the
     // expensive projection, and it has MANY downstream consumers: langId's
     // four stopword filters, the quality parts, the fingerprint, and both
@@ -58,11 +57,13 @@ object Corpus {
         TextFunctions.stopwordHits(ltoks, TextFunctions.StopEn)).as("quality"),
       TextFunctions.wordCount(col("text")).as("n_words"),
       TextFunctions.fingerprint(col("text")).as("__fp"))
-    // exact dedup: smallest id per redacted-text fingerprint survives
+    // exact dedup: smallest id per redacted-text fingerprint survives.
+    // Semi-join on BOTH (fingerprint, id): on id alone, a duplicate row
+    // whose id happens to equal another fingerprint's min id would
+    // survive when ids are not unique.
     val survivors = tagged
       .groupBy(col("__fp")).agg(min(col("id")).as("id"))
-      .select(col("id"))
-    tagged.join(survivors, Seq("id"), "leftsemi")
+    tagged.join(survivors, Seq("__fp", "id"), "leftsemi")
       .drop("__fp")
       .withColumn("split", Sampling.hashSplit(col("id"), splits))
   }

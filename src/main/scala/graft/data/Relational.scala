@@ -127,10 +127,12 @@ object Relational {
     require(Set("inner", "left", "leftouter", "left_outer").contains(joinType),
       s"salt lives on the left side; joinType $joinType unsupported")
     val salt = "__join_salt"
-    // any deterministic spread works — correctness never depends on WHICH
-    // salt a row gets, only that the right side covers all of them
+    // correctness never depends on WHICH salt a row gets, only that the
+    // right side covers all of them — so spread by ROW POSITION, not row
+    // content: a content hash would send fully-identical hot rows (the
+    // canonical skew input) to one salt and defeat the whole point
     val l = left.withColumn(salt,
-      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val r = right.withColumn(salt,
       explode(sequence(lit(0), lit(saltFactor - 1))))
     l.join(r, keys :+ salt, joinType).drop(salt)

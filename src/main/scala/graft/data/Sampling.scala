@@ -45,10 +45,15 @@ object Sampling {
     (rates.values ++ Seq(defaultRate)).foreach(r =>
       require(r >= 0 && r <= 1, s"rates must be in [0,1], got $r"))
     val den = 10000
-    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (g, r)) =>
-      when(groupCol === lit(g), lit(r)).otherwise(acc)
+    // thresholds rounded in Scala (same convention as hashSplit) and
+    // planted as integer literals — a float `rate*den` cast would
+    // TRUNCATE, so 0.29 ⇒ 2899.99… ⇒ 2899 and drift from a SQL twin's
+    // rounded CAST; integer literals leave nothing engine-dependent
+    val thr = rates.foldLeft(lit(math.round(defaultRate * den).toInt)) {
+      case (acc, (g, r)) =>
+        when(groupCol === lit(g), lit(math.round(r * den).toInt)).otherwise(acc)
     }
-    df.filter(hashSlot(key, den, salt) < (rate * den).cast("long"))
+    df.filter(hashSlot(key, den, salt) < thr)
   }
 
   /**

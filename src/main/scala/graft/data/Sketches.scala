@@ -23,12 +23,20 @@ object Sketches {
   /** alpha_m constant of Flajolet et al. 2007 for m ≥ 128. */
   private def alpha(m: Int): Double = 0.7213 / (1.0 + 1.079 / m)
 
-  /** Raw-estimate numerator alpha_m · m² · 2^54, exposed so a SQL oracle
-   * can inline the IDENTICAL double (operation order matters: a different
-   * association could differ by 1 ulp and shift the rounded estimate). */
+  /** Register scale exponent: contributions are 2^(scale − rho). scale =
+   * 61−p is the unique choice that (a) keeps every exponent non-negative
+   * (rho ≤ q+1 = 61−p) and (b) bounds the worst-case sum by m·2^(61−p) =
+   * 2^61 < Long.Max for ALL p in [4,14] — a fixed exponent would overflow
+   * at high p and go negative at low p. */
+  def stateScale(p: Int): Int = 61 - p
+
+  /** Raw-estimate numerator alpha_m · m² · 2^scale, exposed so a SQL
+   * oracle can inline the IDENTICAL double (operation order matters: a
+   * different association could differ by 1 ulp and shift the rounded
+   * estimate). */
   def rawConstant(p: Int): Double = {
     val m = 1 << p
-    alpha(m) * m.toDouble * m.toDouble * math.pow(2.0, 54)
+    alpha(m) * m.toDouble * m.toDouble * math.pow(2.0, stateScale(p))
   }
 
   /**
@@ -36,9 +44,10 @@ object Sketches {
    *
    * @param p precision bits (m = 2^p registers); 4 ≤ p ≤ 14. Standard
    *          error ≈ 1.04/sqrt(m) — p=8 ⇒ ~6.5%.
-   * Output per group: `hll_state` (exact long: Σ 2^(54−rho_j), empty
-   * registers contributing 2^54 — the integer-exact harmonic-sum
-   * numerator), `n_buckets` (registers hit), and `approx_distinct`
+   * Output per group: `hll_state` (exact long: Σ 2^(scale−rho_j), empty
+   * registers contributing 2^scale with scale = [[stateScale]](p) — the
+   * integer-exact harmonic-sum numerator; fits a Long for every allowed
+   * p), `n_buckets` (registers hit), and `approx_distinct`
    * (the corrected estimate, rounded to 2dp so a 1-ulp libm difference
    * cross-engine cannot flip the hash compare).
    */
@@ -54,17 +63,18 @@ object Sketches {
     // bits(w) = length(bin(w)) = floor(log2 w)+1, integer-exact both engines.
     val rho = when(w > 0, lit(q + 1) - length(bin(w))).otherwise(lit(q + 1))
 
+    val sc = stateScale(p)
     val perBucket = withH
       .groupBy((groupCols.map(col) :+ bucket.as("__hll_bucket")): _*)
       .agg(max(rho).as("__hll_rho"))
     perBucket
       .groupBy(groupCols.map(col): _*)
       .agg(
-        sum(expr("shiftleft(1L, cast(54 - __hll_rho as int))")).as("__s_hit"),
+        sum(expr(s"shiftleft(1L, cast($sc - __hll_rho as int))")).as("__s_hit"),
         count(lit(1)).cast("long").as("n_buckets"))
       .select(groupCols.map(col) ++ Seq(
-        // empty registers: rho=0 ⇒ each adds 2^54 to the harmonic sum
-        (col("__s_hit") + (lit(m.toLong) - col("n_buckets")) * lit(1L << 54))
+        // empty registers: rho=0 ⇒ each adds 2^scale to the harmonic sum
+        (col("__s_hit") + (lit(m.toLong) - col("n_buckets")) * lit(1L << sc))
           .as("hll_state"),
         col("n_buckets")): _*)
       .withColumn("approx_distinct", round(hllEstimate(col("hll_state"),

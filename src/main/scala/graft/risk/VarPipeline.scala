@@ -121,6 +121,16 @@ object VarPipeline {
     trialsCache.computeIfAbsent((spark.sparkContext.applicationId, cfg),
       _ => monteCarloTrials(spark, cfg).persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** Unpersist and forget this session's cached trials tables. Call when
+   * sweeping many configs in one long-lived session — each distinct
+   * `Config` otherwise pins its cached table until the session ends. */
+  def clearSharedTrials(spark: SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    trialsCache.forEach { (k, df) =>
+      if (k._1 == appId) { df.unpersist(); trialsCache.remove(k) }
+    }
+  }
+
   private def trialsFor(spark: SparkSession, cfg: Config,
       pf: Option[DataFrame]): DataFrame =
     if (pf.isEmpty) sharedTrials(spark, cfg) else monteCarloTrials(spark, cfg, pf)

@@ -84,9 +84,14 @@ object Warehouse {
    * `table` by `keys`, latest `versionCol` wins (updates shadow existing
    * rows at equal version). Copy-on-write like Delta without a log:
    * union + latest-per-key + table rewrite — one shuffle on the keys.
-   * The merged result is materialized (`localCheckpoint`) before the
-   * overwrite because the new table contents are derived from the files
-   * being replaced.
+   *
+   * The new contents derive from the files being replaced, so the merge
+   * is STAGED: written to a `<table>__upsert_staging` table first, then
+   * copied over the target from those staged files, then the staging
+   * table is dropped. At no point does the only copy of the merged data
+   * live in volatile executor memory (a `localCheckpoint` spelling would
+   * lose the table if an executor died mid-overwrite); a crash between
+   * the two writes leaves the staging table on disk for recovery.
    */
   def upsertTable(spark: SparkSession, table: String, updates: DataFrame,
       keys: Seq[String], versionCol: String,
@@ -98,8 +103,10 @@ object Warehouse {
         keys, Seq(col(versionCol).desc, col("__src").desc), k = 1,
         rankCol = "__rank")
       .drop("__rank", "__src")
-    val materialized = merged.localCheckpoint()
-    saveTable(spark, materialized, table,
-      if (clusterCols.nonEmpty) clusterCols else keys)
+    val staging = table + "__upsert_staging"
+    val cluster = if (clusterCols.nonEmpty) clusterCols else keys
+    saveTable(spark, merged, staging, cluster)
+    saveTable(spark, spark.table(staging), table, cluster)
+    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
   }
 }

@@ -134,10 +134,14 @@ object StreamingMarket {
       .select(col(idCol).as("id"), col(tsCol), col("__t").as("text"),
         TF.langId(col("__t")).as("lang"),
         TF.qualityScore(col("__t")).as("quality"),
-        TF.fingerprint(col("__t")).as("fp"),
+        TF.wordCount(col("__t")).as("n_words"),
+        TF.fingerprint(col("__t")).as("__fp"),
         Sampling.hashSplit(col(idCol), splits).as("split"))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("fp")
+      .dropDuplicatesWithinWatermark("__fp")
+      // batch-twin schema (id, ts, text, lang, quality, n_words, split):
+      // the fingerprint is dedup state, not output
+      .drop("__fp")
   }
 
   /**
