@@ -705,6 +705,36 @@ object SparkEntry {
       both.unionByName(custOnly).unionByName(suppOnly)
         .orderBy(col("tag"), col("nation"))
     }),
+    // PCA -> ANN composition: exact top-k in the 8-dim principal subspace
+    // instead of the raw 64-dim space — the reduce-then-search pattern
+    // PCA exists for. Bit-deterministic (fixed-point PCA) -> golden.
+    "q54b_pca_ann" -> ((s, dir) => {
+      import graft.data.{Pca, Similarity}
+      val e = t(s, dir, "embeddings")
+      val model = Pca.fit(e, "embedding", k = 8)
+      val proj = Pca.transform(e, "embedding", model)
+        .select(col("vec_id"),
+          array((0 until 8).map(j => col(s"pc$j")): _*).as("v"))
+      Similarity.bruteForceTopK(proj.filter(col("vec_id") < 10), proj,
+          "vec_id", "v", k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // quality-weighted sampling: keep probability proportional to the
+    // document quality score, hash-deterministic (importance sampling
+    // for corpus mixing); floor() on both engines — cast would diverge
+    "q61_quality_sample" -> ((s, dir) => {
+      import graft.data.Sampling
+      val q = T.qualityScore(col("text"))
+      t(s, dir, "documents")
+        .withColumn("keep",
+          Sampling.hashSlot(col("doc_id"), 10000, "qs") < floor(q * 10000))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("keep").cast("long")).as("n_kept"),
+          sum(floor(q * 10000).cast("long")).as("thr_sum"))
+        .orderBy(col("source"))
+    }),
     // count-min sketch over document tokens: fixed 4x512 counter state,
     // probe estimates >= exact counts (collision error only); the sketch
     // itself is oracle-verified, completing the sketch family (HLL
@@ -1500,6 +1530,17 @@ object SparkEntry {
          |ex AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok)
          |SELECT est.tok, est.cms_est, coalesce(ex.n_exact, 0) AS n_exact
          |FROM est LEFT JOIN ex USING (tok) ORDER BY tok""".stripMargin,
+    "q61_quality_sample" ->
+      s"""WITH q AS (SELECT source, doc_id,
+         |  floor(($qualitySql) * 10000) AS thr,
+         |  ${h60Sql("concat(CAST(doc_id AS VARCHAR), 'qs')")} % 10000 AS slot
+         |  FROM (SELECT source, doc_id, text, len($tokSql) AS words,
+         |        $punctSql AS punct, ${stopSql(T.StopEn)} AS stop_en
+         |        FROM documents))
+         |SELECT source, count(*) AS n,
+         |  CAST(sum(CASE WHEN slot < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CAST(thr AS BIGINT)) AS BIGINT) AS thr_sum
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "q59_outer_join" ->
       """SELECT coalesce(c.nation, s.nation) AS nation,
         |  coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
