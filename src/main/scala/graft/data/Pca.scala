@@ -51,6 +51,11 @@ object Pca {
   /**
    * Fit PCA on `vecCol` (array<float>/array<double>, fixed dimension).
    * One job: (1 + d + d(d+1)/2)-long moment vector summed distributed.
+   *
+   * Cost is O(d²) per ROW on the map side (the outer product) — fine
+   * through d ≈ 256; for 1k+-dim embeddings fit on a [[Sampling]]
+   * hash-sample of the corpus (PCA needs ~10·d² rows for a stable
+   * covariance, not the full 100 TB) and [[transform]] everything.
    */
   def fit(df: DataFrame, vecCol: String, k: Int): Model = {
     val spark = df.sparkSession
