@@ -101,6 +101,42 @@ class WarehouseSpec extends SparkSpec {
     } finally Warehouse.teardown(spark, "graft_prune_spec")
   }
 
+  test("incremental market ingest: upsert new days, VaR recomputes over the table") {
+    // the reference's hinted incremental mode (application.yaml) spelled
+    // with upsertTable: land a correction + new days into the stored
+    // market table, recompute portfolio returns from the table
+    val loc = java.nio.file.Files.createTempDirectory("graft_wh5").toString
+    Warehouse.createAndUse(spark, "graft_incr_spec", loc)
+    try {
+      import spark.implicits._
+      val day0 = Sources.syntheticMarketData(spark, cfg.tickers, cfg.start,
+        cfg.days, globalSeed = cfg.seed)
+      Warehouse.saveTable(spark, day0.withColumn("ver", lit(1L)),
+        "market_data", Seq("ticker", "date"))
+      val before = Warehouse.table(spark, "market_data").count()
+
+      // a corrected close for one existing (ticker, date) + one new day per ticker
+      val lastDate = day0.agg(max($"date")).head().getTimestamp(0)
+      val correction = day0.filter($"date" === lastDate)
+        .withColumn("close", $"close" * 1.5)
+      val newDay = day0.filter($"date" === lastDate)
+        .withColumn("date", date_add($"date", 1).cast("timestamp"))
+      Warehouse.upsertTable(spark, "market_data",
+        correction.unionByName(newDay).withColumn("ver", lit(2L)),
+        Seq("ticker", "date"), "ver")
+
+      val after = Warehouse.table(spark, "market_data")
+      assert(after.count() == before + cfg.tickers.size) // upsert + insert
+      // the correction won (close scaled by 1.5 on the corrected day)
+      val corrected = after.filter($"date" === lastDate).agg(sum($"close")).head().getDouble(0)
+      val original = day0.filter($"date" === lastDate).agg(sum($"close")).head().getDouble(0)
+      assert(math.abs(corrected - original * 1.5) < 1e-6)
+      // downstream recompute runs off the stored table
+      val rets = Compliance.portfolioReturns(after, VarPipeline.portfolio(spark, cfg))
+      assert(rets.count() > 0)
+    } finally Warehouse.teardown(spark, "graft_incr_spec")
+  }
+
   test("upsertTable: latest version wins, updates shadow at equal version") {
     val loc = java.nio.file.Files.createTempDirectory("graft_wh4").toString
     Warehouse.createAndUse(spark, "graft_upsert_spec", loc)

@@ -133,6 +133,36 @@ class StreamingMarketSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streamingCorpusPrepare == batch Corpus.prepare on a dup-free corpus") {
+    // when no fingerprints collide, the dedup winner rule (batch min-id
+    // vs stream first-arrival) cannot differ -> outputs must be identical
+    implicit val sqlCtx = spark.sqlContext
+    val body = ("the quick brown fox jumps over the lazy dog and " * 7).trim
+    // batch-2 event times must be AT or past batch-1's watermark, or the
+    // stream drops them as late (days 1-10 first batch, 11-20 second)
+    val docs = (0 until 40).map(i =>
+      (i.toLong, ts(1 + (if (i < 25) i % 10 else 10 + i % 10)),
+        s"$body unique closing number $i appears right here today."))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = streamingCorpusPrepare(input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("sprep_parity")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(docs.take(25): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(25): _*)
+    q.processAllAvailable()
+
+    import org.apache.spark.sql.functions._
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "text", "lang", "quality", "n_words", "split")
+        .collect().map(_.toString).sorted.toSeq
+    val streamed = canon(spark.table("sprep_parity"))
+    val batch = canon(graft.data.Corpus.prepare(
+      docs.toDF("doc_id", "ts", "text").drop("ts")))
+    assert(streamed == batch && batch.size == 40)
+    q.stop()
+  }
+
   test("chunked rolling stats == unpartitioned rolling stats") {
     import org.apache.spark.sql.functions._
     val days = (1 to 60).map(d => (Timestamp.valueOf(f"2024-${1 + (d - 1) / 28}%02d-${1 + (d - 1) % 28}%02d 00:00:00"),
