@@ -815,8 +815,12 @@ object SparkEntry {
       import org.apache.spark.sql.functions.{col => c}
       import graft.risk.Warehouse
       val prev = s.catalog.currentDatabase
-      Warehouse.reset(s, "graft_bench_wh", "/tmp/graft_bench_wh")
-      Warehouse.createAndUse(s, "graft_bench_wh", "/tmp/graft_bench_wh")
+      // per-JVM warehouse dir (overridable): two concurrent bench/verify
+      // runs on one host must not clobber each other's table files
+      val whDir = sys.env.getOrElse("GRAFT_WH_DIR",
+        s"${System.getProperty("java.io.tmpdir")}/graft_wh_${s.sparkContext.applicationId}")
+      Warehouse.reset(s, "graft_bench_wh", whDir)
+      Warehouse.createAndUse(s, "graft_bench_wh", whDir)
       VarPipeline.materializeHandoff(s, miniCfg,
         Map("volatility" -> "market_volatility", "mc_trials" -> "monte_carlo_trials"))
       val stored = Warehouse.table(s, "monte_carlo_trials")
@@ -852,7 +856,7 @@ object SparkEntry {
     })
   )
 
-  private val miniCfg = VarPipeline.Config(
+  private[graft] val miniCfg = VarPipeline.Config(
     runs = 500, days = 120, tickers = (1 to 6).map(i => s"TICK0$i"),
     indicators = Seq("IX1", "IX2", "IX3"))
 

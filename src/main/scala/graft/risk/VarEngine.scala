@@ -69,10 +69,12 @@ object VarEngine {
     // The backtest series is one row per trading day — bounded by the
     // calendar (tens of KB for decades), NOT by data volume — while its
     // plan embeds the full MC chain. reindexFfill scans its input several
-    // times (reduce, calendar bounds, fill, carry); materializing the tiny
-    // series once stops those scans re-running the expensive upstream.
+    // times (reduce, calendar bounds, fill, carry); checkpointing the tiny
+    // series stops those scans re-running the expensive upstream. Lazy:
+    // this method builds a plan (see object contract above) — the
+    // checkpoint materializes on the caller's first action, not here.
     Calendar.reindexFfill(
-      backtest.localCheckpoint(),
+      backtest.localCheckpoint(eager = false),
       Nil, "date",
       Seq("return", "right_var_99", "breaches", "basel"))
       .withColumnRenamed("right_var_99", "var_99")
