@@ -380,6 +380,18 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // OR-amplified multi-table LSH — the recall configuration (RecallSpec
+    // gates it at recall@3 >= 0.6 vs brute force; q27's single table is a
+    // bucket-parity pin, not a recall setting)
+    "q27d_ann_lsh_multitable" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.lshTopK(e.filter(col("vec_id") < 20), e, "vec_id", "v",
+          k = 3, numPlanes = 4, dim = 64, numTables = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q27c_ann_ivf_kmeans" -> ((s, dir) => {
       // IVF with Lloyd-trained centroids (deterministic MD5-seeded init)
       val e = t(s, dir, "embeddings")
@@ -909,6 +921,14 @@ object SparkEntry {
     s"($i, [${p.mkString(", ")}])"
   }.mkString(", ")
 
+  /** Multi-table plane literals identical to q27d's 16 tables x 4 planes
+   * (table t uses the independent family at offset t*4). */
+  private val mtPlanesSql = (0 until 16).flatMap { tbl =>
+    Similarity.planesAt(4, 64, tbl * 4).zipWithIndex.map { case (p, i) =>
+      s"($tbl, $i, [${p.mkString(", ")}])"
+    }
+  }.mkString(", ")
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,
@@ -1196,6 +1216,25 @@ object SparkEntry {
          |  JOIN e c ON c.vec_id = bc.vec_id
          |  WHERE a.vec_id < c.vec_id)
          |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q27d_ann_lsh_multitable" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |planes AS (SELECT * FROM (VALUES $mtPlanesSql) pl(tbl, p, coef)),
+         |buck AS (SELECT vec_id, tbl, CAST(sum(CASE WHEN list_dot_product(v, coef) >= 0
+         |    THEN 1<<p ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e CROSS JOIN planes GROUP BY vec_id, tbl),
+         |cand AS (SELECT DISTINCT bq.vec_id AS qid, bc.vec_id AS cid
+         |  FROM buck bq JOIN buck bc ON bc.tbl = bq.tbl AND bc.bucket = bq.bucket
+         |  WHERE bq.vec_id < 20 AND bq.vec_id <> bc.vec_id)
+         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(q.v, c.v) /
+         |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+         |        c.vec_id) AS rank
+         |  FROM cand JOIN e q ON q.vec_id = cand.qid JOIN e c ON c.vec_id = cand.cid)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q27b_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |planes AS (SELECT * FROM (VALUES $planesSql) pl(p, coef)),

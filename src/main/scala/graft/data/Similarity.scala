@@ -55,6 +55,12 @@ object Similarity {
   def planes(numPlanes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(numPlanes, dim)(planeCoef)
 
+  /** An independent hyperplane family at `offset` (multi-table LSH: table
+   * `t` uses offset `t * numPlanes`, so no plane is shared between
+   * tables). `planes(n, d)` ≡ `planesAt(n, d, 0)`. */
+  def planesAt(numPlanes: Int, dim: Int, offset: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim)((p, d) => planeCoef(offset + p, d))
+
   /** Sign-bucket id: bit p set iff dot(v, plane_p) >= 0. */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
@@ -70,6 +76,17 @@ object Similarity {
 
   private def simCol(ap: String, bp: String): Column =
     dotNative(col(s"${ap}v"), col(s"${bp}v")) / (col(s"${ap}n") * col(s"${bp}n"))
+
+  /** Explode each row into one `(tbl, bucket)` per hash table. The struct
+   * array is built inside the generator input, so each bucket's
+   * `numPlanes` dot products are computed exactly once per (row, table). */
+  private def withTableBuckets(df: DataFrame, prefix: String,
+      tables: IndexedSeq[Array[Array[Double]]]): DataFrame =
+    df.withColumn("__tb", explode(array(tables.zipWithIndex.map { case (ps, t) =>
+        struct(lit(t).as("tbl"), lshBucket(col(s"${prefix}v"), ps).as("b"))
+      }: _*)))
+      .select(col(s"${prefix}id"), col(s"${prefix}v"), col(s"${prefix}n"),
+        col("__tb")("tbl").as("tbl"), col("__tb")("b").as("bucket"))
 
   /**
    * Exact top-k cosine neighbors for each query vector (self excluded).
@@ -96,8 +113,17 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** ANN top-k: candidates restricted to the query's LSH bucket. Same
-   * output shape as [[bruteForceTopK]]; recall < 1 by construction. */
+  /**
+   * ANN top-k: candidates restricted to the query's LSH bucket. Same
+   * output shape as [[bruteForceTopK]]; recall < 1 by construction.
+   *
+   * `numTables` > 1 turns on OR-amplification: each table hashes with an
+   * independent plane family and a pair is a candidate if it collides in
+   * ANY table, lifting pair-recall from p to 1-(1-p)^L for per-table
+   * collision probability p = (1-θ/π)^numPlanes. Shuffle volume and
+   * candidate work grow ≤ L× — the standard recall/cost dial. Candidates
+   * found by several tables are deduped before ranking.
+   */
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -105,19 +131,24 @@ object Similarity {
       vecCol: String,
       k: Int,
       numPlanes: Int,
-      dim: Int): DataFrame = {
-    val ps = planes(numPlanes, dim)
-    val q = withNorm(queries, idCol, vecCol, "q_")
-      .withColumn("bucket", lshBucket(col("q_v"), ps))
-    val c = withNorm(repartitioned(corpus), idCol, vecCol, "c_")
-      .withColumn("bucket", lshBucket(col("c_v"), ps))
+      dim: Int,
+      numTables: Int = 1): DataFrame = {
+    require(numTables >= 1, s"numTables must be >= 1, got $numTables")
+    val tables = (0 until numTables).map(t => planesAt(numPlanes, dim, t * numPlanes))
+    val q = withTableBuckets(withNorm(queries, idCol, vecCol, "q_"), "q_", tables)
+    val c = withTableBuckets(
+      withNorm(repartitioned(corpus), idCol, vecCol, "c_"), "c_", tables)
     val rank = row_number().over(
       Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id")))
-    broadcast(q).join(c, Seq("bucket"))
+    val cands = broadcast(q).join(c, Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
         simCol("q_", "c_").as("sim"))
+    // single-table: a pair collides in at most one bucket — already unique
+    val unique = if (numTables == 1) cands
+      else cands.dropDuplicates(Seq("query_id", "neighbor_id"))
+    unique
       .withColumn("rank", rank)
       .filter(col("rank") <= k)
   }
@@ -146,7 +177,8 @@ object Similarity {
    * Scale path for [[cosineNearDupPairs]]: LSH-bucket the corpus first and
    * compare only within buckets — shuffle on a small int key, quadratic
    * work confined per bucket (recall < 1; more planes ⇒ smaller buckets ⇒
-   * faster and lower recall). Same output shape.
+   * faster and lower recall; more `numTables` ⇒ OR-amplified recall at
+   * ≤ L× candidate cost, see [[lshTopK]]). Same output shape.
    */
   def cosineNearDupPairsBucketed(
       vectors: DataFrame,
@@ -154,13 +186,18 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       numPlanes: Int,
-      dim: Int): DataFrame = {
-    val ps = planes(numPlanes, dim)
-    def side(prefix: String) =
-      withNorm(repartitioned(vectors), idCol, vecCol, prefix)
-        .withColumn("bucket", lshBucket(col(s"${prefix}v"), ps))
-    side("a_").join(side("b_"), Seq("bucket"))
+      dim: Int,
+      numTables: Int = 1): DataFrame = {
+    require(numTables >= 1, s"numTables must be >= 1, got $numTables")
+    val tables = (0 until numTables).map(t => planesAt(numPlanes, dim, t * numPlanes))
+    def side(prefix: String) = withTableBuckets(
+      withNorm(repartitioned(vectors), idCol, vecCol, prefix), prefix, tables)
+    val cands = side("a_").join(side("b_"), Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
+    // single-table: a pair collides in at most one bucket — already unique
+    val unique = if (numTables == 1) cands
+      else cands.dropDuplicates(Seq("a_id", "b_id"))
+    unique
       .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
         simCol("a_", "b_").as("sim"))
       .filter(col("sim") >= threshold)
