@@ -469,7 +469,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(length(col("red"))).as("sum_chars"),
           expr("bit_xor(h60)").as("hash_xor"),
           sum(col("pii.urls")).as("n_urls"), sum(col("pii.emails")).as("n_emails"),
-          sum(col("pii.ips")).as("n_ips"))
+          sum(col("pii.ips")).as("n_ips"), sum(col("pii.phones")).as("n_phones"))
         .orderBy(col("source"))
     }),
     // C4 line/document quality filtering over a deterministic multi-line
@@ -732,6 +732,20 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+    // sample-then-fit PCA (the d >= 1k scale path as ONE call): basis from
+    // a 40% hash-sample, every row transformed with it. Hash-deterministic
+    // sample + fixed-point moments -> golden-pinnable projections.
+    "q54c_pca_sampled" -> ((s, dir) => {
+      import graft.data.Pca
+      val e = t(s, dir, "embeddings")
+      val model = Pca.fitSampled(e, "embedding", k = 4,
+        key = col("vec_id"), num = 4000)
+      Pca.transform(e, "embedding", model)
+        .select(col("vec_id"), col("label"),
+          round(col("pc0"), 6).as("pc0"), round(col("pc1"), 6).as("pc1"),
+          round(col("pc2"), 6).as("pc2"), round(col("pc3"), 6).as("pc3"))
+        .orderBy(col("vec_id"))
     }),
     // quality-weighted sampling: keep probability proportional to the
     // document quality score, hash-deterministic (importance sampling
@@ -1307,20 +1321,23 @@ object SparkEntry {
          |    '?x=1 or 10.0.', CAST(doc_id % 250 AS VARCHAR),
          |    '.7, call +1 (555) 010-', CAST(doc_id % 10000 AS VARCHAR), '.') AS a
          |  FROM documents),
-         |red AS (SELECT source, a,
-         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(a,
-         |    'https?://[^\\s]+', '<URL>', 'g'),
-         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
-         |    '\\+?\\d[\\d()./ -]{6,}\\d\\b', '<PHONE>', 'g') AS r
-         |  FROM aug)
+         |m1 AS (SELECT source, a,
+         |  regexp_replace(a, 'https?://[^\\s]+', '<URL>', 'g') AS no_url FROM aug),
+         |m2 AS (SELECT *, regexp_replace(no_url,
+         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS no_email FROM m1),
+         |m3 AS (SELECT *, regexp_replace(no_email,
+         |  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS no_ip FROM m2),
+         |red AS (SELECT *, regexp_replace(no_ip,
+         |  '\\+?\\d[\\d()./ -]{6,}\\d\\b', '<PHONE>', 'g') AS r FROM m3)
          |SELECT source, count(*) AS n, CAST(sum(length(r)) AS BIGINT) AS sum_chars,
          |  bit_xor(${h60Sql("r")}) AS hash_xor,
          |  CAST(sum(len(regexp_extract_all(a, 'https?://[^\\s]+'))) AS BIGINT) AS n_urls,
-         |  CAST(sum(len(regexp_extract_all(a,
+         |  CAST(sum(len(regexp_extract_all(no_url,
          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
-         |  CAST(sum(len(regexp_extract_all(regexp_replace(a, 'https?://[^\\s]+', '<URL>', 'g'),
-         |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))) AS BIGINT) AS n_ips
+         |  CAST(sum(len(regexp_extract_all(no_email,
+         |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))) AS BIGINT) AS n_ips,
+         |  CAST(sum(len(regexp_extract_all(no_ip,
+         |    '\\+?\\d[\\d()./ -]{6,}\\d\\b'))) AS BIGINT) AS n_phones
          |FROM red GROUP BY source ORDER BY source""".stripMargin,
     "q42_c4_filter" ->
       s"""WITH aug AS (SELECT source,
@@ -1392,7 +1409,8 @@ object SparkEntry {
     "q47_hll_distinct" -> {
       val c = graft.data.Sketches.rawConstant(8) // identical double both engines
       s"""WITH h AS (SELECT event_type,
-         |  ${h60Sql("CAST(user_id AS VARCHAR)")} AS hh FROM events),
+         |  ${h60Sql("CAST(user_id AS VARCHAR)")} AS hh
+         |  FROM events WHERE user_id IS NOT NULL),
          |r AS (SELECT event_type, hh // 4503599627370496 AS bucket,
          |    max(CASE WHEN hh % 4503599627370496 > 0
          |             THEN 53 - length(format('{:b}', hh % 4503599627370496))

@@ -53,9 +53,16 @@ object Pca {
    * One job: (1 + d + d(d+1)/2)-long moment vector summed distributed.
    *
    * Cost is O(d²) per ROW on the map side (the outer product) — fine
-   * through d ≈ 256; for 1k+-dim embeddings fit on a [[Sampling]]
-   * hash-sample of the corpus (PCA needs ~10·d² rows for a stable
-   * covariance, not the full 100 TB) and [[transform]] everything.
+   * through d ≈ 256; for 1k+-dim embeddings use [[fitSampled]] (PCA needs
+   * ~10·d² rows for a stable covariance, not the full 100 TB) and
+   * [[transform]] everything.
+   *
+   * Input range: products are quantized to 2^-24 units, so the Long sums
+   * need `n · max|x|² < 2^39` (≈5.5e11) to be overflow-safe — unit-norm
+   * embeddings are fine to ~10^11 rows, |x| ≤ 100 to ~5×10^7 rows.
+   * Components must be finite and |x| < 2^19 (a single larger product
+   * overflows); violations fail fast instead of silently corrupting the
+   * covariance (NaN/Inf would quantize to 0 via toLong).
    */
   def fit(df: DataFrame, vecCol: String, k: Int): Model = {
     val spark = df.sparkSession
@@ -72,7 +79,12 @@ object Pca {
         val xq = new Array[Double](d)
         var i = 0
         while (i < d) {
-          val q = math.rint(x(i) * Scale)
+          val xi = x(i)
+          if (!java.lang.Double.isFinite(xi) || math.abs(xi) >= (1L << 19))
+            throw new IllegalArgumentException(
+              s"PCA input component $i is $xi — components must be finite " +
+                "with |x| < 2^19; clean or clip upstream")
+          val q = math.rint(xi * Scale)
           out(1 + i) = q.toLong
           xq(i) = q / Scale
           i += 1
@@ -122,6 +134,18 @@ object Pca {
     }.toArray
     Model(mean, basis, order.map(eigVals).toArray, n)
   }
+
+  /**
+   * One-call sample-then-fit — the d ≥ 1k scale path [[fit]] documents:
+   * fit the basis on a deterministic [[Sampling.hashSample]] of the rows
+   * (keep `num`/`den` of them by hash of `key`), then [[transform]] the
+   * full corpus with the returned model. The sample is hash-deterministic
+   * per key, so the model — and any golden pinned on its projections — is
+   * reproducible under any partitioning or executor count.
+   */
+  def fitSampled(df: DataFrame, vecCol: String, k: Int, key: Column,
+      num: Int, den: Int = 10000, salt: String = ""): Model =
+    fit(Sampling.hashSample(df, key, num, den, salt), vecCol, k)
 
   /** Project `vecCol` onto the model's components: columns `pc0..pc{k-1}`,
    * each `dot(x, b_j) − dot(μ, b_j)` — one native dot product against a

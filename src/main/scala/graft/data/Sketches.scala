@@ -56,25 +56,28 @@ object Sketches {
     require(p >= 4 && p <= 14, s"precision p must be in [4,14], got $p")
     val m = 1 << p
     val q = 60 - p // low bits of the 60-bit portable hash feed rho
-    val withH = df.withColumn("__hll_h", TextFunctions.hash60(value.cast("string")))
-    val bucket = expr(s"__hll_h div ${1L << q}L")
-    val w = expr(s"__hll_h % ${1L << q}L")
+    // nulls are ignored (COUNT(DISTINCT) / approx_count_distinct
+    // semantics) — hashing them would form a phantom register and add ~1
+    val withH = df.filter(value.isNotNull)
+      .withColumn("__graft_hll_h", TextFunctions.hash60(value.cast("string")))
+    val bucket = expr(s"__graft_hll_h div ${1L << q}L")
+    val w = expr(s"__graft_hll_h % ${1L << q}L")
     // rho = position of the first 1-bit of w in q bits (1-based); q+1 if w=0.
     // bits(w) = length(bin(w)) = floor(log2 w)+1, integer-exact both engines.
     val rho = when(w > 0, lit(q + 1) - length(bin(w))).otherwise(lit(q + 1))
 
     val sc = stateScale(p)
     val perBucket = withH
-      .groupBy((groupCols.map(col) :+ bucket.as("__hll_bucket")): _*)
-      .agg(max(rho).as("__hll_rho"))
+      .groupBy((groupCols.map(col) :+ bucket.as("__graft_hll_b")): _*)
+      .agg(max(rho).as("__graft_hll_rho"))
     perBucket
       .groupBy(groupCols.map(col): _*)
       .agg(
-        sum(expr(s"shiftleft(1L, cast($sc - __hll_rho as int))")).as("__s_hit"),
+        sum(expr(s"shiftleft(1L, cast($sc - __graft_hll_rho as int))")).as("__graft_hll_s"),
         count(lit(1)).cast("long").as("n_buckets"))
       .select(groupCols.map(col) ++ Seq(
         // empty registers: rho=0 ⇒ each adds 2^scale to the harmonic sum
-        (col("__s_hit") + (lit(m.toLong) - col("n_buckets")) * lit(1L << sc))
+        (col("__graft_hll_s") + (lit(m.toLong) - col("n_buckets")) * lit(1L << sc))
           .as("hll_state"),
         col("n_buckets")): _*)
       .withColumn("approx_distinct", round(hllEstimate(col("hll_state"),

@@ -232,12 +232,20 @@ object TextFunctions {
   }
 
   /** Count of PII hits by kind, for audit dashboards without materializing
-   * redacted text. */
-  def piiCounts(text: Column): Column = struct(
-    size(regexp_extract_all(text, lit(UrlRe), lit(0))).as("urls"),
-    size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("emails"),
-    size(regexp_extract_all(regexp_replace(text, UrlRe, "<URL>"),
-      lit(Ipv4Re), lit(0))).as("ips"))
+   * redacted text. Each kind counts on the PREVIOUS stage's masked text,
+   * mirroring [[redactPii]]'s order exactly — so every count is the number
+   * of replacements redaction actually performs (a URL-embedded email is a
+   * URL, not an email). */
+  def piiCounts(text: Column): Column = {
+    val noUrl = regexp_replace(text, UrlRe, "<URL>")
+    val noEmail = regexp_replace(noUrl, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    struct(
+      size(regexp_extract_all(text, lit(UrlRe), lit(0))).as("urls"),
+      size(regexp_extract_all(noUrl, lit(EmailRe), lit(0))).as("emails"),
+      size(regexp_extract_all(noEmail, lit(Ipv4Re), lit(0))).as("ips"),
+      size(regexp_extract_all(noIp, lit(PhoneRe), lit(0))).as("phones"))
+  }
 
   // ------------------------------------------- C4-style quality filtering
   // Raffel et al. 2020 §2.2 heuristics, re-expressed as array lambdas over

@@ -40,13 +40,16 @@ object VarEngine {
       VarAggregation.weightedTrials(at, portfolio), Seq("date"), confidence)
   }
 
-  /** VaR sliced by any portfolio dimension (country, industry, …) —
-   * `04_var_aggregation.py:86-123`. */
+  /** VaR and expected shortfall sliced by any portfolio dimension
+   * (country, industry, …) — `04_var_aggregation.py:86-123`, with ES per
+   * slice matching [[varTimeSeries]] (`withShortfall = false` restores the
+   * VaR-only shape). */
   def riskExposure(trials: DataFrame, portfolio: DataFrame,
-      sliceCol: String, confidence: Double = 99): DataFrame =
+      sliceCol: String, confidence: Double = 99,
+      withShortfall: Boolean = true): DataFrame =
     VarAggregation.varByGroup(
       VarAggregation.weightedTrials(trials, portfolio),
-      Seq("date", sliceCol), confidence)
+      Seq("date", sliceCol), confidence, withShortfall)
       .orderBy(col("date"), col(sliceCol))
 
   /** Row-normalized risk-contribution crosstab per date —

@@ -108,18 +108,35 @@ object VarPipeline {
   // reference's persisted notebook hand-off (03 writes monte_carlo_trials
   // once, 04/05 both re-read the stored table). Only the default-portfolio
   // path memoizes; a caller-supplied `pf` gets a fresh plan. Entries die
-  // with their session (keyed by applicationId); the map itself holds only
-  // plan references.
+  // with their session: keyed by applicationId AND evicted by a listener
+  // on application end, so a long-lived JVM hosting many sessions does not
+  // accumulate dead plan references. clearSharedTrials evicts eagerly when
+  // sweeping many configs inside ONE session.
   private val trialsCache = new ConcurrentHashMap[(String, Config), DataFrame]()
+  private val evictionHooked = ConcurrentHashMap.newKeySet[String]()
 
   /** monte_carlo_trials computed once per (session, cfg) and served from a
    * MEMORY_AND_DISK cache thereafter. All aggregation entry points
    * ([[portfolioVar]], [[varBySlice]], [[compliance]]) read this, exactly
    * as the reference's notebooks 04/05 both read the one stored
    * `monte_carlo_trials` table rather than re-simulating. */
-  def sharedTrials(spark: SparkSession, cfg: Config): DataFrame =
-    trialsCache.computeIfAbsent((spark.sparkContext.applicationId, cfg),
+  def sharedTrials(spark: SparkSession, cfg: Config): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    if (evictionHooked.add(appId)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          // the context is gone — drop the map references (no unpersist)
+          trialsCache.keySet.forEach { k =>
+            if (k._1 == appId) { trialsCache.remove(k); () }
+          }
+          evictionHooked.remove(appId); ()
+        }
+      })
+    }
+    trialsCache.computeIfAbsent((appId, cfg),
       _ => monteCarloTrials(spark, cfg).persist(StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Unpersist and forget this session's cached trials tables. Call when
    * sweeping many configs in one long-lived session — each distinct
@@ -147,13 +164,15 @@ object VarPipeline {
       .orderBy(col("date"))
   }
 
-  /** VaR sliced by a portfolio dimension (country / industry) —
-   * `04_var_aggregation.py:86-123`. */
+  /** VaR and expected shortfall sliced by a portfolio dimension (country /
+   * industry) — `04_var_aggregation.py:86-123`, ES per slice matching
+   * [[portfolioVar]]. */
   def varBySlice(spark: SparkSession, sliceCol: String, cfg: Config = Config(),
-      pf: Option[DataFrame] = None): DataFrame = {
+      pf: Option[DataFrame] = None, withShortfall: Boolean = true): DataFrame = {
     val weighted = VarAggregation.weightedTrials(
       trialsFor(spark, cfg, pf), pf.getOrElse(portfolio(spark, cfg)))
-    VarAggregation.varByGroup(weighted, Seq("date", sliceCol), cfg.confidence)
+    VarAggregation.varByGroup(weighted, Seq("date", sliceCol), cfg.confidence,
+        withShortfall)
       .orderBy(col("date"), col(sliceCol))
   }
 

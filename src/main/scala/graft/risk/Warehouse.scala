@@ -92,6 +92,10 @@ object Warehouse {
    * live in volatile executor memory (a `localCheckpoint` spelling would
    * lose the table if an executor died mid-overwrite); a crash between
    * the two writes leaves the staging table on disk for recovery.
+   *
+   * `updates` must be key-unique at each version: two update rows with
+   * the same (keys, versionCol) tie in the latest-per-key rank and which
+   * survives is nondeterministic — dedupe upstream if that can occur.
    */
   def upsertTable(spark: SparkSession, table: String, updates: DataFrame,
       keys: Seq[String], versionCol: String,
@@ -107,6 +111,13 @@ object Warehouse {
     val cluster = if (clusterCols.nonEmpty) clusterCols else keys
     saveTable(spark, merged, staging, cluster)
     saveTable(spark, spark.table(staging), table, cluster)
-    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    // quote each identifier part separately: backticking the whole name
+    // would turn a qualified db.tbl staging name into a literal lookup
+    // that silently no-ops and leaks the staging table
+    spark.sql(s"DROP TABLE IF EXISTS ${quoteParts(staging)}")
   }
+
+  /** `db.tbl` → `` `db`.`tbl` `` (each part quoted separately). */
+  private def quoteParts(name: String): String =
+    name.split('.').map(p => s"`$p`").mkString(".")
 }

@@ -277,14 +277,15 @@ class DataSpec extends SparkSpec {
     assert(nested(0) == "x <URL> y")
   }
 
-  test("piiCounts tallies hits without double-counting URL innards") {
-    val r = Seq("a@b.cd and http://h.io/u@v.wx plus 10.0.0.1 and 8.8.8.8")
+  test("piiCounts mirrors redaction order: URL innards count once, as URL") {
+    val r = Seq("a@b.cd and http://h.io/u@v.wx plus 10.0.0.1 and 8.8.8.8 " +
+        "call +1 555 010 1234 now")
       .toDF("text").select(TextFunctions.piiCounts(col("text")).as("p"))
-      .select(col("p.urls"), col("p.emails"), col("p.ips"))
-      .as[(Int, Int, Int)].collect().head
-    // the URL-embedded email still email-matches (counts are per-pattern
-    // on raw text), but IPs are counted after URL masking
-    assert(r == ((1, 2, 2)))
+      .select(col("p.urls"), col("p.emails"), col("p.ips"), col("p.phones"))
+      .as[(Int, Int, Int, Int)].collect().head
+    // each kind counts on the previous stage's masked text, so the
+    // URL-embedded email is a URL hit only — exactly what redactPii does
+    assert(r == ((1, 1, 2, 1)))
   }
 
   test("c4 line filter keeps punctuated >=5-word lines; doc keep applies") {

@@ -44,6 +44,32 @@ class PcaSpec extends SparkSpec {
     assert(m.basis.forall(b => b(b.indices.maxBy(i => math.abs(b(i)))) > 0))
   }
 
+  test("fitSampled basis matches the full-fit basis on low-rank data") {
+    val df = planted(4000).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("id", "embedding")
+    val full = Pca.fit(df, "embedding", k = 2)
+    // 30% hash-sample: still ~1200 rows >> the 2 planted axes
+    val sampled = Pca.fitSampled(df, "embedding", k = 2, key = $"id", num = 3000)
+    assert(sampled.n < full.n && sampled.n > 800, s"sample size ${sampled.n}")
+    // principal angles: |cos| between corresponding components near 1
+    sampled.basis.zip(full.basis).zipWithIndex.foreach { case ((s, f), c) =>
+      val cos = s.zip(f).map { case (a, b) => a * b }.sum
+      assert(math.abs(cos) > 0.99, s"component $c principal angle too wide: cos=$cos")
+    }
+    // determinism: same call -> identical model
+    val again = Pca.fitSampled(df, "embedding", k = 2, key = $"id", num = 3000)
+    assert(again.basis.map(_.toSeq).toSeq == sampled.basis.map(_.toSeq).toSeq)
+  }
+
+  test("fit fails fast on NaN/Inf components instead of corrupting moments") {
+    val bad = Seq(Tuple1(Array(1.0f, Float.NaN, 0.5f)),
+      Tuple1(Array(0.1f, 0.2f, 0.3f))).toDF("embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      Pca.fit(bad, "embedding", k = 1)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("fit is bit-deterministic across partitionings; projection centered") {
     val data = planted(1500).map(Tuple1(_)).toSeq
     val m1 = Pca.fit(data.toDF("embedding").repartition(1), "embedding", 2)

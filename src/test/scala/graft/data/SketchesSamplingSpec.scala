@@ -28,6 +28,16 @@ class SketchesSamplingSpec extends SparkSpec {
     assert(a == b) // same distinct set -> identical sketch state
   }
 
+  test("hllDistinct: nulls are ignored, matching COUNT(DISTINCT)") {
+    val base = (0 until 200).map(i => ("g", s"id_$i"))
+    val withNulls = base ++ Seq(("g", null), ("g", null), ("g", null))
+    val a = Sketches.hllDistinct(base.toDF("g", "v"), Seq("g"), $"v")
+      .select($"hll_state").as[Long].collect().head
+    val b = Sketches.hllDistinct(withNulls.toDF("g", "v"), Seq("g"), $"v")
+      .select($"hll_state").as[Long].collect().head
+    assert(a == b) // a phantom null register would shift the state
+  }
+
   test("hllDistinct: small-range linear counting kicks in and is near-exact") {
     val df = (0 until 30).map(i => ("g", s"k$i")).toDF("g", "v")
     val est = Sketches.hllDistinct(df, Seq("g"), $"v")

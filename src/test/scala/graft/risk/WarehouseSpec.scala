@@ -164,4 +164,21 @@ class WarehouseSpec extends SparkSpec {
       assert(k1 == Seq("new1"))
     } finally Warehouse.teardown(spark, "graft_upsert_spec")
   }
+
+  test("upsertTable with a qualified db.tbl name drops its staging table") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_wh6").toString
+    Warehouse.createAndUse(spark, "graft_qual_spec", loc)
+    try {
+      import spark.implicits._
+      val base = Seq(("k1", 1L, "a")).toDF("k", "ver", "payload")
+      Warehouse.saveTable(spark, base, "graft_qual_spec.q_t", Seq("k"))
+      Warehouse.upsertTable(spark, "graft_qual_spec.q_t",
+        Seq(("k1", 2L, "b")).toDF("k", "ver", "payload"), Seq("k"), "ver")
+      val got = Warehouse.table(spark, "graft_qual_spec.q_t")
+        .select($"payload").as[String].collect().toSeq
+      assert(got == Seq("b"))
+      // whole-name backticks would leave the staging table behind
+      assert(!spark.catalog.tableExists("graft_qual_spec.q_t__upsert_staging"))
+    } finally Warehouse.teardown(spark, "graft_qual_spec")
+  }
 }
