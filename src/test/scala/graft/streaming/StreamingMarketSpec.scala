@@ -163,6 +163,39 @@ class StreamingMarketSpec extends SparkSpec {
     q.stop()
   }
 
+  test("readPriceStream: parquet file source feeds runningLogReturns, batch parity") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val batch1 = Seq(PriceTick("A", ts(1), 100.0), PriceTick("A", ts(2), 110.0),
+      PriceTick("B", ts(1), 50.0))
+    val batch2 = Seq(PriceTick("A", ts(3), 121.0), PriceTick("B", ts(2), 55.0))
+    def land(rows: Seq[PriceTick]): Unit =
+      rows.toDS().toDF().write.mode("append").parquet(dir)
+
+    land(batch1)
+    val q = runningLogReturns(readPriceStream(spark, dir))
+      .writeStream.format("memory").queryName("filerets")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    land(batch2) // the file source must discover files landing mid-stream
+    q.processAllAvailable()
+
+    def canon(rows: Seq[(String, Timestamp, Double)]) = rows
+      .map { case (t, time, ret) => (t, time.toString.take(10),
+        BigDecimal(ret).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sorted
+    val got = canon(spark.table("filerets").as[ReturnTick].collect()
+      .map(r => (r.ticker, r.ts, r.ret)).toSeq)
+    // batch twin: the SAME files through the batch W1 window function
+    import org.apache.spark.sql.functions.col
+    val expect = canon(graft.risk.Returns.dailyLogReturns(
+        spark.read.parquet(dir), dateCol = "ts")
+      .select(col("ticker"), col("ts"), col("return"))
+      .as[(String, Timestamp, Double)].collect().toSeq)
+    assert(got == expect && got.size == 5)
+    q.stop()
+  }
+
   test("chunked rolling stats == unpartitioned rolling stats") {
     import org.apache.spark.sql.functions._
     val days = (1 to 60).map(d => (Timestamp.valueOf(f"2024-${1 + (d - 1) / 28}%02d-${1 + (d - 1) % 28}%02d 00:00:00"),
