@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.risk.{AsOfJoin, Calendar, MonteCarlo, Returns, Training, VarPipeline, functions => R}
-import graft.data.{Dedup, Multimodal, Similarity, TextFunctions => T}
+import graft.data.{Dedup, Multimodal, Pq, Similarity, TextFunctions => T}
 
 /**
  * Driver contract — one `queries` entry per implemented operator from
@@ -404,6 +404,48 @@ object SparkEntry {
       val cents = Similarity.trainIvfCentroids(e, "v", nCells = 8, dim = 64, iters = 3)
       Similarity.ivfTopKWith(e.filter(col("vec_id") < 20), e, "vec_id", "v",
           k = 3, nProbe = 2, cents)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // exact duplicate-substring spans (Lee et al. 2022, k-gram form)
+    "q63_dup_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", k = 30)
+        .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"), col("n_grams"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+    // ------------------------------- product quantization (PQ) retrieval
+    "q62_pq_encode" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      e.select(col("vec_id"), posexplode(Pq.encode(col("v"), pqCb)))
+        .toDF("vec_id", "sub", "code")
+        .orderBy(col("vec_id"), col("sub"))
+    }),
+    "q62b_pq_adc" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Pq.pqTopK(e.filter(col("vec_id") < 20), e, "vec_id", "v", k = 3, pqCb)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q62c_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Pq.ivfPqTopK(e.filter(col("vec_id") < 20), e, "vec_id", "v", k = 3,
+          nProbe = 2, coarse = Similarity.planes(8, 64), cb = pqCb)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // two-stage retrieval: ADC shortlist (refine=20), exact-cosine re-rank
+    "q62d_pq_refine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Pq.pqTopK(e.filter(col("vec_id") < 20), e, "vec_id", "v", k = 3, pqCb,
+          refine = 20)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rank"))
@@ -940,6 +982,46 @@ object SparkEntry {
     s"($i, [${p.mkString(", ")}])"
   }.mkString(", ")
 
+  /** PQ codebook used by q62*: 8 subspaces × 16 codes × 8 dims. */
+  private val pqCb = Pq.seedCodebook(8, 16, 8)
+
+  /** Codebook literals (sub, code, cent, |cent|²) identical to [[pqCb]] —
+   * |cent|² embedded so the oracle's distance spelling matches Spark's
+   * `|x|² - 2<x,c> + |c|²` bit for bit. */
+  private val pqCbSql = pqCb.zipWithIndex.flatMap { case (codes, sub) =>
+    codes.zipWithIndex.map { case (c, code) =>
+      s"($sub, $code, [${c.mkString(", ")}], ${Pq.norm2(c)})"
+    }
+  }.mkString(", ")
+
+  /** Shared q62 oracle prelude: PQ codes (min-dist, ties to lower code),
+   * per-corpus-row code lists, and per-query ADC LUTs. */
+  private val pqEncSql =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb AS (SELECT * FROM (VALUES $pqCbSql) cb(sub, code, cent, cn2)),
+       |pqd AS (SELECT e.vec_id, cb.sub, cb.code,
+       |    list_dot_product(list_slice(e.v, cb.sub*8+1, cb.sub*8+8),
+       |                     list_slice(e.v, cb.sub*8+1, cb.sub*8+8))
+       |    - 2*list_dot_product(list_slice(e.v, cb.sub*8+1, cb.sub*8+8), cb.cent)
+       |    + cb.cn2 AS dist
+       |  FROM e CROSS JOIN cb),
+       |pqm AS (SELECT vec_id, sub, min(dist) AS md FROM pqd GROUP BY vec_id, sub),
+       |enc AS (SELECT pqd.vec_id, pqd.sub, min(pqd.code) AS code
+       |  FROM pqd JOIN pqm ON pqm.vec_id = pqd.vec_id AND pqm.sub = pqd.sub
+       |    AND pqd.dist = pqm.md
+       |  GROUP BY pqd.vec_id, pqd.sub)""".stripMargin
+
+  private val pqLutSql =
+    s"""codes AS (SELECT vec_id, list(code ORDER BY sub) AS cs FROM enc GROUP BY vec_id),
+       |lutrow AS (SELECT e.vec_id, cb.sub,
+       |    list(list_dot_product(list_slice(e.v, cb.sub*8+1, cb.sub*8+8), cb.cent)
+       |         ORDER BY cb.code) AS lr
+       |  FROM e CROSS JOIN cb WHERE e.vec_id < 20 GROUP BY e.vec_id, cb.sub),
+       |luts AS (SELECT vec_id, list(lr ORDER BY sub) AS lut FROM lutrow GROUP BY vec_id)""".stripMargin
+
+  /** Explicit left-to-right addition chain = PqAdc's sequential sum. */
+  private val pqAdcChain = (1 to 8).map(s => s"l.lut[$s][c.cs[$s]+1]").mkString(" + ")
+
   /** Multi-table plane literals identical to q27d's 16 tables x 4 planes
    * (table t uses the independent family at offset t*4). */
   private val mtPlanesSql = (0 until 16).flatMap { tbl =>
@@ -1307,6 +1389,82 @@ object SparkEntry {
          |  JOIN buck bc ON bc.bucket = bq.bucket
          |  JOIN e c ON c.vec_id = bc.vec_id
          |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q63_dup_spans" ->
+      s"""WITH norm AS (SELECT doc_id,
+         |  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents),
+         |p AS (SELECT doc_id, t,
+         |  CAST(unnest(range(1, greatest(len(t) - 28, 1))) AS BIGINT) AS pos FROM norm),
+         |g AS (SELECT doc_id, pos,
+         |  ${h60Sql("substr(t, CAST(pos AS INT), 30)")} AS h FROM p),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+         |d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+         |b AS (SELECT doc_id, pos,
+         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
+         |    THEN 0 ELSE 1 END AS brk FROM d),
+         |s AS (SELECT doc_id, pos,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM b)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
+         |  count(*) AS n_grams
+         |FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+    "q62_pq_encode" ->
+      s"""WITH $pqEncSql
+         |SELECT vec_id, sub, code FROM enc ORDER BY vec_id, sub""".stripMargin,
+    "q62b_pq_adc" ->
+      s"""WITH $pqEncSql,
+         |$pqLutSql,
+         |sc AS (SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $pqAdcChain AS score
+         |  FROM luts l CROSS JOIN codes c WHERE l.vec_id <> c.vec_id)
+         |SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM sc)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q62c_ivfpq" ->
+      s"""WITH $pqEncSql,
+         |$pqLutSql,
+         |planes AS (SELECT * FROM (VALUES $planesSql) pl(p, coef)),
+         |cellsim AS (SELECT vec_id, p, list_dot_product(v, coef) AS s
+         |  FROM e CROSS JOIN planes),
+         |ccell AS (SELECT vec_id, p AS cell FROM cellsim
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, p DESC) = 1),
+         |qcell AS (SELECT vec_id, p AS cell FROM cellsim WHERE vec_id < 20
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, p DESC) <= 2),
+         |sc AS (SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $pqAdcChain AS score
+         |  FROM qcell JOIN luts l ON l.vec_id = qcell.vec_id
+         |  JOIN ccell ON ccell.cell = qcell.cell
+         |  JOIN codes c ON c.vec_id = ccell.vec_id
+         |  WHERE l.vec_id <> c.vec_id)
+         |SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM sc)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q62d_pq_refine" ->
+      s"""WITH $pqEncSql,
+         |$pqLutSql,
+         |sc AS (SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $pqAdcChain AS score
+         |  FROM luts l CROSS JOIN codes c WHERE l.vec_id <> c.vec_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS r
+         |  FROM sc) WHERE r <= 20)
+         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim,
+         |    row_number() OVER (PARTITION BY cand.query_id
+         |      ORDER BY list_dot_product(q.v, c.v) /
+         |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+         |        cand.neighbor_id) AS rank
+         |  FROM cand JOIN e q ON q.vec_id = cand.query_id
+         |  JOIN e c ON c.vec_id = cand.neighbor_id)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q28_multimodal" ->
       s"""SELECT format, count(*) AS n, CAST(sum(byte_len) AS BIGINT) AS sum_bytes,

@@ -334,6 +334,59 @@ object Dedup {
     deduplicate(exact, idCol, pairs)
   }
 
+  /**
+   * Exact duplicate-SUBSTRING span detection — the suffix-array pass of
+   * Lee et al., "Deduplicating Training Data Makes Language Models
+   * Better" (ACL 2022), re-expressed as a distributed k-gram join (their
+   * single-node suffix array cannot shard; the k-gram form is the
+   * standard distributed equivalent and finds the same ≥ k-char repeats).
+   *
+   * A position is "duplicated" when its k-character gram (of the
+   * NORMALIZED text — [[TextFunctions.normalizeText]]) occurs at ≥
+   * `minCount` positions corpus-wide (cross- or within-document). Per
+   * document, duplicated positions at gaps ≤ k merge into maximal spans:
+   * any shared substring of length L ≥ k yields exactly one span
+   * covering it (its L−k+1 gram starts are ≤ 1 apart). Output:
+   * `(doc_id, span_start, span_end, n_grams)` — 1-based inclusive char
+   * offsets into the normalized text.
+   *
+   * Scale shape: |total chars| gram rows is the honest cost of exact
+   * substring dedup; both shuffles are keyed by the 60-bit gram hash
+   * (uniform — the count agg is map-side combinable, and AQE skew-join
+   * covers a corpus-hot phrase in the join-back), then one per-doc
+   * window merges runs. Nothing is broadcast or collected.
+   */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = TextFunctions.normalizeText(col(textCol))
+    val gramHashes = when(length(norm) >= k,
+        transform(sequence(lit(1), length(norm) - k + 1),
+          i => TextFunctions.hash60(norm.substr(i, lit(k)))))
+      .otherwise(array().cast("array<long>"))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), posexplode(gramHashes))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val dupHashes = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(dupHashes, Seq("h"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("grp", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("grp")
+  }
+
   /** Spread a (typically single-file) input across the session's
    * parallelism for CPU-bound pair scans. */
   private def repartitioned(df: DataFrame): DataFrame =

@@ -1,0 +1,251 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Product quantization (PQ) for embedding columns — the memory-bound
+ * scale path for similarity search at corpus sizes where even IVF cell
+ * scans are dominated by reading full float vectors.
+ *
+ * A `dim`-dimensional vector is split into `m` contiguous subvectors of
+ * `subDim = dim / m` components; each subvector is replaced by the id of
+ * its nearest centroid from a per-subspace codebook of `ksub` entries
+ * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+ * Search", IEEE TPAMI 2011). A 64-dim float vector (256 B) becomes `m`
+ * small ints (8 B at m=8) — a 32× scan-size reduction, which at 100 TB
+ * is the difference between an in-memory candidate scan and an I/O-bound
+ * one.
+ *
+ * Query-time scoring is ADC (asymmetric distance computation): the query
+ * stays un-quantized; a per-query lookup table
+ * `lut[sub][code] = <q_sub, centroid[sub][code]>` turns the approximate
+ * inner product into `m` table lookups + adds per corpus row — no float
+ * dot products touch the corpus side. The hot loop is the codegen'd
+ * native [[graft.plans.PqAdc]] (`pq_adc`).
+ *
+ * Determinism & oracle parity: the seed codebook is MD5-derived (like
+ * [[Similarity.planeCoef]]) so an external SQL engine can rebuild the
+ * exact codes; distances are spelled `|x|² - 2<x,c> + |c|²` with the
+ * dot products summed sequentially (bit-identical to DuckDB's
+ * `list_dot_product`) and `|c|²` embedded as a driver-computed literal,
+ * so encode and ADC scores hash-match across engines. Argmin ties break
+ * toward the LOWER code id in both spellings.
+ *
+ * Scale notes: encoding is a narrow per-row map (no shuffle); the flat
+ * ADC scan broadcasts only the (small) query LUTs; [[ivfPqTopK]] joins
+ * on the coarse cell id so each query scores only its probed cells'
+ * codes. Codebooks are KBs and live on the driver by design.
+ *
+ * Reference scope: beyond-reference LLM-pipeline operator (the reference
+ * has no ANN surface); companion to `Similarity.ivfTopK`
+ * (`03_var_monte_carlo.py`'s scale ethos applied to retrieval).
+ */
+object Pq {
+
+  /** codebook(sub)(code) = centroid vector; dims implied by shape. */
+  type Codebook = Array[Array[Array[Double]]]
+
+  /** Deterministic MD5-derived seed coefficient in [-0.25, 0.25) — the
+   * component scale of unit-norm embeddings (namespaced so no value
+   * collides with [[Similarity.planeCoef]]'s families). */
+  def codeCoef(sub: Int, code: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"pq_${sub}_${code}_$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(7)
+    val h = java.lang.Long.parseLong(hex, 16)
+    (h % 2001 - 1000) / 4000.0
+  }
+
+  /** Untrained, engine-portable codebook: `m` subspaces × `ksub` codes
+   * × `subDim` components. */
+  def seedCodebook(m: Int, ksub: Int, subDim: Int): Codebook =
+    Array.tabulate(m, ksub, subDim)(codeCoef)
+
+  private def lits(xs: Array[Double]): Column = array(xs.toIndexedSeq.map(lit): _*)
+
+  /** |c|² computed once on the driver, embedded as a literal (sequential
+   * sum — same value an external engine derives from the same literals). */
+  def norm2(c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  /** Squared L2 distance from the `sub`-th subvector of `v` to centroid
+   * `c`, spelled `|x|² - 2<x,c> + |c|²` for cross-engine bit parity. */
+  private def subDist(v: Column, sub: Int, subDim: Int, c: Array[Double]): Column = {
+    val xs = slice(v, sub * subDim + 1, subDim)
+    Similarity.dotNative(xs, xs) -
+      lit(2.0) * Similarity.dotNative(xs, lits(c)) + lit(norm2(c))
+  }
+
+  /** PQ codes for `v`: `array<int>` of length `m`; per subspace the
+   * argmin-distance code, ties to the lower code id. */
+  def encode(v: Column, cb: Codebook): Column = {
+    val subDim = cb(0)(0).length
+    array(cb.indices.map { sub =>
+      sort_array(array(cb(sub).indices.map { code =>
+        struct(subDist(v, sub, subDim, cb(sub)(code)).as("d"), lit(code).as("code"))
+      }: _*))(0)("code")
+    }: _*)
+  }
+
+  /** Per-query ADC lookup table: `lut[sub][code] = <q_sub, centroid>`
+   * (`array<array<double>>`, m × ksub). */
+  def lutFor(v: Column, cb: Codebook): Column = {
+    val subDim = cb(0)(0).length
+    array(cb.indices.map { sub =>
+      array(cb(sub).indices.map { code =>
+        Similarity.dotNative(slice(v, sub * subDim + 1, subDim), lits(cb(sub)(code)))
+      }: _*)
+    }: _*)
+  }
+
+  /** Approximate inner product via the codegen'd native lookup-sum;
+   * requires `graft.plans.GraftExtensions` (all graft entries register it). */
+  def adcScore(codes: Column, lut: Column): Column =
+    call_function("pq_adc", codes, lut)
+
+  private def rankCol(score: Column) = row_number().over(
+    Window.partitionBy(col("query_id")).orderBy(score.desc, col("neighbor_id")))
+
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /**
+   * Flat-PQ top-k by approximate inner product: the corpus is scanned as
+   * codes only (encoded once, inline here; persist the encoded table for
+   * repeated query batches), each row scored by `m` lookups against the
+   * broadcast query LUTs. With `refine > 0`, the top-`refine` ADC
+   * candidates per query are re-ranked by EXACT cosine — the standard
+   * two-stage retrieval: the wide float vectors are fetched (joined back)
+   * for only `refine` rows per query instead of the whole corpus.
+   */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cb: Codebook,
+      refine: Int = 0): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), lutFor(col(vecCol), cb).as("q_lut"))
+    val c = spread(corpus).select(col(idCol).as("c_id"), encode(col(vecCol), cb).as("c_codes"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        adcScore(col("c_codes"), col("q_lut")).as("score"))
+    if (refine <= 0) {
+      scored.withColumn("rank", rankCol(col("score"))).filter(col("rank") <= k)
+    } else {
+      require(refine >= k, s"refine ($refine) must be >= k ($k)")
+      val cand = scored.withColumn("rank", rankCol(col("score")))
+        .filter(col("rank") <= refine)
+        .select(col("query_id"), col("neighbor_id"))
+      // fetch float vectors for the short candidate list only
+      val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"),
+        Similarity.norm(col(vecCol)).as("q_n"))
+      val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"),
+        Similarity.norm(col(vecCol)).as("c_n"))
+      val exact = cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          (Similarity.dotNative(col("q_v"), col("c_v")) / (col("q_n") * col("c_n"))).as("sim"))
+      exact.withColumn("rank", rankCol(col("sim"))).filter(col("rank") <= k)
+    }
+  }
+
+  /** Per-centroid coarse-cell scores (same spelling as
+   * `Similarity.ivfTopKWith` — max dot, ties to the larger cell id). */
+  private def cellSims(v: Column, cents: Array[Array[Double]]): Column =
+    array(cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(Similarity.dotNative(v, lits(c)).as("s"), lit(i).as("cell"))
+    }: _*)
+
+  /**
+   * IVF-PQ: corpus rows live in their best coarse cell storing only PQ
+   * codes; queries probe `nProbe` cells and ADC-score just those cells'
+   * codes. The join key is the small cell int — the corpus codes shuffle
+   * at most once, and the per-query work is |probed cells| × m lookups.
+   */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      coarse: Array[Array[Double]],
+      cb: Codebook): DataFrame = {
+    val c = spread(corpus).select(col(idCol).as("c_id"),
+        encode(col(vecCol), cb).as("c_codes"),
+        sort_array(cellSims(col(vecCol), coarse), asc = false)(0)("cell").as("cell"))
+    val q = queries.select(col(idCol).as("q_id"), lutFor(col(vecCol), cb).as("q_lut"),
+        explode(slice(transform(sort_array(cellSims(col(vecCol), coarse), asc = false),
+          s => s("cell")), 1, nProbe)).as("cell"))
+    broadcast(q).join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        adcScore(col("c_codes"), col("q_lut")).as("score"))
+      .withColumn("rank", rankCol(col("score")))
+      .filter(col("rank") <= k)
+  }
+
+  /**
+   * Distributed per-subspace Lloyd k-means for the codebook (the train
+   * step [[seedCodebook]] stands in for). One `posexplode` fans each
+   * vector into its `m` subvectors, then per iteration ONE hash
+   * aggregation recomputes all `m × ksub` centroids — element-wise
+   * partial sums mean only `m × ksub × subDim` doubles cross the wire
+   * regardless of corpus size. Deterministic: MD5-seeded init, ties to
+   * the lower code, empty cells keep their previous centroid.
+   */
+  def trainCodebook(
+      vectors: DataFrame,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      dim: Int,
+      iters: Int = 5): Codebook = {
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    val subDim = dim / m
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val subs = spread(vectors)
+      .select(posexplode(array((0 until m).map(s =>
+        slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)): _*)))
+      .toDF("sub", "xs")
+      .cache()
+    var cb = seedCodebook(m, ksub, subDim)
+    try {
+      for (_ <- 0 until iters) {
+        // nearest code per (sub, xs): build the per-sub distance structs
+        // with a CASE over sub so one expression serves every subspace
+        val distStructs = (0 until ksub).map { code =>
+          val d = (0 until m).map { sub =>
+            (col("sub") === sub,
+              Similarity.dotNative(col("xs"), col("xs")) -
+                lit(2.0) * Similarity.dotNative(col("xs"), lits(cb(sub)(code))) +
+                lit(norm2(cb(sub)(code))))
+          }.foldLeft(lit(Double.MaxValue)) { case (acc, (p, e)) => when(p, e).otherwise(acc) }
+          struct(d.as("d"), lit(code).as("code"))
+        }
+        val stats = subs
+          .withColumn("code", sort_array(array(distStructs: _*))(0)("code"))
+          .groupBy(col("sub"), col("code"))
+          .agg(count(lit(1)).as("n"),
+            vector_to_array(org.apache.spark.ml.stat.Summarizer
+              .sum(array_to_vector(col("xs")))).as("s"))
+          .collect()
+        val next = cb.map(_.map(_.clone()))
+        stats.foreach { r =>
+          val sub = r.getInt(0); val code = r.getInt(1)
+          val n = r.getLong(2).toDouble
+          next(sub)(code) = r.getSeq[Double](3).map(_ / n).toArray
+        }
+        cb = next
+      }
+      cb
+    } finally { subs.unpersist(); () }
+  }
+}

@@ -566,6 +566,69 @@ object WinnowFingerprint {
 }
 
 /**
+ * ADC (asymmetric distance computation) lookup-sum for product
+ * quantization: `sum over sub of lut[sub][codes[sub]]` — the hot loop of
+ * `graft.data.Pq.pqTopK`/`ivfPqTopK`, run once per (query, corpus-row)
+ * pair. The composable spelling
+ * (`aggregate(zip_with(codes, lut, (c, row) -> element_at(row, c + 1)), ...)`)
+ * pays three interpreted higher-order functions and an Integer boxing per
+ * subspace per pair; this compiles to `m` array reads + adds inside
+ * whole-stage codegen. Summation is sequential over sub = 0..m-1 —
+ * bit-identical to an external oracle's explicit left-to-right addition
+ * chain.
+ */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+          ArrayType(ArrayType(DoubleType, _), _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int> codes, array<array<double>> lut), got " +
+        s"${l.simpleString} and ${r.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = math.min(codes.numElements(), lut.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < m) { s += lut.getArray(i).getDouble(codes.getInt(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      s"""
+         |int $m = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $s += $b.getArray($i).getDouble($a.getInt($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdc {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pq_adc"),
+    new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+    (children: Seq[Expression]) => PqAdc(children(0), children(1)))
+}
+
+/**
  * Session extension registering graft's native expressions; enable with
  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
  */
@@ -579,5 +642,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(SimHash.descriptor)
     ext.injectFunction(PredictNonLinear.descriptor)
     ext.injectFunction(WinnowFingerprint.descriptor)
+    ext.injectFunction(PqAdc.descriptor)
   }
 }

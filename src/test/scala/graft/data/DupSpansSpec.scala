@@ -1,0 +1,68 @@
+package graft.data
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Planted-case semantics for [[Dedup.duplicateSpans]] (the distributed
+ * Lee-et-al. exact-substring pass): a substring shared verbatim by two
+ * documents must come back as one maximal span in each, unique text must
+ * produce nothing, and a within-document repeat counts as duplication.
+ */
+class DupSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val k = 10
+
+  private def spans(rows: (Long, String)*): Map[Long, Seq[(Long, Long)]] =
+    Dedup.duplicateSpans(rows.toDF("doc_id", "text"), "doc_id", "text", k)
+      .select($"doc_id", $"span_start".cast("long"), $"span_end".cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sorted.toSeq).toMap
+
+  test("a verbatim shared substring yields one maximal span per document") {
+    // the shared region includes its flanking spaces (both docs surround
+    // the block with a space): " the quick brown fox jumped " = 28 chars
+    val shared = "the quick brown fox jumped"
+    val out = spans(
+      1L -> s"aleph bet gimel $shared dalet he vav",
+      2L -> s"zxqwv $shared plugh xyzzy thud")
+    val sharedLen = shared.length + 2
+    // doc 1: "aleph bet gimel" = 15 chars → shared region starts at 16
+    assert(out(1L) === Seq((16L, 15L + sharedLen)))
+    // doc 2: "zxqwv" = 5 chars → shared region starts at 6
+    assert(out(2L) === Seq((6L, 5L + sharedLen)))
+  }
+
+  test("documents with no repeated k-gram produce no spans") {
+    val out = spans(
+      1L -> "completely unique first document body",
+      2L -> "another entirely different second text")
+    assert(out.isEmpty)
+  }
+
+  test("a within-document repeat is detected without a second document") {
+    val out = spans(3L -> "prefix one common shared block middle common shared block suffix")
+    // "common shared block" appears twice in doc 3 → two spans in the same doc
+    assert(out(3L).length === 2)
+  }
+
+  test("two separated shared blocks stay separate spans; gap <= k merges") {
+    val a = "first shared sentence block"
+    val b = "second shared ending portion"
+    // the gap has no internal k-gram repeat (a digit run would!) and is
+    // far longer than k ⇒ doc 1 keeps two separate spans
+    val out = spans(
+      1L -> s"$a abcdefghijklmnopqrstuvwxyz $b",
+      2L -> a,
+      3L -> b)
+    assert(out(1L).length === 2)
+    assert(out(2L).length === 1)
+    assert(out(3L).length === 1)
+  }
+
+  test("short texts (< k chars) are skipped") {
+    val out = spans(1L -> "tiny", 2L -> "tiny")
+    assert(out.isEmpty)
+  }
+}

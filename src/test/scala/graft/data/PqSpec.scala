@@ -1,0 +1,106 @@
+package graft.data
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Product quantization: encode/ADC semantics, native-vs-composable
+ * bit-equality, and recall gates vs the exact brute-force twin on the
+ * driver-generated sf0.01 embeddings (near-orthogonal — the same hard
+ * retrieval set RecallSpec documents; floors are empirical with margin,
+ * teeth shown by a deliberately tiny codebook).
+ */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  private lazy val queries = emb.filter($"vec_id" < 20)
+
+  private lazy val seed = Pq.seedCodebook(8, 16, 8)
+  private lazy val trained = Pq.trainCodebook(emb, "v", 8, 16, 64, iters = 5)
+  private lazy val tiny = Pq.seedCodebook(8, 2, 8)
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+
+  private lazy val exactTop3 =
+    pairs(Similarity.bruteForceTopK(queries, emb, "vec_id", "v", k = 3))
+
+  private def recall(approx: Set[(Long, Long)]): Double =
+    (approx & exactTop3).size.toDouble / exactTop3.size
+
+  /** Mean |ADC score − true inner product| over queries × corpus. */
+  private def quantErr(cb: Pq.Codebook): Double = {
+    val q = queries.select(col("v").as("q_v"), Pq.lutFor(col("v"), cb).as("lut"))
+    val c = emb.select(col("v").as("c_v"), Pq.encode(col("v"), cb).as("codes"))
+    q.crossJoin(c)
+      .select(abs(Pq.adcScore(col("codes"), col("lut")) -
+        Similarity.dotNative(col("q_v"), col("c_v"))).as("e"))
+      .agg(avg("e")).as[Double].head()
+  }
+
+  test("encode: one in-range code per subspace, deterministic") {
+    val codes = emb.select(col("vec_id"), Pq.encode(col("v"), seed).as("c"))
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.length === 500)
+    assert(codes.forall(_._2.length == 8))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 16)))
+    val again = emb.select(col("vec_id"), Pq.encode(col("v"), seed).as("c"))
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("pq_adc native expression is bit-identical to the composable spelling") {
+    val df = queries.select(Pq.lutFor(col("v"), seed).as("lut"),
+        Pq.encode(col("v"), seed).as("codes"))
+      .select(Pq.adcScore(col("codes"), col("lut")).as("native"),
+        aggregate(zip_with(col("codes"), col("lut"),
+          (c, row) => element_at(row, c + lit(1))), lit(0.0), _ + _).as("composed"))
+    assert(df.filter(col("native") =!= col("composed")).count() === 0L)
+  }
+
+  test("trained codebook cuts quantization error: trained < seed < tiny") {
+    val (et, es, ey) = (quantErr(trained), quantErr(seed), quantErr(tiny))
+    info(f"mean |ADC - dot|: trained=$et%.4f seed=$es%.4f tiny=$ey%.4f")
+    assert(et < es, "Lloyd-trained codebook must beat the MD5 seed codebook")
+    assert(es < ey, "16-code codebook must beat a 2-code one")
+  }
+
+  test("two-stage refine recall@3 >= 0.6 with trained codebook; tiny codebook has teeth") {
+    val good = recall(pairs(
+      Pq.pqTopK(queries, emb, "vec_id", "v", k = 3, trained, refine = 50)))
+    val bad = recall(pairs(
+      Pq.pqTopK(queries, emb, "vec_id", "v", k = 3, tiny, refine = 50)))
+    info(f"refine=50 recall@3: trained=$good%.3f tiny=$bad%.3f")
+    assert(good >= 0.6, f"trained refine recall $good%.3f below 0.6 floor")
+    assert(bad < 0.6, "degraded codebook should fall below the gate")
+  }
+
+  test("exact re-rank lifts recall over raw ADC ranking") {
+    val raw = recall(pairs(
+      Pq.pqTopK(queries, emb, "vec_id", "v", k = 3, trained)))
+    val refined = recall(pairs(
+      Pq.pqTopK(queries, emb, "vec_id", "v", k = 3, trained, refine = 50)))
+    info(f"recall@3: adc-only=$raw%.3f refined=$refined%.3f")
+    assert(refined > raw, "refine stage must improve over ADC-order top-k")
+  }
+
+  test("trainCodebook is deterministic across runs") {
+    val again = Pq.trainCodebook(emb, "v", 8, 16, 64, iters = 5)
+    assert(trained.flatten.flatten.toSeq === again.flatten.flatten.toSeq)
+  }
+
+  test("ivfPqTopK: at most k rows per query, self excluded") {
+    val out = Pq.ivfPqTopK(queries, emb, "vec_id", "v", k = 3,
+        nProbe = 4, coarse = Similarity.planes(8, 64), cb = trained)
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("rank")).as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (q, n, r) => q != n && r >= 1 && r <= 3 })
+    assert(out.groupBy(_._1).values.forall(_.length <= 3))
+  }
+}
