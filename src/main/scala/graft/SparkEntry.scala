@@ -408,6 +408,30 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // Gopher §A1.1 document-quality signals + keep decision
+    "q64_gopher_quality" -> ((s, dir) => {
+      // plant bullet/ellipsis lines so every signal is exercised
+      val aug = concat(col("text"), lit("\n"),
+        when(col("doc_id") % 3 === 0, lit("- bullet item"))
+          .otherwise(lit("normal line.")), lit("\n"),
+        when(col("doc_id") % 5 === 0, lit("trailing thought..."))
+          .otherwise(lit("closing line.")))
+      t(s, dir, "documents")
+        .select(col("source"), T.gopherStats(aug).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("g.n_words")).as("sum_words"),
+          // integer micro-units: exact under any summation order (q19 pattern)
+          sum(round(col("g.mean_word_len") * 1e6, 0).cast("long")).as("mwl_micros"),
+          sum(round(col("g.symbol_word_ratio") * 1e6, 0).cast("long")).as("swr_micros"),
+          sum(round(col("g.bullet_line_frac") * 1e6, 0).cast("long")).as("blf_micros"),
+          sum(round(col("g.ellipsis_line_frac") * 1e6, 0).cast("long")).as("elf_micros"),
+          sum(round(col("g.alpha_word_frac") * 1e6, 0).cast("long")).as("awf_micros"),
+          sum(col("g.stop_hits").cast("long")).as("sum_stop"),
+          sum(when(T.gopherKeep(col("g"), minWords = 20), lit(1L))
+            .otherwise(lit(0L))).as("n_keep"))
+        .orderBy(col("source"))
+    }),
     // exact duplicate-substring spans (Lee et al. 2022, k-gram form)
     "q63_dup_spans" -> ((s, dir) => {
       Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", k = 30)
@@ -1390,6 +1414,41 @@ object SparkEntry {
          |  JOIN e c ON c.vec_id = bc.vec_id
          |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q64_gopher_quality" ->
+      s"""WITH aug AS (SELECT source, concat(text, chr(10),
+         |    CASE WHEN doc_id % 3 = 0 THEN '- bullet item' ELSE 'normal line.' END,
+         |    chr(10),
+         |    CASE WHEN doc_id % 5 = 0 THEN 'trailing thought...' ELSE 'closing line.' END
+         |  ) AS text FROM documents),
+         |b AS (SELECT source, text, $tokSql AS toks,
+         |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+         |    l -> len(l) > 0) AS lines,
+         |  ${stopSql(T.StopEn)} AS stop_hits
+         |  FROM aug),
+         |st AS (SELECT source, len(toks) AS n_words, stop_hits,
+         |  CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE)
+         |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS mwl,
+         |  CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+         |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS swr,
+         |  CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE)
+         |    / CAST(greatest(len(lines), 1) AS DOUBLE) AS blf,
+         |  CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$$'))) AS DOUBLE)
+         |    / CAST(greatest(len(lines), 1) AS DOUBLE) AS elf,
+         |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+         |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS awf
+         |  FROM b)
+         |SELECT source, count(*) AS n, CAST(sum(n_words) AS BIGINT) AS sum_words,
+         |  CAST(sum(CAST(round(mwl*1000000, 0) AS BIGINT)) AS BIGINT) AS mwl_micros,
+         |  CAST(sum(CAST(round(swr*1000000, 0) AS BIGINT)) AS BIGINT) AS swr_micros,
+         |  CAST(sum(CAST(round(blf*1000000, 0) AS BIGINT)) AS BIGINT) AS blf_micros,
+         |  CAST(sum(CAST(round(elf*1000000, 0) AS BIGINT)) AS BIGINT) AS elf_micros,
+         |  CAST(sum(CAST(round(awf*1000000, 0) AS BIGINT)) AS BIGINT) AS awf_micros,
+         |  CAST(sum(stop_hits) AS BIGINT) AS sum_stop,
+         |  CAST(sum(CASE WHEN n_words BETWEEN 20 AND 100000
+         |    AND mwl BETWEEN 3.0 AND 10.0 AND swr <= 0.1 AND blf <= 0.9
+         |    AND elf <= 0.3 AND awf >= 0.8 AND stop_hits >= 2
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |FROM st GROUP BY source ORDER BY source""".stripMargin,
     "q63_dup_spans" ->
       s"""WITH norm AS (SELECT doc_id,
          |  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents),

@@ -206,6 +206,56 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
+  // ------------------------------------------ Gopher quality heuristics
+  // Rae et al. 2021 (Gopher) §A1.1 document filters, complementing the
+  // repetition signals above (typeTokenRatio/topTokenFraction/
+  // dupLineFraction cover §A1.2). All array lambdas + RE2-safe regexes —
+  // one pass, codegen, no UDF.
+
+  /**
+   * Gopher §A1.1 quality signals as one struct: word count, mean word
+   * length, symbol-to-word ratio (`#`/`...`), fraction of lines starting
+   * with a bullet, fraction ending in an ellipsis, fraction of words
+   * with ≥ 1 alphabetic char, and English function-word hits. Division
+   * spelling (`CAST(x AS DOUBLE) / greatest(n, 1)`) is fixed so external
+   * oracles reproduce values bit for bit.
+   */
+  def gopherStats(text: Column): Column = {
+    val toks = tokens(text)
+    val words = size(toks)
+    val wordsD = greatest(words, lit(1)).cast("double")
+    val lines = docLines(text)
+    val nLines = greatest(array_size(lines), lit(1)).cast("double")
+    val sumLen = aggregate(transform(toks, t => length(t)), lit(0), _ + _)
+    struct(
+      words.as("n_words"),
+      (sumLen.cast("double") / wordsD).as("mean_word_len"),
+      (size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).cast("double") /
+        wordsD).as("symbol_word_ratio"),
+      (size(filter(lines, l => l.rlike("^[-*•]"))).cast("double") /
+        nLines).as("bullet_line_frac"),
+      (size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast("double") /
+        nLines).as("ellipsis_line_frac"),
+      (size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") /
+        wordsD).as("alpha_word_frac"),
+      stopwordHits(tokens(lower(text)), StopEn).as("stop_hits"))
+  }
+
+  /** Gopher §A1.1 keep decision (paper thresholds as defaults): word
+   * count in [minWords, maxWords], mean word length in [3, 10], symbol
+   * ratio ≤ 0.1, ≤ 90% bullet lines, ≤ 30% ellipsis lines, ≥ 80%
+   * alphabetic words, ≥ 2 function-word hits. Pass a pre-computed
+   * [[gopherStats]] struct to score once and gate many ways. */
+  def gopherKeep(stats: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column =
+    stats("n_words").between(minWords, maxWords) &&
+      stats("mean_word_len").between(3.0, 10.0) &&
+      stats("symbol_word_ratio") <= 0.1 &&
+      stats("bullet_line_frac") <= 0.9 &&
+      stats("ellipsis_line_frac") <= 0.3 &&
+      stats("alpha_word_frac") >= 0.8 &&
+      stats("stop_hits") >= 2
+
   // --------------------------------------------------------- PII scrubbing
   // Patterns restricted to the regex subset Java regex and RE2 (DuckDB)
   // evaluate identically: character classes, bounded repeats, ASCII \b —

@@ -145,6 +145,38 @@ object StreamingMarket {
   }
 
   /**
+   * Stream-STREAM interval join: pair each price tick with the indicator
+   * ticks of the same ticker whose event time falls in
+   * `[price ts − tolerance, price ts]` — the quote-before-trade band
+   * join, the canonical two-stream enrichment (batch twin: the as-of
+   * band of `graft.risk.AsOfJoin`). Both sides carry a watermark and the
+   * join condition bounds event-time distance, so Spark derives exactly
+   * how long each side's state must be retained — bounded state on an
+   * endless pair of streams. Emits ALL in-band matches (append mode);
+   * keep the max `i_ts` per (ticker, ts) downstream when latest-only
+   * as-of semantics are wanted.
+   */
+  def enrichWithIndicators(
+      prices: DataFrame,
+      indicators: DataFrame,
+      watermark: String = "1 day",
+      tolerance: String = "10 minutes"): DataFrame = {
+    val p = prices
+      .select(col("ticker"), col("ts"), col("close"))
+      .withWatermark("ts", watermark)
+    val i = indicators
+      .select(col("ticker").as("i_ticker"), col("ts").as("i_ts"),
+        col("close").as("indicator_value"))
+      .withWatermark("i_ts", watermark)
+    p.join(i,
+      col("ticker") === col("i_ticker") &&
+        col("i_ts") >= col("ts") - expr(s"INTERVAL $tolerance") &&
+        col("i_ts") <= col("ts"))
+      .select(col("ticker"), col("ts"), col("close"),
+        col("i_ts"), col("indicator_value"))
+  }
+
+  /**
    * Streaming windowed VaR: per event-time window, collect the return
    * samples and evaluate the same linear-interpolation quantile as the
    * batch engine ([[graft.risk.functions.varAtVec]]) when the watermark

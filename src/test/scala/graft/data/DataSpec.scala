@@ -314,4 +314,36 @@ class DataSpec extends SparkSpec {
       assert(!k, poison.take(20))
     }
   }
+
+  test("gopherStats signals and gopherKeep thresholds (Gopher §A1.1)") {
+    def stats(text: String) = Seq(text).toDF("text")
+      .select(TextFunctions.gopherStats(col("text")).as("g")).select(
+        col("g.n_words"), col("g.mean_word_len"), col("g.symbol_word_ratio"),
+        col("g.bullet_line_frac"), col("g.ellipsis_line_frac"),
+        col("g.alpha_word_frac"), col("g.stop_hits"))
+      .as[(Int, Double, Double, Double, Double, Double, Int)].collect().head
+    def keep(text: String, minWords: Int = 50) = Seq(text).toDF("text")
+      .select(TextFunctions.gopherKeep(
+        TextFunctions.gopherStats(col("text")), minWords))
+      .as[Boolean].collect().head
+
+    // "the cat sat on the mat": 6 words, 17 chars of words, all alpha,
+    // 3 'the/on'-list hits ("the" x2 + "on"), no symbols or special lines
+    val s = stats("the cat sat on the mat")
+    assert(s._1 == 6 && s._2 == 17.0 / 6 && s._3 == 0.0 && s._6 == 1.0 && s._7 >= 2)
+
+    // bullet and ellipsis line fractions count planted lines
+    val lined = stats("- first bullet\n- second bullet\nplain line ends well...")
+    assert(lined._4 == 2.0 / 3 && lined._5 == 1.0 / 3)
+
+    // a plain 60-word English sentence passes
+    val good = ("the quick brown fox jumps over it " * 9) + "and rests."
+    assert(keep(good))
+    // symbol-heavy text fails the symbol-to-word gate
+    assert(!keep(("the word # tag # mark # it " * 9) + "end."))
+    // number-salad fails the alphabetic-word gate
+    assert(!keep(("the 12 34 56 78 90 11 22 " * 9) + "33."))
+    // too short fails the word-count gate
+    assert(!keep("the cat sat on the mat"))
+  }
 }

@@ -196,6 +196,56 @@ class StreamingMarketSpec extends SparkSpec {
     q.stop()
   }
 
+  test("enrichWithIndicators: stream-stream interval join matches the batch band join") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val prices = MemoryStream[PriceTick]
+    val indicators = MemoryStream[PriceTick]
+    val q = enrichWithIndicators(prices.toDF(), indicators.toDF(),
+        watermark = "1 day", tolerance = "6 hours")
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: in-band match (2h gap), out-of-band (8h gap), wrong ticker
+    prices.addData(PriceTick("A", ts(1, 12), 100.0), PriceTick("B", ts(1, 12), 50.0))
+    indicators.addData(PriceTick("A", ts(1, 10), 1.5), PriceTick("A", ts(1, 2), 9.9),
+      PriceTick("C", ts(1, 11), 7.7))
+    q.processAllAvailable()
+    // batch 2: a LATER price matches an indicator from batch 1's state
+    // (6h-tolerance band back from day2 00:00 reaches day1 18:00 — miss),
+    // plus a fresh in-band pair; then advance watermarks to flush
+    prices.addData(PriceTick("A", ts(2, 1), 110.0))
+    indicators.addData(PriceTick("A", ts(1, 23), 2.5))
+    q.processAllAvailable()
+    prices.addData(PriceTick("A", ts(9), 1.0))
+    indicators.addData(PriceTick("A", ts(9), 1.0))
+    q.processAllAvailable()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("ticker"), col("ts").cast("string"),
+        col("close"), col("i_ts").cast("string"), col("indicator_value"))
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = canon(spark.table("enrich"))
+    // batch twin: same rows, same band predicate, plain join
+    val allP = Seq(PriceTick("A", ts(1, 12), 100.0), PriceTick("B", ts(1, 12), 50.0),
+      PriceTick("A", ts(2, 1), 110.0), PriceTick("A", ts(9), 1.0)).toDF()
+    val allI = Seq(PriceTick("A", ts(1, 10), 1.5), PriceTick("A", ts(1, 2), 9.9),
+      PriceTick("C", ts(1, 11), 7.7), PriceTick("A", ts(1, 23), 2.5),
+      PriceTick("A", ts(9), 1.0)).toDF()
+      .select(col("ticker").as("i_ticker"), col("ts").as("i_ts"),
+        col("close").as("indicator_value"))
+    val batch = canon(allP.join(allI,
+      col("ticker") === col("i_ticker") &&
+        col("i_ts") >= col("ts") - expr("INTERVAL 6 hours") &&
+        col("i_ts") <= col("ts"))
+      .select(col("ticker"), col("ts"), col("close"), col("i_ts"),
+        col("indicator_value")))
+    // expected pairs: (A day1-12h, A day1-10h) and (A day2-1h, A day1-23h)
+    // and the day-9 flush pair
+    assert(streamed == batch && streamed.size == 3)
+    q.stop()
+  }
+
   test("chunked rolling stats == unpartitioned rolling stats") {
     import org.apache.spark.sql.functions._
     val days = (1 to 60).map(d => (Timestamp.valueOf(f"2024-${1 + (d - 1) / 28}%02d-${1 + (d - 1) % 28}%02d 00:00:00"),
