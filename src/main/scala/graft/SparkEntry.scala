@@ -408,6 +408,20 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // train/benchmark decontamination: shingle overlap vs the test split
+    "q65_decontaminate" -> ((s, dir) => {
+      import graft.data.Sampling
+      val d = t(s, dir, "documents").withColumn("split",
+        Sampling.hashSplit(col("doc_id"),
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)))
+      Dedup.contamination(
+          d.filter(col("split") =!= "test"), d.filter(col("split") === "test"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_shared"),
+          col("n_grams").cast("long").as("n_grams"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy(col("doc_id"))
+    }),
     // Gopher §A1.1 document-quality signals + keep decision
     "q64_gopher_quality" -> ((s, dir) => {
       // plant bullet/ellipsis lines so every signal is exercised
@@ -1414,6 +1428,20 @@ object SparkEntry {
          |  JOIN e c ON c.vec_id = bc.vec_id
          |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q65_decontaminate" ->
+      s"""WITH base AS (SELECT doc_id, sh,
+         |    ${h60Sql("concat(CAST(doc_id AS VARCHAR), '')")} % 10000 AS slot
+         |  FROM (SELECT doc_id, $shingleSql AS sh
+         |        FROM (SELECT doc_id, text, $tokSql AS toks FROM documents))
+         |  WHERE len(sh) > 0),
+         |cand AS (SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS h
+         |  FROM base WHERE slot < 9000),
+         |bench AS (SELECT DISTINCT h FROM
+         |  (SELECT unnest(sh) AS h FROM base WHERE slot >= 9000))
+         |SELECT doc_id, count(*) AS n_shared, n_grams,
+         |  round(CAST(count(*) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS containment
+         |FROM cand JOIN bench USING (h)
+         |GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin,
     "q64_gopher_quality" ->
       s"""WITH aug AS (SELECT source, concat(text, chr(10),
          |    CASE WHEN doc_id % 3 = 0 THEN '- bullet item' ELSE 'normal line.' END,

@@ -32,7 +32,13 @@ object Corpus {
       idCol: String = "doc_id",
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
-      minWords: Int = 5): DataFrame = {
+      minWords: Int = 5,
+      gopherMinWords: Option[Int] = None): DataFrame = {
+    // optional Gopher §A1.1 document gate on the RAW text (the paper runs
+    // it before boilerplate stripping) — a narrow filter, adds no stage
+    val gated = gopherMinWords.fold(docs)(mw =>
+      docs.filter(TextFunctions.gopherKeep(
+        TextFunctions.gopherStats(col(textCol)), minWords = mw)))
     // The clean+redact chain (array lambdas + 4 regex passes) is the
     // expensive projection, and it has MANY downstream consumers: langId's
     // four stopword filters, the quality parts, the fingerprint, and both
@@ -41,7 +47,7 @@ object Corpus {
     // would re-run the whole chain per consumer — materialize it behind
     // ONE exchange instead; the self-join below then reuses that shuffle
     // output (ReusedExchange) rather than recomputing.
-    val cleaned = docs
+    val cleaned = gated
       .filter(TextFunctions.c4Keep(col(textCol), minWords = minWords))
       .select(col(idCol).as("id"),
         TextFunctions.redactPii(
@@ -66,5 +72,31 @@ object Corpus {
     tagged.join(survivors, Seq("__fp", "id"), "leftsemi")
       .drop("__fp")
       .withColumn("split", Sampling.hashSplit(col("id"), splits))
+  }
+
+  /**
+   * Drop every document the shingle-overlap check
+   * ([[Dedup.contamination]]) flags against `benchmark` at ≥
+   * `minContainment` — run on a prepared corpus before shipping the
+   * train split (GPT-3 appendix C decontamination). Anti-join on id, so
+   * clean documents pass through untouched; one hash-keyed join + one
+   * rollup + one anti-join, nothing broadcast.
+   */
+  def decontaminate(
+      prepared: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "id",
+      textCol: String = "text",
+      benchTextCol: String = "text",
+      shingleN: Int = 3,
+      minContainment: Double = 0.2): DataFrame = {
+    val flagged = Dedup.contamination(
+        prepared.select(col(idCol), col(textCol)),
+        // benchmark ids are never read — only its shingle-hash set
+        benchmark.select(lit(0L).as(idCol), col(benchTextCol).as(textCol)),
+        idCol, textCol, shingleN)
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_id").as(idCol))
+    prepared.join(flagged, Seq(idCol), "left_anti")
   }
 }

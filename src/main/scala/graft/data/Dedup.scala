@@ -387,6 +387,42 @@ object Dedup {
       .drop("grp")
   }
 
+  /**
+   * Train/benchmark DECONTAMINATION — the n-gram overlap check every
+   * serious pre-training pipeline runs before shipping a split (GPT-3
+   * appendix C; Dodge et al. 2021 C4 analysis): flag each candidate
+   * document sharing word-shingle hashes with the benchmark corpus,
+   * reporting how many of its distinct shingles collide
+   * (`n_shared`/`n_grams`/`containment`). Docs with zero overlap are
+   * absent — `deduplicate`-style anti-join the output against the
+   * corpus to get the clean set.
+   *
+   * Scale shape: both sides explode to (doc, shingle-hash) rows and meet
+   * in ONE shuffle join keyed by the 28-bit hash (uniform); the
+   * per-candidate rollup is a second keyed shuffle. The benchmark is NOT
+   * broadcast — benchmark suites are small today, but contamination
+   * against another 100 TB split must not assume that.
+   */
+  def contamination(
+      candidates: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), shingleHashes(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val cand = grams(candidates)
+      .select(col("doc_id"), size(col("sh")).as("n_grams"), explode(col("sh")).as("h"))
+    val bench = grams(benchmark).select(explode(col("sh")).as("h")).distinct()
+    cand.join(bench, Seq("h"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        (col("n_shared").cast("double") / col("n_grams").cast("double"))
+          .as("containment"))
+  }
+
   /** Spread a (typically single-file) input across the session's
    * parallelism for CPU-bound pair scans. */
   private def repartitioned(df: DataFrame): DataFrame =

@@ -145,6 +145,17 @@ object StreamingMarket {
   }
 
   /**
+   * Stream-STATIC join: attach the (small, slowly-changing) portfolio
+   * dimension to a live tick stream. The static side is explicitly
+   * broadcast — re-resolved per micro-batch, never shuffled, and the
+   * stream side needs no watermark because a static join holds no state.
+   * The streaming face of the batch star join (q03 /
+   * `VarAggregation.weightedTrials`).
+   */
+  def enrichWithPortfolio(ticks: DataFrame, portfolio: DataFrame): DataFrame =
+    ticks.join(org.apache.spark.sql.functions.broadcast(portfolio), Seq("ticker"))
+
+  /**
    * Stream-STREAM interval join: pair each price tick with the indicator
    * ticks of the same ticker whose event time falls in
    * `[price ts − tolerance, price ts]` — the quote-before-trade band

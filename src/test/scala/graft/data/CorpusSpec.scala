@@ -34,6 +34,35 @@ class CorpusSpec extends SparkSpec {
     assert(n > 70 && n < 90, n.toString)
   }
 
+  test("prepare's gopher gate drops symbol-salad docs the C4 gate admits") {
+    val symbolSalad = (("the word # tag # mark # it here now so " * 8).trim +
+      " and it ends properly.")
+    val docs = Seq(
+      (0L, s"$longBody and it continues on quite well today."),
+      (1L, symbolSalad) // punctuated + long enough for C4, fails gopher symbols
+    ).toDF("doc_id", "text")
+    val plain = Corpus.prepare(docs).select($"id").as[Long].collect().toSet
+    val gated = Corpus.prepare(docs, gopherMinWords = Some(20))
+      .select($"id").as[Long].collect().toSet
+    assert(plain == Set(0L, 1L))
+    assert(gated == Set(0L))
+  }
+
+  test("decontaminate drops benchmark-overlapping docs, keeps clean ones") {
+    val docs = Seq(
+      (0L, s"$longBody and then it finishes cleanly right here today."),
+      (1L, ("separate wording with zero benchmark overlap present here honestly indeed " * 8).trim
+        + " and it ends nicely today.")
+    ).toDF("doc_id", "text")
+    val prepared = Corpus.prepare(docs, minWords = 3)
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val clean = Corpus.decontaminate(prepared, bench, minContainment = 0.1)
+      .select($"id").as[Long].collect().toSet
+    val kept = prepared.select($"id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L))
+    assert(clean == Set(1L)) // doc 0 repeats the benchmark sentence verbatim
+  }
+
   test("prepare is deterministic across partitionings") {
     val docs = (0 until 200).map { i =>
       (i.toLong, s"$longBody unique closing number ${i % 50} appears here today.")

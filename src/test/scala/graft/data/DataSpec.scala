@@ -315,6 +315,21 @@ class DataSpec extends SparkSpec {
     }
   }
 
+  test("contamination: containment counts against a benchmark, clean docs absent") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "alpha beta gamma delta epsilon"),          // identical: containment 1
+      (2L, "alpha beta gamma zzz qqq www rrr"),        // shares 1 of 5 shingles
+      (3L, "totally unrelated words entirely here")    // clean: absent
+    ).toDF("doc_id", "text")
+    val out = Dedup.contamination(cands, bench, "doc_id", "text")
+      .select($"doc_id", $"n_shared", $"n_grams", $"containment")
+      .as[(Long, Long, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((1L, 3L, 3, 1.0)))     // all 3 3-gram shingles shared
+    assert(out(2L)._2 == 1L && out(2L)._3 == 5) // only "alpha beta gamma"
+  }
+
   test("gopherStats signals and gopherKeep thresholds (Gopher §A1.1)") {
     def stats(text: String) = Seq(text).toDF("text")
       .select(TextFunctions.gopherStats(col("text")).as("g")).select(

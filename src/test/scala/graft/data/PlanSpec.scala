@@ -71,6 +71,56 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  private lazy val pqVecs = (0 until 60)
+    .map(i => (i.toLong, Array.tabulate(8)(d => ((i * 7 + d) % 13) / 13.0)))
+    .toDF("vec_id", "v")
+
+  test("pqTopK broadcasts the query LUTs, never the corpus codes") {
+    val cb = Pq.seedCodebook(2, 4, 4)
+    withNoAutoBroadcast {
+      val p = plan(Pq.pqTopK(pqVecs.filter($"vec_id" < 3), pqVecs, "vec_id", "v",
+        k = 2, cb))
+      // the ADC scan is an explicit broadcast cross: build side must be
+      // the (tiny) query side — exactly one BroadcastExchange, above the
+      // LUT projection, and no plain CartesianProduct of the corpus
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      assert("BroadcastExchange".r.findAllIn(p).size == 1, p.take(2000))
+      val bcastAt = p.indexOf("BroadcastExchange")
+      assert(bcastAt >= 0 && p.indexOf("q_lut") < bcastAt + 2000 &&
+        p.substring(bcastAt).contains("q_lut"), p.take(2000))
+    }
+  }
+
+  test("ivfPqTopK joins on the cell int with the query side broadcast") {
+    val cb = Pq.seedCodebook(2, 4, 4)
+    withNoAutoBroadcast {
+      val p = plan(Pq.ivfPqTopK(pqVecs.filter($"vec_id" < 3), pqVecs, "vec_id",
+        "v", k = 2, nProbe = 2, coarse = Similarity.planes(4, 8), cb = cb))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        p.take(2000))
+      assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    }
+  }
+
+  test("duplicateSpans and contamination shuffle on the gram hash, no broadcast") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"shared phrase block number ${i % 5} plus unique tail $i here"))
+      .toDF("doc_id", "text")
+    withNoAutoBroadcast {
+      val spans = plan(Dedup.duplicateSpans(docs, "doc_id", "text", k = 10))
+      assert(!spans.contains("BroadcastNestedLoopJoin") &&
+        !spans.contains("CartesianProduct"), spans.take(2000))
+      assert(spans.contains("SortMergeJoin") || spans.contains("ShuffledHashJoin"),
+        spans.take(2000))
+      val cont = plan(Dedup.contamination(
+        docs.filter($"doc_id" < 30), docs.filter($"doc_id" >= 30), "doc_id", "text"))
+      assert(!cont.contains("BroadcastNestedLoopJoin") &&
+        !cont.contains("CartesianProduct"), cont.take(2000))
+      assert(cont.contains("SortMergeJoin") || cont.contains("ShuffledHashJoin"),
+        cont.take(2000))
+    }
+  }
+
   test("scan pruning: a two-column projection reads two columns") {
     val dir = java.nio.file.Files.createTempDirectory("planspec").toString + "/t"
     (1 to 100).map(i => (i.toLong, s"s$i", i * 1.0, i * 2.0))

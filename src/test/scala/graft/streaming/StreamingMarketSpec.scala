@@ -246,6 +246,27 @@ class StreamingMarketSpec extends SparkSpec {
     q.stop()
   }
 
+  test("enrichWithPortfolio: stream-static broadcast join per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val ticks = MemoryStream[PriceTick]
+    val portfolio = Seq(("A", "industrial", 0.6), ("B", "tech", 0.4))
+      .toDF("ticker", "sector", "weight")
+    val q = enrichWithPortfolio(ticks.toDF(), portfolio)
+      .writeStream.format("memory").queryName("enrichstatic")
+      .outputMode(OutputMode.Append()).start()
+    ticks.addData(PriceTick("A", ts(1), 100.0), PriceTick("C", ts(1), 9.9))
+    q.processAllAvailable()
+    ticks.addData(PriceTick("B", ts(2), 50.0))
+    q.processAllAvailable()
+    val out = spark.table("enrichstatic")
+      .select(col("ticker"), col("sector"), col("weight"), col("close"))
+      .collect().map(_.toString).sorted.toSeq
+    // C has no dimension row -> dropped (inner); A and B enriched
+    assert(out == Seq("[A,industrial,0.6,100.0]", "[B,tech,0.4,50.0]"))
+    q.stop()
+  }
+
   test("chunked rolling stats == unpartitioned rolling stats") {
     import org.apache.spark.sql.functions._
     val days = (1 to 60).map(d => (Timestamp.valueOf(f"2024-${1 + (d - 1) / 28}%02d-${1 + (d - 1) % 28}%02d 00:00:00"),
