@@ -363,13 +363,21 @@ object Dedup {
       k: Int,
       minCount: Long = 2L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val norm = TextFunctions.normalizeText(col(textCol))
-    val gramHashes = when(length(norm) >= k,
-        transform(sequence(lit(1), length(norm) - k + 1),
-          i => TextFunctions.hash60(norm.substr(i, lit(k)))))
-      .otherwise(array().cast("array<long>"))
-    val grams = docs
-      .select(col(idCol).as("doc_id"), posexplode(gramHashes))
+    // materialize the normalized text behind an exchange FIRST: lambdas
+    // get no subexpression elimination, so an inline normalizeText would
+    // re-run the regex chain once per gram position — O(n²) regex work
+    // per document (the winnowFromKgrams hazard; measured 26 s vs 3 s at
+    // sf0.1). After the barrier the lambda reads a plain attribute.
+    val normed = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.normalizeText(col(textCol)).as("t"))
+      .repartition()
+    // native positional hash stream (KgramHashStream): the composable
+    // transform-lambda spelling pays interpreted HOF dispatch per
+    // position — ~5× the md5 cost itself (sf0.1: 7 s vs ~2 s)
+    val grams = normed
+      .select(col("doc_id"),
+        posexplode(call_function("kgram_hashes", col("t"), lit(k), lit(15))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
     val dupHashes = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"))

@@ -82,8 +82,18 @@ object Pq {
   }
 
   /** PQ codes for `v`: `array<int>` of length `m`; per subspace the
-   * argmin-distance code, ties to the lower code id. */
-  def encode(v: Column, cb: Codebook): Column = {
+   * argmin-distance code, ties to the lower code id. Native codegen'd
+   * path ([[graft.plans.PqEncodeExpr]]) — the composable spelling's
+   * m × ksub struct tree exceeds Janino's 64 KB method limit and drops
+   * the whole corpus stage out of codegen. Bit-identical to
+   * [[encodeComposable]] (spec-pinned). */
+  def encode(v: Column, cb: Codebook): Column =
+    call_function("pq_encode", v,
+      typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq))
+
+  /** Extension-free composable twin of [[encode]] (oracle mirror shape;
+   * use [[encode]] in hot paths). */
+  def encodeComposable(v: Column, cb: Codebook): Column = {
     val subDim = cb(0)(0).length
     array(cb.indices.map { sub =>
       sort_array(array(cb(sub).indices.map { code =>
@@ -211,27 +221,19 @@ object Pq {
     require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
     val subDim = dim / m
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val subs = spread(vectors)
-      .select(posexplode(array((0 until m).map(s =>
-        slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)): _*)))
-      .toDF("sub", "xs")
+    val data = spread(vectors)
+      .select(col(vecCol).cast("array<double>").as("v"))
       .cache()
     var cb = seedCodebook(m, ksub, subDim)
     try {
       for (_ <- 0 until iters) {
-        // nearest code per (sub, xs): build the per-sub distance structs
-        // with a CASE over sub so one expression serves every subspace
-        val distStructs = (0 until ksub).map { code =>
-          val d = (0 until m).map { sub =>
-            (col("sub") === sub,
-              Similarity.dotNative(col("xs"), col("xs")) -
-                lit(2.0) * Similarity.dotNative(col("xs"), lits(cb(sub)(code))) +
-                lit(norm2(cb(sub)(code))))
-          }.foldLeft(lit(Double.MaxValue)) { case (acc, (p, e)) => when(p, e).otherwise(acc) }
-          struct(d.as("d"), lit(code).as("code"))
-        }
-        val stats = subs
-          .withColumn("code", sort_array(array(distStructs: _*))(0)("code"))
+        // one native encode per vector assigns all m subspaces at once,
+        // then ONE hash aggregation recomputes every (sub, code) centroid
+        val stats = data
+          .select(col("v"), posexplode(encode(col("v"), cb)))
+          .toDF("v", "sub", "code")
+          .select(col("sub"), col("code"),
+            slice(col("v"), col("sub") * subDim + 1, lit(subDim)).as("xs"))
           .groupBy(col("sub"), col("code"))
           .agg(count(lit(1)).as("n"),
             vector_to_array(org.apache.spark.ml.stat.Summarizer
@@ -246,6 +248,6 @@ object Pq {
         cb = next
       }
       cb
-    } finally { subs.unpersist(); () }
+    } finally { data.unpersist(); () }
   }
 }

@@ -566,6 +566,63 @@ object WinnowFingerprint {
 }
 
 /**
+ * Positional k-gram hash stream: `out[i] = md5_prefix(text[i, i+k))` for
+ * every character position — the input both winnowing and the
+ * duplicate-substring span join consume. The composable spelling
+ * (`transform(sequence(...), i -> md5_prefix(substr(...)))`) evaluates an
+ * interpreted higher-order lambda per position (~5× the hashing cost
+ * itself at sf0.1); this is the same tight loop
+ * [[WinnowFingerprint.compute]] runs, minus the windowing. Bit-identical
+ * to the composable spelling, so DuckDB oracles keep the substr+md5 form.
+ */
+case class KgramHashStream(child: Expression, k: Int, nibbles: Int)
+    extends UnaryExpression {
+
+  require(k > 0 && nibbles > 0 && nibbles <= 15, "need k > 0, 0 < nibbles <= 15")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kgram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    KgramHashStream.compute(input.asInstanceOf[UTF8String], k, nibbles)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.KgramHashStream.compute($c, $k, $nibbles);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object KgramHashStream {
+  def compute(text: UTF8String, k: Int, nibbles: Int): ArrayData = {
+    val n = text.numChars()
+    val m = n - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hs(i) = Md5PrefixHash.hash(text.substring(i, i + k), nibbles)
+      i += 1
+    }
+    new GenericArrayData(hs)
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kgram_hashes"),
+    new ExpressionInfo(classOf[KgramHashStream].getName, "kgram_hashes"),
+    (children: Seq[Expression]) => KgramHashStream(children(0),
+      children(1).eval().asInstanceOf[Number].intValue(),
+      children(2).eval().asInstanceOf[Number].intValue()))
+}
+
+/**
  * ADC (asymmetric distance computation) lookup-sum for product
  * quantization: `sum over sub of lut[sub][codes[sub]]` — the hot loop of
  * `graft.data.Pq.pqTopK`/`ivfPqTopK`, run once per (query, corpus-row)
@@ -629,6 +686,99 @@ object PqAdc {
 }
 
 /**
+ * Product-quantization ENCODE: per subspace, the argmin-squared-L2 code
+ * against a (literal) codebook — `graft.data.Pq.encode`'s hot path. The
+ * composable spelling builds `m × ksub` struct expressions, each with its
+ * own `vec_dot` calls; at m=8, ksub=16 that expression tree exceeds
+ * Janino's 64 KB method limit, so the whole stage silently falls back to
+ * interpreted evaluation (observed on q62's sf0.1 bench). This compiles
+ * to one tight loop via a reference object.
+ *
+ * Bit parity: distances are `|x|² − 2<x,c> + |c|²` with every dot summed
+ * sequentially and |c|² precomputed exactly as `Pq.norm2` — identical to
+ * the composable spelling and to the DuckDB oracle; ties take the LOWER
+ * code (strict `<` while scanning codes in ascending order, matching
+ * `sort_array` lexicographic-ascending semantics).
+ *
+ * The codebook arrives as a FOLDABLE second argument (nested array
+ * literal, `typedLit`) and is decoded once at construction.
+ */
+case class PqEncodeExpr(child: Expression, cb: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType,
+    containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${dt.simpleString}")
+  }
+
+  @transient private lazy val norms: Array[Array[Double]] =
+    cb.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    })
+
+  def compute(a: Any): ArrayData = {
+    val v = a.asInstanceOf[ArrayData]
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      val off = sub * subDim
+      var xx = 0.0
+      var i = 0
+      while (i < subDim) { val x = v.getDouble(off + i); xx += x * x; i += 1 }
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var code = 0
+      val codes = cb(sub)
+      while (code < codes.length) {
+        val c = codes(code)
+        var xc = 0.0
+        i = 0
+        while (i < subDim) { xc += v.getDouble(off + i) * c(i); i += 1 }
+        val d = xx - 2.0 * xc + norms(sub)(code)
+        if (d < bestD) { bestD = d; best = code }
+        code += 1
+      }
+      out(sub) = best
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqEncode", this, classOf[PqEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqEncodeExpr {
+  /** Decode a foldable nested-array literal into the codebook shape. */
+  private def toCb(value: Any): Array[Array[Array[Double]]] =
+    value.asInstanceOf[ArrayData].toObjectArray(ArrayType(ArrayType(DoubleType)))
+      .map(_.asInstanceOf[ArrayData].toObjectArray(ArrayType(DoubleType))
+        .map(_.asInstanceOf[ArrayData].toDoubleArray()))
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pq_encode"),
+    new ExpressionInfo(classOf[PqEncodeExpr].getName, "pq_encode"),
+    (children: Seq[Expression]) => PqEncodeExpr(children(0), toCb(children(1).eval())))
+}
+
+/**
  * Session extension registering graft's native expressions; enable with
  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
  */
@@ -643,5 +793,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(PredictNonLinear.descriptor)
     ext.injectFunction(WinnowFingerprint.descriptor)
     ext.injectFunction(PqAdc.descriptor)
+    ext.injectFunction(PqEncodeExpr.descriptor)
+    ext.injectFunction(KgramHashStream.descriptor)
   }
 }

@@ -54,6 +54,14 @@ class PqSpec extends SparkSpec {
     assert(codes.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("pq_encode native expression equals the composable spelling on every row") {
+    val df = emb.select(col("vec_id"),
+        Pq.encode(col("v"), seed).as("native"),
+        Pq.encodeComposable(col("v"), seed).as("composed"))
+      .filter(col("native") =!= col("composed"))
+    assert(df.count() === 0L)
+  }
+
   test("pq_adc native expression is bit-identical to the composable spelling") {
     val df = queries.select(Pq.lutFor(col("v"), seed).as("lut"),
         Pq.encode(col("v"), seed).as("codes"))
