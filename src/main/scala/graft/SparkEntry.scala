@@ -408,6 +408,16 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // corpus-wide exact LINE dedup (boilerplate pass): first occurrence wins
+    "q66_line_dedup" -> ((s, dir) => {
+      // plant a corpus-wide boilerplate line + a per-doc unique tail
+      val aug = concat_ws("\n", col("text"),
+        lit("subscribe to our newsletter today"),
+        concat(lit("doc tail "), col("doc_id")))
+      Dedup.dedupLines(
+          t(s, dir, "documents").withColumn("text", aug), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     // train/benchmark decontamination: shingle overlap vs the test split
     "q65_decontaminate" -> ((s, dir) => {
       import graft.data.Sampling
@@ -1428,6 +1438,25 @@ object SparkEntry {
          |  JOIN e c ON c.vec_id = bc.vec_id
          |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q66_line_dedup" ->
+      s"""WITH aug AS (SELECT doc_id, concat(text, chr(10),
+         |    'subscribe to our newsletter today', chr(10),
+         |    'doc tail ', CAST(doc_id AS VARCHAR)) AS text FROM documents),
+         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM aug),
+         |l AS (SELECT doc_id,
+         |    CAST(unnest(range(1, len(parts) + 1)) AS BIGINT) - 1 AS line_no,
+         |    parts FROM ls),
+         |lh AS (SELECT doc_id, line_no, parts[CAST(line_no AS INT) + 1] AS line,
+         |    ${h60Sql("parts[CAST(line_no AS INT) + 1]")} AS h FROM l),
+         |w1 AS (SELECT h, min(doc_id) AS d FROM lh GROUP BY h),
+         |w2 AS (SELECT lh.h, lh.doc_id AS d, min(lh.line_no) AS ln
+         |  FROM lh JOIN w1 ON w1.h = lh.h AND lh.doc_id = w1.d
+         |  GROUP BY lh.h, lh.doc_id),
+         |keep AS (SELECT lh.doc_id, lh.line_no, lh.line FROM lh
+         |  JOIN w2 ON lh.h = w2.h AND lh.doc_id = w2.d AND lh.line_no = w2.ln)
+         |SELECT doc_id, count(*) AS n_lines,
+         |  string_agg(line, chr(10) ORDER BY line_no) AS text
+         |FROM keep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q65_decontaminate" ->
       s"""WITH base AS (SELECT doc_id, sh,
          |    ${h60Sql("concat(CAST(doc_id AS VARCHAR), '')")} % 10000 AS slot

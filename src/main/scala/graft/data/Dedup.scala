@@ -396,6 +396,46 @@ object Dedup {
   }
 
   /**
+   * LINE-level exact dedup across the corpus — the RefinedWeb/FineWeb
+   * boilerplate pass: a line occurring anywhere else in the corpus
+   * survives only at its FIRST occurrence (lexicographic min of
+   * (doc_id, line_no)); every other occurrence is dropped and each
+   * document is reassembled from its surviving lines in order. Catches
+   * the navigation/footer/disclaimer lines document-level dedup never
+   * sees.
+   *
+   * Scale shape: one explode to (doc, line_no, line-hash) rows, winner
+   * election in one map-side-combinable min aggregation keyed by the
+   * 60-bit line hash, a keyed join-back, and one per-doc rollup to
+   * rebuild texts — no broadcast, per-doc state bounded by document
+   * length. A corpus-hot boilerplate line is ONE group key whose min is
+   * combined map-side, so hot lines cost nothing extra.
+   *
+   * Output: (idCol, n_lines, text) with `n_lines` surviving lines;
+   * a document whose every line was claimed by earlier documents is
+   * ABSENT from the output (anti-join the input to find fully-consumed
+   * docs). Blank lines dedup like any other line — the first blank in
+   * the corpus owns them all (exact-line semantics, FineWeb-style).
+   */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), "\n")))
+      .select(col("doc_id"), col("pos").as("line_no"), col("col").as("line"),
+        TextFunctions.hash60(col("col")).as("h"))
+    val winners = lines
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("w"))
+      .select(col("h"), col("w.doc_id").as("doc_id"), col("w.line_no").as("line_no"))
+    lines.join(winners, Seq("h", "doc_id", "line_no"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("line_no"), col("line")))),
+          s => s("line")), "\n").as("text"))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /**
    * Train/benchmark DECONTAMINATION — the n-gram overlap check every
    * serious pre-training pipeline runs before shipping a split (GPT-3
    * appendix C; Dodge et al. 2021 C4 analysis): flag each candidate

@@ -65,4 +65,19 @@ class DupSpansSpec extends SparkSpec {
     val out = spans(1L -> "tiny", 2L -> "tiny")
     assert(out.isEmpty)
   }
+
+  test("dedupLines: first occurrence owns a line; reassembly keeps order") {
+    val out = Dedup.dedupLines(Seq(
+        (1L, "unique one\nshared footer\nunique two"),
+        (2L, "other body\nshared footer\nother tail"),
+        (3L, "repeat me\nrepeat me\nlast line"),
+        (4L, "unique one\nshared footer") // every line claimed by 1 -> absent
+      ).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"doc_id", $"n_lines".cast("long"), $"text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((1L, 3L, "unique one\nshared footer\nunique two")))
+    assert(out(2L) == ((2L, 2L, "other body\nother tail")))
+    assert(out(3L) == ((3L, 2L, "repeat me\nlast line")))
+  }
 }
