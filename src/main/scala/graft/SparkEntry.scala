@@ -408,6 +408,27 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // URL host frequency table (domain filtering for web corpora)
+    "q67_host_stats" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" see http://ex"), (col("doc_id") % 5).cast("string"),
+        lit(".org/p/"), col("doc_id").cast("string"),
+        lit(" and https://cdn.example.com/x"), (col("doc_id") % 3).cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(T.urlHosts(aug)).as("host"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("host"))
+    }),
+    // Gopher §A1.2 top n-gram repetition fractions (n = 1, 2, 3)
+    "q68_top_ngram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(T.topTokenFraction(col("text")), 6).as("top1"),
+          round(T.topNgramFraction(col("text"), 2), 6).as("top2"),
+          round(T.topNgramFraction(col("text"), 3), 6).as("top3"))
+        .orderBy(col("doc_id"))
+    }),
     // corpus-wide exact LINE dedup (boilerplate pass): first occurrence wins
     "q66_line_dedup" -> ((s, dir) => {
       // plant a corpus-wide boilerplate line + a per-doc unique tail
@@ -1070,6 +1091,13 @@ object SparkEntry {
   /** Explicit left-to-right addition chain = PqAdc's sequential sum. */
   private val pqAdcChain = (1 to 8).map(s => s"l.lut[$s][c.cs[$s]+1]").mkString(" + ")
 
+  /** Word n-grams over the `ltoks` list, mirroring Dedup.wordShingles. */
+  private def ngramSql(n: Int) =
+    s"""CASE WHEN len(ltoks) >= $n
+       | THEN list_transform(range(1, len(ltoks) - ${n - 1} + 1),
+       |   i -> concat(ltoks[i]${(1 until n).map(j => s", ' ', ltoks[i+$j]").mkString}))
+       | ELSE [] END""".stripMargin
+
   /** Multi-table plane literals identical to q27d's 16 tables x 4 planes
    * (table t uses the independent family at offset t*4). */
   private val mtPlanesSql = (0 until 16).flatMap { tbl =>
@@ -1438,6 +1466,34 @@ object SparkEntry {
          |  JOIN e c ON c.vec_id = bc.vec_id
          |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q67_host_stats" ->
+      s"""WITH aug AS (SELECT doc_id, concat(text,
+         |    ' see http://ex', CAST(doc_id % 5 AS VARCHAR),
+         |    '.org/p/', CAST(doc_id AS VARCHAR),
+         |    ' and https://cdn.example.com/x', CAST(doc_id % 3 AS VARCHAR)) AS a
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    unnest(list_transform(regexp_extract_all(a, 'https?://[^\\s]+'),
+         |      u -> regexp_extract(u, 'https?://([^/\\s:?#]+)', 1))) AS host
+         |  FROM aug)
+         |SELECT host, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+         |FROM h GROUP BY host ORDER BY host""".stripMargin,
+    "q68_top_ngram" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks FROM documents),
+         |g AS (SELECT doc_id, ltoks,
+         |  ${ngramSql(2)} AS g2, ${ngramSql(3)} AS g3 FROM t)
+         |SELECT doc_id,
+         |  round(CAST(coalesce(list_max(list_transform(list_distinct(ltoks),
+         |      w -> len(list_filter(ltoks, x -> x = w)))), 0) AS DOUBLE)
+         |    / CAST(greatest(len(ltoks), 1) AS DOUBLE), 6) AS top1,
+         |  round(CAST(coalesce(list_max(list_transform(list_distinct(g2),
+         |      w -> len(list_filter(g2, x -> x = w)))), 0) AS DOUBLE)
+         |    / CAST(greatest(len(g2), 1) AS DOUBLE), 6) AS top2,
+         |  round(CAST(coalesce(list_max(list_transform(list_distinct(g3),
+         |      w -> len(list_filter(g3, x -> x = w)))), 0) AS DOUBLE)
+         |    / CAST(greatest(len(g3), 1) AS DOUBLE), 6) AS top3
+         |FROM g ORDER BY doc_id""".stripMargin,
     "q66_line_dedup" ->
       s"""WITH aug AS (SELECT doc_id, concat(text, chr(10),
          |    'subscribe to our newsletter today', chr(10),

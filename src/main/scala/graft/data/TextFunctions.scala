@@ -187,13 +187,45 @@ object TextFunctions {
 
   /** Fraction of all tokens taken by the single most frequent token
    * (lowercased) — the Gopher "top word frequency" repetition filter.
-   * 0.0 for empty docs. */
-  def topTokenFraction(text: Column): Column = {
+   * 0.0 for empty docs. Native one-pass count
+   * ([[graft.plans.TopNgramFrac]], n = 1); value-identical to
+   * [[topTokenFractionComposable]]. */
+  def topTokenFraction(text: Column): Column =
+    call_function("top_ngram_frac", tokens(lower(text)), lit(1))
+
+  /** Extension-free composable twin of [[topTokenFraction]] (the SQL
+   * oracle reference shape — O(distinct × tokens) interpreted, hot-path
+   * use belongs to the native spelling). */
+  def topTokenFractionComposable(text: Column): Column = {
     val toks = tokens(lower(text))
     val counts = transform(array_distinct(toks),
       t => size(filter(toks, x => x === t)))
     coalesce(array_max(counts), lit(0)) / greatest(array_size(toks), lit(1)).cast("double")
   }
+
+  /** Fraction of all word n-grams taken by the single most frequent one —
+   * the Gopher §A1.2 "top n-gram frequency" repetition filters (the paper
+   * gates n = 2, 3, 4 at 0.20/0.18/0.16). Generalizes
+   * [[topTokenFraction]] (≡ n = 1). 0.0 for docs shorter than n words. */
+  def topNgramFraction(text: Column, n: Int): Column =
+    call_function("top_ngram_frac", tokens(lower(text)), lit(n))
+
+  /** Extension-free composable twin of [[topNgramFraction]] (the SQL
+   * oracle reference shape; per-distinct-gram lambda re-evaluation makes
+   * it O(distinct × grams × shingle-cost) — never use on a hot path). */
+  def topNgramFractionComposable(text: Column, n: Int): Column = {
+    val grams = Dedup.wordShingles(tokens(lower(text)), n)
+    val counts = transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g)))
+    coalesce(array_max(counts), lit(0)) / greatest(array_size(grams), lit(1)).cast("double")
+  }
+
+  /** Hosts of every URL in the document (one entry per occurrence) —
+   * the key the domain-level filters/blocklists of web-corpus pipelines
+   * aggregate on. RE2-safe regexes; empty array when no URL. */
+  def urlHosts(text: Column): Column =
+    transform(regexp_extract_all(text, lit(UrlRe), lit(0)),
+      u => regexp_extract(u, "https?://([^/\\s:?#]+)", 1))
 
   /** Fraction of lines that duplicate an earlier line of the same doc —
    * the Gopher duplicate-line filter. Lines split on newline, trimmed;

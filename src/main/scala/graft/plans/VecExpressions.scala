@@ -623,6 +623,75 @@ object KgramHashStream {
 }
 
 /**
+ * Top word-n-gram frequency fraction (Gopher §A1.2): the share of all
+ * n-grams taken by the single most frequent one, from a pre-split token
+ * array. The composable spelling
+ * (`transform(array_distinct(grams), g -> size(filter(grams, _ === g)))`)
+ * re-evaluates the whole shingle expression per distinct gram — lambdas
+ * get no subexpression elimination — which is O(distinct × grams ×
+ * shingle-cost) interpreted work per document (q68 at sf0.1: minutes).
+ * One hash-map pass here. Counting is exact, the output a single integer
+ * division — value-identical to the composable spelling and any SQL
+ * mirror by construction.
+ */
+case class TopNgramFrac(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n > 0, "n must be positive")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "top_ngram_frac"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TopNgramFrac.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TopNgramFrac.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TopNgramFrac {
+  def compute(toks: ArrayData, n: Int): Double = {
+    val t = toks.numElements()
+    val m = t - n + 1
+    if (m <= 0) return 0.0
+    val counts = new java.util.HashMap[String, Integer](m * 2)
+    var best = 0
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + k).toString)
+        k += 1
+      }
+      val key = sb.toString
+      val c = counts.merge(key, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best / m.toDouble
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("top_ngram_frac"),
+    new ExpressionInfo(classOf[TopNgramFrac].getName, "top_ngram_frac"),
+    (children: Seq[Expression]) => TopNgramFrac(children(0),
+      children(1).eval().asInstanceOf[Number].intValue()))
+}
+
+/**
  * ADC (asymmetric distance computation) lookup-sum for product
  * quantization: `sum over sub of lut[sub][codes[sub]]` — the hot loop of
  * `graft.data.Pq.pqTopK`/`ivfPqTopK`, run once per (query, corpus-row)
@@ -795,5 +864,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(PqAdc.descriptor)
     ext.injectFunction(PqEncodeExpr.descriptor)
     ext.injectFunction(KgramHashStream.descriptor)
+    ext.injectFunction(TopNgramFrac.descriptor)
   }
 }

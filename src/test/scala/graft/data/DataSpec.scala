@@ -315,6 +315,28 @@ class DataSpec extends SparkSpec {
     }
   }
 
+  test("top_ngram_frac native equals the composable spelling; urlHosts extracts hosts") {
+    val texts = Seq("the cat and the cat and the dog", "one two one two one",
+      "single", "", "a b c d e f g").toDF("text")
+    val diff = texts.select(
+        TextFunctions.topTokenFraction(col("text")).as("n1"),
+        TextFunctions.topTokenFractionComposable(col("text")).as("c1"),
+        TextFunctions.topNgramFraction(col("text"), 2).as("n2"),
+        TextFunctions.topNgramFractionComposable(col("text"), 2).as("c2"),
+        TextFunctions.topNgramFraction(col("text"), 3).as("n3"),
+        TextFunctions.topNgramFractionComposable(col("text"), 3).as("c3"))
+      .filter(col("n1") =!= col("c1") || col("n2") =!= col("c2") ||
+        col("n3") =!= col("c3"))
+    assert(diff.count() === 0L)
+    // 8 tokens -> 7 bigrams; "the cat"/"cat and"/"and the" each x2 -> 2/7
+    val v = texts.limit(1).select(TextFunctions.topNgramFraction(col("text"), 2))
+      .as[Double].head()
+    assert(v === 2.0 / 7)
+    val hosts = Seq("see http://a.org/x and https://b.io/y?z plus http://a.org/w")
+      .toDF("text").select(TextFunctions.urlHosts(col("text"))).as[Seq[String]].head()
+    assert(hosts === Seq("a.org", "b.io", "a.org"))
+  }
+
   test("contamination: containment counts against a benchmark, clean docs absent") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val cands = Seq(
