@@ -1,0 +1,103 @@
+package graft.data
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.plans.{KgramHashStream, Md5PrefixHash, PqEncodeExpr, TopNgramFrac}
+
+/**
+ * Property tests for the native expressions' JVM kernels against
+ * straightforward Scala references — the single-pass/fused
+ * implementations must agree with the obvious spellings on arbitrary
+ * input, not just the planted spec cases. (Deterministic seeds; local
+ * forAll — no scalatestplus bridge in the offline cache.)
+ */
+class DataPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[A](g: Gen[A], n: Int = 80)(f: A => Unit): Unit = {
+    var seed = Seed(4242L)
+    var i = 0
+    while (i < n) {
+      g.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private val word: Gen[String] = Gen.chooseNum(1, 4)
+    .flatMap(l => Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+  private val tokList: Gen[List[String]] = Gen.listOf(word)
+
+  test("TopNgramFrac.compute equals a sliding-window reference count") {
+    forAll(for { ts <- tokList; n <- Gen.chooseNum(1, 4) } yield (ts, n)) {
+      case (ts, n) =>
+        val got = TopNgramFrac.compute(
+          new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any]), n)
+        val grams = ts.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+        val want =
+          if (grams.isEmpty) 0.0
+          else grams.groupBy(identity).values.map(_.size).max / grams.size.toDouble
+        assert(got === want, s"tokens=$ts n=$n")
+    }
+  }
+
+  test("KgramHashStream.compute is the per-position md5-prefix hash") {
+    val text: Gen[String] = Gen.listOf(Gen.oneOf('x', 'y', ' ')).map(_.mkString)
+    forAll(for { t <- text; k <- Gen.chooseNum(1, 5) } yield (t, k)) {
+      case (t, k) =>
+        val got = KgramHashStream.compute(UTF8String.fromString(t), k, 7).toLongArray()
+        val want = (0 to t.length - k)
+          .map(i => Md5PrefixHash.hash(UTF8String.fromString(t.substring(i, i + k)), 7))
+        assert(got.toSeq === want, s"text='$t' k=$k")
+    }
+  }
+
+  test("PqEncodeExpr.compute is the argmin-L2 code with lower-code ties") {
+    // quarter-integer coordinates: squares/products are exact in binary,
+    // so the reference's sum-of-squares and the kernel's |x|²−2<x,c>+|c|²
+    // spellings agree EXACTLY and the argmin comparison cannot flake on
+    // spelling-dependent rounding near ties
+    val q = Gen.chooseNum(-8, 8).map(_ / 4.0)
+    val gen = for {
+      m <- Gen.chooseNum(1, 3)
+      subDim <- Gen.chooseNum(1, 3)
+      ksub <- Gen.chooseNum(1, 4)
+      cb <- Gen.listOfN(m * ksub * subDim, q)
+      v <- Gen.listOfN(m * subDim, q)
+    } yield (m, subDim, ksub, cb, v)
+    forAll(gen) { case (m, subDim, ksub, flat, v) =>
+      val cb = flat.grouped(subDim).grouped(ksub)
+        .map(_.map(_.toArray).toArray).toArray
+      val got = PqEncodeExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal(null), cb)
+        .compute(new GenericArrayData(v.toArray)).toIntArray()
+      val want = (0 until m).map { sub =>
+        val xs = v.slice(sub * subDim, (sub + 1) * subDim)
+        (0 until ksub).minBy { code =>
+          val c = cb(sub)(code)
+          (xs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, code)
+        }
+      }
+      assert(got.toSeq === want, s"m=$m subDim=$subDim ksub=$ksub")
+    }
+  }
+
+  test("dedupLines conserves the corpus' distinct lines exactly once") {
+    val docGen = Gen.listOfN(4,
+      Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, word).map(_.mkString("\n"))))
+    forAll(docGen, n = 5) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Dedup.dedupLines(docs, "doc_id", "text")
+        .select($"text").as[String].collect()
+      val survivors = out.flatMap(_.split("\n", -1))
+      val distinctIn = texts.flatMap(_.split("\n", -1)).distinct.sorted
+      // every distinct corpus line survives exactly once, nothing else
+      assert(survivors.sorted.toSeq === distinctIn.toSeq)
+    }
+  }
+}
