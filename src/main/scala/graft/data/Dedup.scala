@@ -384,7 +384,10 @@ object Dedup {
       .filter(col("cnt") >= minCount)
       .select(col("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    grams.join(dupHashes, Seq("h"))
+    // shuffle-hash: sorting the full gram stream for an SMJ is the single
+    // most expensive step of this plan, and the dup-hash side is the
+    // post-aggregation distinct set — hash-joinable at any scale
+    grams.join(dupHashes.hint("shuffle_hash"), Seq("h"))
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(w) <= k, lit(0)).otherwise(lit(1)))
       .withColumn("grp", sum(col("brk")).over(w))
