@@ -408,6 +408,27 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // CUBE subtotals (all grouping-set combinations; rollup's sibling, q45)
+    "q69_cube" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("source"), col("lang"))
+    }),
+    // ntile decile profile of the quality score (global-order window;
+    // the at-scale twin is Sketches.histogramQuantile — this is the
+    // window-function coverage row, run on a bounded scored sample)
+    "q70_ntile" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), T.qualityScore(col("text")).as("q"))
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy(col("q"), col("doc_id"))).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), round(min(col("q")), 6).as("min_q"),
+          round(max(col("q")), 6).as("max_q"))
+        .orderBy(col("decile"))
+    }),
     // URL host frequency table (domain filtering for web corpora)
     "q67_host_stats" -> ((s, dir) => {
       val aug = concat(col("text"),
@@ -1466,6 +1487,21 @@ object SparkEntry {
          |  JOIN e c ON c.vec_id = bc.vec_id
          |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q69_cube" ->
+      s"""SELECT source, lang, count(*) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(CASE WHEN source IS NULL THEN 2 ELSE 0 END
+         |     + CASE WHEN lang IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid
+         |FROM documents GROUP BY CUBE(source, lang)
+         |ORDER BY gid, source, lang""".stripMargin,
+    "q70_ntile" ->
+      s"""WITH b AS (SELECT doc_id, text, len($tokSql) AS words,
+         |    $punctSql AS punct, ${stopSql(T.StopEn)} AS stop_en FROM documents),
+         |q AS (SELECT doc_id, ($qualitySql) AS q FROM b),
+         |d AS (SELECT doc_id, q, ntile(10) OVER (ORDER BY q, doc_id) AS decile FROM q)
+         |SELECT decile, count(*) AS n, round(min(q), 6) AS min_q,
+         |  round(max(q), 6) AS max_q
+         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
     "q67_host_stats" ->
       s"""WITH aug AS (SELECT doc_id, concat(text,
          |    ' see http://ex', CAST(doc_id % 5 AS VARCHAR),

@@ -145,6 +145,27 @@ object StreamingMarket {
   }
 
   /**
+   * Streaming SESSIONIZATION: event-time session windows (gap-based) per
+   * user — the streaming twin of the batch lag+running-sum sessionize
+   * (q40). `session_window` merges events closer than `gap` into one
+   * growing window; the session emits exactly once, when the watermark
+   * passes its close (last event + gap). State per key is one open
+   * session, bounded by the watermark.
+   */
+  def streamingSessions(
+      events: DataFrame,
+      idCol: String = "user_id",
+      tsCol: String = "ts",
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(idCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(idCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /**
    * Stream-STATIC join: attach the (small, slowly-changing) portfolio
    * dimension to a live tick stream. The static side is explicitly
    * broadcast — re-resolved per micro-batch, never shuffled, and the

@@ -246,6 +246,40 @@ class StreamingMarketSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streamingSessions: gap-based event-time sessions emit once on watermark close") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(String, Timestamp)]
+    val q = streamingSessions(input.toDF().toDF("user_id", "ts"),
+        gap = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+
+    // u1: two events 10 min apart (one session), then 2h later (new session);
+    // u2: single event. Cross-batch growth: the second u1 event arrives in
+    // batch 2 and must merge into the open session.
+    input.addData(("u1", ts(1, 10)), ("u2", ts(1, 10)))
+    q.processAllAvailable()
+    input.addData(("u1", Timestamp.valueOf("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    input.addData(("u1", ts(1, 12)))
+    q.processAllAvailable()
+    input.addData(("u1", ts(2, 12))) // advance watermark, flush everything old
+    q.processAllAvailable()
+
+    val out = spark.table("sessions")
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(out == Seq(
+      // u1 session 1: 10:00 + 10:10 merged, closes at 10:40
+      "[u1,2024-01-01 10:00:00,2024-01-01 10:40:00,2]",
+      // u1 session 2: the 12:00 event alone
+      "[u1,2024-01-01 12:00:00,2024-01-01 12:30:00,1]",
+      "[u2,2024-01-01 10:00:00,2024-01-01 10:30:00,1]"))
+    q.stop()
+  }
+
   test("enrichWithPortfolio: stream-static broadcast join per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
