@@ -408,6 +408,13 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // sequence packing: concat-and-chunk document layout into 512-token packs
+    "q71_sequence_pack" -> ((s, dir) => {
+      import graft.data.Corpus
+      Corpus.packSequences(t(s, dir, "documents"), "doc_id",
+          T.wordCount(col("text")), contextLen = 512)
+        .orderBy(col("doc_id"))
+    }),
     // CUBE subtotals (all grouping-set combinations; rollup's sibling, q45)
     "q69_cube" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1487,6 +1494,19 @@ object SparkEntry {
          |  JOIN e c ON c.vec_id = bc.vec_id
          |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q71_sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |p AS (SELECT doc_id, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS tok_start
+         |  FROM t)
+         |SELECT doc_id, n_tokens, tok_start, tok_start + n_tokens AS tok_end,
+         |  tok_start // 512 AS pack_first,
+         |  (tok_start + n_tokens - 1) // 512 AS pack_last,
+         |  (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 AS n_packs
+         |FROM p ORDER BY doc_id""".stripMargin,
     "q69_cube" ->
       s"""SELECT source, lang, count(*) AS n,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -75,6 +75,29 @@ object Corpus {
   }
 
   /**
+   * SEQUENCE PACKING for pre-training batches — the concat-and-chunk
+   * layout (GPT-style): documents are laid head-to-tail in `idCol`
+   * order along a global token axis, which is then cut into
+   * `contextLen`-token packs. Emits each document's `[tok_start,
+   * tok_end)` interval and the packs it lands in; a doc straddling a
+   * cut spans `n_packs` > 1 (the loader splits it there).
+   *
+   * The global running offset is [[Relational.prefixSum]] — the
+   * two-pass partition-offset prefix sum, NOT a single-task global
+   * window, so the layout step scales with the cluster.
+   */
+  def packSequences(docs: DataFrame, idCol: String, nTokens: org.apache.spark.sql.Column,
+      contextLen: Int): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    val base = docs.select(col(idCol), nTokens.cast("long").as("n_tokens"))
+    Relational.prefixSum(base, idCol, col("n_tokens"), "tok_start")
+      .withColumn("tok_end", col("tok_start") + col("n_tokens"))
+      .withColumn("pack_first", expr(s"tok_start div $contextLen"))
+      .withColumn("pack_last", expr(s"(tok_end - 1) div $contextLen"))
+      .withColumn("n_packs", col("pack_last") - col("pack_first") + 1)
+  }
+
+  /**
    * Drop every document the shingle-overlap check
    * ([[Dedup.contamination]]) flags against `benchmark` at ≥
    * `minContainment` — run on a prepared corpus before shipping the

@@ -150,4 +150,56 @@ object Relational {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
+
+  /**
+   * Distributed EXCLUSIVE prefix sum over a global order — the two-pass
+   * partition-offset algorithm, NOT a global window (an unpartitioned
+   * `sum over (order by …)` collapses the whole table into one task —
+   * the SURVEY §4 pitfall the chunked risk windows also avoid, but a
+   * prefix sum has unbounded look-back so chunk-overlap does not apply):
+   *
+   *   1. range-partition by `orderCol`, local exclusive running sum per
+   *      partition (window keyed by the partition id — parallel);
+   *   2. per-partition totals (one tiny aggregation) cumulate on the
+   *      driver — numPartitions longs, KBs at any data size — and join
+   *      back as each partition's starting offset.
+   *
+   * `orderCol` must be a globally unique NUMERIC key (ties would make
+   * "preceding" ill-defined in any engine; the range buckets are
+   * computed arithmetically from its min/max so two jobs over the same
+   * data always agree — `repartitionByRange`'s sampled boundaries would
+   * not). Exact: integer arithmetic throughout for long/int `valueCol`;
+   * skewed key distributions skew the buckets (uniform ids are the
+   * intended input — densify first if needed).
+   */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: Column,
+      outCol: String): DataFrame = {
+    val pid = "__prefix_pid"
+    val bounds = df.agg(min(col(orderCol)).cast("long"),
+      max(col(orderCol)).cast("long")).collect().head
+    if (bounds.isNullAt(0)) return df.withColumn(outCol, lit(0L))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val nParts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val width = math.max(1L, (hi - lo) / nParts + 1L)
+    // integer `div`, not `/`: float division would lose exactness for
+    // keys beyond 2^53
+    val bucket = expr(
+      s"CAST((CAST(`$orderCol` AS BIGINT) - ${lo}L) div ${width}L AS INT)")
+    val local = df
+      .withColumn(pid, bucket)
+      .withColumn(outCol,
+        coalesce(sum(valueCol).over(Window.partitionBy(col(pid))
+          .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    val totals = local.groupBy(col(pid)).agg(sum(valueCol).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) => (p, acc + t) }
+      .sliding(2).collect { case Array((_, acc), (p, _)) => (p, acc) }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF(pid, "__off"))
+    local.join(offDf, Seq(pid))
+      .withColumn(outCol, col(outCol) + col("__off"))
+      .drop(pid, "__off")
+  }
 }

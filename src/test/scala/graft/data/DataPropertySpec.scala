@@ -86,6 +86,31 @@ class DataPropertySpec extends SparkSpec {
     }
   }
 
+  test("prefixSum equals the sequential reference; packing intervals tile exactly") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      keys <- Gen.pick(n, 0L until 1000L)
+      vals <- Gen.listOfN(n, Gen.chooseNum(0L, 50L))
+    } yield keys.toList.zip(vals)
+    forAll(gen, n = 6) { rows =>
+      val df = rows.toDF("k", "v")
+      val got = Relational.prefixSum(df, "k", org.apache.spark.sql.functions.col("v"), "p")
+        .select($"k", $"v", $"p").as[(Long, Long, Long)].collect()
+        .sortBy(_._1)
+      val want = rows.sortBy(_._1).scanLeft(0L)(_ + _._2).init
+      assert(got.map(_._3).toSeq === want.toSeq, s"rows=$rows")
+      // packing tiles the token axis: each start = previous end
+      val packed = Corpus.packSequences(df.withColumnRenamed("v", "n_tokens"),
+          "k", $"n_tokens", contextLen = 7)
+        .select($"k", $"tok_start", $"tok_end").as[(Long, Long, Long)].collect()
+        .sortBy(_._1)
+      packed.sliding(2).foreach {
+        case Array((_, _, e), (_, s, _)) => assert(s === e)
+        case _ => ()
+      }
+    }
+  }
+
   test("dedupLines conserves the corpus' distinct lines exactly once") {
     val docGen = Gen.listOfN(4,
       Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, word).map(_.mkString("\n"))))
