@@ -537,6 +537,17 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // true IVFADC: residual encoding + <q, cell centroid> added back
+    "q62e_ivfpq_residual" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Pq.ivfPqTopK(e.filter(col("vec_id") < 20), e, "vec_id", "v", k = 3,
+          nProbe = 2, coarse = Similarity.planes(8, 64), cb = pqCb,
+          residual = true)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // two-stage retrieval: ADC shortlist (refine=20), exact-cosine re-rank
     "q62d_pq_refine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1091,22 +1102,27 @@ object SparkEntry {
     }
   }.mkString(", ")
 
-  /** Shared q62 oracle prelude: PQ codes (min-dist, ties to lower code),
-   * per-corpus-row code lists, and per-query ADC LUTs. */
-  private val pqEncSql =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cb AS (SELECT * FROM (VALUES $pqCbSql) cb(sub, code, cent, cn2)),
-       |pqd AS (SELECT e.vec_id, cb.sub, cb.code,
-       |    list_dot_product(list_slice(e.v, cb.sub*8+1, cb.sub*8+8),
-       |                     list_slice(e.v, cb.sub*8+1, cb.sub*8+8))
-       |    - 2*list_dot_product(list_slice(e.v, cb.sub*8+1, cb.sub*8+8), cb.cent)
+  /** PQ-code CTEs (min-dist, ties to lower code) over source table
+   * `src(vec_id, v)` — parameterized so the residual variant encodes a
+   * different vector table with the same spelling. */
+  private def pqEncSqlOn(src: String) =
+    s"""pqd AS (SELECT s.vec_id, cb.sub, cb.code,
+       |    list_dot_product(list_slice(s.v, cb.sub*8+1, cb.sub*8+8),
+       |                     list_slice(s.v, cb.sub*8+1, cb.sub*8+8))
+       |    - 2*list_dot_product(list_slice(s.v, cb.sub*8+1, cb.sub*8+8), cb.cent)
        |    + cb.cn2 AS dist
-       |  FROM e CROSS JOIN cb),
+       |  FROM $src s CROSS JOIN cb),
        |pqm AS (SELECT vec_id, sub, min(dist) AS md FROM pqd GROUP BY vec_id, sub),
        |enc AS (SELECT pqd.vec_id, pqd.sub, min(pqd.code) AS code
        |  FROM pqd JOIN pqm ON pqm.vec_id = pqd.vec_id AND pqm.sub = pqd.sub
        |    AND pqd.dist = pqm.md
        |  GROUP BY pqd.vec_id, pqd.sub)""".stripMargin
+
+  /** Shared q62 oracle prelude: embeddings + codebook + PQ codes. */
+  private val pqEncSql =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb AS (SELECT * FROM (VALUES $pqCbSql) cb(sub, code, cent, cn2)),
+       |${pqEncSqlOn("e")}""".stripMargin
 
   private val pqLutSql =
     s"""codes AS (SELECT vec_id, list(code ORDER BY sub) AS cs FROM enc GROUP BY vec_id),
@@ -1663,6 +1679,36 @@ object SparkEntry {
          |sc AS (SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    $pqAdcChain AS score
          |  FROM qcell JOIN luts l ON l.vec_id = qcell.vec_id
+         |  JOIN ccell ON ccell.cell = qcell.cell
+         |  JOIN codes c ON c.vec_id = ccell.vec_id
+         |  WHERE l.vec_id <> c.vec_id)
+         |SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM sc)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q62e_ivfpq_residual" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT * FROM (VALUES $pqCbSql) cb(sub, code, cent, cn2)),
+         |planes AS (SELECT * FROM (VALUES $planesSql) pl(p, coef)),
+         |cellsim AS (SELECT vec_id, p, list_dot_product(v, coef) AS s
+         |  FROM e CROSS JOIN planes),
+         |ccell AS (SELECT vec_id, p AS cell FROM cellsim
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, p DESC) = 1),
+         |qcell AS (SELECT vec_id, p AS cell FROM cellsim WHERE vec_id < 20
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, p DESC) <= 2),
+         |er AS (SELECT e.vec_id, list_transform(range(1, 65),
+         |    i -> e.v[CAST(i AS INT)] - pl.coef[CAST(i AS INT)]) AS v
+         |  FROM e JOIN ccell ON ccell.vec_id = e.vec_id
+         |  JOIN planes pl ON pl.p = ccell.cell),
+         |${pqEncSqlOn("er")},
+         |$pqLutSql,
+         |sc AS (SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, pl2.coef) + ($pqAdcChain) AS score
+         |  FROM qcell JOIN luts l ON l.vec_id = qcell.vec_id
+         |  JOIN e q ON q.vec_id = qcell.vec_id
+         |  JOIN planes pl2 ON pl2.p = qcell.cell
          |  JOIN ccell ON ccell.cell = qcell.cell
          |  JOIN codes c ON c.vec_id = ccell.vec_id
          |  WHERE l.vec_id <> c.vec_id)

@@ -178,6 +178,13 @@ object Pq {
    * codes; queries probe `nProbe` cells and ADC-score just those cells'
    * codes. The join key is the small cell int — the corpus codes shuffle
    * at most once, and the per-query work is |probed cells| × m lookups.
+   *
+   * `residual = true` is true IVFADC (Jégou et al. §IV): each row
+   * encodes its RESIDUAL v − centroid(cell) instead of v, and the score
+   * adds back the exactly-known `<q, centroid(cell)>` term — residuals
+   * are much smaller than raw vectors, so the same codebook bytes buy a
+   * finer quantization. The query LUT is unchanged (it tables
+   * `<q_sub, code>` against the same codebook).
    */
   def ivfPqTopK(
       queries: DataFrame,
@@ -187,19 +194,49 @@ object Pq {
       k: Int,
       nProbe: Int,
       coarse: Array[Array[Double]],
-      cb: Codebook): DataFrame = {
-    val c = spread(corpus).select(col(idCol).as("c_id"),
-        encode(col(vecCol), cb).as("c_codes"),
-        sort_array(cellSims(col(vecCol), coarse), asc = false)(0)("cell").as("cell"))
-    val q = queries.select(col(idCol).as("q_id"), lutFor(col(vecCol), cb).as("q_lut"),
+      cb: Codebook,
+      residual: Boolean = false): DataFrame = {
+    val centsLit = typedLit(coarse.map(_.toSeq).toSeq)
+    val cellCol = sort_array(cellSims(col(vecCol), coarse), asc = false)(0)("cell")
+    val encoded = if (residual)
+      encode(zip_with(col(vecCol), element_at(centsLit, col("cell") + 1),
+        (a, b) => a - b), cb)
+    else encode(col(vecCol), cb)
+    val c = spread(corpus).select(col(idCol).as("c_id"), col(vecCol),
+        cellCol.as("cell"))
+      .select(col("c_id"), col("cell"), encoded.as("c_codes"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol),
+        lutFor(col(vecCol), cb).as("q_lut"),
         explode(slice(transform(sort_array(cellSims(col(vecCol), coarse), asc = false),
           s => s("cell")), 1, nProbe)).as("cell"))
+      .select(col("q_id"), col("q_lut"), col("cell"),
+        (if (residual)
+          Similarity.dotNative(col(vecCol), element_at(centsLit, col("cell") + 1))
+        else lit(0.0)).as("q_cell_dot"))
+    // keep the plain path's score spelling untouched (oracle-pinned)
+    val score = if (residual)
+      col("q_cell_dot") + adcScore(col("c_codes"), col("q_lut"))
+    else adcScore(col("c_codes"), col("q_lut"))
     broadcast(q).join(c, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
-        adcScore(col("c_codes"), col("q_lut")).as("score"))
+        score.as("score"))
       .withColumn("rank", rankCol(col("score")))
       .filter(col("rank") <= k)
+  }
+
+  /** Residual view of a vector table: `vecCol` ↦ v − centroid(best
+   * coarse cell) — the training input for an IVFADC codebook
+   * ([[trainCodebook]] on this frame, then `ivfPqTopK(residual = true)`
+   * with the same `coarse`). */
+  def residualFrame(vectors: DataFrame, vecCol: String,
+      coarse: Array[Array[Double]]): DataFrame = {
+    val centsLit = typedLit(coarse.map(_.toSeq).toSeq)
+    vectors.withColumn(vecCol,
+      zip_with(col(vecCol),
+        element_at(centsLit,
+          sort_array(cellSims(col(vecCol), coarse), asc = false)(0)("cell") + 1),
+        (a, b) => a - b))
   }
 
   /**

@@ -102,6 +102,24 @@ class PqSpec extends SparkSpec {
     assert(trained.flatten.flatten.toSeq === again.flatten.flatten.toSeq)
   }
 
+  test("residual encoding (IVFADC) beats plain IVF-PQ when trained on residuals") {
+    // true IVFADC needs BOTH trained parts: k-means coarse centroids
+    // (residuals are only small w.r.t. real centroids) and a PQ codebook
+    // fit on the residual distribution. q62e's seed-plane configuration
+    // is a value pin, not a recall configuration.
+    val coarse = Similarity.trainIvfCentroids(emb, "v", nCells = 8, dim = 64, iters = 3)
+    val cbResid = Pq.trainCodebook(
+      Pq.residualFrame(emb, "v", coarse), "v", 8, 16, 64, iters = 5)
+    def rec(cb: Pq.Codebook, residual: Boolean) = recall(pairs(
+      Pq.ivfPqTopK(queries, emb, "vec_id", "v", k = 3, nProbe = 4,
+        coarse = coarse, cb = cb, residual = residual)))
+    val plain = rec(trained, residual = false)
+    val resid = rec(cbResid, residual = true)
+    info(f"ivfpq recall@3 (k-means coarse, nProbe=4): plain=$plain%.3f residual=$resid%.3f")
+    assert(resid >= plain,
+      "residuals quantize finer at the same bytes — recall must not drop")
+  }
+
   test("ivfPqTopK: at most k rows per query, self excluded") {
     val out = Pq.ivfPqTopK(queries, emb, "vec_id", "v", k = 3,
         nProbe = 4, coarse = Similarity.planes(8, 64), cb = trained)
