@@ -225,6 +225,100 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  /** A built ANN index: the encoded corpus plus everything needed to
+   * search it. `rows` is (id, cell, codes) — 8 code bytes per vector
+   * instead of the raw floats. */
+  final case class Index(rows: DataFrame, coarse: Array[Array[Double]],
+      cb: Codebook, residual: Boolean)
+
+  /** Encode the corpus ONCE into an [[Index]] — the build-once /
+   * search-many shape ([[ivfPqTopK]] re-encodes per call, right for
+   * one-shot jobs; an index amortizes the encode across query batches
+   * and is what [[saveIndex]] persists). */
+  def buildIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Double]],
+      cb: Codebook,
+      residual: Boolean = false): Index = {
+    val centsLit = typedLit(coarse.map(_.toSeq).toSeq)
+    val base = spread(corpus).select(col(idCol).as("c_id"), col(vecCol).as("__v"),
+      sort_array(cellSims(col(vecCol), coarse), asc = false)(0)("cell").as("cell"))
+    val enc = if (residual)
+      encode(zip_with(col("__v"), element_at(centsLit, col("cell") + 1),
+        (a, b) => a - b), cb)
+    else encode(col("__v"), cb)
+    Index(base.select(col("c_id"), col("cell"), enc.as("c_codes")),
+      coarse, cb, residual)
+  }
+
+  /** Persist an index: encoded rows as (cell-partitioned) parquet, the
+   * coarse centroids and codebook as plain parquet tables — no bespoke
+   * serialization, any engine can read the layout back. */
+  def saveIndex(index: Index, dir: String): Unit = {
+    val spark = index.rows.sparkSession
+    import spark.implicits._
+    index.rows.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/rows")
+    index.coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "cent").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/coarse")
+    index.cb.zipWithIndex.flatMap { case (codes, sub) =>
+      codes.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "cent").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    Seq(Tuple1(index.residual)).toDF("residual").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
+    val coarse = spark.read.parquet(s"$dir/coarse")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("cent")).toArray)
+    val cbRows = spark.read.parquet(s"$dir/codebook")
+      .orderBy("sub", "code").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val cb = Array.tabulate(m) { sub =>
+      cbRows.filter(_.getInt(0) == sub).sortBy(_.getInt(1))
+        .map(r => r.getSeq[Double](r.fieldIndex("cent")).toArray)
+    }
+    val residual = spark.read.parquet(s"$dir/meta").collect().head.getBoolean(0)
+    Index(spark.read.parquet(s"$dir/rows"), coarse, cb, residual)
+  }
+
+  /** ADC search against a built (or loaded) index — identical output to
+   * [[ivfPqTopK]] with the index's configuration, but the corpus-side
+   * encode is already paid. Cell-partitioned parquet means the probed
+   * cells PRUNE at the scan: a query batch touching p of C cells reads
+   * p/C of the index files. */
+  def searchIndex(
+      index: Index,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val centsLit = typedLit(index.coarse.map(_.toSeq).toSeq)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol),
+        lutFor(col(vecCol), index.cb).as("q_lut"),
+        explode(slice(transform(
+          sort_array(cellSims(col(vecCol), index.coarse), asc = false),
+          s => s("cell")), 1, nProbe)).as("cell"))
+      .select(col("q_id"), col("q_lut"), col("cell"),
+        (if (index.residual)
+          Similarity.dotNative(col(vecCol), element_at(centsLit, col("cell") + 1))
+        else lit(0.0)).as("q_cell_dot"))
+    val score = if (index.residual)
+      col("q_cell_dot") + adcScore(col("c_codes"), col("q_lut"))
+    else adcScore(col("c_codes"), col("q_lut"))
+    broadcast(q).join(index.rows, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        score.as("score"))
+      .withColumn("rank", rankCol(col("score")))
+      .filter(col("rank") <= k)
+  }
+
   /** Residual view of a vector table: `vecCol` ↦ v − centroid(best
    * coarse cell) — the training input for an IVFADC codebook
    * ([[trainCodebook]] on this frame, then `ivfPqTopK(residual = true)`

@@ -120,6 +120,28 @@ class PqSpec extends SparkSpec {
       "residuals quantize finer at the same bytes — recall must not drop")
   }
 
+  test("index round-trip: build -> save -> load -> search == direct ivfPqTopK") {
+    val coarse = Similarity.planes(8, 64)
+    for (residual <- Seq(false, true)) {
+      val dir = java.nio.file.Files.createTempDirectory("pq_index").toString
+      val idx = Pq.buildIndex(emb, "vec_id", "v", coarse, seed, residual)
+      Pq.saveIndex(idx, dir)
+      val loaded = Pq.loadIndex(spark, dir)
+      assert(loaded.residual === residual)
+      assert(loaded.coarse.flatten.toSeq === coarse.flatten.toSeq)
+      assert(loaded.cb.flatten.flatten.toSeq === seed.flatten.flatten.toSeq)
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 9))
+        .collect().map(_.toString).sorted.toSeq
+      val viaIndex = canon(Pq.searchIndex(loaded, queries, "vec_id", "v",
+        k = 3, nProbe = 2))
+      val direct = canon(Pq.ivfPqTopK(queries, emb, "vec_id", "v", k = 3,
+        nProbe = 2, coarse, seed, residual))
+      assert(viaIndex === direct, s"residual=$residual")
+    }
+  }
+
   test("ivfPqTopK: at most k rows per query, self excluded") {
     val out = Pq.ivfPqTopK(queries, emb, "vec_id", "v", k = 3,
         nProbe = 4, coarse = Similarity.planes(8, 64), cb = trained)
