@@ -408,6 +408,18 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // pure-SQL surface: the same engine through spark.sql + the
+    // GraftExtensions-registered native functions (no DataFrame API)
+    "q72_sql_surface" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_v")
+      s.sql("""SELECT source, count(*) AS n,
+              |  count(DISTINCT md5_prefix_hash(
+              |    regexp_replace(trim(lower(text)), '\\s+', ' '), 15)) AS n_fp,
+              |  CAST(sum(size(winnow_fingerprint(
+              |    regexp_replace(trim(lower(text)), '\\s+', ' '), 5, 4))) AS BIGINT)
+              |    AS sum_winnow
+              |FROM graft_docs_v GROUP BY source ORDER BY source""".stripMargin)
+    }),
     // sequence packing: concat-and-chunk document layout into 512-token packs
     "q71_sequence_pack" -> ((s, dir) => {
       import graft.data.Corpus
@@ -1510,6 +1522,21 @@ object SparkEntry {
          |  JOIN e c ON c.vec_id = bc.vec_id
          |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q72_sql_surface" ->
+      s"""WITH n AS (SELECT source,
+         |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm FROM documents),
+         |g AS (SELECT source, ${h60Sql("norm")} AS fp,
+         |    CASE WHEN len(norm) >= 5
+         |      THEN list_transform(range(1, len(norm)-5+2), i -> ${h28Sql("substr(norm, i, 5)")})
+         |      ELSE []::BIGINT[] END AS hs FROM n),
+         |f AS (SELECT source, fp, len(list_distinct(
+         |    CASE WHEN len(hs) >= 4
+         |      THEN list_transform(range(1, len(hs)-4+2), j -> list_min(list_slice(hs, j, j+3)))
+         |      WHEN len(hs) > 0 THEN [list_min(hs)]
+         |      ELSE []::BIGINT[] END)) AS nw FROM g)
+         |SELECT source, count(*) AS n, count(DISTINCT fp) AS n_fp,
+         |  CAST(sum(nw) AS BIGINT) AS sum_winnow
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "q71_sequence_pack" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS n_tokens
          |  FROM documents),
