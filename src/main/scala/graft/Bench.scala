@@ -30,24 +30,39 @@ object Bench {
     // a failing query must surface as an "err" entry in the JSON, never as
     // a silent ~0s time that reads as a speedup
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: forces every output column to be computed (a count()
-      // would let the optimizer prune aggregate/projection work)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+    // (seconds, succeeded) per query — a failed attempt's (fast) abort
+    // time must never enter the min below, or a transient pass-2 failure
+    // reads as a phantom speedup
+    def timedPass(): Map[String, (Double, Boolean)] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink: forces every output column to be computed (a count()
+        // would let the optimizer prune aggregate/projection work)
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+              false
+          }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    // two timed passes, report per-query min: the host carries external
-    // load spikes (observed 45-305s spread on identical runs), so a single
-    // pass misattributes noise to plans; min-of-2 approximates steady-state
+    // two timed passes, report per-query min OVER SUCCESSFUL PASSES: the
+    // host carries external load spikes (observed 45-305s spread on
+    // identical runs), so a single pass misattributes noise to plans;
+    // min-of-2 approximates steady-state
     val pass1 = timedPass()
     val pass2 = timedPass()
-    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
+    val results = pass1.map { case (k, (t1, ok1)) =>
+      val (t2, ok2) = pass2(k)
+      k -> ((ok1, ok2) match {
+        case (true, true) => math.min(t1, t2)
+        case (true, false) => t1
+        case (false, true) => t2
+        case _ => math.max(t1, t2) // both failed: report the slower abort
+      })
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }

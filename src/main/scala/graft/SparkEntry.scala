@@ -1553,8 +1553,7 @@ object SparkEntry {
     "q69_cube" ->
       s"""SELECT source, lang, count(*) AS n,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         |  CAST(CASE WHEN source IS NULL THEN 2 ELSE 0 END
-         |     + CASE WHEN lang IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid
+         |  CAST(GROUPING(source, lang) AS BIGINT) AS gid
          |FROM documents GROUP BY CUBE(source, lang)
          |ORDER BY gid, source, lang""".stripMargin,
     "q70_ntile" ->
@@ -1572,8 +1571,10 @@ object SparkEntry {
          |    ' and https://cdn.example.com/x', CAST(doc_id % 3 AS VARCHAR)) AS a
          |  FROM documents),
          |h AS (SELECT doc_id,
-         |    unnest(list_transform(regexp_extract_all(a, 'https?://[^\\s]+'),
-         |      u -> regexp_extract(u, 'https?://([^/\\s:?#]+)', 1))) AS host
+         |    unnest(list_filter(
+         |      list_transform(regexp_extract_all(a, 'https?://[^\\s]+'),
+         |        u -> regexp_extract(u, 'https?://(?:[^/\\s@]*@)?([^/\\s:?#@]+)', 1)),
+         |      x -> len(x) > 0)) AS host
          |  FROM aug)
          |SELECT host, count(*) AS n, count(DISTINCT doc_id) AS n_docs
          |FROM h GROUP BY host ORDER BY host""".stripMargin,

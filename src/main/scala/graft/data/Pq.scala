@@ -195,35 +195,9 @@ object Pq {
       nProbe: Int,
       coarse: Array[Array[Double]],
       cb: Codebook,
-      residual: Boolean = false): DataFrame = {
-    val centsLit = typedLit(coarse.map(_.toSeq).toSeq)
-    val cellCol = sort_array(cellSims(col(vecCol), coarse), asc = false)(0)("cell")
-    val encoded = if (residual)
-      encode(zip_with(col(vecCol), element_at(centsLit, col("cell") + 1),
-        (a, b) => a - b), cb)
-    else encode(col(vecCol), cb)
-    val c = spread(corpus).select(col(idCol).as("c_id"), col(vecCol),
-        cellCol.as("cell"))
-      .select(col("c_id"), col("cell"), encoded.as("c_codes"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol),
-        lutFor(col(vecCol), cb).as("q_lut"),
-        explode(slice(transform(sort_array(cellSims(col(vecCol), coarse), asc = false),
-          s => s("cell")), 1, nProbe)).as("cell"))
-      .select(col("q_id"), col("q_lut"), col("cell"),
-        (if (residual)
-          Similarity.dotNative(col(vecCol), element_at(centsLit, col("cell") + 1))
-        else lit(0.0)).as("q_cell_dot"))
-    // keep the plain path's score spelling untouched (oracle-pinned)
-    val score = if (residual)
-      col("q_cell_dot") + adcScore(col("c_codes"), col("q_lut"))
-    else adcScore(col("c_codes"), col("q_lut"))
-    broadcast(q).join(c, Seq("cell"))
-      .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
-        score.as("score"))
-      .withColumn("rank", rankCol(col("score")))
-      .filter(col("rank") <= k)
-  }
+      residual: Boolean = false): DataFrame =
+    searchIndex(buildIndex(corpus, idCol, vecCol, coarse, cb, residual),
+      queries, idCol, vecCol, k, nProbe)
 
   /** A built ANN index: the encoded corpus plus everything needed to
    * search it. `rows` is (id, cell, codes) — 8 code bytes per vector

@@ -175,23 +175,29 @@ object Relational {
   def prefixSum(df: DataFrame, orderCol: String, valueCol: Column,
       outCol: String): DataFrame = {
     val pid = "__prefix_pid"
-    val bounds = df.agg(min(col(orderCol)).cast("long"),
+    // truncate lineage once: the bounds job, the totals job, and the
+    // final output all read this — without it the caller's upstream
+    // (e.g. tokenization) re-executes per job
+    val src = df.localCheckpoint(false)
+    val bounds = src.agg(min(col(orderCol)).cast("long"),
       max(col(orderCol)).cast("long")).collect().head
-    if (bounds.isNullAt(0)) return df.withColumn(outCol, lit(0L))
+    if (bounds.isNullAt(0)) return src.withColumn(outCol, lit(0L))
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val nParts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val nParts = src.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val width = math.max(1L, (hi - lo) / nParts + 1L)
     // integer `div`, not `/`: float division would lose exactness for
     // keys beyond 2^53
     val bucket = expr(
       s"CAST((CAST(`$orderCol` AS BIGINT) - ${lo}L) div ${width}L AS INT)")
-    val local = df
-      .withColumn(pid, bucket)
+    val bucketed = src.withColumn(pid, bucket)
+    val local = bucketed
       .withColumn(outCol,
         coalesce(sum(valueCol).over(Window.partitionBy(col(pid))
           .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-    val totals = local.groupBy(col(pid)).agg(sum(valueCol).as("__t"))
+    // per-bucket totals need no running sum — aggregate the bucketed
+    // frame directly rather than the windowed one
+    val totals = bucketed.groupBy(col(pid)).agg(sum(valueCol).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) => (p, acc + t) }
       .sliding(2).collect { case Array((_, acc), (p, _)) => (p, acc) }.toSeq

@@ -222,10 +222,15 @@ object TextFunctions {
 
   /** Hosts of every URL in the document (one entry per occurrence) —
    * the key the domain-level filters/blocklists of web-corpus pipelines
-   * aggregate on. RE2-safe regexes; empty array when no URL. */
+   * aggregate on. RE2-safe regexes; skips userinfo (`user:pass@host`
+   * yields `host`, not `user`) and drops degenerate URLs whose
+   * authority is empty (`http:///x`) rather than emitting '' keys.
+   * Empty array when no URL. */
   def urlHosts(text: Column): Column =
-    transform(regexp_extract_all(text, lit(UrlRe), lit(0)),
-      u => regexp_extract(u, "https?://([^/\\s:?#]+)", 1))
+    filter(
+      transform(regexp_extract_all(text, lit(UrlRe), lit(0)),
+        u => regexp_extract(u, "https?://(?:[^/\\s@]*@)?([^/\\s:?#@]+)", 1)),
+      h => length(h) > 0)
 
   /** Fraction of lines that duplicate an earlier line of the same doc —
    * the Gopher duplicate-line filter. Lines split on newline, trimmed;

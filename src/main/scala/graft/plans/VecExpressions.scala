@@ -673,7 +673,11 @@ object TopNgramFrac {
       var k = 0
       while (k < n) {
         if (k > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + k).toString)
+        // null tokens (possible when the caller passes a hand-built
+        // array rather than split() output) count as empty strings —
+        // matching concat_ws's null-skipping in the composable spelling
+        val u = toks.getUTF8String(i + k)
+        if (u != null) sb.append(u.toString)
         k += 1
       }
       val key = sb.toString
@@ -723,7 +727,12 @@ case class PqAdc(left: Expression, right: Expression)
     val m = math.min(codes.numElements(), lut.numElements())
     var s = 0.0
     var i = 0
-    while (i < m) { s += lut.getArray(i).getDouble(codes.getInt(i)); i += 1 }
+    // null code slots contribute nothing (getInt on a null slot would
+    // silently read 0 — skip explicitly instead)
+    while (i < m) {
+      if (!codes.isNullAt(i)) s += lut.getArray(i).getDouble(codes.getInt(i))
+      i += 1
+    }
     s
   }
 
@@ -736,7 +745,9 @@ case class PqAdc(left: Expression, right: Expression)
          |int $m = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $m; $i++) {
-         |  $s += $b.getArray($i).getDouble($a.getInt($i));
+         |  if (!$a.isNullAt($i)) {
+         |    $s += $b.getArray($i).getDouble($a.getInt($i));
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -770,9 +781,13 @@ object PqAdc {
  * `sort_array` lexicographic-ascending semantics).
  *
  * The codebook arrives as a FOLDABLE second argument (nested array
- * literal, `typedLit`) and is decoded once at construction.
+ * literal, `typedLit`) and is decoded once at construction. It is held
+ * as nested Seq — NOT Array — so case-class equality is structural:
+ * two textually identical `pq_encode` calls in one projection compare
+ * equal and subexpression elimination dedupes the argmin scan (Array
+ * fields compare by reference and would defeat CSE).
  */
-case class PqEncodeExpr(child: Expression, cb: Array[Array[Array[Double]]])
+case class PqEncodeExpr(child: Expression, cbSeq: Seq[Seq[Seq[Double]]])
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType,
@@ -784,6 +799,9 @@ case class PqEncodeExpr(child: Expression, cb: Array[Array[Array[Double]]])
     case dt => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<double>, got ${dt.simpleString}")
   }
+
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    cbSeq.map(_.map(_.toArray).toArray).toArray
 
   @transient private lazy val norms: Array[Array[Double]] =
     cb.map(_.map { c =>
@@ -836,10 +854,10 @@ case class PqEncodeExpr(child: Expression, cb: Array[Array[Array[Double]]])
 
 object PqEncodeExpr {
   /** Decode a foldable nested-array literal into the codebook shape. */
-  private def toCb(value: Any): Array[Array[Array[Double]]] =
+  private def toCb(value: Any): Seq[Seq[Seq[Double]]] =
     value.asInstanceOf[ArrayData].toObjectArray(ArrayType(ArrayType(DoubleType)))
       .map(_.asInstanceOf[ArrayData].toObjectArray(ArrayType(DoubleType))
-        .map(_.asInstanceOf[ArrayData].toDoubleArray()))
+        .map(_.asInstanceOf[ArrayData].toDoubleArray().toSeq).toSeq).toSeq
 
   val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("pq_encode"),

@@ -58,7 +58,10 @@ object VarEngine {
       sliceCol: String, sliceValues: Seq[String],
       confidence: Double = 99): DataFrame =
     VarAggregation.riskContribution(
-      riskExposure(trials, portfolio, sliceCol, confidence),
+      // the crosstab pivots VaR only — don't compute a per-slice
+      // shortfall quantile just to drop it
+      riskExposure(trials, portfolio, sliceCol, confidence,
+        withShortfall = false),
       "date", sliceCol, s"var_${confidence.toInt}", sliceValues)
 
   /** Basel traffic-light backtest, forward-filled to a daily calendar —

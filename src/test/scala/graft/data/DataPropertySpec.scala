@@ -73,7 +73,8 @@ class DataPropertySpec extends SparkSpec {
       val cb = flat.grouped(subDim).grouped(ksub)
         .map(_.map(_.toArray).toArray).toArray
       val got = PqEncodeExpr(
-        org.apache.spark.sql.catalyst.expressions.Literal(null), cb)
+        org.apache.spark.sql.catalyst.expressions.Literal(null),
+        cb.map(_.map(_.toSeq).toSeq).toSeq)
         .compute(new GenericArrayData(v.toArray)).toIntArray()
       val want = (0 until m).map { sub =>
         val xs = v.slice(sub * subDim, (sub + 1) * subDim)
