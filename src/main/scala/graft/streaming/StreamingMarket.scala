@@ -145,6 +145,59 @@ object StreamingMarket {
   }
 
   /**
+   * Streaming ANN: score a stream of query vectors against a static
+   * (built or loaded) PQ index — `graft.data.Pq.Index` composes with a
+   * stream because the probe is a stream-static equi join on the cell
+   * int with per-row LUT construction; the index side never shuffles.
+   * Top-k per query within each micro-batch via the same ADC ranking
+   * (append mode; streaming global rank is undefined, so ranking is
+   * per-batch by construction — which is the retrieval semantics:
+   * each arriving query is answered once, completely).
+   */
+  def streamingAnnSearch(
+      queries: DataFrame,
+      index: graft.data.Pq.Index,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.data.{Pq, Similarity}
+    val centsLit = typedLit(index.coarse.map(_.toSeq).toSeq)
+    val cellScores = array(index.coarse.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(Similarity.dotNative(col(vecCol),
+        array(c.toIndexedSeq.map(lit): _*)).as("s"), lit(i).as("cell"))
+    }: _*)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol),
+        Pq.lutFor(col(vecCol), index.cb).as("q_lut"),
+        explode(slice(transform(sort_array(cellScores, asc = false),
+          s => s("cell")), 1, nProbe)).as("cell"))
+      .select(col("q_id"), col("q_lut"), col("cell"),
+        (if (index.residual)
+          Similarity.dotNative(col(vecCol), element_at(centsLit, col("cell") + 1))
+        else lit(0.0)).as("q_cell_dot"))
+    val score = if (index.residual)
+      col("q_cell_dot") + Pq.adcScore(col("c_codes"), col("q_lut"))
+    else Pq.adcScore(col("c_codes"), col("q_lut"))
+    // stream-static join: the (broadcastable) stream side probes the
+    // static codes; per-query top-k via in-group sort, not a window
+    // (streaming plans reject non-time windows)
+    q.join(broadcast(index.rows), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        score.as("score"))
+      .groupBy(col("query_id"))
+      // negated-score ascending sort = (score DESC, neighbor ASC) — the
+      // exact tie-break batch searchIndex's rank window uses
+      .agg(slice(array_sort(collect_list(
+        struct((-col("score")).as("ns"), col("neighbor_id")))), 1, k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"),
+        (-col("col.ns")).as("score"))
+  }
+
+  /**
    * Streaming SESSIONIZATION: event-time session windows (gap-based) per
    * user — the streaming twin of the batch lag+running-sum sessionize
    * (q40). `session_window` merges events closer than `gap` into one

@@ -246,6 +246,43 @@ class StreamingMarketSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streamingAnnSearch: query stream against a static PQ index == batch search") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.data.{Pq, Similarity}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val idx = Pq.buildIndex(emb, "vec_id", "v", Similarity.planes(8, 64),
+      Pq.seedCodebook(8, 16, 8))
+    // static index rows must be a plain (batch) DataFrame — materialize
+    val rows = idx.rows.cache()
+    val staticIdx = idx.copy(rows = rows)
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = streamingAnnSearch(input.toDF().toDF("vec_id", "v"), staticIdx,
+        "vec_id", "v", k = 3, nProbe = 2)
+      .writeStream.format("memory").queryName("annstream")
+      .outputMode(OutputMode.Update()).start()
+
+    val queryVecs = emb.filter(col("vec_id") < 5)
+      .as[(Long, Seq[Double])].collect().toSeq
+    input.addData(queryVecs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(queryVecs.drop(2): _*) // second batch: fresh queries
+    q.processAllAvailable()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 9))
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = canon(spark.table("annstream"))
+    val batch = canon(Pq.searchIndex(staticIdx, emb.filter(col("vec_id") < 5),
+      "vec_id", "v", k = 3, nProbe = 2))
+    assert(streamed == batch && streamed.nonEmpty)
+    rows.unpersist()
+    q.stop()
+  }
+
   test("streamingSessions: gap-based event-time sessions emit once on watermark close") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
