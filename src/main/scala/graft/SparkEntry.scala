@@ -408,6 +408,15 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // int8 scalar-quantized retrieval (4x compression, no codebook)
+    "q73_sq8_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Pq.sqTopK(e.filter(col("vec_id") < 20), e, "vec_id", "v", k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // pure-SQL surface: the same engine through spark.sql + the
     // GraftExtensions-registered native functions (no DataFrame API)
     "q72_sql_surface" -> ((s, dir) => {
@@ -1521,6 +1530,30 @@ object SparkEntry {
          |  JOIN buck bc ON bc.bucket = bq.bucket
          |  JOIN e c ON c.vec_id = bc.vec_id
          |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q73_sq8_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sq AS (SELECT vec_id, list_min(v) AS lo,
+         |    (list_max(v) - list_min(v)) / 255.0 AS scale, v FROM e),
+         |enc AS (SELECT vec_id, lo, scale,
+         |    CASE WHEN scale > 0
+         |      THEN list_transform(v, x -> CAST(round((x - lo) / scale, 0) AS INT))
+         |      ELSE list_transform(v, x -> 0) END AS codes FROM sq),
+         |cs AS (SELECT vec_id, lo, scale, codes,
+         |    CAST(list_aggregate(codes, 'sum') AS BIGINT) AS csum,
+         |    len(codes) AS d FROM enc),
+         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    q.scale * c.scale * CAST(list_dot_product(q.codes, c.codes) AS DOUBLE)
+         |    + q.lo * c.scale * CAST(c.csum AS DOUBLE)
+         |    + c.lo * q.scale * CAST(q.csum AS DOUBLE)
+         |    + CAST(q.d AS DOUBLE) * q.lo * c.lo AS score
+         |  FROM cs q CROSS JOIN cs c
+         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM sc)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q72_sql_surface" ->
       s"""WITH n AS (SELECT source,

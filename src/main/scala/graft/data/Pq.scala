@@ -293,6 +293,61 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  // ------------------------------------------- scalar quantization (SQ8)
+
+  /** Per-vector int8 scalar quantization (FAISS `SQ8` shape): each
+   * component maps to `round((x − lo) / scale)` ∈ [0, 255] with
+   * per-vector `lo = min(x)`, `scale = (max − min) / 255` — 4× smaller
+   * than float32 with no codebook to train. Constant vectors get
+   * scale = 0 and all-zero codes (dequantizing exactly to `lo`).
+   * Returns a struct `(codes array<int>, lo, scale, csum)` where `csum`
+   * is the integer code sum the dot reconstruction needs. All-integer
+   * codes: an external oracle reproduces them exactly. */
+  def sqEncode(v: Column): Column = {
+    val lo = array_min(v)
+    val scale = (array_max(v) - lo) / lit(255.0)
+    val codes = when(scale > 0,
+        transform(v, x => round((x - lo) / scale, 0).cast("int")))
+      .otherwise(transform(v, _ => lit(0)))
+    struct(codes.as("codes"), lo.as("lo"), scale.as("scale"),
+      aggregate(codes, lit(0L), (a, c) => a + c).as("csum"))
+  }
+
+  /** Approximate inner product of two SQ8-encoded vectors:
+   * `<a, b> ≈ sa·sb·Σ(ca·cb) + la·sb·Σcb + lb·sa·Σca + d·la·lb`
+   * (expanding `(la + sa·ca_i)(lb + sb·cb_i)`). The code-pair sum is
+   * exact integer arithmetic; only the final 4-term combination is FP —
+   * spelled left-to-right for cross-engine parity. */
+  def sqDot(a: Column, b: Column): Column = {
+    val codeDot = aggregate(zip_with(a("codes"), b("codes"),
+      (x, y) => (x * y).cast("long")), lit(0L), _ + _)
+    val d = size(a("codes")).cast("double")
+    a("scale") * b("scale") * codeDot.cast("double") +
+      a("lo") * b("scale") * b("csum").cast("double") +
+      b("lo") * a("scale") * a("csum").cast("double") +
+      d * a("lo") * b("lo")
+  }
+
+  /** Brute-force top-k by SQ8 approximate inner product — the
+   * [[bruteForceTopK]] scan shape over 4×-compressed codes ([[pqTopK]]
+   * compresses 32× but needs a codebook; SQ8 is the drop-in no-training
+   * tier). Queries broadcast; corpus never shuffles. */
+  def sqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), sqEncode(col(vecCol)).as("q_sq"))
+    val c = spread(corpus).select(col(idCol).as("c_id"), sqEncode(col(vecCol)).as("c_sq"))
+    broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        sqDot(col("q_sq"), col("c_sq")).as("score"))
+      .withColumn("rank", rankCol(col("score")))
+      .filter(col("rank") <= k)
+  }
+
   /** Residual view of a vector table: `vecCol` ↦ v − centroid(best
    * coarse cell) — the training input for an IVFADC codebook
    * ([[trainCodebook]] on this frame, then `ivfPqTopK(residual = true)`

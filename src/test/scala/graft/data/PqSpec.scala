@@ -142,6 +142,21 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 int8 quantization: near-exact recall, tiny dot-product error") {
+    val sq = recall(pairs(Pq.sqTopK(queries, emb, "vec_id", "v", k = 3)))
+    info(f"sq8 recall@3 = $sq%.3f")
+    // per-vector int8 grids quantize unit embeddings to ~0.2%% relative
+    // error — far above any codebook method on this corpus
+    assert(sq >= 0.9, f"sq8 recall $sq%.3f below 0.9 floor")
+    val err = queries.select(col("v").as("q_v"), Pq.sqEncode(col("v")).as("q_sq"))
+      .crossJoin(emb.select(col("v").as("c_v"), Pq.sqEncode(col("v")).as("c_sq")))
+      .select(abs(Pq.sqDot(col("q_sq"), col("c_sq")) -
+        Similarity.dotNative(col("q_v"), col("c_v"))).as("e"))
+      .agg(max("e")).as[Double].head()
+    info(f"sq8 max |dot error| = $err%.5f")
+    assert(err < 0.01, "int8 reconstruction error must stay tiny")
+  }
+
   test("ivfPqTopK: at most k rows per query, self excluded") {
     val out = Pq.ivfPqTopK(queries, emb, "vec_id", "v", k = 3,
         nProbe = 4, coarse = Similarity.planes(8, 64), cb = trained)
