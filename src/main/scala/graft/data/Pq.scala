@@ -260,6 +260,38 @@ object Pq {
     Index(spark.read.parquet(s"$dir/rows"), coarse, cb, residual)
   }
 
+  /** Query-side probe prep shared by batch [[searchIndex]] and
+   * `StreamingMarket.streamingAnnSearch` — one row per (query, probed
+   * cell) carrying the ADC LUT and the residual centroid term; extra
+   * columns of `queries` (e.g. an event-time column) pass through.
+   * Keeping this in ONE place pins the probe spelling (cell tie-breaks,
+   * residual term) for both twins. */
+  def probeQueries(
+      index: Index,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nProbe: Int): DataFrame = {
+    val centsLit = typedLit(index.coarse.map(_.toSeq).toSeq)
+    queries
+      .withColumn("q_lut", lutFor(col(vecCol), index.cb))
+      .withColumn("cell",
+        explode(slice(transform(
+          sort_array(cellSims(col(vecCol), index.coarse), asc = false),
+          s => s("cell")), 1, nProbe)))
+      .withColumn("q_cell_dot",
+        if (index.residual)
+          Similarity.dotNative(col(vecCol), element_at(centsLit, col("cell") + 1))
+        else lit(0.0))
+      .withColumnRenamed(idCol, "q_id")
+      .drop(vecCol)
+  }
+
+  /** The ADC score column over a [[probeQueries]] ⋈ index-rows join. */
+  def indexScore(index: Index): Column =
+    if (index.residual) col("q_cell_dot") + adcScore(col("c_codes"), col("q_lut"))
+    else adcScore(col("c_codes"), col("q_lut"))
+
   /** ADC search against a built (or loaded) index — identical output to
    * [[ivfPqTopK]] with the index's configuration, but the corpus-side
    * encode is already paid. Cell-partitioned parquet means the probed
@@ -272,23 +304,12 @@ object Pq {
       vecCol: String,
       k: Int,
       nProbe: Int): DataFrame = {
-    val centsLit = typedLit(index.coarse.map(_.toSeq).toSeq)
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol),
-        lutFor(col(vecCol), index.cb).as("q_lut"),
-        explode(slice(transform(
-          sort_array(cellSims(col(vecCol), index.coarse), asc = false),
-          s => s("cell")), 1, nProbe)).as("cell"))
-      .select(col("q_id"), col("q_lut"), col("cell"),
-        (if (index.residual)
-          Similarity.dotNative(col(vecCol), element_at(centsLit, col("cell") + 1))
-        else lit(0.0)).as("q_cell_dot"))
-    val score = if (index.residual)
-      col("q_cell_dot") + adcScore(col("c_codes"), col("q_lut"))
-    else adcScore(col("c_codes"), col("q_lut"))
+    val q = probeQueries(index, queries.select(col(idCol), col(vecCol)),
+      idCol, vecCol, nProbe)
     broadcast(q).join(index.rows, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
-        score.as("score"))
+        indexScore(index).as("score"))
       .withColumn("rank", rankCol(col("score")))
       .filter(col("rank") <= k)
   }
@@ -312,6 +333,25 @@ object Pq {
     struct(codes.as("codes"), lo.as("lo"), scale.as("scale"),
       aggregate(codes, lit(0L), (a, c) => a + c).as("csum"))
   }
+
+  /** [[sqEncode]] minus the code sum (one transform evaluation). */
+  private def sqCodes(v: Column): Column = {
+    val lo = array_min(v)
+    val scale = (array_max(v) - lo) / lit(255.0)
+    val codes = when(scale > 0,
+        transform(v, x => round((x - lo) / scale, 0).cast("int")))
+      .otherwise(transform(v, _ => lit(0)))
+    struct(codes.as("codes"), lo.as("lo"), scale.as("scale"))
+  }
+
+  /** Complete a MATERIALIZED [[sqCodes]] struct with its code sum — run
+   * in a separate projection behind an exchange so the per-component
+   * round/transform chain is evaluated ONCE per row ([[sqEncode]]
+   * inline re-runs it for the `csum` aggregate; HOFs get no
+   * subexpression elimination). */
+  private def sqFinalize(sq: Column): Column =
+    struct(sq("codes").as("codes"), sq("lo").as("lo"), sq("scale").as("scale"),
+      aggregate(sq("codes"), lit(0L), (a, c) => a + c).as("csum"))
 
   /** Approximate inner product of two SQ8-encoded vectors:
    * `<a, b> ≈ sa·sb·Σ(ca·cb) + la·sb·Σcb + lb·sa·Σca + d·la·lb`
@@ -339,7 +379,10 @@ object Pq {
       vecCol: String,
       k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), sqEncode(col(vecCol)).as("q_sq"))
-    val c = spread(corpus).select(col(idCol).as("c_id"), sqEncode(col(vecCol)).as("c_sq"))
+    // the spread() exchange doubles as the projection barrier that keeps
+    // the encode single-evaluation on the hot corpus side
+    val c = spread(corpus.select(col(idCol).as("c_id"), sqCodes(col(vecCol)).as("__sq")))
+      .select(col("c_id"), sqFinalize(col("__sq")).as("c_sq"))
     broadcast(q).crossJoin(c)
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),

@@ -145,14 +145,23 @@ object StreamingMarket {
   }
 
   /**
-   * Streaming ANN: score a stream of query vectors against a static
-   * (built or loaded) PQ index — `graft.data.Pq.Index` composes with a
-   * stream because the probe is a stream-static equi join on the cell
-   * int with per-row LUT construction; the index side never shuffles.
-   * Top-k per query within each micro-batch via the same ADC ranking
-   * (append mode; streaming global rank is undefined, so ranking is
-   * per-batch by construction — which is the retrieval semantics:
-   * each arriving query is answered once, completely).
+   * Streaming ANN: score a stream of (event-timed) query vectors against
+   * a static (built or loaded) PQ index. The probe is a stream-static
+   * equi join on the cell int — the query-side prep is
+   * [[graft.data.Pq.probeQueries]], the SAME code the batch
+   * `searchIndex` runs, so tie-breaks and residual terms cannot drift.
+   * The static side is deliberately NOT broadcast: Catalyst sizes it
+   * (small index → auto-broadcast; huge index → shuffled join). Pass an
+   * index whose `rows` are cached or loaded from parquet — an un-cached
+   * freshly-built index re-encodes the corpus every micro-batch.
+   *
+   * Top-k is a watermarked event-time windowed aggregation keyed by
+   * (query, window): append mode emits each query's answer exactly once
+   * when the watermark closes its window, state is EVICTED at the close
+   * (bounded by watermark + window, never forever), and at-least-once
+   * redelivery of the same query merges into the same candidate SET
+   * (`collect_set` — identical candidates dedup) instead of duplicating
+   * neighbors.
    */
   def streamingAnnSearch(
       queries: DataFrame,
@@ -160,39 +169,27 @@ object StreamingMarket {
       idCol: String,
       vecCol: String,
       k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      tsCol: String = "ts",
+      watermark: String = "10 minutes",
+      windowLen: String = "1 minute"): DataFrame = {
     import org.apache.spark.sql.functions._
-    import graft.data.{Pq, Similarity}
-    val centsLit = typedLit(index.coarse.map(_.toSeq).toSeq)
-    val cellScores = array(index.coarse.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-      struct(Similarity.dotNative(col(vecCol),
-        array(c.toIndexedSeq.map(lit): _*)).as("s"), lit(i).as("cell"))
-    }: _*)
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol),
-        Pq.lutFor(col(vecCol), index.cb).as("q_lut"),
-        explode(slice(transform(sort_array(cellScores, asc = false),
-          s => s("cell")), 1, nProbe)).as("cell"))
-      .select(col("q_id"), col("q_lut"), col("cell"),
-        (if (index.residual)
-          Similarity.dotNative(col(vecCol), element_at(centsLit, col("cell") + 1))
-        else lit(0.0)).as("q_cell_dot"))
-    val score = if (index.residual)
-      col("q_cell_dot") + Pq.adcScore(col("c_codes"), col("q_lut"))
-    else Pq.adcScore(col("c_codes"), col("q_lut"))
-    // stream-static join: the (broadcastable) stream side probes the
-    // static codes; per-query top-k via in-group sort, not a window
-    // (streaming plans reject non-time windows)
-    q.join(broadcast(index.rows), Seq("cell"))
+    import graft.data.Pq
+    val q = Pq.probeQueries(index,
+      queries.select(col(idCol), col(vecCol), col(tsCol)), idCol, vecCol, nProbe)
+    q.join(index.rows, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
-        score.as("score"))
-      .groupBy(col("query_id"))
+      .select(col("q_id").as("query_id"), col(tsCol),
+        col("c_id").as("neighbor_id"), Pq.indexScore(index).as("score"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(col("query_id"), window(col(tsCol), windowLen))
       // negated-score ascending sort = (score DESC, neighbor ASC) — the
       // exact tie-break batch searchIndex's rank window uses
-      .agg(slice(array_sort(collect_list(
+      .agg(slice(array_sort(collect_set(
         struct((-col("score")).as("ns"), col("neighbor_id")))), 1, k).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
+      .select(col("query_id"), col("window.start").as("window_start"),
+        posexplode(col("top")))
+      .select(col("query_id"), col("window_start"), (col("pos") + 1).as("rank"),
         col("col.neighbor_id").as("neighbor_id"),
         (-col("col.ns")).as("score"))
   }

@@ -258,24 +258,31 @@ class StreamingMarketSpec extends SparkSpec {
     val rows = idx.rows.cache()
     val staticIdx = idx.copy(rows = rows)
 
-    val input = MemoryStream[(Long, Seq[Double])]
-    val q = streamingAnnSearch(input.toDF().toDF("vec_id", "v"), staticIdx,
-        "vec_id", "v", k = 3, nProbe = 2)
+    val input = MemoryStream[(Long, Seq[Double], Timestamp)]
+    val q = streamingAnnSearch(input.toDF().toDF("vec_id", "v", "ts"), staticIdx,
+        "vec_id", "v", k = 3, nProbe = 2,
+        watermark = "1 hour", windowLen = "1 hour")
       .writeStream.format("memory").queryName("annstream")
-      .outputMode(OutputMode.Update()).start()
+      .outputMode(OutputMode.Append()).start()
 
     val queryVecs = emb.filter(col("vec_id") < 5)
       .as[(Long, Seq[Double])].collect().toSeq
+      .map { case (id, v) => (id, v, ts(1, 6)) }
     input.addData(queryVecs.take(2): _*)
     q.processAllAvailable()
-    input.addData(queryVecs.drop(2): _*) // second batch: fresh queries
+    // second batch: fresh queries PLUS an at-least-once redelivery of
+    // query 0 in the same window — must merge, not duplicate neighbors
+    input.addData(queryVecs.drop(2) :+ queryVecs.head: _*)
+    q.processAllAvailable()
+    // advance the watermark far enough to close and emit the window
+    input.addData((999L, queryVecs.head._2, ts(5)))
     q.processAllAvailable()
 
     def canon(df: org.apache.spark.sql.DataFrame) = df
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("score"), 9))
       .collect().map(_.toString).sorted.toSeq
-    val streamed = canon(spark.table("annstream"))
+    val streamed = canon(spark.table("annstream").filter(col("query_id") < 5))
     val batch = canon(Pq.searchIndex(staticIdx, emb.filter(col("vec_id") < 5),
       "vec_id", "v", k = 3, nProbe = 2))
     assert(streamed == batch && streamed.nonEmpty)
