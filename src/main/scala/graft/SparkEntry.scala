@@ -408,6 +408,30 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // Matryoshka-style truncated-dim retrieval: coarse rank on the first
+    // 16 of 64 dims (4x cheaper scan), exact re-rank of the shortlist
+    "q74_matryoshka" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val pre = e.select(col("vec_id"), slice(col("v"), 1, 16).as("v"))
+      val shortlist = Similarity.bruteForceTopK(
+          pre.filter(col("vec_id") < 20), pre, "vec_id", "v", k = 20)
+        .select(col("query_id"), col("neighbor_id"))
+      val qv = e.select(col("vec_id").as("query_id"), col("v").as("q_v"),
+        Similarity.norm(col("v")).as("q_n"))
+      val cv = e.select(col("vec_id").as("neighbor_id"), col("v").as("c_v"),
+        Similarity.norm(col("v")).as("c_n"))
+      shortlist.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          (Similarity.dotNative(col("q_v"), col("c_v")) /
+            (col("q_n") * col("c_n"))).as("sim"))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // int8 scalar-quantized retrieval (4x compression, no codebook)
     "q73_sq8_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1530,6 +1554,29 @@ object SparkEntry {
          |  JOIN buck bc ON bc.bucket = bq.bucket
          |  JOIN e c ON c.vec_id = bc.vec_id
          |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q74_matryoshka" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT vec_id, list_slice(v, 1, 16) AS v FROM e),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(q.v, c.v) /
+         |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+         |        c.vec_id) AS rank
+         |  FROM p q CROSS JOIN p c
+         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+         |WHERE rank <= 20)
+         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
+         |  SELECT short.query_id, short.neighbor_id,
+         |    list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim,
+         |    row_number() OVER (PARTITION BY short.query_id
+         |      ORDER BY list_dot_product(q.v, c.v) /
+         |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+         |        short.neighbor_id) AS rank
+         |  FROM short JOIN e q ON q.vec_id = short.query_id
+         |  JOIN e c ON c.vec_id = short.neighbor_id)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q73_sq8_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

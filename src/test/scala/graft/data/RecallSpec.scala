@@ -84,6 +84,25 @@ class RecallSpec extends SparkSpec {
     assert(full == 1.0, "nProbe = nCells must recover the exact top-k")
   }
 
+  test("truncated-dim (Matryoshka) shortlist recall; too-short prefix has teeth") {
+    import org.apache.spark.sql.functions.slice
+    def shortlistRecall(dims: Int, shortlist: Int): Double = {
+      val pre = emb.select($"vec_id", slice($"v", 1, dims).as("v"))
+      val cand = pairs(Similarity.bruteForceTopK(
+        pre.filter($"vec_id" < 20), pre, "vec_id", "v", k = shortlist),
+        "query_id", "neighbor_id")
+      recall(cand, annExact)
+    }
+    // q74's shortlist-20 is the oracle pin (measured 0.40 here — these
+    // near-orthogonal embeddings put little top-3 signal in any prefix);
+    // the recall configuration widens the shortlist, like refine=50 for PQ
+    val d16 = shortlistRecall(16, 50)
+    val d4 = shortlistRecall(4, 50)
+    info(f"matryoshka shortlist-50 recall@3: 16 of 64 dims = $d16%.3f, 4 dims = $d4%.3f")
+    assert(d16 >= 0.6, f"16-dim prefix recall $d16%.3f below 0.6 floor")
+    assert(d4 < d16, "a 4-dim prefix must lose recall vs 16 dims")
+  }
+
   // ---- near-dup pair recall ----------------------------------------------
   test("minhash banding pair-recall meets the floor; one band does not") {
     // exact twin: all-pairs jaccard in a single block (identical shingle +
