@@ -124,6 +124,29 @@ object Pq {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Query-side join strategy shared by every retrieval entry point.
+   *
+   * `broadcastQueries = true` (default, the serving shape): the query side
+   * — queries × nProbe rows each carrying an m × ksub-double LUT — is
+   * broadcast, so the corpus side never shuffles. That envelope breaks for
+   * corpus-vs-corpus batches (e.g. re-ranking a whole corpus against
+   * itself): the broadcast table is built ON THE DRIVER, and a
+   * 10⁸-query × LUT build OOMs it. `broadcastQueries = false` is the
+   * big-batch path: a shuffle-hash join keyed on the (small-int) join key
+   * — both sides shuffle on the key, nothing is driver-materialized, and
+   * the per-key work is unchanged. Keyless flat scans ([[pqTopK]],
+   * [[sqTopK]]) fall back to a shuffle-replicate cartesian for the same
+   * reason. Plan shapes for both modes are pinned by `PlanSpec`. */
+  private def joinQueries(q: DataFrame, c: DataFrame, keys: Seq[String],
+      broadcastQueries: Boolean): DataFrame =
+    if (broadcastQueries) broadcast(q).join(c, keys)
+    else q.hint("shuffle_hash").join(c, keys)
+
+  private def crossQueries(q: DataFrame, c: DataFrame,
+      broadcastQueries: Boolean): DataFrame =
+    if (broadcastQueries) broadcast(q).crossJoin(c)
+    else q.hint("shuffle_replicate_nl").crossJoin(c)
+
   /**
    * Flat-PQ top-k by approximate inner product: the corpus is scanned as
    * codes only (encoded once, inline here; persist the encoded table for
@@ -132,6 +155,10 @@ object Pq {
    * candidates per query are re-ranked by EXACT cosine — the standard
    * two-stage retrieval: the wide float vectors are fetched (joined back)
    * for only `refine` rows per query instead of the whole corpus.
+   *
+   * `broadcastQueries = false` for corpus-sized query batches (see
+   * [[joinQueries]]): the scan becomes a shuffle-replicate cartesian —
+   * no driver-side broadcast build, same scores.
    */
   def pqTopK(
       queries: DataFrame,
@@ -140,10 +167,11 @@ object Pq {
       vecCol: String,
       k: Int,
       cb: Codebook,
-      refine: Int = 0): DataFrame = {
+      refine: Int = 0,
+      broadcastQueries: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), lutFor(col(vecCol), cb).as("q_lut"))
     val c = spread(corpus).select(col(idCol).as("c_id"), encode(col(vecCol), cb).as("c_codes"))
-    val scored = broadcast(q).crossJoin(c)
+    val scored = crossQueries(q, c, broadcastQueries)
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
         adcScore(col("c_codes"), col("q_lut")).as("score"))
@@ -159,7 +187,8 @@ object Pq {
         Similarity.norm(col(vecCol)).as("q_n"))
       val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"),
         Similarity.norm(col(vecCol)).as("c_n"))
-      val exact = cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+      val exact = joinQueries(qv, cand, Seq("query_id"), broadcastQueries)
+        .join(cv, "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
           (Similarity.dotNative(col("q_v"), col("c_v")) / (col("q_n") * col("c_n"))).as("sim"))
       exact.withColumn("rank", rankCol(col("sim"))).filter(col("rank") <= k)
@@ -195,9 +224,10 @@ object Pq {
       nProbe: Int,
       coarse: Array[Array[Double]],
       cb: Codebook,
-      residual: Boolean = false): DataFrame =
+      residual: Boolean = false,
+      broadcastQueries: Boolean = true): DataFrame =
     searchIndex(buildIndex(corpus, idCol, vecCol, coarse, cb, residual),
-      queries, idCol, vecCol, k, nProbe)
+      queries, idCol, vecCol, k, nProbe, broadcastQueries)
 
   /** A built ANN index: the encoded corpus plus everything needed to
    * search it. `rows` is (id, cell, codes) — 8 code bytes per vector
@@ -294,19 +324,27 @@ object Pq {
 
   /** ADC search against a built (or loaded) index — identical output to
    * [[ivfPqTopK]] with the index's configuration, but the corpus-side
-   * encode is already paid. Cell-partitioned parquet means the probed
-   * cells PRUNE at the scan: a query batch touching p of C cells reads
-   * p/C of the index files. */
+   * encode is already paid. For a [[loadIndex]]-ed (cell-PARTITIONED
+   * parquet) index on the default broadcast path, the probed cells PRUNE
+   * at the scan — a query batch touching p of C cells reads p/C of the
+   * index files (`PlanSpec` pins the PartitionFilters). A fresh
+   * [[buildIndex]] output is not partitioned on disk, so it gets no scan
+   * pruning — save/load the index to earn it. `broadcastQueries = false`
+   * (big query batches, see [[joinQueries]]) shuffles both sides on the
+   * cell int instead: no driver broadcast build, and note the corpus-side
+   * shuffle also forfeits scan pruning — the right trade when the query
+   * batch probes most cells anyway. */
   def searchIndex(
       index: Index,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
     val q = probeQueries(index, queries.select(col(idCol), col(vecCol)),
       idCol, vecCol, nProbe)
-    broadcast(q).join(index.rows, Seq("cell"))
+    joinQueries(q, index.rows, Seq("cell"), broadcastQueries)
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
         indexScore(index).as("score"))
@@ -371,19 +409,22 @@ object Pq {
   /** Brute-force top-k by SQ8 approximate inner product — the
    * [[bruteForceTopK]] scan shape over 4×-compressed codes ([[pqTopK]]
    * compresses 32× but needs a codebook; SQ8 is the drop-in no-training
-   * tier). Queries broadcast; corpus never shuffles. */
+   * tier). Queries broadcast by default; corpus never shuffles.
+   * `broadcastQueries = false` for corpus-sized query batches (see
+   * [[joinQueries]]). */
   def sqTopK(
       queries: DataFrame,
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), sqEncode(col(vecCol)).as("q_sq"))
     // the spread() exchange doubles as the projection barrier that keeps
     // the encode single-evaluation on the hot corpus side
     val c = spread(corpus.select(col(idCol).as("c_id"), sqCodes(col(vecCol)).as("__sq")))
       .select(col("c_id"), sqFinalize(col("__sq")).as("c_sq"))
-    broadcast(q).crossJoin(c)
+    crossQueries(q, c, broadcastQueries)
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
         sqDot(col("q_sq"), col("c_sq")).as("score"))

@@ -88,24 +88,42 @@ object Similarity {
       .select(col(s"${prefix}id"), col(s"${prefix}v"), col(s"${prefix}n"),
         col("__tb")("tbl").as("tbl"), col("__tb")("b").as("bucket"))
 
+  /** Query-side join strategy shared by the retrieval entry points here
+   * (same dial as `Pq.joinQueries`): `broadcastQueries = true` is the
+   * serving shape — small query batch broadcast, corpus never shuffles;
+   * `false` is the corpus-vs-corpus shape — a shuffle join (shuffle-hash
+   * on the key, or shuffle-replicate cartesian when keyless), nothing
+   * materialized on the driver. */
+  private def joinQ(q: DataFrame, c: DataFrame, keys: Seq[String],
+      broadcastQueries: Boolean): DataFrame =
+    if (broadcastQueries) broadcast(q).join(c, keys)
+    else q.hint("shuffle_hash").join(c, keys)
+
+  private def crossQ(q: DataFrame, c: DataFrame,
+      broadcastQueries: Boolean): DataFrame =
+    if (broadcastQueries) broadcast(q).crossJoin(c)
+    else q.hint("shuffle_replicate_nl").crossJoin(c)
+
   /**
    * Exact top-k cosine neighbors for each query vector (self excluded).
    * `queries` is expected to be small (it is broadcast); the corpus side
    * stays partition-local — no corpus shuffle, ranking shuffles only
-   * (query_id, k) sized data.
+   * (query_id, k) sized data. For a corpus-sized query batch pass
+   * `broadcastQueries = false` (see [[joinQ]]).
    */
   def bruteForceTopK(
       queries: DataFrame,
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
     val q = withNorm(queries, idCol, vecCol, "q_")
     val c = withNorm(repartitioned(corpus), idCol, vecCol, "c_")
     val rank = row_number().over(
       Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id")))
-    broadcast(q).crossJoin(c)
+    crossQ(q, c, broadcastQueries)
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
         simCol("q_", "c_").as("sim"))
@@ -132,7 +150,8 @@ object Similarity {
       k: Int,
       numPlanes: Int,
       dim: Int,
-      numTables: Int = 1): DataFrame = {
+      numTables: Int = 1,
+      broadcastQueries: Boolean = true): DataFrame = {
     require(numTables >= 1, s"numTables must be >= 1, got $numTables")
     val tables = (0 until numTables).map(t => planesAt(numPlanes, dim, t * numPlanes))
     val q = withTableBuckets(withNorm(queries, idCol, vecCol, "q_"), "q_", tables)
@@ -141,7 +160,7 @@ object Similarity {
     val rank = row_number().over(
       Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id")))
-    val cands = broadcast(q).join(c, Seq("tbl", "bucket"))
+    val cands = joinQ(q, c, Seq("tbl", "bucket"), broadcastQueries)
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
         simCol("q_", "c_").as("sim"))

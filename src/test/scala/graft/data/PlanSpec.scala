@@ -121,6 +121,68 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("broadcastQueries=false: big-batch retrieval has NO BroadcastExchange") {
+    val cb = Pq.seedCodebook(2, 4, 4)
+    withNoAutoBroadcast {
+      // flat PQ scan: shuffle-replicate cartesian instead of broadcast cross
+      val flat = plan(Pq.pqTopK(pqVecs, pqVecs, "vec_id", "v", k = 2, cb,
+        refine = 0, broadcastQueries = false))
+      assert(!flat.contains("BroadcastExchange"), flat.take(2000))
+      assert(flat.contains("CartesianProduct"), flat.take(2000))
+      // refine path: the exact re-rank join must not broadcast either
+      val refined = plan(Pq.pqTopK(pqVecs, pqVecs, "vec_id", "v", k = 2, cb,
+        refine = 4, broadcastQueries = false))
+      assert(!refined.contains("BroadcastExchange"), refined.take(2000))
+      // keyed paths: shuffle-hash join on the small-int key
+      val ivf = plan(Pq.ivfPqTopK(pqVecs, pqVecs, "vec_id", "v", k = 2,
+        nProbe = 2, coarse = Similarity.planes(4, 8), cb = cb,
+        broadcastQueries = false))
+      assert(!ivf.contains("BroadcastExchange"), ivf.take(2000))
+      assert(ivf.contains("ShuffledHashJoin"), ivf.take(2000))
+      val sq = plan(Pq.sqTopK(pqVecs, pqVecs, "vec_id", "v", k = 2,
+        broadcastQueries = false))
+      assert(!sq.contains("BroadcastExchange"), sq.take(2000))
+      assert(sq.contains("CartesianProduct"), sq.take(2000))
+      val lsh = plan(Similarity.lshTopK(pqVecs, pqVecs, "vec_id", "v", k = 2,
+        numPlanes = 4, dim = 8, numTables = 2, broadcastQueries = false))
+      assert(!lsh.contains("BroadcastExchange"), lsh.take(2000))
+      assert(lsh.contains("ShuffledHashJoin"), lsh.take(2000))
+      val brute = plan(Similarity.bruteForceTopK(pqVecs, pqVecs, "vec_id", "v",
+        k = 2, broadcastQueries = false))
+      assert(!brute.contains("BroadcastExchange"), brute.take(2000))
+    }
+  }
+
+  test("loaded index: probed cells prune at the parquet scan") {
+    val base = java.nio.file.Files.createTempDirectory("planspec_idx").toString
+    val cb = Pq.seedCodebook(2, 4, 4)
+    Pq.saveIndex(
+      Pq.buildIndex(pqVecs, "vec_id", "v", Similarity.planes(4, 8), cb),
+      s"$base/idx")
+    val idx = Pq.loadIndex(spark, s"$base/idx")
+    // parquet-backed queries: dynamic pruning needs a real selective Filter
+    // on the query side (a LocalRelation folds it away before the rule runs)
+    pqVecs.write.parquet(s"$base/q")
+    val qs = spark.read.parquet(s"$base/q").filter($"vec_id" < 2)
+    val df = Pq.searchIndex(idx, qs, "vec_id", "v", k = 2, nProbe = 1)
+    val p = plan(df)
+    // the index-rows scan is cell-partitioned parquet; the broadcast join
+    // on the partition column must install a dynamic partition-pruning
+    // filter so a p-of-C-cell probe reads p/C of the files
+    val scanAt = p.indexOf(s"Scan parquet")
+    assert(scanAt >= 0, p.take(3000))
+    val scan = p.substring(scanAt, math.min(p.length, scanAt + 3000))
+    assert(scan.contains("PartitionFilters") && scan.contains("dynamicpruning"),
+      scan.take(3000))
+    // and the pruning actually executes: results match a fresh build (which,
+    // un-partitioned on disk, gets NO pruning — documented trade)
+    val direct = Pq.ivfPqTopK(pqVecs.filter($"vec_id" < 2), pqVecs, "vec_id",
+      "v", k = 2, nProbe = 1, coarse = Similarity.planes(4, 8), cb = cb)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val loaded = df.select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(loaded == direct)
+  }
+
   test("scan pruning: a two-column projection reads two columns") {
     val dir = java.nio.file.Files.createTempDirectory("planspec").toString + "/t"
     (1 to 100).map(i => (i.toLong, s"s$i", i * 1.0, i * 2.0))

@@ -97,6 +97,45 @@ class PqSpec extends SparkSpec {
     assert(refined > raw, "refine stage must improve over ADC-order top-k")
   }
 
+  test("residual-path encode: native equals composable on residual vectors too") {
+    // residualFrame output is the exact input ivfPqTopK(residual = true)
+    // encodes — pin the native/composable twins on THAT distribution so
+    // the two spellings can't drift on the path q62e exercises
+    val coarse = Similarity.planes(8, 64)
+    val resid = Pq.residualFrame(emb, "v", coarse)
+    for (cb <- Seq(seed, tiny)) {
+      val diff = resid.select(
+          Pq.encode(col("v"), cb).as("native"),
+          Pq.encodeComposable(col("v"), cb).as("composed"))
+        .filter(col("native") =!= col("composed"))
+      assert(diff.count() === 0L)
+    }
+  }
+
+  test("broadcastQueries=false returns identical rows to the broadcast path") {
+    def canon(df: DataFrame) = df
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("rank"), round(col(df.columns.find(c => c == "score" || c == "sim").get), 9))
+      .collect().map(_.toString).sorted.toSeq
+    val coarse = Similarity.planes(8, 64)
+    assert(canon(Pq.pqTopK(queries, emb, "vec_id", "v", k = 3, seed, refine = 10)) ===
+      canon(Pq.pqTopK(queries, emb, "vec_id", "v", k = 3, seed, refine = 10,
+        broadcastQueries = false)))
+    assert(canon(Pq.sqTopK(queries, emb, "vec_id", "v", k = 3)) ===
+      canon(Pq.sqTopK(queries, emb, "vec_id", "v", k = 3, broadcastQueries = false)))
+    assert(canon(Pq.ivfPqTopK(queries, emb, "vec_id", "v", k = 3, nProbe = 2,
+        coarse, seed, residual = true)) ===
+      canon(Pq.ivfPqTopK(queries, emb, "vec_id", "v", k = 3, nProbe = 2,
+        coarse, seed, residual = true, broadcastQueries = false)))
+    assert(canon(Similarity.lshTopK(queries, emb, "vec_id", "v", k = 3,
+        numPlanes = 6, dim = 64, numTables = 2)) ===
+      canon(Similarity.lshTopK(queries, emb, "vec_id", "v", k = 3,
+        numPlanes = 6, dim = 64, numTables = 2, broadcastQueries = false)))
+    assert(canon(Similarity.bruteForceTopK(queries, emb, "vec_id", "v", k = 3)) ===
+      canon(Similarity.bruteForceTopK(queries, emb, "vec_id", "v", k = 3,
+        broadcastQueries = false)))
+  }
+
   test("trainCodebook is deterministic across runs") {
     val again = Pq.trainCodebook(emb, "v", 8, 16, 64, iters = 5)
     assert(trained.flatten.flatten.toSeq === again.flatten.flatten.toSeq)
