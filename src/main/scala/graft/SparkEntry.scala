@@ -1627,8 +1627,11 @@ object SparkEntry {
          |  FROM t)
          |SELECT doc_id, n_tokens, tok_start, tok_start + n_tokens AS tok_end,
          |  tok_start // 512 AS pack_first,
-         |  (tok_start + n_tokens - 1) // 512 AS pack_last,
-         |  (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 AS n_packs
+         |  CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+         |       ELSE tok_start // 512 - 1 END AS pack_last,
+         |  CASE WHEN n_tokens > 0
+         |       THEN (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1
+         |       ELSE 0 END AS n_packs
          |FROM p ORDER BY doc_id""".stripMargin,
     "q69_cube" ->
       s"""SELECT source, lang, count(*) AS n,

@@ -85,6 +85,15 @@ object Corpus {
    * The global running offset is [[Relational.prefixSum]] — the
    * two-pass partition-offset prefix sum, NOT a single-task global
    * window, so the layout step scales with the cluster.
+   *
+   * Token counts must be NON-NEGATIVE (integer `div` is only
+   * floor-division on non-negative operands — Spark truncates toward
+   * zero while e.g. DuckDB's `//` floors, so a negative count would
+   * diverge across engines). A ZERO-token document occupies no packs by
+   * definition: `n_packs = 0` and `pack_last = pack_first - 1` (an
+   * explicitly empty interval at the position the doc would start) —
+   * spelled with a `n_tokens > 0` guard rather than `(tok_end - 1) div
+   * len`, whose `-1 div len` is engine-dependent at `tok_start = 0`.
    */
   def packSequences(docs: DataFrame, idCol: String, nTokens: org.apache.spark.sql.Column,
       contextLen: Int): DataFrame = {
@@ -93,7 +102,9 @@ object Corpus {
     Relational.prefixSum(base, idCol, col("n_tokens"), "tok_start")
       .withColumn("tok_end", col("tok_start") + col("n_tokens"))
       .withColumn("pack_first", expr(s"tok_start div $contextLen"))
-      .withColumn("pack_last", expr(s"(tok_end - 1) div $contextLen"))
+      .withColumn("pack_last",
+        when(col("n_tokens") > 0, expr(s"(tok_end - 1) div $contextLen"))
+          .otherwise(col("pack_first") - 1))
       .withColumn("n_packs", col("pack_last") - col("pack_first") + 1)
   }
 

@@ -672,12 +672,15 @@ object TopNgramFrac {
       val sb = new java.lang.StringBuilder()
       var k = 0
       while (k < n) {
-        if (k > 0) sb.append(' ')
         // null tokens (possible when the caller passes a hand-built
-        // array rather than split() output) count as empty strings —
-        // matching concat_ws's null-skipping in the composable spelling
+        // array rather than split() output) are skipped ALONG WITH their
+        // separator — exactly concat_ws(' ', ...)'s null handling, so the
+        // composable spelling stays value-identical on null-bearing input
         val u = toks.getUTF8String(i + k)
-        if (u != null) sb.append(u.toString)
+        if (u != null) {
+          if (sb.length > 0) sb.append(' ')
+          sb.append(u.toString)
+        }
         k += 1
       }
       val key = sb.toString
@@ -727,10 +730,20 @@ case class PqAdc(left: Expression, right: Expression)
     val m = math.min(codes.numElements(), lut.numElements())
     var s = 0.0
     var i = 0
-    // null code slots contribute nothing (getInt on a null slot would
-    // silently read 0 — skip explicitly instead)
+    // null code slots and null LUT rows contribute nothing (getInt /
+    // getArray on a null slot would silently read garbage — skip
+    // explicitly instead)
     while (i < m) {
-      if (!codes.isNullAt(i)) s += lut.getArray(i).getDouble(codes.getInt(i))
+      if (!codes.isNullAt(i) && !lut.isNullAt(i)) {
+        val row = lut.getArray(i)
+        val code = codes.getInt(i)
+        // a code outside the LUT row means codes were encoded against a
+        // DIFFERENT codebook than the query's (or a corrupted persisted
+        // index): with UnsafeArrayData an unchecked read returns silent
+        // garbage scores — fail loudly instead
+        if (code < 0 || code >= row.numElements()) PqAdc.badCode(code, row.numElements(), i)
+        s += row.getDouble(code)
+      }
       i += 1
     }
     s
@@ -741,12 +754,19 @@ case class PqAdc(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val m = ctx.freshName("m")
       val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      val code = ctx.freshName("code")
       s"""
          |int $m = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $m; $i++) {
-         |  if (!$a.isNullAt($i)) {
-         |    $s += $b.getArray($i).getDouble($a.getInt($i));
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($i);
+         |    int $code = $a.getInt($i);
+         |    if ($code < 0 || $code >= $row.numElements()) {
+         |      graft.plans.PqAdc.badCode($code, $row.numElements(), $i);
+         |    }
+         |    $s += $row.getDouble($code);
          |  }
          |}
          |${ev.value} = $s;
@@ -759,6 +779,13 @@ case class PqAdc(left: Expression, right: Expression)
 }
 
 object PqAdc {
+  /** Shared by interpreted and generated code paths. */
+  def badCode(code: Int, rowLen: Int, sub: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"pq_adc: code $code out of range for a $rowLen-entry LUT row at " +
+        s"subspace $sub — codes and query LUT were built from different " +
+        "codebooks (or the persisted index is corrupted)")
+
   val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("pq_adc"),
     new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
@@ -870,18 +897,29 @@ object PqEncodeExpr {
  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
  */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction(DotProduct.descriptor)
-    ext.injectFunction(SortedJaccard.descriptor)
-    ext.injectFunction(MinHashSig.descriptor)
-    ext.injectFunction(Md5PrefixHash.descriptor)
-    ext.injectFunction(ShingleHashes.descriptor)
-    ext.injectFunction(SimHash.descriptor)
-    ext.injectFunction(PredictNonLinear.descriptor)
-    ext.injectFunction(WinnowFingerprint.descriptor)
-    ext.injectFunction(PqAdc.descriptor)
-    ext.injectFunction(PqEncodeExpr.descriptor)
-    ext.injectFunction(KgramHashStream.descriptor)
-    ext.injectFunction(TopNgramFrac.descriptor)
-  }
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  /** THE registration list — `SqlSurfaceSpec` enumerates this and calls
+   * every entry through `spark.sql`, so a function can't silently drop
+   * off the SQL surface (or get added without SQL-level coverage). */
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      DotProduct.descriptor,
+      SortedJaccard.descriptor,
+      MinHashSig.descriptor,
+      Md5PrefixHash.descriptor,
+      ShingleHashes.descriptor,
+      SimHash.descriptor,
+      PredictNonLinear.descriptor,
+      WinnowFingerprint.descriptor,
+      PqAdc.descriptor,
+      PqEncodeExpr.descriptor,
+      KgramHashStream.descriptor,
+      TopNgramFrac.descriptor)
+
+  /** Registered SQL function names, in registration order. */
+  def functionNames: Seq[String] = descriptors.map(_._1.funcName)
 }

@@ -144,6 +144,37 @@ object StreamingMarket {
       .drop("__fp")
   }
 
+  /** One (negated score, neighbor) candidate — ascending order on
+   * `(ns, neighbor_id)` is exactly the batch rank ordering
+   * (score DESC, neighbor ASC). */
+  case class ScoredNeighbor(ns: Double, neighbor_id: Long)
+
+  /**
+   * Bounded top-k aggregation buffer: the state per group is the k best
+   * `(ns, neighbor_id)` pairs and NOTHING else — inserting into a full
+   * buffer evicts the worst entry, and exact duplicates (at-least-once
+   * redelivery of a deterministic score) dedup on insert, preserving
+   * `collect_set` merge semantics at O(k) instead of O(candidates)
+   * state. k is expected serving-sized (≤ a few hundred); each insert is
+   * O(k), which the candidate-side arithmetic dwarfs.
+   */
+  class TopKByScore(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        ScoredNeighbor, Seq[ScoredNeighbor], Seq[ScoredNeighbor]] {
+    private val ord: Ordering[ScoredNeighbor] =
+      Ordering.by((s: ScoredNeighbor) => (s.ns, s.neighbor_id))
+    override def zero: Seq[ScoredNeighbor] = Nil
+    override def reduce(b: Seq[ScoredNeighbor], a: ScoredNeighbor): Seq[ScoredNeighbor] =
+      if (b.contains(a)) b else ((a +: b).sorted(ord)).take(k)
+    override def merge(x: Seq[ScoredNeighbor], y: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] =
+      (x ++ y).distinct.sorted(ord).take(k)
+    override def finish(b: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] = b.sorted(ord)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[ScoredNeighbor]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredNeighbor]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[ScoredNeighbor]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredNeighbor]]()
+  }
+
   /**
    * Streaming ANN: score a stream of (event-timed) query vectors against
    * a static (built or loaded) PQ index. The probe is a stream-static
@@ -156,12 +187,14 @@ object StreamingMarket {
    * freshly-built index re-encodes the corpus every micro-batch.
    *
    * Top-k is a watermarked event-time windowed aggregation keyed by
-   * (query, window): append mode emits each query's answer exactly once
-   * when the watermark closes its window, state is EVICTED at the close
-   * (bounded by watermark + window, never forever), and at-least-once
-   * redelivery of the same query merges into the same candidate SET
-   * (`collect_set` — identical candidates dedup) instead of duplicating
-   * neighbors.
+   * (query, window) whose buffer is the BOUNDED [[TopKByScore]]
+   * aggregator: per-key state is O(k) — never the full probed-cell
+   * candidate list — on top of the watermark eviction, so a large index
+   * cell cannot balloon the state store. Append mode emits each query's
+   * answer exactly once when the watermark closes its window, and
+   * at-least-once redelivery of the same query dedups inside the
+   * aggregator instead of duplicating neighbors. Neighbor ids are
+   * surfaced as BIGINT (the aggregation buffer is typed).
    */
   def streamingAnnSearch(
       queries: DataFrame,
@@ -175,6 +208,8 @@ object StreamingMarket {
       windowLen: String = "1 minute"): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.data.Pq
+    val topk = udaf(new TopKByScore(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[ScoredNeighbor]())
     val q = Pq.probeQueries(index,
       queries.select(col(idCol), col(vecCol), col(tsCol)), idCol, vecCol, nProbe)
     q.join(index.rows, Seq("cell"))
@@ -183,15 +218,67 @@ object StreamingMarket {
         col("c_id").as("neighbor_id"), Pq.indexScore(index).as("score"))
       .withWatermark(tsCol, watermark)
       .groupBy(col("query_id"), window(col(tsCol), windowLen))
-      // negated-score ascending sort = (score DESC, neighbor ASC) — the
-      // exact tie-break batch searchIndex's rank window uses
-      .agg(slice(array_sort(collect_set(
-        struct((-col("score")).as("ns"), col("neighbor_id")))), 1, k).as("top"))
+      // negated-score ascending = (score DESC, neighbor ASC) — the exact
+      // tie-break batch searchIndex's rank window uses
+      .agg(topk((-col("score")), col("neighbor_id").cast("long")).as("top"))
       .select(col("query_id"), col("window.start").as("window_start"),
         posexplode(col("top")))
       .select(col("query_id"), col("window_start"), (col("pos") + 1).as("rank"),
         col("col.neighbor_id").as("neighbor_id"),
         (-col("col.ns")).as("score"))
+  }
+
+  /** Latest on-disk version of a saved index: max modification time under
+   * `dir/meta` (the LAST table [[graft.data.Pq.saveIndex]] writes, so a
+   * half-written rebuild is never picked up as "new"). -1 when absent. */
+  private def indexVersion(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir, "meta")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) -1L
+    else fs.listStatus(path).foldLeft(
+      fs.getFileStatus(path).getModificationTime)((m, st) =>
+        math.max(m, st.getModificationTime))
+  }
+
+  /**
+   * Streaming ANN against a PERIODICALLY REBUILT index — the production
+   * serving shape [[streamingAnnSearch]] (static index, windowed merge)
+   * deliberately does not cover: an offline job rebuilds the index with
+   * [[graft.data.Pq.saveIndex]] on its own cadence, and the query stream
+   * must pick the new version up WITHOUT a restart.
+   *
+   * Implemented as `foreachBatch` — the standard Structured Streaming
+   * recipe for a slowly-changing static side: each micro-batch checks the
+   * on-disk index version (one cheap file-status call, no data read) and
+   * reloads only when it changed; the batch's queries then run the exact
+   * batch [[graft.data.Pq.searchIndex]] against the current index, and
+   * `sink` receives the per-batch answer frame. Trade vs
+   * [[streamingAnnSearch]]: answers are per-micro-batch (no event-time
+   * window merge / watermark dedup), which is what a serving path wants.
+   * Driver state is one codebook (KBs); index rows stay on disk,
+   * cell-pruned at the scan like any loaded index.
+   *
+   * Returns the configured writer — call `.start()` (and set a trigger /
+   * checkpoint as needed).
+   */
+  def annSearchWithIndexRefresh(
+      queries: DataFrame,
+      indexDir: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // closure state on the driver: the currently-loaded index + its version
+    var loaded: Option[(Long, graft.data.Pq.Index)] = None
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val ver = indexVersion(spark, indexDir)
+      if (!loaded.exists(_._1 == ver))
+        loaded = Some((ver, graft.data.Pq.loadIndex(spark, indexDir)))
+      sink(graft.data.Pq.searchIndex(loaded.get._2, batch, idCol, vecCol,
+        k, nProbe), batchId)
+    }
   }
 
   /**

@@ -103,11 +103,24 @@ class DataPropertySpec extends SparkSpec {
       // packing tiles the token axis: each start = previous end
       val packed = Corpus.packSequences(df.withColumnRenamed("v", "n_tokens"),
           "k", $"n_tokens", contextLen = 7)
-        .select($"k", $"tok_start", $"tok_end").as[(Long, Long, Long)].collect()
+        .select($"k", $"tok_start", $"tok_end", $"pack_first", $"pack_last",
+          $"n_packs")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
         .sortBy(_._1)
       packed.sliding(2).foreach {
-        case Array((_, _, e), (_, s, _)) => assert(s === e)
+        case Array((_, _, e, _, _, _), (_, s, _, _, _, _)) => assert(s === e)
         case _ => ()
+      }
+      // pack interval semantics: a zero-token doc occupies NO packs
+      // (n_packs = 0, pack_last = pack_first - 1); otherwise n_packs
+      // counts the contextLen-chunks the [start, end) interval touches
+      packed.foreach { case (k, s, e, pf, pl, np) =>
+        assert(pf === s / 7, s"k=$k")
+        if (e == s) { assert(np === 0L, s"k=$k"); assert(pl === pf - 1, s"k=$k") }
+        else {
+          assert(pl === (e - 1) / 7, s"k=$k")
+          assert(np === pl - pf + 1 && np >= 1L, s"k=$k")
+        }
       }
     }
   }

@@ -46,6 +46,66 @@ class EdgeSpec extends SparkSpec {
     assert(out === Map(1L -> 1L))
   }
 
+  test("packSequences: a zero-token doc occupies no packs, neighbors unaffected") {
+    val docs = Seq((1L, 3L), (2L, 0L), (3L, 6L)).toDF("doc_id", "n")
+    val rows = Corpus.packSequences(docs, "doc_id", $"n", contextLen = 4)
+      .select($"doc_id", $"tok_start", $"tok_end", $"pack_first", $"pack_last",
+        $"n_packs")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // doc 2: empty [3, 3) interval -> zero packs, pack_last = pack_first - 1
+    assert(rows(1) === ((2L, 3L, 3L, 0L, -1L, 0L)))
+    // the zero-token doc shifts nothing: doc 3 still starts at token 3
+    assert(rows(0) === ((1L, 0L, 3L, 0L, 0L, 1L)))
+    assert(rows(2) === ((3L, 3L, 9L, 0L, 2L, 3L)))
+  }
+
+  test("top_ngram_frac on null-bearing token arrays matches the concat_ws spelling") {
+    // concat_ws skips null tokens AND their separator: [a, null, a] has
+    // bigrams "a","a" (not "a ", " a") — the native kernel must agree
+    val df = Seq(
+        Tuple1(Seq[String]("a", null, "a")),
+        Tuple1(Seq[String]("x", null, "y")),
+        Tuple1(Seq[String](null, null, "z")))
+      .toDF("toks")
+    val grams = Dedup.wordShingles(col("toks"), 2)
+    val composable = coalesce(array_max(transform(array_distinct(grams),
+        g => size(filter(grams, x => x === g)))), lit(0)) /
+      greatest(array_size(grams), lit(1)).cast("double")
+    val out = df.select(
+        call_function("top_ngram_frac", col("toks"), lit(2)).as("native"),
+        composable.as("composed"))
+      .as[(Double, Double)].collect()
+    assert(out.forall { case (n, c) => n === c }, out.toSeq.toString)
+    assert(out.map(_._1).toSeq === Seq(1.0, 0.5, 0.5))
+  }
+
+  test("pq_adc skips null LUT rows and fails loudly on out-of-range codes") {
+    val ok = Seq((Seq(0, 1), Seq[Seq[Double]](null, Seq(1.0, 2.0))))
+      .toDF("codes", "lut")
+      .select(call_function("pq_adc", col("codes"), col("lut")))
+      .as[Double].head()
+    assert(ok === 2.0) // null row contributes nothing rather than NPEing
+    val bad = Seq((Seq(5), Seq(Seq(1.0, 2.0)))).toDF("codes", "lut")
+      .select(call_function("pq_adc", col("codes"), col("lut")))
+    val e = intercept[Exception](bad.collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("pq_adc: code 5 out of range")),
+      messages(e).toString)
+  }
+
+  test("contamination is set-containment: a repeated shared gram counts once") {
+    // candidate repeats the benchmark phrase: 7 gram OCCURRENCES but only
+    // 3 distinct grams, of which 1 ("a b c") is in the benchmark.
+    // Set containment = 1/3; occurrence-weighted would be 3/7.
+    val cand = Seq((1L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val bench = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val r = Dedup.contamination(cand, bench, "doc_id", "text", shingleN = 3)
+      .select($"doc_id", $"n_shared", $"n_grams", $"containment")
+      .as[(Long, Long, Int, Double)].head()
+    assert(r === ((1L, 1L, 3, 1.0 / 3)))
+  }
+
   test("gopherStats and topNgramFraction on empty text") {
     val r = Seq("").toDF("text").select(
         TextFunctions.gopherStats(col("text"))("mean_word_len").as("mwl"),

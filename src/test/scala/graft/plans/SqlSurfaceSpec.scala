@@ -1,0 +1,99 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/**
+ * SQL-surface parity census: every native expression registered by
+ * [[GraftExtensions]] must be callable from `spark.sql` and produce the
+ * documented value on a canonical input. The census is driven off
+ * `GraftExtensions.descriptors` itself — registering a new function
+ * without adding a census entry (or dropping one) fails the first
+ * assertion, so the SQL surface can't silently diverge from the Column
+ * API surface.
+ */
+class SqlSurfaceSpec extends SparkSpec {
+
+  /** name -> (canonical SQL call, expected stringified result; null
+   * expected = callability-only, value pinned by the kernel's own spec). */
+  private val census: Map[String, (String, String)] = Map(
+    "vec_dot" -> (
+      "SELECT vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d))",
+      "32.0"),
+    // |{1,2,3} ∩ {2,3,4}| / |{1,2,3,4}| = 2/4
+    "vec_jaccard_sorted" -> (
+      "SELECT vec_jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L))",
+      "0.5"),
+    // sig[0] of {7}: (7·1 + 13) mod P = 20
+    "vec_minhash" -> (
+      "SELECT element_at(vec_minhash(array(7L), 2), 1)",
+      "20"),
+    // first 15 nibbles of md5('a') = 0cc175b9c0f1b6a
+    "md5_prefix_hash" -> (
+      "SELECT md5_prefix_hash('a', 15)",
+      java.lang.Long.parseLong("0cc175b9c0f1b6a", 16).toString),
+    // 4 tokens, n=3 -> shingles "a b c","b c d" -> 2 distinct hashes
+    "shingle_hashes" -> (
+      "SELECT size(shingle_hashes(array('a','b','c','d'), 3))",
+      "2"),
+    "vec_simhash" -> (
+      "SELECT vec_simhash(array('a','b','c'), 24)",
+      null),
+    // weights layout is [w0, 4 per raw factor]
+    "predict_nonlinear" -> (
+      "SELECT predict_nonlinear(array(1.0d, 2.0d, 3.0d, 4.0d, 5.0d), array(0.5d))",
+      null),
+    // 8 chars, k=3 -> 6 gram hashes, w=4 -> 3 window minima, <=3 distinct
+    "winnow_fingerprint" -> (
+      "SELECT size(winnow_fingerprint('abcdefgh', 3, 4)) BETWEEN 1 AND 3",
+      "true"),
+    // |text|=5, k=4 -> 2 positional hashes
+    "kgram_hashes" -> (
+      "SELECT size(kgram_hashes('abcde', 4, 15))",
+      "2"),
+    // bigrams of [a,b,a,b]: "a b" x2, "b a" x1 -> 2/3
+    "top_ngram_frac" -> (
+      "SELECT top_ngram_frac(array('a','b','a','b'), 2)",
+      (2.0 / 3).toString),
+    // lut[0][1] + lut[1][0] = 20 + 30
+    "pq_adc" -> (
+      "SELECT pq_adc(array(1, 0), array(array(10.0d, 20.0d), array(30.0d, 40.0d)))",
+      "50.0"),
+    // codebook sub0 = {[0.0], [10.0]}; v=[9.0] is nearer 10 -> code 1
+    "pq_encode" -> (
+      "SELECT element_at(pq_encode(array(9.0d), array(array(array(0.0d), array(10.0d)))), 1)",
+      "1"))
+
+  test("every registered function has a census entry and answers via spark.sql") {
+    val registered = GraftExtensions.functionNames
+    assert(registered.sorted === census.keys.toSeq.sorted,
+      "census out of sync with GraftExtensions.descriptors")
+    assert(registered.size === 12)
+    registered.foreach { name =>
+      val (sql, expected) = census(name)
+      val rows = spark.sql(sql).collect()
+      assert(rows.length === 1, s"$name: $sql")
+      val got = rows.head.get(0)
+      assert(got != null, s"$name returned null via SQL: $sql")
+      if (expected != null)
+        assert(got.toString === expected, s"$name: $sql")
+    }
+  }
+
+  test("SQL and Column-API spellings agree on a shared pipeline") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("census_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  vec_simhash(split(lower(text), ' '), 24) AS sh,
+        |  size(shingle_hashes(split(lower(text), ' '), 3)) AS ns
+        |FROM census_docs ORDER BY doc_id""".stripMargin).collect().toSeq
+    val viaApi = docs.select(col("doc_id"),
+        call_function("vec_simhash", split(lower(col("text")), " "), lit(24)).as("sh"),
+        size(call_function("shingle_hashes", split(lower(col("text")), " "), lit(3))).as("ns"))
+      .orderBy("doc_id").collect().toSeq
+    assert(viaSql === viaApi)
+  }
+}
