@@ -448,6 +448,17 @@ object Dedup {
    * absent — `deduplicate`-style anti-join the output against the
    * corpus to get the clean set.
    *
+   * SEMANTICS — set containment, not occurrence-weighted:
+   * [[shingleHashes]] dedups per document, so
+   * `containment = |distinct(cand) ∩ distinct(bench)| / |distinct(cand)|`
+   * — a gram repeated 50× in a candidate counts ONCE in both numerator
+   * and denominator (a doc is "contaminated" by covering benchmark
+   * content, not by repeating it). The occurrence-weighted variant
+   * (every gram instance counted — more sensitive to templated spam
+   * that loops one benchmark phrase) is also legitimate; compose it
+   * from [[wordShingles]] without the distinct if wanted. `EdgeSpec`
+   * pins the choice on a doc where the two disagree.
+   *
    * Scale shape: both sides explode to (doc, shingle-hash) rows and meet
    * in ONE shuffle join keyed by the 28-bit hash (uniform); the
    * per-candidate rollup is a second keyed shuffle. The benchmark is NOT

@@ -117,6 +117,40 @@ class DataSpec extends SparkSpec {
       .forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
+  test("ImageIoCodec decodes a real generated PNG through the same pipeline") {
+    import Multimodal._
+    implicit val s = spark
+    // 4x2 PNG: top row red, bottom row blue — written by the JDK's own
+    // encoder so the bytes are a genuine PNG stream, not synthetic
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4) {
+      img.setRGB(x, 0, 0xff0000)
+      img.setRGB(x, 1, 0x0000ff)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val pngBytes = bos.toByteArray
+    val media = Seq(
+        MediaRow(1L, "img/png", pngBytes),
+        MediaRow(2L, "img/none", "not an image at all".getBytes("UTF-8")))
+      .toDS()
+    val feats = decodeFeatures(media, ImageIoCodec).collect()
+      .sortBy(_.media_id)
+    // real decode: exact dimensions + channel means (half red, half blue)
+    val f = feats(0).features
+    assert(f(0) === 4.0 && f(1) === 2.0 && f(2) === 2.0)
+    assert(math.abs(f(3) - 0.5) < 1e-12) // mean R
+    assert(f(4) === 0.0)                 // mean G
+    assert(math.abs(f(5) - 0.5) < 1e-12) // mean B
+    // luma: (0.299*255 + 0.114*255) / 2 / 255
+    assert(math.abs(f(6) - (0.299 + 0.114) / 2) < 1e-12)
+    assert(f(7) > 0.0) // two distinct rows -> nonzero luma spread
+    // undecodable payload -> zero vector, width 0 marks "no decode"
+    assert(feats(1).features.forall(_ === 0.0))
+    assert(feats(1).byte_len > 0)
+  }
+
   test("connectedComponents: chains collapse to min id; components stay separate") {
     // chain 1-2-3-4 (diameter 3), pair {10,11}, pair {20,21}+{21,22}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L), (21L, 22L))

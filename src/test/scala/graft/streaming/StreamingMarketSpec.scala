@@ -290,6 +290,52 @@ class StreamingMarketSpec extends SparkSpec {
     q.stop()
   }
 
+  test("annSearchWithIndexRefresh: a mid-stream index rebuild is picked up next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.data.{Pq, Similarity}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cb = Pq.seedCodebook(8, 16, 8)
+    val coarse = Similarity.planes(8, 64)
+    // v1 index over the low-id half, v2 over the (disjoint) high-id half:
+    // the same query MUST answer with different neighbors after the swap
+    val half1 = emb.filter(col("vec_id") < 250)
+    val half2 = emb.filter(col("vec_id") >= 250)
+    val dir = java.nio.file.Files.createTempDirectory("ann_refresh").toString
+    Pq.saveIndex(Pq.buildIndex(half1, "vec_id", "v", coarse, cb), dir)
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = annSearchWithIndexRefresh(input.toDF().toDF("vec_id", "v"), dir,
+        "vec_id", "v", k = 3, nProbe = 8) { (out, batchId) =>
+      results ++= out.select(col("query_id").cast("long"),
+          col("neighbor_id").cast("long"))
+        .collect().map(r => (batchId, r.getLong(0), r.getLong(1)))
+    }.start()
+
+    val queryVec = emb.filter(col("vec_id") === 0L)
+      .select(col("v")).as[Seq[Double]].head()
+    input.addData((9000L, queryVec))
+    q.processAllAvailable()
+    // offline rebuild lands while the stream is running
+    Pq.saveIndex(Pq.buildIndex(half2, "vec_id", "v", coarse, cb), dir)
+    input.addData((9001L, queryVec))
+    q.processAllAvailable()
+    q.stop()
+
+    val batch1 = results.filter(_._2 == 9000L).map(_._3).toSet
+    val batch2 = results.filter(_._2 == 9001L).map(_._3).toSet
+    assert(batch1.nonEmpty && batch1.forall(_ < 250L), batch1.toString)
+    assert(batch2.nonEmpty && batch2.forall(_ >= 250L), batch2.toString)
+    // and each batch matches the batch-mode search against that version
+    val want2 = Pq.searchIndex(Pq.loadIndex(spark, dir),
+        Seq((9001L, queryVec)).toDF("vec_id", "v"), "vec_id", "v",
+        k = 3, nProbe = 8)
+      .select(col("neighbor_id").cast("long")).as[Long].collect().toSet
+    assert(batch2 === want2)
+  }
+
   test("streamingSessions: gap-based event-time sessions emit once on watermark close") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
