@@ -593,6 +593,20 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // big-batch retrieval: the whole corpus queries itself with the query
+    // side NOT broadcast (shuffle-hash join on the cell int) — the
+    // corpus-vs-corpus scale path; values identical to the broadcast
+    // spelling by construction, pinned here through the oracle
+    "q75_pq_bigbatch" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Pq.ivfPqTopK(e, e, "vec_id", "v", k = 3,
+          nProbe = 2, coarse = Similarity.planes(8, 64), cb = pqCb,
+          broadcastQueries = false)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // two-stage retrieval: ADC shortlist (refine=20), exact-cosine re-rank
     "q62d_pq_refine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1169,13 +1183,15 @@ object SparkEntry {
        |cb AS (SELECT * FROM (VALUES $pqCbSql) cb(sub, code, cent, cn2)),
        |${pqEncSqlOn("e")}""".stripMargin
 
-  private val pqLutSql =
+  private def pqLutSqlFor(pred: String) =
     s"""codes AS (SELECT vec_id, list(code ORDER BY sub) AS cs FROM enc GROUP BY vec_id),
        |lutrow AS (SELECT e.vec_id, cb.sub,
        |    list(list_dot_product(list_slice(e.v, cb.sub*8+1, cb.sub*8+8), cb.cent)
        |         ORDER BY cb.code) AS lr
-       |  FROM e CROSS JOIN cb WHERE e.vec_id < 20 GROUP BY e.vec_id, cb.sub),
+       |  FROM e CROSS JOIN cb $pred GROUP BY e.vec_id, cb.sub),
        |luts AS (SELECT vec_id, list(lr ORDER BY sub) AS lut FROM lutrow GROUP BY vec_id)""".stripMargin
+
+  private val pqLutSql = pqLutSqlFor("WHERE e.vec_id < 20")
 
   /** Explicit left-to-right addition chain = PqAdc's sequential sum. */
   private val pqAdcChain = (1 to 8).map(s => s"l.lut[$s][c.cs[$s]+1]").mkString(" + ")
@@ -1820,6 +1836,28 @@ object SparkEntry {
          |  FROM qcell JOIN luts l ON l.vec_id = qcell.vec_id
          |  JOIN e q ON q.vec_id = qcell.vec_id
          |  JOIN planes pl2 ON pl2.p = qcell.cell
+         |  JOIN ccell ON ccell.cell = qcell.cell
+         |  JOIN codes c ON c.vec_id = ccell.vec_id
+         |  WHERE l.vec_id <> c.vec_id)
+         |SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM sc)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q75_pq_bigbatch" ->
+      s"""WITH $pqEncSql,
+         |${pqLutSqlFor("")},
+         |planes AS (SELECT * FROM (VALUES $planesSql) pl(p, coef)),
+         |cellsim AS (SELECT vec_id, p, list_dot_product(v, coef) AS s
+         |  FROM e CROSS JOIN planes),
+         |ccell AS (SELECT vec_id, p AS cell FROM cellsim
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, p DESC) = 1),
+         |qcell AS (SELECT vec_id, p AS cell FROM cellsim
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, p DESC) <= 2),
+         |sc AS (SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $pqAdcChain AS score
+         |  FROM qcell JOIN luts l ON l.vec_id = qcell.vec_id
          |  JOIN ccell ON ccell.cell = qcell.cell
          |  JOIN codes c ON c.vec_id = ccell.vec_id
          |  WHERE l.vec_id <> c.vec_id)
