@@ -617,6 +617,32 @@ object SparkEntry {
           round(col("sim"), 6).as("sim"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // ------------------------------ lexical retrieval + hybrid fusion
+    // Okapi BM25 over the documents table (self-match included — rank 1
+    // sanity-pins the scorer); micro-unit long sums make the score exact
+    "q76_bm25" -> ((s, dir) => {
+      import graft.data.Bm25
+      val d = t(s, dir, "documents")
+      Bm25.bm25TopK(d, d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // hybrid search: BM25 lexical ranking ⊕ exact-cosine semantic ranking
+    // via reciprocal-rank fusion (doc_id and vec_id share the id space)
+    "q77_hybrid_rrf" -> ((s, dir) => {
+      import graft.data.Bm25
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val lex = Bm25.bm25TopK(d, d.filter(col("doc_id") < 5), "doc_id", "text",
+        k = 20)
+      val sem = Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e,
+        "vec_id", "v", k = 20)
+      Bm25.rrfFuse(lex, sem, k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // -------------------------------------------- multimodal binary (stub)
     "q28_multimodal" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
@@ -1103,6 +1129,29 @@ object SparkEntry {
   // ---- DuckDB fragments mirroring graft.data.TextFunctions/Dedup exactly
   private def sqlQuote(xs: Seq[String]) = xs.map(w => s"'$w'").mkString(", ")
   private val tokSql = "regexp_split_to_array(trim(text), '\\s+')"
+  private val ltokSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** BM25 oracle CTE block (mirrors `Bm25.bm25TopK` exactly: Lucene idf,
+   * k1=1.2, b=0.75, micro-unit long sums; doc_id < 5 as queries).
+   * Exposes `brank(query_id, neighbor_id, score, rank)`. */
+  private val bm25CteSql =
+    s"""btoks AS (SELECT doc_id, $ltokSql AS t FROM documents),
+       |btf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+       |    SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM btoks)
+       |  GROUP BY doc_id, dl, term),
+       |bstats AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+       |bc AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(t)) AS avgdl FROM btoks),
+       |bq AS (SELECT DISTINCT query_id, term FROM (
+       |    SELECT doc_id AS query_id, unnest(t) AS term FROM btoks WHERE doc_id < 5)),
+       |bcomp AS (SELECT bq.query_id, btf.doc_id AS neighbor_id,
+       |    CAST(round(ln(1 + (bc.n - bstats.df + 0.5) / (bstats.df + 0.5)) *
+       |      (btf.tf * 2.2 / (btf.tf + 1.2 * (0.25 + 0.75 * btf.dl / bc.avgdl))) * 1e6)
+       |      AS BIGINT) AS m
+       |  FROM btf JOIN bstats USING (term) JOIN bq USING (term) CROSS JOIN bc),
+       |bsc AS (SELECT query_id, neighbor_id, CAST(sum(m) AS DOUBLE) / 1e6 AS score
+       |  FROM bcomp GROUP BY query_id, neighbor_id),
+       |brank AS (SELECT query_id, neighbor_id, score, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM bsc)""".stripMargin
   private def stopSql(words: Seq[String]) =
     s"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
       s"t -> list_contains([${sqlQuote(words)}], t)))"
@@ -1889,6 +1938,31 @@ object SparkEntry {
          |  FROM cand JOIN e q ON q.vec_id = cand.query_id
          |  JOIN e c ON c.vec_id = cand.neighbor_id)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q76_bm25" ->
+      s"""WITH $bm25CteSql
+         |SELECT query_id, rank, neighbor_id, score FROM brank
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q77_hybrid_rrf" ->
+      s"""WITH $bm25CteSql,
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |crank AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.v, c.v) /
+         |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+         |          c.vec_id) AS rank
+         |    FROM e q CROSS JOIN e c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
+         |  WHERE rank <= 20),
+         |blim AS (SELECT query_id, neighbor_id, rank FROM brank WHERE rank <= 20),
+         |fused AS (SELECT coalesce(b.query_id, s.query_id) AS query_id,
+         |    coalesce(b.neighbor_id, s.neighbor_id) AS neighbor_id,
+         |    coalesce(1.0 / (60 + b.rank), 0.0) + coalesce(1.0 / (60 + s.rank), 0.0) AS score
+         |  FROM blim b FULL JOIN crank s
+         |    ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+         |  SELECT query_id, neighbor_id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM fused)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q28_multimodal" ->
       s"""SELECT format, count(*) AS n, CAST(sum(byte_len) AS BIGINT) AS sum_bytes,
          |min(checksum) AS min_checksum, CAST(sum(frame_sum) AS BIGINT) AS sum_frames

@@ -1,0 +1,127 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Okapi BM25 keyword retrieval + reciprocal-rank fusion — the LEXICAL
+ * tier of the retrieval stack ([[Similarity]]/[[Pq]] are the semantic
+ * tier; production RAG/dedup pipelines run both and fuse, which is
+ * exactly what [[rrfFuse]] provides).
+ *
+ * Scale shape: the corpus explodes once to (doc, term, tf) rows behind
+ * ONE term-keyed aggregation; scoring joins those rows to the
+ * (broadcast) query terms on the term key, so corpus terms that appear
+ * in no query are filtered AT the join — the per-query work is
+ * |matching postings|, not |corpus|. Document-frequency stats are a
+ * second aggregation over the same term key; the per-(query, doc)
+ * rollup is the only other shuffle. Corpus-wide constants (N, avgdl)
+ * are two bounded scalars computed once. Like the ANN entry points, a
+ * `broadcastQueries = false` spelling swaps the query side to a
+ * shuffle-hash join for corpus-sized query batches.
+ *
+ * Oracle parity: per-(query, doc, term) score components are rounded to
+ * integer MICRO-UNITS and summed as longs, so the final score is exact
+ * integer arithmetic regardless of aggregation order — the documented
+ * repo pattern for cross-engine float-sum parity (FP addition is not
+ * associative; a hash aggregate's order is not deterministic).
+ *
+ * Reference scope: beyond-reference LLM-pipeline operator (BM25:
+ * Robertson & Walker, SIGIR 1994; idf spelling is Lucene's
+ * `ln(1 + (N - df + 0.5) / (df + 0.5))`, non-negative by construction).
+ */
+object Bm25 {
+
+  /** Postings: one row per (doc, term) with term frequency and doc
+   * length — `(doc_id, dl, term, tf)`, one keyed shuffle. Tokens are
+   * lowercased whitespace splits ([[TextFunctions.tokens]]). */
+  def docTerms(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(lower(col(textCol))).as("__t"))
+      .select(col("doc_id"), size(col("__t")).as("dl"),
+        explode(col("__t")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Lucene-style BM25 idf — `ln(1 + (N - df + 0.5) / (df + 0.5))`,
+   * ≥ 0 for every df ≤ N. */
+  def idf(df: Column, nDocs: Double): Column =
+    log(lit(1.0) + (lit(nDocs) - df + lit(0.5)) / (df + lit(0.5)))
+
+  /**
+   * BM25 top-k: for each query row (`idCol`, `textCol`), the `k`
+   * highest-scoring corpus documents. Query term frequency is ignored
+   * (standard for short queries — each distinct query term contributes
+   * once). Output matches the ANN entry points' shape
+   * (`query_id, neighbor_id, score, rank`) so rankings fuse directly.
+   * Self-matches are NOT excluded (query ids live in their own id
+   * space); filter `query_id =!= neighbor_id` downstream when querying
+   * a corpus against itself.
+   */
+  def bm25TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val terms = docTerms(corpus, idCol, textCol)
+    val stats = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // two corpus-wide scalars (bounded driver data by design)
+    val consts = corpus.select(
+      count(lit(1)).cast("double").as("n"),
+      avg(size(TextFunctions.tokens(lower(col(textCol))))).as("avgdl")).head()
+    val nDocs = consts.getDouble(0)
+    val avgdl = consts.getDouble(1)
+    val qterms = queries.select(col(idCol).as("query_id"),
+        explode(array_distinct(
+          TextFunctions.tokens(lower(col(textCol))))).as("term"))
+    val joined =
+      if (broadcastQueries) terms.join(stats, "term").join(broadcast(qterms), "term")
+      else terms.join(stats, "term").join(qterms.hint("shuffle_hash"), "term")
+    // component spelling mirrored EXACTLY by the SQL oracle (association
+    // order matters for double parity); micro-unit rounding makes the
+    // per-(query, doc) sum order-independent exact integer arithmetic
+    val comp = idf(col("df"), nDocs) *
+      (col("tf") * lit(k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+    val rank = row_number().over(
+      Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id")))
+    joined
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        round(comp * lit(1e6), 0).cast("long").as("__micro"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg((sum(col("__micro")).cast("double") / lit(1e6)).as("score"))
+      .withColumn("rank", rank)
+      .filter(col("rank") <= k)
+  }
+
+  /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+   * `score(d) = Σ over rankings r of 1 / (kRrf + rank_r(d))` — the
+   * standard score-free way to merge a lexical and a semantic ranking
+   * (hybrid search). Inputs are two rankings in the shared
+   * `(query_id, neighbor_id, rank)` shape; a doc absent from one
+   * ranking simply contributes nothing for it. One full-outer join on
+   * (query, doc) — the fused score is a FIXED two-term sum, so no
+   * aggregation-order caveats — then the usual per-query rank window.
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kRrf: Int = 60): DataFrame = {
+    val ar = a.select(col("query_id"), col("neighbor_id"), col("rank").as("__ra"))
+    val br = b.select(col("query_id"), col("neighbor_id"), col("rank").as("__rb"))
+    val rank = row_number().over(
+      Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id")))
+    ar.join(br, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (coalesce(lit(1.0) / (lit(kRrf) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("__rb")), lit(0.0))).as("score"))
+      .withColumn("rank", rank)
+      .filter(col("rank") <= k)
+  }
+}

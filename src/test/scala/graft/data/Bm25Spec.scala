@@ -1,0 +1,94 @@
+package graft.data
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 scoring semantics, RRF fusion, and the broadcast/non-broadcast
+ * parity of the lexical retrieval tier. */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "spark shuffle join optimizer"),
+    (2L, "spark spark spark spark shuffle"),
+    (3L, "quantum entanglement paper"),
+    (4L, "join strategies in spark and the optimizer"),
+    (5L, "the the the the the the the the")).toDF("doc_id", "text")
+
+  private def topFor(q: String, k: Int = 5,
+      broadcastQueries: Boolean = true): Seq[(Long, Double)] =
+    Bm25.bm25TopK(corpus, Seq((100L, q)).toDF("doc_id", "text"),
+        "doc_id", "text", k, broadcastQueries = broadcastQueries)
+      .orderBy(col("rank"))
+      .select($"neighbor_id", $"score").as[(Long, Double)].collect().toSeq
+
+  test("rare terms outweigh common ones; non-matching docs are absent") {
+    val got = topFor("quantum spark")
+    // doc 3 holds the rarest term (df=1) in a 3-token doc -> top
+    assert(got.head._1 === 3L)
+    // doc 5 shares no query term -> absent entirely
+    assert(!got.map(_._1).contains(5L))
+    assert(got.map(_._2).sameElements(got.map(_._2).sorted.reverse))
+  }
+
+  test("tf saturates (k1): 4x term repetitions < 4x score") {
+    val one = topFor("spark").find(_._1 == 1L).get._2
+    val four = topFor("spark").find(_._1 == 2L).get._2
+    assert(four > one, "more occurrences must still score higher")
+    assert(four < 4 * one, "BM25 tf term must saturate, not grow linearly")
+  }
+
+  test("length normalization (b): same tf in a longer doc scores lower") {
+    val short = topFor("join").find(_._1 == 1L).get._2 // 4 tokens
+    val long = topFor("join").find(_._1 == 4L).get._2  // 7 tokens
+    assert(short > long)
+  }
+
+  test("query term frequency is ignored; scores are order-exact integers") {
+    assert(topFor("spark spark spark") === topFor("spark"))
+    // micro-unit contract: every score is a whole number of 1e-6 units
+    assert(topFor("spark optimizer join").forall { case (_, s) =>
+      (s * 1e6).round / 1e6 === s })
+  }
+
+  test("broadcastQueries=false: identical rows, no BroadcastExchange") {
+    assert(topFor("spark optimizer") === topFor("spark optimizer",
+      broadcastQueries = false))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = Bm25.bm25TopK(corpus, corpus.filter($"doc_id" < 2), "doc_id",
+          "text", k = 3, broadcastQueries = false)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"), p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def ranking(rows: (Long, Long, Int)*): DataFrame =
+    rows.toSeq.toDF("query_id", "neighbor_id", "rank")
+
+  test("rrfFuse: both-list docs beat single-list docs at comparable ranks") {
+    val lex = ranking((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    val sem = ranking((1L, 11L, 1), (1L, 13L, 2))
+    val fused = Bm25.rrfFuse(lex, sem, k = 4)
+      .orderBy($"rank").select($"neighbor_id", $"score").as[(Long, Double)]
+      .collect().toSeq
+    // doc 11: 1/62 + 1/61 beats doc 10's 1/61 alone
+    assert(fused.head._1 === 11L)
+    assert(math.abs(fused.head._2 - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    // single-list docs carry exactly their one term
+    val d13 = fused.find(_._1 == 13L).get._2
+    assert(math.abs(d13 - 1.0 / 62) < 1e-12)
+    assert(fused.map(_._1).toSet === Set(10L, 11L, 12L, 13L))
+  }
+
+  test("rrfFuse keeps queries independent") {
+    val lex = ranking((1L, 10L, 1), (2L, 20L, 1))
+    val sem = ranking((1L, 10L, 1), (2L, 21L, 1))
+    val fused = Bm25.rrfFuse(lex, sem, k = 2)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(fused === Set((1L, 10L, 1), (2L, 20L, 1), (2L, 21L, 2)))
+  }
+}
