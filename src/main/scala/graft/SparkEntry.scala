@@ -643,6 +643,16 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // stupid-backoff trigram LM: CCNet-style perplexity quality scoring
+    // (model fit on the same corpus; micro-unit exact mean log-scores)
+    "q78_ngram_lm" -> ((s, dir) => {
+      import graft.data.NgramLm
+      val d = t(s, dir, "documents")
+      NgramLm.scoreDocs(NgramLm.fit(d, "doc_id", "text"), d, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("logscore"), 6).as("logscore"))
+        .orderBy(col("doc_id"))
+    }),
     // -------------------------------------------- multimodal binary (stub)
     "q28_multimodal" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
@@ -1963,6 +1973,42 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, score, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM fused)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q78_ngram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, $ltokSql AS t FROM documents),
+         |pos AS (SELECT doc_id, n, i, t[i] AS w3,
+         |    CASE WHEN i >= 2 THEN t[i-1] END AS w2,
+         |    CASE WHEN i >= 3 THEN t[i-2] END AS w1
+         |  FROM (SELECT doc_id, t, len(t) AS n,
+         |        unnest(range(1, len(t)+1)) AS i FROM toks)),
+         |keys AS (SELECT doc_id, n, i, w1, w2, w3,
+         |    CASE WHEN i >= 3 THEN concat_ws(' ', w1, w2, w3) END AS tri_key,
+         |    CASE WHEN i >= 2 THEN concat_ws(' ', w2, w3) END AS bi_key,
+         |    CASE WHEN i >= 3 THEN concat_ws(' ', w1, w2) END AS ctx_key
+         |  FROM pos),
+         |uni AS (SELECT w3 AS w, count(*) AS c1 FROM keys GROUP BY w3),
+         |bi AS (SELECT bi_key AS key, count(*) AS c2 FROM keys WHERE i >= 2 GROUP BY bi_key),
+         |tri AS (SELECT tri_key AS key, count(*) AS c3 FROM keys WHERE i >= 3 GROUP BY tri_key),
+         |nn AS (SELECT CAST(sum(c1) AS DOUBLE) AS nt FROM uni),
+         |sc AS (SELECT k.doc_id, k.n,
+         |    CAST(round(ln(CASE
+         |      WHEN k.i >= 3 THEN CASE
+         |        WHEN t3.c3 IS NOT NULL THEN CAST(t3.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE)
+         |        WHEN b2.c2 IS NOT NULL THEN 0.4 * (CAST(b2.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+         |        ELSE 0.16 * (coalesce(CAST(u3.c1 AS DOUBLE), 1.0) / nn.nt) END
+         |      WHEN k.i = 2 THEN CASE
+         |        WHEN b2.c2 IS NOT NULL THEN CAST(b2.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE)
+         |        ELSE 0.4 * (coalesce(CAST(u3.c1 AS DOUBLE), 1.0) / nn.nt) END
+         |      ELSE coalesce(CAST(u3.c1 AS DOUBLE), 1.0) / nn.nt END) * 1e6) AS BIGINT) AS m
+         |  FROM keys k
+         |  LEFT JOIN tri t3 ON t3.key = k.tri_key
+         |  LEFT JOIN bi b2 ON b2.key = k.bi_key
+         |  LEFT JOIN bi bc ON bc.key = k.ctx_key
+         |  LEFT JOIN uni u3 ON u3.w = k.w3
+         |  LEFT JOIN uni u2 ON u2.w = k.w2
+         |  CROSS JOIN nn)
+         |SELECT doc_id, n AS n_tokens,
+         |  round(CAST(sum(m) AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6) AS logscore
+         |FROM sc GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     "q28_multimodal" ->
       s"""SELECT format, count(*) AS n, CAST(sum(byte_len) AS BIGINT) AS sum_bytes,
          |min(checksum) AS min_checksum, CAST(sum(frame_sum) AS BIGINT) AS sum_frames
