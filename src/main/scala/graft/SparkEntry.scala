@@ -643,6 +643,27 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // SemDeDup: embedding-cluster semantic dedup (within-cell cosine
+    // pairs -> connected components -> min-id survivors)
+    "q80_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      Similarity.semDedup(e, "vec_id", "v", threshold = 0.35,
+          cents = Similarity.planes(8, 64))
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+        .orderBy(col("vec_id"))
+    }),
+    // RAG-ingest chunking: overlapping token windows, map-only at any scale
+    "q79_chunking" -> ((s, dir) => {
+      import graft.data.Corpus
+      Corpus.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("tok_start").cast("long").as("tok_start"),
+          col("tok_end").cast("long").as("tok_end"), col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
     // stupid-backoff trigram LM: CCNet-style perplexity quality scoring
     // (model fit on the same corpus; micro-unit exact mean log-scores)
     "q78_ngram_lm" -> ((s, dir) => {
@@ -1973,6 +1994,40 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, score, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM fused)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q80_semdedup" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+         |  FROM embeddings),
+         |planes AS (SELECT * FROM (VALUES $planesSql) pl(p, coef)),
+         |cell AS (SELECT vec_id, v, p AS cell FROM (
+         |    SELECT e.vec_id, e.v, pl.p, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, pl.coef) DESC, pl.p DESC) AS rn
+         |    FROM e CROSS JOIN planes pl) WHERE rn = 1),
+         |prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         |    >= 0.35),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM prs
+         |          UNION SELECT id_b, id_a FROM prs),
+         |reach(node, lab) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e2.a, r.lab FROM edges e2 JOIN reach r ON r.node = e2.b),
+         |comp AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label FROM e
+         |WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> cluster)
+         |ORDER BY vec_id""".stripMargin,
+    "q79_chunking" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |base AS (SELECT doc_id, t, len(t) AS n,
+         |    greatest(CAST(ceil((len(t) - 8) / 24.0) AS INT), 1) AS nc FROM toks),
+         |ch AS (SELECT doc_id, unnest(range(0, nc)) AS i, t, n FROM base)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         |  CAST(i * 24 AS BIGINT) AS tok_start,
+         |  CAST(least(i * 24 + 32, n) AS BIGINT) AS tok_end,
+         |  array_to_string(list_slice(t, i * 24 + 1, least(i * 24 + 32, n)), ' ')
+         |    AS chunk_text
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
     "q78_ngram_lm" ->
       s"""WITH toks AS (SELECT doc_id, $ltokSql AS t FROM documents),
          |pos AS (SELECT doc_id, n, i, t[i] AS w3,

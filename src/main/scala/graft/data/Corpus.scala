@@ -109,6 +109,37 @@ object Corpus {
   }
 
   /**
+   * Token-window CHUNKING — the RAG-ingest twin of [[packSequences]]:
+   * instead of packing documents head-to-tail into fixed batches, each
+   * document is cut into overlapping `chunkTokens`-token windows
+   * (stride = `chunkTokens − overlap`), one output row per chunk with
+   * its token interval and re-joined text. The last chunk is short
+   * rather than padded; a document shorter than one window yields one
+   * chunk. Purely narrow per-row work (tokens → slice → explode): NO
+   * shuffle at any scale — chunking 100 TB is a map-only job.
+   */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    val toks = TextFunctions.tokens(col(textCol))
+    // chunk starts: 0, stride, 2·stride, … while start < n (≥ 1 chunk)
+    val nChunks = greatest(ceil((size(toks) - lit(overlap)) /
+      lit(stride.toDouble)).cast("int"), lit(1))
+    docs
+      .select(col(idCol), toks.as("__t"), nChunks.as("__nc"))
+      .select(col(idCol), col("__t"),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1), c => c * stride)))
+      .select(col(idCol), col("pos").as("chunk_id"),
+        col("col").as("tok_start"),
+        least(col("col") + chunkTokens, size(col("__t"))).as("tok_end"),
+        concat_ws(" ", slice(col("__t"), col("col") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
+  /**
    * Drop every document the shingle-overlap check
    * ([[Dedup.contamination]]) flags against `benchmark` at ≥
    * `minContainment` — run on a prepared corpus before shipping the

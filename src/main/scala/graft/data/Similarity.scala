@@ -277,6 +277,38 @@ object Similarity {
   }
 
   /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication"): drop documents whose
+   * EMBEDDINGS are near-identical — semantic duplicates (translations,
+   * templated rewrites, near-copies) that survive lexical dedup.
+   *
+   * The SemDeDup approximation: assign every vector to its max-dot
+   * cluster (centroids as broadcast literals — no shuffle for the
+   * assignment), compare pairs only WITHIN a cluster, connect the
+   * ≥ `threshold` pairs, and keep each duplicate cluster's min-id member
+   * plus every unpaired row ([[Dedup.deduplicate]]). Quadratic work is
+   * confined per cell — at web scale pick enough k-means centroids
+   * ([[trainIvfCentroids]]) that cells stay ~10⁴ rows; the one shuffle
+   * is on the small cell int.
+   */
+  def semDedup(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      cents: Array[Array[Double]]): DataFrame = {
+    def side(prefix: String, df: DataFrame) =
+      withNorm(df, idCol, vecCol, prefix)
+        .withColumn("cell",
+          sort_array(cellSims(col(s"${prefix}v"), cents), asc = false)(0)("cell"))
+    val pairs = side("a_", repartitioned(vectors)).join(side("b_", vectors), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(simCol("a_", "b_") >= threshold)
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+    Dedup.deduplicate(vectors, idCol, pairs)
+  }
+
+  /**
    * Distributed Lloyd k-means for the IVF cell centroids (the "train"
    * step the seed planes stand in for). Per iteration: assign every
    * vector to its max-dot centroid (broadcast literals, no shuffle of

@@ -63,6 +63,25 @@ class CorpusSpec extends SparkSpec {
     assert(clean == Set(1L)) // doc 0 repeats the benchmark sentence verbatim
   }
 
+  test("chunkDocuments: overlapping windows tile each doc; short docs get one chunk") {
+    val docs = Seq(
+        (1L, (0 until 10).map(i => s"t$i").mkString(" ")),
+        (2L, "a b")).toDF("doc_id", "text")
+    val got = Corpus.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, overlap = 1)
+      .select($"doc_id", $"chunk_id", $"tok_start", $"tok_end", $"chunk_text")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq(
+      (1L, 0, 0, 4, "t0 t1 t2 t3"),
+      (1L, 1, 3, 7, "t3 t4 t5 t6"),   // stride 3: one-token overlap
+      (1L, 2, 6, 10, "t6 t7 t8 t9"),
+      (2L, 0, 0, 2, "a b")))          // shorter than a window -> one chunk
+    // every token index is covered by some chunk
+    val covered = got.filter(_._1 == 1L)
+      .flatMap(r => r._3 until r._4).toSet
+    assert(covered === (0 until 10).toSet)
+  }
+
   test("prepare is deterministic across partitionings") {
     val docs = (0 until 200).map { i =>
       (i.toLong, s"$longBody unique closing number ${i % 50} appears here today.")

@@ -117,6 +117,31 @@ class DataSpec extends SparkSpec {
       .forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
+  test("semDedup drops within-cell near-identical embeddings, keeps min id") {
+    // cells from 2 axis-aligned centroids over 4 dims: x-dominant vs
+    // y-dominant vectors land in different cells
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val vecs = Seq(
+      (1L, Array(1.0, 0.1, 0.0, 0.0)),  // cell 0
+      (2L, Array(0.99, 0.11, 0.0, 0.0)), // near-copy of 1, cell 0 -> dropped
+      (3L, Array(0.9, 0.0, 0.43, 0.0)),  // cell 0 but dissimilar -> kept
+      (4L, Array(0.1, 1.0, 0.0, 0.0)),   // cell 1, unpaired -> kept
+      (5L, Array(0.11, 0.99, 0.0, 0.0))  // near-copy of 4, cell 1 -> dropped
+    ).toDF("vec_id", "v")
+    val kept = Similarity.semDedup(vecs, "vec_id", "v", threshold = 0.98, cents)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L))
+    // the approximation has teeth: a near-identical pair SPLIT across
+    // cells is not compared, so both survive
+    val split = Seq(
+      (1L, Array(1.0, 0.9, 0.0, 0.0)),   // cell 0 (x edges out y)
+      (2L, Array(0.9, 1.0, 0.0, 0.0)))   // cell 1, cosine ~0.99 with vec 1
+      .toDF("vec_id", "v")
+    val keptSplit = Similarity.semDedup(split, "vec_id", "v", threshold = 0.9, cents)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(keptSplit === Set(1L, 2L))
+  }
+
   test("ImageIoCodec decodes a real generated PNG through the same pipeline") {
     import Multimodal._
     implicit val s = spark
