@@ -49,11 +49,14 @@ object NgramLm {
 
   /** One row per token position: `(doc id, n, i, w1, w2, w3)` with
    * 0-based `i`, `w2`/`w1` null when the context does not exist, plus
-   * the three join keys. */
-  private def positions(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+   * the three join keys. Extra columns (e.g. an event-time column for
+   * the streaming twin) pass through. */
+  private def positions(docs: DataFrame, idCol: String, textCol: String,
+      passThrough: Seq[Column] = Nil): DataFrame =
     docs
-      .select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("__t"))
-      .select(col(idCol), col("__t"), size(col("__t")).as("n"),
+      .select(col(idCol) +: TextFunctions.tokens(lower(col(textCol))).as("__t")
+        +: passThrough: _*)
+      .select(col("*"), size(col("__t")).as("n"),
         posexplode(col("__t")))
       .withColumnRenamed("col", "w3").withColumnRenamed("pos", "i")
       .withColumn("w2", when(col("i") >= 1, element_at(col("__t"), col("i"))))
@@ -90,15 +93,17 @@ object NgramLm {
   }
 
   /**
-   * Mean per-token log-score of each document under `model` —
-   * `(idCol, n_tokens, logscore)`, natural log, micro-unit exact.
-   * Five keyed joins of the position stream against the count tables
-   * (trigram, bigram twice — gram and context, unigram twice); no
-   * broadcast anywhere. Empty documents are absent from the output.
+   * Per-position micro-unit log-score components —
+   * `(idCol, n, __m, passThrough…)` — the shared kernel of batch
+   * [[scoreDocs]] and `StreamingMarket.streamingLmScore` (keeping it in
+   * ONE place pins the backoff spelling for both twins). Five keyed
+   * joins of the position stream against the count tables (trigram,
+   * bigram twice — gram and context, unigram twice); no broadcast
+   * anywhere.
    */
-  def scoreDocs(model: NgramModel, docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val pos = positions(docs, idCol, textCol)
+  def scoreComponents(model: NgramModel, docs: DataFrame, idCol: String,
+      textCol: String, passThrough: Seq[Column] = Nil): DataFrame = {
+    val pos = positions(docs, idCol, textCol, passThrough)
     val joined = pos
       .join(model.tri.select(col("key").as("tri_key"), col("c3")), Seq("tri_key"), "left")
       .join(model.bi.select(col("key").as("bi_key"), col("c2")), Seq("bi_key"), "left")
@@ -118,13 +123,24 @@ object NgramLm {
         when(col("c2").isNotNull, biScore)
           .otherwise(lit(0.4) * uniScore))
       .otherwise(uniScore)
-    joined
-      .select(col(idCol), col("n"), round(log(s) * lit(1e6), 0).cast("long").as("__m"))
+    joined.select(col(idCol) +: col("n") +:
+      round(log(s) * lit(1e6), 0).cast("long").as("__m") +:
+      passThrough: _*)
+  }
+
+  /**
+   * Mean per-token log-score of each document under `model` —
+   * `(idCol, n_tokens, logscore)`, natural log, micro-unit exact
+   * ([[scoreComponents]] + one per-doc rollup). Empty documents are
+   * absent from the output.
+   */
+  def scoreDocs(model: NgramModel, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    scoreComponents(model, docs, idCol, textCol)
       .groupBy(col(idCol), col("n"))
       .agg((sum(col("__m")).cast("double") / lit(1e6) / col("n").cast("double"))
         .as("logscore"))
       .withColumnRenamed("n", "n_tokens")
-  }
 
   /** The one-call CCNet-style filter: fit on a `fraction` hash-sample,
    * score everything, keep documents with mean log-score ≥

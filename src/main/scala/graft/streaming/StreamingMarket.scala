@@ -228,6 +228,37 @@ object StreamingMarket {
         (-col("col.ns")).as("score"))
   }
 
+  /**
+   * Streaming PERPLEXITY scoring: score an event-timed document stream
+   * against a STATIC pre-fitted n-gram model
+   * ([[graft.data.NgramLm.fit]] offline, typically on a sample — the
+   * CCNet serving shape). The per-position backoff joins are
+   * stream-static equi joins (count tables re-resolved per micro-batch,
+   * sized by Catalyst); the per-document rollup is a watermarked
+   * event-time windowed aggregation, so each document's mean log-score
+   * emits exactly once when the watermark closes its window and state
+   * is evicted — the same contract as [[streamingVar]]. Scores are
+   * micro-unit exact, so they equal the batch
+   * [[graft.data.NgramLm.scoreDocs]] bit-for-bit (spec-pinned).
+   */
+  def streamingLmScore(
+      docs: DataFrame,
+      model: graft.data.NgramLm.NgramModel,
+      idCol: String,
+      textCol: String,
+      tsCol: String = "ts",
+      watermark: String = "1 hour",
+      windowLen: String = "1 hour"): DataFrame = {
+    import graft.data.NgramLm
+    NgramLm.scoreComponents(model, docs, idCol, textCol, Seq(col(tsCol)))
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(idCol), col("n"), window(col(tsCol), windowLen))
+      .agg((sum(col("__m")).cast("double") / lit(1e6) / col("n").cast("double"))
+        .as("logscore"))
+      .select(col(idCol), col("n").as("n_tokens"),
+        col("window.start").as("window_start"), col("logscore"))
+  }
+
   /** Latest on-disk version of a saved index: max modification time under
    * `dir/meta` (the LAST table [[graft.data.Pq.saveIndex]] writes, so a
    * half-written rebuild is never picked up as "new"). -1 when absent. */

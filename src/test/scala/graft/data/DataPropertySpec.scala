@@ -125,6 +125,32 @@ class DataPropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments: full coverage, stride spacing, window bounds for any doc") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      w <- Gen.chooseNum(1, 12)
+      o <- Gen.chooseNum(0, 11).map(math.min(_, w - 1))
+    } yield (n, w, o)
+    forAll(gen, n = 8) { case (n, w, o) =>
+      val text = (0 until n).map(i => s"t$i").mkString(" ")
+      val chunks = Corpus.chunkDocuments(Seq((1L, text)).toDF("doc_id", "text"),
+          "doc_id", "text", chunkTokens = w, overlap = o)
+        .select($"chunk_id", $"tok_start", $"tok_end")
+        .as[(Int, Int, Int)].collect().sortBy(_._1)
+      // starts advance by exactly the stride; first chunk starts at 0
+      assert(chunks.head._2 === 0, s"n=$n w=$w o=$o")
+      chunks.sliding(2).foreach {
+        case Array((_, s1, _), (_, s2, _)) => assert(s2 - s1 === w - o)
+        case _ => ()
+      }
+      // each window is at most w tokens, clipped at the doc end
+      assert(chunks.forall { case (_, s, e) => e - s <= w && e <= n && s < n })
+      // every token index is covered
+      assert(chunks.flatMap(c => c._2 until c._3).toSet === (0 until n).toSet,
+        s"n=$n w=$w o=$o")
+    }
+  }
+
   test("dedupLines conserves the corpus' distinct lines exactly once") {
     val docGen = Gen.listOfN(4,
       Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, word).map(_.mkString("\n"))))

@@ -183,6 +183,28 @@ class PlanSpec extends SparkSpec {
     assert(loaded == direct)
   }
 
+  test("NgramLm count tables and Bm25 stats join with keyed shuffles, no broadcast") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"word${i % 7} word${(i + 1) % 7} word${(i + 2) % 7} tail$i"))
+      .toDF("doc_id", "text")
+    withNoAutoBroadcast {
+      // at web scale the LM count tables are vocab-sized — the score join
+      // must not assume they broadcast
+      val model = NgramLm.fit(docs, "doc_id", "text")
+      val lm = plan(NgramLm.scoreDocs(model, docs, "doc_id", "text"))
+      assert(!lm.contains("BroadcastNestedLoopJoin") && !lm.contains("CartesianProduct"),
+        lm.take(2000))
+      assert(lm.contains("SortMergeJoin") || lm.contains("ShuffledHashJoin"),
+        lm.take(2000))
+      // same for the BM25 document-frequency stats table
+      val bm = plan(Bm25.bm25TopK(docs, docs.filter($"doc_id" < 2), "doc_id",
+        "text", k = 3, broadcastQueries = false))
+      assert(!bm.contains("BroadcastExchange"), bm.take(2000))
+      assert(bm.contains("SortMergeJoin") || bm.contains("ShuffledHashJoin"),
+        bm.take(2000))
+    }
+  }
+
   test("scan pruning: a two-column projection reads two columns") {
     val dir = java.nio.file.Files.createTempDirectory("planspec").toString + "/t"
     (1 to 100).map(i => (i.toLong, s"s$i", i * 1.0, i * 2.0))

@@ -336,6 +336,41 @@ class StreamingMarketSpec extends SparkSpec {
     assert(batch2 === want2)
   }
 
+  test("streamingLmScore: watermarked doc stream scores == batch scoreDocs") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.data.NgramLm
+    val corpus = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val model = NgramLm.fit(corpus, "doc_id", "text")
+    // materialized count tables: a static side should not refit per batch
+    val m = model.copy(uni = model.uni.cache(), bi = model.bi.cache(),
+      tri = model.tri.cache())
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = streamingLmScore(input.toDF().toDF("doc_id", "text", "ts"), m,
+        "doc_id", "text", watermark = "1 hour", windowLen = "1 hour")
+      .writeStream.format("memory").queryName("lmscores")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData((10L, "a b c", ts(1, 6)), (11L, "c a d", ts(1, 6)))
+    q.processAllAvailable()
+    input.addData((12L, "z", ts(1, 6)))
+    q.processAllAvailable()
+    input.addData((999L, "a", ts(5))) // advance watermark, close the window
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("lmscores").filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("n_tokens"), col("logscore"))
+      .collect().map(_.toString).sorted.toSeq
+    val batch = NgramLm.scoreDocs(m,
+        Seq((10L, "a b c"), (11L, "c a d"), (12L, "z")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("logscore"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch && streamed.size === 3)
+  }
+
   test("streamingSessions: gap-based event-time sessions emit once on watermark close") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
