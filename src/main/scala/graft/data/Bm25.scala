@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
  * |matching postings|, not |corpus|. Document-frequency stats are a
  * second aggregation over the same term key; the per-(query, doc)
  * rollup is the only other shuffle. Corpus-wide constants (N, avgdl)
- * are two bounded scalars computed once. Like the ANN entry points, a
- * `broadcastQueries = false` spelling swaps the query side to a
- * shuffle-hash join for corpus-sized query batches.
+ * reduce out of the same postings lineage and ride along as a 1-row
+ * broadcast — one lazy plan, no separate corpus scan or driver action.
+ * Like the ANN entry points, a `broadcastQueries = false` spelling
+ * swaps the query side to a shuffle-hash join for corpus-sized query
+ * batches.
  *
  * Oracle parity: per-(query, doc, term) score components are rounded to
  * integer MICRO-UNITS and summed as longs, so the final score is exact
@@ -47,8 +49,10 @@ object Bm25 {
 
   /** Lucene-style BM25 idf — `ln(1 + (N - df + 0.5) / (df + 0.5))`,
    * ≥ 0 for every df ≤ N. */
-  def idf(df: Column, nDocs: Double): Column =
-    log(lit(1.0) + (lit(nDocs) - df + lit(0.5)) / (df + lit(0.5)))
+  def idf(df: Column, nDocs: Column): Column =
+    log(lit(1.0) + (nDocs - df + lit(0.5)) / (df + lit(0.5)))
+
+  def idf(df: Column, nDocs: Double): Column = idf(df, lit(nDocs))
 
   /**
    * BM25 top-k: for each query row (`idCol`, `textCol`), the `k`
@@ -71,24 +75,26 @@ object Bm25 {
       broadcastQueries: Boolean = true): DataFrame = {
     val terms = docTerms(corpus, idCol, textCol)
     val stats = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // two corpus-wide scalars (bounded driver data by design)
-    val consts = corpus.select(
-      count(lit(1)).cast("double").as("n"),
-      avg(size(TextFunctions.tokens(lower(col(textCol))))).as("avgdl")).head()
-    val nDocs = consts.getDouble(0)
-    val avgdl = consts.getDouble(1)
+    // corpus-wide constants (N, avgdl) derived from the SAME postings
+    // lineage — no second tokenization scan — and attached as a 1-row
+    // broadcast, so the whole query is one lazy plan with no driver
+    // action. Every doc has ≥ 1 posting (tokens() never returns an
+    // empty array), so the per-doc rollup sees the full corpus.
+    val consts = broadcast(terms
+      .groupBy(col("doc_id")).agg(first(col("dl")).as("__dl"))
+      .agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl")))
     val qterms = queries.select(col(idCol).as("query_id"),
         explode(array_distinct(
           TextFunctions.tokens(lower(col(textCol))))).as("term"))
-    val joined =
-      if (broadcastQueries) terms.join(stats, "term").join(broadcast(qterms), "term")
-      else terms.join(stats, "term").join(qterms.hint("shuffle_hash"), "term")
+    val joined = Similarity.joinQ(qterms, terms.join(stats, "term"),
+        Seq("term"), broadcastQueries)
+      .crossJoin(consts)
     // component spelling mirrored EXACTLY by the SQL oracle (association
     // order matters for double parity); micro-unit rounding makes the
     // per-(query, doc) sum order-independent exact integer arithmetic
-    val comp = idf(col("df"), nDocs) *
+    val comp = idf(col("df"), col("__n")) *
       (col("tf") * lit(k1 + 1) /
-        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("__avgdl"))))
     val rank = row_number().over(
       Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("neighbor_id")))

@@ -55,9 +55,18 @@ object Multimodal {
     override def featureDim: Int = FeatureDim
 
     override def decodeImage(bytes: Array[Byte]): Array[Double] = {
+      // MemoryCacheImageInputStream: the bytes are already in memory —
+      // the ImageIO.read(InputStream) overload would spool every payload
+      // through a temp FILE (FileCacheImageInputStream), per-row disk
+      // I/O on the hot decode path. NonFatal, not just IOException:
+      // malformed-but-recognized images make the JDK readers throw
+      // unchecked exceptions too, and one corrupt row must not fail a
+      // 100 TB job.
       val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        try javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
         return new Array[Double](FeatureDim)
       val w = img.getWidth

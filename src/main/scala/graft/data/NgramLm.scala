@@ -78,7 +78,11 @@ object NgramLm {
       .groupBy(col("bi_key").as("key")).agg(count(lit(1)).as("c2"))
     val tri = pos.filter(col("i") >= 2)
       .groupBy(col("tri_key").as("key")).agg(count(lit(1)).as("c3"))
-    val n = uni.agg(sum(col("c1"))).head().getLong(0)
+    // sum over an empty table is NULL — fail with a diagnosis, not an NPE
+    val n = Option(uni.agg(sum(col("c1"))).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    require(n > 0,
+      "NgramLm.fit saw an empty corpus (or an empty sample — raise fitSampled's fraction)")
     NgramModel(uni, bi, tri, n)
   }
 
@@ -88,8 +92,10 @@ object NgramLm {
   def fitSampled(docs: DataFrame, idCol: String, textCol: String,
       fraction: Double, salt: String = "ngramlm"): NgramModel = {
     require(fraction > 0 && fraction <= 1, s"fraction must be in (0, 1], got $fraction")
-    fit(Sampling.hashSample(docs, col(idCol),
-      math.round(fraction * 10000).toInt, 10000, salt), idCol, textCol)
+    val num = math.round(fraction * 10000).toInt
+    require(num >= 1,
+      s"fraction $fraction rounds to an empty 0/10000 hash-sample; use >= 0.0001")
+    fit(Sampling.hashSample(docs, col(idCol), num, 10000, salt), idCol, textCol)
   }
 
   /**

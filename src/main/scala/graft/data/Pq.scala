@@ -124,7 +124,7 @@ object Pq {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** Query-side join strategy shared by every retrieval entry point.
+  /** Query-side join strategy — the shared [[Similarity.joinQ]] dial.
    *
    * `broadcastQueries = true` (default, the serving shape): the query side
    * — queries × nProbe rows each carrying an m × ksub-double LUT — is
@@ -139,13 +139,11 @@ object Pq {
    * reason. Plan shapes for both modes are pinned by `PlanSpec`. */
   private def joinQueries(q: DataFrame, c: DataFrame, keys: Seq[String],
       broadcastQueries: Boolean): DataFrame =
-    if (broadcastQueries) broadcast(q).join(c, keys)
-    else q.hint("shuffle_hash").join(c, keys)
+    Similarity.joinQ(q, c, keys, broadcastQueries)
 
   private def crossQueries(q: DataFrame, c: DataFrame,
       broadcastQueries: Boolean): DataFrame =
-    if (broadcastQueries) broadcast(q).crossJoin(c)
-    else q.hint("shuffle_replicate_nl").crossJoin(c)
+    Similarity.crossQ(q, c, broadcastQueries)
 
   /**
    * Flat-PQ top-k by approximate inner product: the corpus is scanned as
@@ -259,7 +257,13 @@ object Pq {
 
   /** Persist an index: encoded rows as (cell-partitioned) parquet, the
    * coarse centroids and codebook as plain parquet tables — no bespoke
-   * serialization, any engine can read the layout back. */
+   * serialization, any engine can read the layout back.
+   *
+   * NOTE: `mode("overwrite")` rewrites IN PLACE — re-saving over a
+   * directory some live reader already loaded deletes the row files
+   * under it. For publish-while-serving (the streaming hot-reload
+   * shape) use [[saveIndexVersioned]], which writes each rebuild to a
+   * fresh immutable subdirectory and flips a pointer last. */
   def saveIndex(index: Index, dir: String): Unit = {
     val spark = index.rows.sparkSession
     import spark.implicits._
@@ -273,6 +277,44 @@ object Pq {
       .write.mode("overwrite").parquet(s"$dir/codebook")
     Seq(Tuple1(index.residual)).toDF("residual").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Publish `index` as a NEW immutable version under `dir`
+   * (`dir/v<N>/…`), flipping the tiny `dir/latest` pointer LAST — a
+   * reader that loaded version N keeps a consistent snapshot while
+   * N+1 lands (an in-place [[saveIndex]] overwrite would delete row
+   * files under it mid-query). Old versions stay on disk for in-flight
+   * readers; prune them once no reader can hold them. Returns the new
+   * version number. */
+  def saveIndexVersioned(index: Index, dir: String): Long = {
+    val spark = index.rows.sparkSession
+    import spark.implicits._
+    val next = latestVersion(spark, dir).getOrElse(0L) + 1
+    saveIndex(index, s"$dir/v$next")
+    Seq(Tuple1(next)).toDF("version").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/latest")
+    next
+  }
+
+  /** Currently-published version under a [[saveIndexVersioned]] dir —
+   * None when no pointer exists (including the sub-millisecond window
+   * while a publisher rewrites it; callers keep their current index). */
+  def latestVersion(spark: org.apache.spark.sql.SparkSession, dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/latest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else
+      try Some(spark.read.parquet(s"$dir/latest").head().getLong(0))
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Load the currently-published version of a [[saveIndexVersioned]]
+   * index: `(version, index)`. */
+  def loadIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Index) = {
+    val v = latestVersion(spark, dir).getOrElse(throw new IllegalStateException(
+      s"no index published under $dir (write one with Pq.saveIndexVersioned)"))
+    (v, loadIndex(spark, s"$dir/v$v"))
   }
 
   def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {

@@ -88,18 +88,19 @@ object Similarity {
       .select(col(s"${prefix}id"), col(s"${prefix}v"), col(s"${prefix}n"),
         col("__tb")("tbl").as("tbl"), col("__tb")("b").as("bucket"))
 
-  /** Query-side join strategy shared by the retrieval entry points here
-   * (same dial as `Pq.joinQueries`): `broadcastQueries = true` is the
-   * serving shape — small query batch broadcast, corpus never shuffles;
-   * `false` is the corpus-vs-corpus shape — a shuffle join (shuffle-hash
-   * on the key, or shuffle-replicate cartesian when keyless), nothing
-   * materialized on the driver. */
-  private def joinQ(q: DataFrame, c: DataFrame, keys: Seq[String],
+  /** Query-side join strategy shared by EVERY retrieval entry point in
+   * this package (here and in [[Pq]] — one definition so the big-batch
+   * strategy cannot drift between the tiers): `broadcastQueries = true`
+   * is the serving shape — small query batch broadcast, corpus never
+   * shuffles; `false` is the corpus-vs-corpus shape — a shuffle join
+   * (shuffle-hash on the key, or shuffle-replicate cartesian when
+   * keyless), nothing materialized on the driver. */
+  private[data] def joinQ(q: DataFrame, c: DataFrame, keys: Seq[String],
       broadcastQueries: Boolean): DataFrame =
     if (broadcastQueries) broadcast(q).join(c, keys)
     else q.hint("shuffle_hash").join(c, keys)
 
-  private def crossQ(q: DataFrame, c: DataFrame,
+  private[data] def crossQ(q: DataFrame, c: DataFrame,
       broadcastQueries: Boolean): DataFrame =
     if (broadcastQueries) broadcast(q).crossJoin(c)
     else q.hint("shuffle_replicate_nl").crossJoin(c)

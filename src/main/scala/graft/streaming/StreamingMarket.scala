@@ -259,35 +259,28 @@ object StreamingMarket {
         col("window.start").as("window_start"), col("logscore"))
   }
 
-  /** Latest on-disk version of a saved index: max modification time under
-   * `dir/meta` (the LAST table [[graft.data.Pq.saveIndex]] writes, so a
-   * half-written rebuild is never picked up as "new"). -1 when absent. */
-  private def indexVersion(spark: SparkSession, dir: String): Long = {
-    val path = new org.apache.hadoop.fs.Path(dir, "meta")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) -1L
-    else fs.listStatus(path).foldLeft(
-      fs.getFileStatus(path).getModificationTime)((m, st) =>
-        math.max(m, st.getModificationTime))
-  }
-
   /**
    * Streaming ANN against a PERIODICALLY REBUILT index — the production
    * serving shape [[streamingAnnSearch]] (static index, windowed merge)
-   * deliberately does not cover: an offline job rebuilds the index with
-   * [[graft.data.Pq.saveIndex]] on its own cadence, and the query stream
-   * must pick the new version up WITHOUT a restart.
+   * deliberately does not cover: an offline job publishes rebuilds with
+   * [[graft.data.Pq.saveIndexVersioned]] on its own cadence, and the
+   * query stream must pick the new version up WITHOUT a restart.
    *
    * Implemented as `foreachBatch` — the standard Structured Streaming
-   * recipe for a slowly-changing static side: each micro-batch checks the
-   * on-disk index version (one cheap file-status call, no data read) and
-   * reloads only when it changed; the batch's queries then run the exact
-   * batch [[graft.data.Pq.searchIndex]] against the current index, and
-   * `sink` receives the per-batch answer frame. Trade vs
-   * [[streamingAnnSearch]]: answers are per-micro-batch (no event-time
-   * window merge / watermark dedup), which is what a serving path wants.
-   * Driver state is one codebook (KBs); index rows stay on disk,
-   * cell-pruned at the scan like any loaded index.
+   * recipe for a slowly-changing static side: each micro-batch reads the
+   * tiny `latest` pointer and reloads only when the published version
+   * changed; the batch's queries then run the exact batch
+   * [[graft.data.Pq.searchIndex]] against the current index, and `sink`
+   * receives the per-batch answer frame. The VERSIONED layout is what
+   * makes the swap safe: every version is immutable on disk, so a
+   * micro-batch keeps a consistent snapshot even while the publisher
+   * writes the next one (an in-place `saveIndex` overwrite would delete
+   * row files under a running query). A missing/in-flux pointer keeps
+   * the current version. Trade vs [[streamingAnnSearch]]: answers are
+   * per-micro-batch (no event-time window merge / watermark dedup),
+   * which is what a serving path wants. Driver state is one codebook
+   * (KBs); index rows stay on disk, cell-pruned at the scan like any
+   * loaded index.
    *
    * Returns the configured writer — call `.start()` (and set a trigger /
    * checkpoint as needed).
@@ -300,15 +293,18 @@ object StreamingMarket {
       k: Int,
       nProbe: Int)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.data.Pq
     // closure state on the driver: the currently-loaded index + its version
-    var loaded: Option[(Long, graft.data.Pq.Index)] = None
+    var loaded: Option[(Long, Pq.Index)] = None
     queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val ver = indexVersion(spark, indexDir)
-      if (!loaded.exists(_._1 == ver))
-        loaded = Some((ver, graft.data.Pq.loadIndex(spark, indexDir)))
-      sink(graft.data.Pq.searchIndex(loaded.get._2, batch, idCol, vecCol,
-        k, nProbe), batchId)
+      Pq.latestVersion(spark, indexDir).foreach { v =>
+        if (!loaded.exists(_._1 == v))
+          loaded = Some((v, Pq.loadIndex(spark, s"$indexDir/v$v")))
+      }
+      val idx = loaded.getOrElse(throw new IllegalStateException(
+        s"no index published under $indexDir — write one with Pq.saveIndexVersioned"))._2
+      sink(Pq.searchIndex(idx, batch, idCol, vecCol, k, nProbe), batchId)
     }
   }
 

@@ -61,7 +61,9 @@ class Bm25Spec extends SparkSpec {
       val p = Bm25.bm25TopK(corpus, corpus.filter($"doc_id" < 2), "doc_id",
           "text", k = 3, broadcastQueries = false)
         .queryExecution.executedPlan.toString
-      assert(!p.contains("BroadcastExchange"), p.take(2000))
+      // the only broadcast allowed is the 1-row (N, avgdl) constants frame
+      assert("BroadcastExchange".r.findAllIn(p).size <= 1, p.take(2000))
+      assert(!p.contains("BroadcastHashJoin"), p.take(2000))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

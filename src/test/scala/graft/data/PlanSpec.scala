@@ -196,10 +196,12 @@ class PlanSpec extends SparkSpec {
         lm.take(2000))
       assert(lm.contains("SortMergeJoin") || lm.contains("ShuffledHashJoin"),
         lm.take(2000))
-      // same for the BM25 document-frequency stats table
+      // same for the BM25 document-frequency stats table: the only
+      // broadcast allowed is the 1-row (N, avgdl) constants frame
       val bm = plan(Bm25.bm25TopK(docs, docs.filter($"doc_id" < 2), "doc_id",
         "text", k = 3, broadcastQueries = false))
-      assert(!bm.contains("BroadcastExchange"), bm.take(2000))
+      assert("BroadcastExchange".r.findAllIn(bm).size <= 1, bm.take(2000))
+      assert(!bm.contains("BroadcastHashJoin"), bm.take(2000))
       assert(bm.contains("SortMergeJoin") || bm.contains("ShuffledHashJoin"),
         bm.take(2000))
     }

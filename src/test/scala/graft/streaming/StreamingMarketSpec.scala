@@ -303,7 +303,8 @@ class StreamingMarketSpec extends SparkSpec {
     val half1 = emb.filter(col("vec_id") < 250)
     val half2 = emb.filter(col("vec_id") >= 250)
     val dir = java.nio.file.Files.createTempDirectory("ann_refresh").toString
-    Pq.saveIndex(Pq.buildIndex(half1, "vec_id", "v", coarse, cb), dir)
+    assert(Pq.saveIndexVersioned(
+      Pq.buildIndex(half1, "vec_id", "v", coarse, cb), dir) === 1L)
 
     val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     val input = MemoryStream[(Long, Seq[Double])]
@@ -318,8 +319,10 @@ class StreamingMarketSpec extends SparkSpec {
       .select(col("v")).as[Seq[Double]].head()
     input.addData((9000L, queryVec))
     q.processAllAvailable()
-    // offline rebuild lands while the stream is running
-    Pq.saveIndex(Pq.buildIndex(half2, "vec_id", "v", coarse, cb), dir)
+    // offline rebuild publishes a new immutable version while the stream
+    // is running; v1 stays intact on disk for in-flight readers
+    assert(Pq.saveIndexVersioned(
+      Pq.buildIndex(half2, "vec_id", "v", coarse, cb), dir) === 2L)
     input.addData((9001L, queryVec))
     q.processAllAvailable()
     q.stop()
@@ -329,11 +332,15 @@ class StreamingMarketSpec extends SparkSpec {
     assert(batch1.nonEmpty && batch1.forall(_ < 250L), batch1.toString)
     assert(batch2.nonEmpty && batch2.forall(_ >= 250L), batch2.toString)
     // and each batch matches the batch-mode search against that version
-    val want2 = Pq.searchIndex(Pq.loadIndex(spark, dir),
+    val (v, idx2) = Pq.loadIndexVersioned(spark, dir)
+    assert(v === 2L)
+    val want2 = Pq.searchIndex(idx2,
         Seq((9001L, queryVec)).toDF("vec_id", "v"), "vec_id", "v",
         k = 3, nProbe = 8)
       .select(col("neighbor_id").cast("long")).as[Long].collect().toSet
     assert(batch2 === want2)
+    // the superseded version is still a loadable consistent snapshot
+    assert(Pq.loadIndex(spark, s"$dir/v1").rows.count() === 250L)
   }
 
   test("streamingLmScore: watermarked doc stream scores == batch scoreDocs") {
