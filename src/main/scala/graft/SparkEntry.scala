@@ -643,6 +643,14 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // exact-size weighted sampling without replacement (A-ES, log form)
+    "q81_weighted_sample" -> ((s, dir) => {
+      import graft.data.Sampling
+      Sampling.weightedSample(t(s, dir, "documents"), col("doc_id"),
+          col("n_chars"), k = 50)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
     // SemDeDup: embedding-cluster semantic dedup (within-cell cosine
     // pairs -> connected components -> min-id survivors)
     "q80_semdedup" -> ((s, dir) => {
@@ -1994,6 +2002,14 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, score, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM fused)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q81_weighted_sample" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    ln((${h60Sql("concat(CAST(doc_id AS VARCHAR), 'wsample')")} + 1.0)
+         |        / 1152921504606846977.0) / CAST(n_chars AS DOUBLE) AS sk
+         |  FROM documents WHERE n_chars > 0
+         |  ORDER BY sk DESC, doc_id LIMIT 50)
+         |ORDER BY doc_id""".stripMargin,
     "q80_semdedup" ->
       s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
          |  FROM embeddings),

@@ -77,4 +77,35 @@ object Sampling {
         when(slot < hi, name).otherwise(acc)
       }
   }
+
+  /**
+   * EXACT-SIZE weighted sampling WITHOUT replacement (Efraimidis &
+   * Spirakis 2006, algorithm A-ES in log form): each row draws the
+   * deterministic hash-uniform `u ∈ (0, 1)` from its key and ranks by
+   * `sk = ln(u) / w`; the `k` LARGEST sk are a weighted
+   * without-replacement sample — each row's inclusion probability
+   * proportional to its weight among the remaining rows. Complements
+   * the Bernoulli samplers here ([[hashSample]] uniform, `q61`'s
+   * quality-weighted keep) when a FIXED output size is required
+   * (e.g. "exactly 1M quality-weighted docs for an eval set").
+   *
+   * Deterministic and partition-independent like every sampler in this
+   * module — same rows, same k, same salt ⇒ the same sample on any
+   * cluster. Scale shape: one narrow projection + `TakeOrdered` (each
+   * partition keeps its local top-k, the driver merges k-sized heaps) —
+   * no full sort, no shuffle of the data. Rows with weight ≤ 0 are
+   * excluded (A-ES requires positive weights).
+   */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+      salt: String = "wsample"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // hash60 ∈ [0, 2^60) -> u ∈ (0, 1]; never 0, so ln(u) is finite
+    val u = (TextFunctions.hash60(concat(key.cast("string"), lit(salt)))
+      .cast("double") + lit(1.0)) / lit(1152921504606846977.0)
+    df.filter(weight > 0)
+      .withColumn("__sk", log(u) / weight.cast("double"))
+      .orderBy(col("__sk").desc, key)
+      .limit(k)
+      .drop("__sk")
+  }
 }

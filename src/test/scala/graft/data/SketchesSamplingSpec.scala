@@ -117,6 +117,29 @@ class SketchesSamplingSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample: exact size, deterministic, weight-proportional, positive-only") {
+    val rows = (1L to 200L).map(i => (i, if (i <= 5) 10000.0 else 1.0))
+      .toDF("id", "w")
+    val pick = Sampling.weightedSample(rows, col("id"), col("w"), k = 20)
+      .select($"id").as[Long].collect().toSet
+    assert(pick.size === 20)
+    // the 5 rows carrying 10000x weight are (overwhelmingly) all sampled:
+    // P(miss) per heavy row < (1/10000-ish)^... — deterministic given the salt
+    assert((1L to 5L).toSet.subsetOf(pick), pick.toString)
+    // same inputs + salt -> same sample; different salt -> different sample
+    val again = Sampling.weightedSample(rows, col("id"), col("w"), k = 20)
+      .select($"id").as[Long].collect().toSet
+    assert(again === pick)
+    val other = Sampling.weightedSample(rows, col("id"), col("w"), k = 20,
+        salt = "other").select($"id").as[Long].collect().toSet
+    assert(other !== pick)
+    // non-positive weights are never sampled, even with k > candidates
+    val mixed = Seq((1L, 1.0), (2L, 0.0), (3L, -4.0), (4L, 2.0)).toDF("id", "w")
+    val kept = Sampling.weightedSample(mixed, col("id"), col("w"), k = 10)
+      .select($"id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+  }
+
   test("hashSplit rejects fractions that don't sum to 1") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(lit(1L), Seq("a" -> 0.5, "b" -> 0.4))
