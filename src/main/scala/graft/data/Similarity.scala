@@ -242,7 +242,9 @@ object Similarity {
       planes(nCells, dim)) // deterministic seed centroids
 
   /** Per-centroid dot scores as (s, cell) structs — `sort_array desc`
-   * picks max-dot cells (ties break toward the lower cell id). */
+   * picks max-dot cells (struct ordering is lexicographic, so ties
+   * break toward the HIGHER cell id — the oracles' `ORDER BY s DESC,
+   * p DESC` spelling). */
   private def cellSims(v: Column, cents: Array[Array[Double]]): Column =
     array(cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       struct(dotNative(v, array(c.toIndexedSeq.map(lit): _*)).as("s"), lit(i).as("cell"))
