@@ -651,6 +651,14 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    // stratified A-ES: an independent exact-size weighted sample per source
+    "q82_weighted_stratified" -> ((s, dir) => {
+      import graft.data.Sampling
+      Sampling.weightedSampleByGroup(t(s, dir, "documents"), Seq("source"),
+          col("doc_id"), col("n_chars"), k = 10)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
     // SemDeDup: embedding-cluster semantic dedup (within-cell cosine
     // pairs -> connected components -> min-id survivors)
     "q80_semdedup" -> ((s, dir) => {
@@ -2002,6 +2010,13 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, score, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM fused)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q82_weighted_stratified" ->
+      s"""SELECT source, doc_id FROM (
+         |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+         |      ORDER BY ln((${h60Sql("concat(CAST(doc_id AS VARCHAR), 'wsample')")} + 1.0)
+         |        / 1152921504606846977.0) / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
+         |  FROM documents WHERE n_chars > 0)
+         |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
     "q81_weighted_sample" ->
       s"""SELECT doc_id, source FROM (
          |  SELECT doc_id, source,

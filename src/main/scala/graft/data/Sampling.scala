@@ -108,4 +108,26 @@ object Sampling {
       .limit(k)
       .drop("__sk")
   }
+
+  /**
+   * STRATIFIED [[weightedSample]]: an independent exact-size weighted
+   * without-replacement sample of `k` rows PER GROUP — the
+   * mixture-construction shape ("the best 1M docs per domain by quality
+   * weight"), where a global top-k would let one dominant stratum crowd
+   * out the rest. Same deterministic A-ES keys; ranking becomes one
+   * shuffle on the group key ([[Relational.topKPerGroup]]). Groups with
+   * fewer than `k` positive-weight rows keep what they have.
+   */
+  def weightedSampleByGroup(df: DataFrame, groupCols: Seq[String],
+      key: Column, weight: Column, k: Int,
+      salt: String = "wsample"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (TextFunctions.hash60(concat(key.cast("string"), lit(salt)))
+      .cast("double") + lit(1.0)) / lit(1152921504606846977.0)
+    Relational.topKPerGroup(
+        df.filter(weight > 0)
+          .withColumn("__sk", log(u) / weight.cast("double")),
+        groupCols, Seq(col("__sk").desc, key), k)
+      .drop("__sk", "rank")
+  }
 }

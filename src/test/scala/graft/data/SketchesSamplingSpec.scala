@@ -140,6 +140,26 @@ class SketchesSamplingSpec extends SparkSpec {
     assert(kept === Set(1L, 4L))
   }
 
+  test("weightedSampleByGroup: k per stratum, independent of other strata") {
+    val rows = (1L to 100L).map(i => (if (i <= 80) "big" else "small", i, 1.0 + (i % 7)))
+      .toDF("src", "id", "w")
+    val got = Sampling.weightedSampleByGroup(rows, Seq("src"), col("id"),
+        col("w"), k = 5)
+      .select($"src", $"id").as[(String, Long)].collect()
+    assert(got.count(_._1 == "big") === 5)
+    assert(got.count(_._1 == "small") === 5)
+    // stratum independence: the big stratum alone yields the same 5 ids
+    val solo = Sampling.weightedSampleByGroup(rows.filter($"src" === "big"),
+        Seq("src"), col("id"), col("w"), k = 5)
+      .select($"id").as[Long].collect().toSet
+    assert(solo === got.filter(_._1 == "big").map(_._2).toSet)
+    // a stratum smaller than k keeps everything it has
+    val tiny = Sampling.weightedSampleByGroup(rows.filter($"id" > 98L),
+        Seq("src"), col("id"), col("w"), k = 5)
+      .select($"id").as[Long].collect().toSet
+    assert(tiny === Set(99L, 100L))
+  }
+
   test("hashSplit rejects fractions that don't sum to 1") {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(lit(1L), Seq("a" -> 0.5, "b" -> 0.4))
