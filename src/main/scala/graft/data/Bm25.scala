@@ -54,6 +54,67 @@ object Bm25 {
 
   def idf(df: Column, nDocs: Double): Column = idf(df, lit(nDocs))
 
+  /** A fitted BM25 "model": the corpus statistics scoring needs —
+   * postings `terms(doc_id, dl, term, tf)`, document frequencies
+   * `stats(term, df)`, and the 1-row `consts(__n, __avgdl)`. Fresh
+   * from [[fit]] all three share ONE postings lineage (the tokenize +
+   * term-keyed aggregation happens once, reused); loaded from
+   * [[loadModel]] they are three parquet scans of precomputed tables —
+   * no corpus re-tokenization at all, which is the point of
+   * train-once/score-many. */
+  final case class Bm25Model(terms: DataFrame, stats: DataFrame,
+      consts: DataFrame)
+
+  /** Build the scoring statistics from the corpus — one tokenize, one
+   * term-keyed aggregation, everything else derived from it. */
+  def fit(corpus: DataFrame, idCol: String, textCol: String): Bm25Model = {
+    val terms = docTerms(corpus, idCol, textCol)
+    val stats = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // corpus-wide constants (N, avgdl) derived from the SAME postings
+    // lineage — no second tokenization scan — and attached as a 1-row
+    // broadcast, so the whole query is one lazy plan with no driver
+    // action. Every doc has ≥ 1 posting (tokens() never returns an
+    // empty array), so the per-doc rollup sees the full corpus.
+    val consts = broadcast(terms
+      .groupBy(col("doc_id")).agg(first(col("dl")).as("__dl"))
+      .agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl")))
+    Bm25Model(terms, stats, consts)
+  }
+
+  /** Persist the fitted statistics: postings, df table, and the
+   * materialized 1-row constants as plain parquet. tf/df/dl are
+   * integer-exact and (N, avgdl) round-trip as the same doubles, so a
+   * [[loadModel]]ed model scores BIT-IDENTICALLY to the fresh fit. At
+   * web scale the postings table is corpus-sized — it lives in the
+   * warehouse like any table (bucket it by `term` to make the score
+   * join shuffle-free); the model dir is just its address. */
+  def saveModel(model: Bm25Model, dir: String): Unit = {
+    model.terms.write.mode("overwrite").parquet(s"$dir/terms")
+    model.stats.write.mode("overwrite").parquet(s"$dir/stats")
+    model.consts.coalesce(1).write.mode("overwrite").parquet(s"$dir/consts")
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession, dir: String): Bm25Model =
+    Bm25Model(
+      spark.read.parquet(s"$dir/terms"),
+      spark.read.parquet(s"$dir/stats"),
+      broadcast(spark.read.parquet(s"$dir/consts")))
+
+  /** Publish as an immutable `dir/v<N>` + pointer flip
+   * ([[Versioned.publish]]) — rebuild the postings on a schedule while
+   * serving queries from the published snapshot. */
+  def saveModelVersioned(model: Bm25Model, dir: String): Long =
+    Versioned.publish(model.terms.sparkSession, dir)(saveModel(model, _))
+
+  /** Load the currently-published version: `(version, model)`. */
+  def loadModelVersioned(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Bm25Model) = {
+    val v = Versioned.latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"no model published under $dir (write one with Bm25.saveModelVersioned)"))
+    (v, loadModel(spark, s"$dir/v$v"))
+  }
+
   /**
    * BM25 top-k: for each query row (`idCol`, `textCol`), the `k`
    * highest-scoring corpus documents. Query term frequency is ignored
@@ -72,23 +133,27 @@ object Bm25 {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75,
-      broadcastQueries: Boolean = true): DataFrame = {
-    val terms = docTerms(corpus, idCol, textCol)
-    val stats = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // corpus-wide constants (N, avgdl) derived from the SAME postings
-    // lineage — no second tokenization scan — and attached as a 1-row
-    // broadcast, so the whole query is one lazy plan with no driver
-    // action. Every doc has ≥ 1 posting (tokens() never returns an
-    // empty array), so the per-doc rollup sees the full corpus.
-    val consts = broadcast(terms
-      .groupBy(col("doc_id")).agg(first(col("dl")).as("__dl"))
-      .agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl")))
+      broadcastQueries: Boolean = true): DataFrame =
+    bm25TopK(fit(corpus, idCol, textCol), queries, idCol, textCol, k, k1, b,
+      broadcastQueries)
+
+  /** [[bm25TopK]] against a pre-fitted (possibly [[loadModel]]ed)
+   * [[Bm25Model]] — the score-many half of train-once/score-many. */
+  def bm25TopK(
+      model: Bm25Model,
+      queries: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      k1: Double,
+      b: Double,
+      broadcastQueries: Boolean): DataFrame = {
     val qterms = queries.select(col(idCol).as("query_id"),
         explode(array_distinct(
           TextFunctions.tokens(lower(col(textCol))))).as("term"))
-    val joined = Similarity.joinQ(qterms, terms.join(stats, "term"),
+    val joined = Similarity.joinQ(qterms, model.terms.join(model.stats, "term"),
         Seq("term"), broadcastQueries)
-      .crossJoin(consts)
+      .crossJoin(model.consts)
     // component spelling mirrored EXACTLY by the SQL oracle (association
     // order matters for double parity); micro-unit rounding makes the
     // per-(query, doc) sum order-independent exact integer arithmetic

@@ -284,29 +284,25 @@ object Pq {
    * reader that loaded version N keeps a consistent snapshot while
    * N+1 lands (an in-place [[saveIndex]] overwrite would delete row
    * files under it mid-query). Old versions stay on disk for in-flight
-   * readers; prune them once no reader can hold them. Returns the new
-   * version number. */
-  def saveIndexVersioned(index: Index, dir: String): Long = {
-    val spark = index.rows.sparkSession
-    import spark.implicits._
-    val next = latestVersion(spark, dir).getOrElse(0L) + 1
-    saveIndex(index, s"$dir/v$next")
-    Seq(Tuple1(next)).toDF("version").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/latest")
-    next
-  }
+   * readers; garbage-collect them with [[pruneVersions]] once no
+   * reader can hold them. Single publisher at a time (rename-committed
+   * — see [[Versioned.publish]]). Returns the new version number. */
+  def saveIndexVersioned(index: Index, dir: String): Long =
+    Versioned.publish(index.rows.sparkSession, dir)(saveIndex(index, _))
 
   /** Currently-published version under a [[saveIndexVersioned]] dir —
    * None when no pointer exists (including the sub-millisecond window
    * while a publisher rewrites it; callers keep their current index). */
-  def latestVersion(spark: org.apache.spark.sql.SparkSession, dir: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/latest")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else
-      try Some(spark.read.parquet(s"$dir/latest").head().getLong(0))
-      catch { case scala.util.control.NonFatal(_) => None }
-  }
+  def latestVersion(spark: org.apache.spark.sql.SparkSession, dir: String): Option[Long] =
+    Versioned.latestVersion(spark, dir)
+
+  /** Drop versions older than the published pointer minus `keep` —
+   * bounded storage for a rebuild-hourly publish cadence. See
+   * [[Versioned.pruneVersions]] for the in-flight-reader contract.
+   * Returns the versions deleted. */
+  def pruneVersions(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keep: Int = 1): Seq[Long] =
+    Versioned.pruneVersions(spark, dir, keep)
 
   /** Load the currently-published version of a [[saveIndexVersioned]]
    * index: `(version, index)`. */

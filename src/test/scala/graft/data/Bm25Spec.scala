@@ -67,6 +67,33 @@ class Bm25Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("saveModel/loadModel round-trip: loaded stats score bit-equal the fresh fit") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_model").toString
+    Bm25.saveModel(Bm25.fit(corpus, "doc_id", "text"), dir)
+    val loaded = Bm25.loadModel(spark, dir)
+    val queries = Seq((100L, "spark optimizer join")).toDF("doc_id", "text")
+    val fresh = Bm25.bm25TopK(corpus, queries, "doc_id", "text", k = 5)
+      .select($"neighbor_id", $"score", $"rank").as[(Long, Double, Int)]
+      .collect().toSet
+    val again = Bm25.bm25TopK(loaded, queries, "doc_id", "text", k = 5,
+        k1 = 1.2, b = 0.75, broadcastQueries = true)
+      .select($"neighbor_id", $"score", $"rank").as[(Long, Double, Int)]
+      .collect().toSet
+    assert(again === fresh) // bit-equal: tf/df/dl integer, (N, avgdl) doubles round-trip
+  }
+
+  test("saveModelVersioned: pointer flips, old version stays loadable") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_versions").toString
+    assert(Bm25.saveModelVersioned(Bm25.fit(corpus, "doc_id", "text"), dir) === 1L)
+    val bigger = corpus.union(Seq((6L, "new document text")).toDF("doc_id", "text"))
+    assert(Bm25.saveModelVersioned(Bm25.fit(bigger, "doc_id", "text"), dir) === 2L)
+    val (v, latest) = Bm25.loadModelVersioned(spark, dir)
+    assert(v === 2L)
+    assert(latest.consts.select($"__n").as[Double].head() === 6.0)
+    assert(Bm25.loadModel(spark, s"$dir/v1")
+      .consts.select($"__n").as[Double].head() === 5.0)
+  }
+
   private def ranking(rows: (Long, Long, Int)*): DataFrame =
     rows.toSeq.toDF("query_id", "neighbor_id", "rank")
 

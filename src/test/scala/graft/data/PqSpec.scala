@@ -181,6 +181,48 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("pruneVersions: GC old versions, retained snapshot keeps answering") {
+    val coarse = Similarity.planes(8, 64)
+    val dir = java.nio.file.Files.createTempDirectory("pq_prune").toString
+    def publish(corpus: org.apache.spark.sql.DataFrame): Long =
+      Pq.saveIndexVersioned(
+        Pq.buildIndex(corpus, "vec_id", "v", coarse, seed), dir)
+    assert(publish(emb.filter($"vec_id" < 100)) === 1L)
+    assert(publish(emb.filter($"vec_id" < 200)) === 2L)
+    // a reader loads v2 while it is still the published version…
+    val oldReader = Pq.loadIndex(spark, s"$dir/v2")
+    assert(publish(emb) === 3L)
+    // keep=1 retains the pointer (v3) plus one older version (v2): only
+    // v1 is dropped
+    assert(Pq.pruneVersions(spark, dir, keep = 1) === Seq(1L))
+    assert(!new java.io.File(s"$dir/v1").exists())
+    // the in-flight reader on the retained old version still answers
+    assert(Pq.searchIndex(oldReader, queries, "vec_id", "v", k = 3, nProbe = 2)
+      .count() > 0L)
+    // and the published pointer is untouched
+    val (v, idx) = Pq.loadIndexVersioned(spark, dir)
+    assert(v === 3L)
+    assert(idx.rows.count() === 500L)
+    // pruning again is a no-op; keep=0 drops v2 as well
+    assert(Pq.pruneVersions(spark, dir, keep = 1) === Seq.empty)
+    assert(Pq.pruneVersions(spark, dir, keep = 0) === Seq(2L))
+    assert(Pq.loadIndexVersioned(spark, dir)._1 === 3L)
+  }
+
+  test("Versioned.publish refuses to clobber an existing version (publisher race)") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_race").toString
+    val idx = Pq.buildIndex(emb.filter($"vec_id" < 50), "vec_id", "v",
+      Similarity.planes(8, 64), seed)
+    assert(Pq.saveIndexVersioned(idx, dir) === 1L)
+    // simulate the losing half of a race: v2 already landed but the
+    // pointer flip hasn't (so latestVersion still says 1 -> next = 2)
+    assert(new java.io.File(s"$dir/v2").mkdirs())
+    val e = intercept[IllegalStateException](Pq.saveIndexVersioned(idx, dir))
+    assert(e.getMessage.contains("v2"))
+    // pointer still consistent with the last successful publish
+    assert(Pq.latestVersion(spark, dir) === Some(1L))
+  }
+
   test("SQ8 int8 quantization: near-exact recall, tiny dot-product error") {
     val sq = recall(pairs(Pq.sqTopK(queries, emb, "vec_id", "v", k = 3)))
     info(f"sq8 recall@3 = $sq%.3f")
