@@ -14,14 +14,20 @@ import org.apache.spark.sql.functions._
  * ONE term-keyed aggregation; scoring joins those rows to the
  * (broadcast) query terms on the term key, so corpus terms that appear
  * in no query are filtered AT the join — the per-query work is
- * |matching postings|, not |corpus|. Document-frequency stats are a
- * second aggregation over the same term key; the per-(query, doc)
- * rollup is the only other shuffle. Corpus-wide constants (N, avgdl)
- * reduce out of the same postings lineage and ride along as a 1-row
- * broadcast — one lazy plan, no separate corpus scan or driver action.
- * Like the ANN entry points, a `broadcastQueries = false` spelling
- * swaps the query side to a shuffle-hash join for corpus-sized query
- * batches.
+ * |matching postings|, not |corpus|. Document frequency is counted by
+ * a (query, term) window over the JOINED rows (each such partition
+ * holds exactly the postings of that term, so the count IS df) —
+ * post-filter, so no second corpus-wide aggregation exists in the
+ * plan; the per-(query, doc) rollup is the only other shuffle.
+ * Corpus-wide constants (N, avgdl) come from a map-only pass over the
+ * un-exploded corpus (a projection reduced to one row — no explode,
+ * no keyed shuffle) and ride along as a 1-row broadcast — one lazy
+ * plan, no driver action, and `PlanSpec` pins that the corpus explodes
+ * exactly once. Like the ANN entry points, a `broadcastQueries =
+ * false` spelling swaps the query side to a shuffle-hash join for
+ * corpus-sized query batches. For train-once/score-many, [[fit]] +
+ * [[saveModel]] materialize postings/df/constants instead and
+ * [[loadModel]] scoring joins the precomputed df table.
  *
  * Oracle parity: per-(query, doc, term) score components are rounded to
  * integer MICRO-UNITS and summed as longs, so the final score is exact
@@ -54,31 +60,39 @@ object Bm25 {
 
   def idf(df: Column, nDocs: Double): Column = idf(df, lit(nDocs))
 
+  /** Corpus-wide constants `(__n, __avgdl)` from a MAP-ONLY pass over
+   * the un-exploded corpus: a two-column projection reduced to one row
+   * — no explode, no keyed shuffle, only the single-partition gather
+   * of per-partition partials. `sum(dl)` is a sum of integer-valued
+   * doubles (exact in IEEE754 far past any real corpus size), so
+   * avgdl is deterministic and bit-identical across spellings and
+   * aggregation orders. Doc ids are assumed unique (N = row count). */
+  private def docLenConsts(corpus: DataFrame, textCol: String): DataFrame =
+    broadcast(corpus
+      .select(size(TextFunctions.tokens(lower(col(textCol)))).as("__dl"))
+      .agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl")))
+
   /** A fitted BM25 "model": the corpus statistics scoring needs —
    * postings `terms(doc_id, dl, term, tf)`, document frequencies
-   * `stats(term, df)`, and the 1-row `consts(__n, __avgdl)`. Fresh
-   * from [[fit]] all three share ONE postings lineage (the tokenize +
-   * term-keyed aggregation happens once, reused); loaded from
-   * [[loadModel]] they are three parquet scans of precomputed tables —
-   * no corpus re-tokenization at all, which is the point of
-   * train-once/score-many. */
+   * `stats(term, df)`, and the 1-row `consts(__n, __avgdl)`. Loaded
+   * from [[loadModel]] they are three parquet scans of precomputed
+   * tables — no corpus re-tokenization at all, which is the point of
+   * train-once/score-many. (The one-shot [[bm25TopK]] never builds
+   * `stats` at all — it counts df post-join; the model carries the
+   * full table so scoring jobs pay |postings of matched terms|, not a
+   * fit.) */
   final case class Bm25Model(terms: DataFrame, stats: DataFrame,
       consts: DataFrame)
 
-  /** Build the scoring statistics from the corpus — one tokenize, one
-   * term-keyed aggregation, everything else derived from it. */
+  /** Build the scoring statistics from the corpus — one tokenize +
+   * term-keyed aggregation for the postings, one term rollup over them
+   * for df, one map-only pass for the constants. Meant to be
+   * [[saveModel]]ed: each table materializes once at save and scoring
+   * never touches the corpus again. */
   def fit(corpus: DataFrame, idCol: String, textCol: String): Bm25Model = {
     val terms = docTerms(corpus, idCol, textCol)
     val stats = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // corpus-wide constants (N, avgdl) derived from the SAME postings
-    // lineage — no second tokenization scan — and attached as a 1-row
-    // broadcast, so the whole query is one lazy plan with no driver
-    // action. Every doc has ≥ 1 posting (tokens() never returns an
-    // empty array), so the per-doc rollup sees the full corpus.
-    val consts = broadcast(terms
-      .groupBy(col("doc_id")).agg(first(col("dl")).as("__dl"))
-      .agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl")))
-    Bm25Model(terms, stats, consts)
+    Bm25Model(terms, stats, docLenConsts(corpus, textCol))
   }
 
   /** Persist the fitted statistics: postings, df table, and the
@@ -133,12 +147,26 @@ object Bm25 {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75,
-      broadcastQueries: Boolean = true): DataFrame =
-    bm25TopK(fit(corpus, idCol, textCol), queries, idCol, textCol, k, k1, b,
-      broadcastQueries)
+      broadcastQueries: Boolean = true): DataFrame = {
+    // document frequency via a (query, term) window over the JOINED
+    // rows: each such partition holds exactly the postings of one
+    // matched term, so its count IS that term's df — identical values
+    // to a stats-table join, but the plan carries no second corpus-wide
+    // aggregation (PlanSpec pins a single corpus explode; the window's
+    // input is already down to |matching postings|)
+    val joined = joinTerms(docTerms(corpus, idCol, textCol), queries, idCol,
+        textCol, broadcastQueries)
+      .crossJoin(docLenConsts(corpus, textCol))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("query_id"), col("term"))))
+    scoreJoined(joined, k, k1, b)
+  }
 
   /** [[bm25TopK]] against a pre-fitted (possibly [[loadModel]]ed)
-   * [[Bm25Model]] — the score-many half of train-once/score-many. */
+   * [[Bm25Model]] — the score-many half of train-once/score-many.
+   * Here df comes from the model's precomputed `stats` table (joined
+   * on the term key), bit-identical to the one-shot window spelling —
+   * `Bm25Spec` pins the two paths against each other. */
   def bm25TopK(
       model: Bm25Model,
       queries: DataFrame,
@@ -147,13 +175,26 @@ object Bm25 {
       k: Int,
       k1: Double,
       b: Double,
-      broadcastQueries: Boolean): DataFrame = {
+      broadcastQueries: Boolean): DataFrame =
+    scoreJoined(
+      joinTerms(model.terms.join(model.stats, "term"), queries, idCol,
+        textCol, broadcastQueries).crossJoin(model.consts),
+      k, k1, b)
+
+  /** Explode the queries to distinct terms and meet the postings at the
+   * term key — shared by the window and stats-table spellings. */
+  private def joinTerms(postings: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, broadcastQueries: Boolean): DataFrame = {
     val qterms = queries.select(col(idCol).as("query_id"),
-        explode(array_distinct(
-          TextFunctions.tokens(lower(col(textCol))))).as("term"))
-    val joined = Similarity.joinQ(qterms, model.terms.join(model.stats, "term"),
-        Seq("term"), broadcastQueries)
-      .crossJoin(model.consts)
+      explode(array_distinct(
+        TextFunctions.tokens(lower(col(textCol))))).as("term"))
+    Similarity.joinQ(qterms, postings, Seq("term"), broadcastQueries)
+  }
+
+  /** Score joined `(query_id, doc_id, dl, tf, df, __n, __avgdl)` rows
+   * and keep the per-query top `k`. */
+  private def scoreJoined(joined: DataFrame, k: Int, k1: Double,
+      b: Double): DataFrame = {
     // component spelling mirrored EXACTLY by the SQL oracle (association
     // order matters for double parity); micro-unit rounding makes the
     // per-(query, doc) sum order-independent exact integer arithmetic

@@ -207,6 +207,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("BM25 one-shot explodes the corpus exactly once (df windowed post-join)") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"word${i % 7} word${(i + 1) % 7} word${(i + 2) % 7} tail$i"))
+      .toDF("doc_id", "text")
+    // history: the old spelling derived df stats AND the (N, avgdl)
+    // constants from separate groupBys over the postings lineage, and
+    // Catalyst's column pruning made the three subtrees non-identical —
+    // ReuseExchange never fired and the corpus was tokenized+exploded+
+    // shuffled THREE times. The fix counts df with a (query, term)
+    // window over the already-query-filtered join output and reduces
+    // the constants map-only — pin the shape: exactly two explodes
+    // (postings + query terms), and only one fed by an aggregation
+    val bm = plan(Bm25.bm25TopK(docs, docs.filter($"doc_id" < 2), "doc_id",
+      "text", k = 3, broadcastQueries = false))
+    assert("Generate explode".r.findAllIn(bm).size === 2, bm.take(4000))
+    // the constants side must stay un-exploded and un-shuffled: its only
+    // exchange is the 1-row SinglePartition gather
+    assert("Exchange SinglePartition".r.findAllIn(bm).size === 1, bm.take(4000))
+  }
+
   test("scan pruning: a two-column projection reads two columns") {
     val dir = java.nio.file.Files.createTempDirectory("planspec").toString + "/t"
     (1 to 100).map(i => (i.toLong, s"s$i", i * 1.0, i * 2.0))
