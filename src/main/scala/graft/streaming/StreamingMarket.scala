@@ -208,6 +208,14 @@ object StreamingMarket {
       windowLen: String = "1 minute"): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.data.Pq
+    // the typed top-k buffer casts neighbor ids to long — a corpus with
+    // non-numeric ids (which batch searchIndex supports) would yield
+    // silent null neighbor_ids here; fail fast instead
+    val idType = index.rows.schema("c_id").dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"streamingAnnSearch needs a numeric index id column for its typed " +
+        s"top-k buffer (got ${idType.simpleString}); use batch searchIndex " +
+        "for string-id corpora, or add a numeric surrogate id")
     val topk = udaf(new TopKByScore(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[ScoredNeighbor]())
     val q = Pq.probeQueries(index,
@@ -257,6 +265,46 @@ object StreamingMarket {
         .as("logscore"))
       .select(col(idCol), col("n").as("n_tokens"),
         col("window.start").as("window_start"), col("logscore"))
+  }
+
+  /**
+   * Streaming perplexity scoring against a PERIODICALLY REFIT model —
+   * the hot-reload twin of [[streamingLmScore]] (which binds one static
+   * model for the stream's lifetime), mirroring
+   * [[annSearchWithIndexRefresh]]: an offline job republishes the count
+   * tables with [[graft.data.NgramLm.saveModelVersioned]] on its own
+   * cadence (quality filters drift as the corpus mix changes), and the
+   * document stream picks the new version up WITHOUT a restart. Each
+   * micro-batch reads the tiny `latest` pointer, reloads only on a
+   * version change, and scores with the exact batch
+   * [[graft.data.NgramLm.scoreDocs]] kernel — the immutable `v<N>`
+   * layout keeps a mid-publish batch on a consistent snapshot. Driver
+   * state is the version number; the count tables stay distributed
+   * (joined per batch, never collected). `sink` receives each batch's
+   * `(idCol, n_tokens, logscore)` frame.
+   *
+   * Returns the configured writer — call `.start()` (and set a trigger /
+   * checkpoint as needed).
+   */
+  def lmScoreWithModelRefresh(
+      docs: DataFrame,
+      modelDir: String,
+      idCol: String,
+      textCol: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.data.NgramLm
+    // closure state on the driver: the currently-loaded model + version
+    var loaded: Option[(Long, NgramLm.NgramModel)] = None
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      graft.data.Versioned.latestVersion(spark, modelDir).foreach { v =>
+        if (!loaded.exists(_._1 == v))
+          loaded = Some((v, NgramLm.loadModel(spark, s"$modelDir/v$v")))
+      }
+      val model = loaded.getOrElse(throw new IllegalStateException(
+        s"no model published under $modelDir — write one with NgramLm.saveModelVersioned"))._2
+      sink(NgramLm.scoreDocs(model, batch, idCol, textCol), batchId)
+    }
   }
 
   /**

@@ -378,6 +378,49 @@ class StreamingMarketSpec extends SparkSpec {
     assert(streamed === batch && streamed.size === 3)
   }
 
+  test("lmScoreWithModelRefresh: a mid-stream refit is picked up next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.data.NgramLm
+    // v1 model knows "a b c"; the refit adds "x y z" — the same doc MUST
+    // score differently (no longer OOV-floor) after the swap
+    val dir = java.nio.file.Files.createTempDirectory("lm_refresh").toString
+    val fitV1 = NgramLm.fit(Seq((1L, "a b c"), (2L, "a b d"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    assert(NgramLm.saveModelVersioned(fitV1, dir) === 1L)
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val input = MemoryStream[(Long, String)]
+    val q = lmScoreWithModelRefresh(input.toDF().toDF("doc_id", "text"), dir,
+        "doc_id", "text") { (out, batchId) =>
+      results ++= out.select(col("doc_id"), col("logscore"))
+        .collect().map(r => (batchId, r.getLong(0), r.getDouble(1)))
+    }.start()
+
+    input.addData((9000L, "x y z"))
+    q.processAllAvailable()
+    // offline refit publishes a new immutable version while the stream
+    // runs; v1 stays intact on disk for in-flight readers
+    val fitV2 = NgramLm.fit(Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    assert(NgramLm.saveModelVersioned(fitV2, dir) === 2L)
+    input.addData((9001L, "x y z"))
+    q.processAllAvailable()
+    q.stop()
+
+    val s1 = results.collectFirst { case (_, 9000L, s) => s }.get
+    val s2 = results.collectFirst { case (_, 9001L, s) => s }.get
+    // each batch scores bit-equal to batch scoreDocs under that version
+    def batchScore(m: NgramLm.NgramModel): Double =
+      NgramLm.scoreDocs(m, Seq((1L, "x y z")).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .select(col("logscore")).as[Double].head()
+    assert(s1 === batchScore(NgramLm.loadModel(spark, s"$dir/v1")))
+    assert(s2 === batchScore(NgramLm.loadModel(spark, s"$dir/v2")))
+    // the refit actually changed the answer: "x y z" is in-vocabulary now
+    assert(s2 > s1, s"expected refit to raise the score: $s1 -> $s2")
+  }
+
   test("streamingSessions: gap-based event-time sessions emit once on watermark close") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
