@@ -178,8 +178,12 @@ object NgramLm {
   /**
    * Mean per-token log-score of each document under `model` —
    * `(idCol, n_tokens, logscore)`, natural log, micro-unit exact
-   * ([[scoreComponents]] + one per-doc rollup). Empty documents are
-   * absent from the output.
+   * ([[scoreComponents]] + one per-doc rollup). An empty/whitespace
+   * document is NOT absent: [[TextFunctions.tokens]] yields the single
+   * `""` pseudo-token for it, so it appears with `n_tokens = 1`,
+   * scored like any (usually OOV) unigram — i.e. it lands at the
+   * gibberish floor, which is what a quality filter wants. Pre-filter
+   * `trim(text) != ''` if absence is the contract you need.
    */
   def scoreDocs(model: NgramModel, docs: DataFrame, idCol: String,
       textCol: String): DataFrame =

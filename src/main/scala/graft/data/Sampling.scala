@@ -91,10 +91,15 @@ object Sampling {
    *
    * Deterministic and partition-independent like every sampler in this
    * module — same rows, same k, same salt ⇒ the same sample on any
-   * cluster. Scale shape: one narrow projection + `TakeOrdered` (each
-   * partition keeps its local top-k, the driver merges k-sized heaps) —
-   * no full sort, no shuffle of the data. Rows with weight ≤ 0 are
-   * excluded (A-ES requires positive weights).
+   * cluster. Scale shape: one narrow projection + `orderBy.limit(k)`.
+   * For `k` up to `spark.sql.execution.topKSortFallbackThreshold`
+   * (default 10000) that plans as `TakeOrdered` — each partition keeps
+   * its local top-k, the driver merges k-sized heaps, no full sort and
+   * no data shuffle. ABOVE the threshold Spark falls back to a full
+   * Sort + GlobalLimit; for a large-k sample (the 1M-doc eval set)
+   * raise the threshold explicitly — the heap-merge stays cheap, and
+   * the limit's k rows land in one place either way. Rows with
+   * weight ≤ 0 are excluded (A-ES requires positive weights).
    */
   def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
       salt: String = "wsample"): DataFrame = {

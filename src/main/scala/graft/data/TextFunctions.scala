@@ -18,7 +18,19 @@ import org.apache.spark.sql.functions._
  */
 object TextFunctions {
 
-  /** Whitespace tokens of trimmed text. */
+  /** Whitespace tokens of trimmed text — THE token contract shared by
+   * every token-denominated operator in the engine: RAG chunking
+   * ([[Corpus.chunkDocuments]]) and sequence packing ([[Corpus.packed]]
+   * via `wordCount`), BM25 postings and query terms ([[Bm25]]), the
+   * n-gram LM count tables and scorer ([[NgramLm]]), n-gram shingle
+   * dedup ([[Dedup]]), and the token-count stats in `SparkEntry`. They
+   * all call THIS function, so swapping in a real tokenizer (BPE via
+   * `bpeTokens`, or an external vocab) is a one-place change — and
+   * `DataSpec`'s cross-operator token-count consistency test pins that
+   * they cannot drift apart. Edge contract: an empty/whitespace string
+   * yields `[""]` (one pseudo-token, size 1), never an empty array —
+   * documents therefore always have ≥ 1 token everywhere (BM25's
+   * per-doc rollup and the LM's `n_tokens` denominators rely on it). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def wordCount(text: Column): Column = size(tokens(text))

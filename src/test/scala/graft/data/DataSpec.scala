@@ -13,6 +13,50 @@ class DataSpec extends SparkSpec {
     (3L, "completely different text about spark engines and data")
   ).toDF("doc_id", "text")
 
+  test("token contract: every token-denominated operator agrees with tokens()") {
+    // the shared primitive (TextFunctions.tokens) is the ONE place a real
+    // tokenizer would swap in — this test pins that chunking, BM25, the
+    // n-gram LM, and shingling all denominate in exactly its counts,
+    // including the [""] pseudo-token edge for blank text
+    val mix = Seq((0L, "one two three four five"), (1L, "single"),
+      (2L, ""), (3L, "   "), (4L, "a b a b a")).toDF("doc_id", "text")
+    val wc = mix.select($"doc_id", TextFunctions.wordCount($"text").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(wc === Map(0L -> 5, 1L -> 1, 2L -> 1, 3L -> 1, 4L -> 5))
+
+    // BM25 postings: per-doc sum(tf) and the dl column are both wordCount
+    val bm = Bm25.docTerms(mix, "doc_id", "text")
+      .groupBy($"doc_id").agg(sum($"tf").as("s"), first($"dl").as("d"))
+      .as[(Long, Long, Int)].collect()
+    assert(bm.map(r => r._1 -> r._2.toInt).toMap === wc)
+    assert(bm.map(r => r._1 -> r._3).toMap === wc)
+
+    // n-gram LM: n_tokens denominates the mean log-score in wordCount
+    val model = NgramLm.fit(mix, "doc_id", "text")
+    assert(model.nTokens === wc.values.map(_.toLong).sum)
+    val lm = NgramLm.scoreDocs(model, mix, "doc_id", "text")
+      .select($"doc_id", $"n_tokens").as[(Long, Int)].collect().toMap
+    assert(lm === wc)
+
+    // RAG chunking: chunk boundaries cover [0, wordCount) exactly, and
+    // zero-overlap chunk_texts re-concatenate to the token stream
+    val ch = Corpus.chunkDocuments(mix, "doc_id", "text", chunkTokens = 2)
+    assert(ch.groupBy($"doc_id").agg(max($"tok_end").as("e"))
+      .as[(Long, Int)].collect().toMap === wc)
+    val rebuilt = ch.orderBy($"doc_id", $"chunk_id")
+      .groupBy($"doc_id")
+      .agg(concat_ws(" ", collect_list($"chunk_text")).as("t"))
+      .select($"doc_id", TextFunctions.wordCount($"t").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(rebuilt === wc)
+
+    // shingling: n-token docs carry exactly max(n - k + 1, 0) k-shingles
+    val sh = mix.select($"doc_id",
+        size(Dedup.wordShingles(TextFunctions.tokens($"text"), 3)).as("s"))
+      .as[(Long, Int)].collect().toMap
+    assert(sh === wc.map { case (id, n) => id -> math.max(n - 2, 0) })
+  }
+
   test("tokens / wordCount / bpe / punct") {
     val r = docs.select(TextFunctions.wordCount($"text").as("w"),
       TextFunctions.punctCount($"text").as("p"),
