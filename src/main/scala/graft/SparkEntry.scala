@@ -643,6 +643,38 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // RAG capstone — the full offline->online composition in ONE query:
+    // token-window chunking (q79's spelling) -> deterministic hash
+    // embedding per chunk -> PQ index built and PUBLISHED as an immutable
+    // version -> served from the LOADED snapshot (ANN searchIndex,
+    // nProbe=2) fused with BM25 over the same chunks via RRF. Chunk keys
+    // are doc_id*100 + chunk_id + 1 (disjoint from the query ids 0..2)
+    "q83_rag_pipeline" -> ((s, dir) => {
+      import graft.data.{Bm25, Corpus, Pq}
+      val docs = t(s, dir, "documents")
+      val chunks = Corpus.chunkDocuments(docs, "doc_id", "text",
+          chunkTokens = 32, overlap = 8)
+        .select((col("doc_id") * 100 + col("chunk_id") + 1).as("id"),
+          col("chunk_text").as("text"))
+      val emb = chunks.withColumn("__hs", Similarity.tokenHashes(col("text")))
+        .select(col("id"), Similarity.hashEmbed(col("__hs"), 64).as("v"))
+      val qChunks = Corpus.chunkDocuments(docs.filter(col("doc_id") < 3),
+          "doc_id", "text", chunkTokens = 32, overlap = 8)
+        .filter(col("chunk_id") === 0)
+        .select(col("doc_id").as("id"), col("chunk_text").as("text"))
+      val qEmb = qChunks.withColumn("__hs", Similarity.tokenHashes(col("text")))
+        .select(col("id"), Similarity.hashEmbed(col("__hs"), 64).as("v"))
+      val idxDir = java.nio.file.Files.createTempDirectory("rag_idx").toString
+      Pq.saveIndexVersioned(
+        Pq.buildIndex(emb, "id", "v", Similarity.planes(8, 64), pqCb), idxDir)
+      val (_, idx) = Pq.loadIndexVersioned(s, idxDir)
+      val sem = Pq.searchIndex(idx, qEmb, "id", "v", k = 20, nProbe = 2)
+      val lex = Bm25.bm25TopK(chunks, qChunks, "id", "text", k = 20)
+      Bm25.rrfFuse(lex, sem, k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // exact-size weighted sampling without replacement (A-ES, log form)
     "q81_weighted_sample" -> ((s, dir) => {
       import graft.data.Sampling
@@ -1178,18 +1210,19 @@ object SparkEntry {
   private val tokSql = "regexp_split_to_array(trim(text), '\\s+')"
   private val ltokSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
-  /** BM25 oracle CTE block (mirrors `Bm25.bm25TopK` exactly: Lucene idf,
-   * k1=1.2, b=0.75, micro-unit long sums; doc_id < 5 as queries).
+  /** BM25 oracle CTE block over corpus `src(doc_id, text)` and queries
+   * `qsrc(doc_id, text)` (mirrors `Bm25.bm25TopK` exactly: Lucene idf,
+   * k1=1.2, b=0.75, micro-unit long sums).
    * Exposes `brank(query_id, neighbor_id, score, rank)`. */
-  private val bm25CteSql =
-    s"""btoks AS (SELECT doc_id, $ltokSql AS t FROM documents),
+  private def bm25CteOn(src: String, qsrc: String) =
+    s"""btoks AS (SELECT doc_id, $ltokSql AS t FROM $src),
        |btf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
        |    SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM btoks)
        |  GROUP BY doc_id, dl, term),
        |bstats AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
        |bc AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(t)) AS avgdl FROM btoks),
        |bq AS (SELECT DISTINCT query_id, term FROM (
-       |    SELECT doc_id AS query_id, unnest(t) AS term FROM btoks WHERE doc_id < 5)),
+       |    SELECT doc_id AS query_id, unnest($ltokSql) AS term FROM $qsrc)),
        |bcomp AS (SELECT bq.query_id, btf.doc_id AS neighbor_id,
        |    CAST(round(ln(1 + (bc.n - bstats.df + 0.5) / (bstats.df + 0.5)) *
        |      (btf.tf * 2.2 / (btf.tf + 1.2 * (0.25 + 0.75 * btf.dl / bc.avgdl))) * 1e6)
@@ -1199,6 +1232,10 @@ object SparkEntry {
        |  FROM bcomp GROUP BY query_id, neighbor_id),
        |brank AS (SELECT query_id, neighbor_id, score, row_number() OVER (
        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM bsc)""".stripMargin
+
+  /** q76/q77's instantiation: the documents table, doc_id < 5 queries. */
+  private val bm25CteSql =
+    bm25CteOn("documents", "(SELECT doc_id, text FROM documents WHERE doc_id < 5)")
   private def stopSql(words: Seq[String]) =
     s"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
       s"t -> list_contains([${sqlQuote(words)}], t)))"
@@ -1279,18 +1316,34 @@ object SparkEntry {
        |cb AS (SELECT * FROM (VALUES $pqCbSql) cb(sub, code, cent, cn2)),
        |${pqEncSqlOn("e")}""".stripMargin
 
-  private def pqLutSqlFor(pred: String) =
+  /** LUT CTEs over query source `qsrc(vec_id, v)` (corpus codes come
+   * from the `enc` CTE in scope). */
+  private def pqLutSqlOn(qsrc: String, pred: String) =
     s"""codes AS (SELECT vec_id, list(code ORDER BY sub) AS cs FROM enc GROUP BY vec_id),
        |lutrow AS (SELECT e.vec_id, cb.sub,
        |    list(list_dot_product(list_slice(e.v, cb.sub*8+1, cb.sub*8+8), cb.cent)
        |         ORDER BY cb.code) AS lr
-       |  FROM e CROSS JOIN cb $pred GROUP BY e.vec_id, cb.sub),
+       |  FROM $qsrc e CROSS JOIN cb $pred GROUP BY e.vec_id, cb.sub),
        |luts AS (SELECT vec_id, list(lr ORDER BY sub) AS lut FROM lutrow GROUP BY vec_id)""".stripMargin
+
+  private def pqLutSqlFor(pred: String) = pqLutSqlOn("e", pred)
 
   private val pqLutSql = pqLutSqlFor("WHERE e.vec_id < 20")
 
   /** Explicit left-to-right addition chain = PqAdc's sequential sum. */
   private val pqAdcChain = (1 to 8).map(s => s"l.lut[$s][c.cs[$s]+1]").mkString(" + ")
+
+  /** 64-dim deterministic hash embedding of `src(doc_id, text)` —
+   * mirrors `Similarity.tokenHashes` + `hashEmbed(_, 64)`: one 28-bit
+   * MD5 prefix per lowercased token, each dimension an exact integer
+   * sum (order-independent) divided by 1000 once. Exposes
+   * `(vec_id, v)`. */
+  private def hashEmbSqlOn(src: String) =
+    s"""SELECT doc_id AS vec_id, list_transform(range(0, 64), j ->
+       |    CAST(list_sum(list_transform(hs, h -> (h*(2*j+1) + (7919*j+13)) % 2001 - 1000))
+       |      AS DOUBLE) / 1000.0) AS v
+       |  FROM (SELECT doc_id, list_transform($ltokSql, w -> ${h28Sql("w")}) AS hs
+       |        FROM $src)""".stripMargin
 
   /** Word n-grams over the `ltoks` list, mirroring Dedup.wordShingles. */
   private def ngramSql(n: Int) =
@@ -2005,6 +2058,48 @@ object SparkEntry {
          |    coalesce(b.neighbor_id, s.neighbor_id) AS neighbor_id,
          |    coalesce(1.0 / (60 + b.rank), 0.0) + coalesce(1.0 / (60 + s.rank), 0.0) AS score
          |  FROM blim b FULL JOIN crank s
+         |    ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+         |  SELECT query_id, neighbor_id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM fused)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q83_rag_pipeline" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |base AS (SELECT doc_id, t, len(t) AS n,
+         |    greatest(CAST(ceil((len(t) - 8) / 24.0) AS INT), 1) AS nc FROM toks),
+         |cht AS (SELECT doc_id * 100 + i + 1 AS doc_id,
+         |    array_to_string(list_slice(t, i * 24 + 1, least(i * 24 + 32, n)), ' ') AS text
+         |  FROM (SELECT doc_id, unnest(range(0, nc)) AS i, t, n FROM base)),
+         |qch AS (SELECT doc_id, array_to_string(list_slice(t, 1, least(32, n)), ' ') AS text
+         |  FROM base WHERE doc_id < 3),
+         |che AS (${hashEmbSqlOn("cht")}),
+         |qe AS (${hashEmbSqlOn("qch")}),
+         |cb AS (SELECT * FROM (VALUES $pqCbSql) cb(sub, code, cent, cn2)),
+         |planes AS (SELECT * FROM (VALUES $planesSql) pl(p, coef)),
+         |${pqEncSqlOn("che")},
+         |${pqLutSqlOn("qe", "")},
+         |ccs AS (SELECT vec_id, p, list_dot_product(v, coef) AS s FROM che CROSS JOIN planes),
+         |ccell AS (SELECT vec_id, p AS cell FROM ccs
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, p DESC) = 1),
+         |qcs AS (SELECT vec_id, p, list_dot_product(v, coef) AS s FROM qe CROSS JOIN planes),
+         |qcell AS (SELECT vec_id, p AS cell FROM qcs
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, p DESC) <= 2),
+         |sc AS (SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $pqAdcChain AS score
+         |  FROM qcell JOIN luts l ON l.vec_id = qcell.vec_id
+         |  JOIN ccell ON ccell.cell = qcell.cell
+         |  JOIN codes c ON c.vec_id = ccell.vec_id
+         |  WHERE l.vec_id <> c.vec_id),
+         |srank AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rank FROM sc)
+         |  WHERE rank <= 20),
+         |${bm25CteOn("cht", "qch")},
+         |blim AS (SELECT query_id, neighbor_id, rank FROM brank WHERE rank <= 20),
+         |fused AS (SELECT coalesce(b.query_id, s.query_id) AS query_id,
+         |    coalesce(b.neighbor_id, s.neighbor_id) AS neighbor_id,
+         |    coalesce(1.0 / (60 + b.rank), 0.0) + coalesce(1.0 / (60 + s.rank), 0.0) AS score
+         |  FROM blim b FULL JOIN srank s
          |    ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id)
          |SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
          |  SELECT query_id, neighbor_id, score, row_number() OVER (

@@ -55,6 +55,46 @@ object Similarity {
   def planes(numPlanes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(numPlanes, dim)(planeCoef)
 
+  /**
+   * Deterministic hash EMBEDDING of a text column — `dim` doubles in
+   * [-1, 1]: one MD5 prefix hash per (lowercased whitespace) token,
+   * then per dimension `j` the exact-integer sum over tokens of
+   * `(h·(2j+1) + (7919j+13)) mod 2001 − 1000` (the [[planeCoef]] /
+   * minhash permutation trick: one hash fans out to `dim` decorrelated
+   * coordinates without `dim` MD5 calls), divided by 1000 once at the
+   * end. The integer sum makes every coordinate order-independent and
+   * engine-portable — a DuckDB/Trino oracle reproduces it bit-for-bit.
+   *
+   * This is the STUB seam for a real encoder: it has an embedding's
+   * exact shape and determinism (same text ⇒ same vector; shared
+   * tokens ⇒ correlated vectors) with none of its semantics, so every
+   * downstream consumer — ANN indexes, SemDeDup, hybrid retrieval —
+   * exercises real distributed plumbing against it and a model UDF can
+   * replace it without touching any of them. Map-only at any scale.
+   */
+  def hashEmbed(tokenHashes: Column, dim: Int): Column =
+    call_function("hash_embed", tokenHashes, lit(dim))
+
+  /** Extension-free composable twin of [[hashEmbed]] — identical output
+   * (integer arithmetic), kept as the portability reference for SQL
+   * oracles. ONE aggregate pass carrying all `dim` accumulators: the
+   * naive per-dimension spelling (transform over j of an aggregate over
+   * the hashes) references the hash array once STATICALLY but walks it
+   * `dim` times at RUNTIME — and once CollapseProject inlines the
+   * defining expression, that is `dim` MD5 passes per row (Spark does
+   * not CSE through higher-order functions). */
+  def hashEmbedComposable(tokenHashes: Column, dim: Int): Column = {
+    val sums = aggregate(tokenHashes, array_repeat(lit(0L), dim),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(dim - 1)), (a, j) =>
+        a + ((h * (j * 2 + 1) + (lit(7919) * j + lit(13))) % 2001 - 1000)))
+    transform(sums, s => s.cast("double") / lit(1000.0))
+  }
+
+  /** The token-hash input of [[hashEmbed]]: one 28-bit MD5 prefix per
+   * lowercased whitespace token. */
+  def tokenHashes(text: Column): Column =
+    transform(TextFunctions.tokens(lower(text)), w => TextFunctions.hash28(w))
+
   /** An independent hyperplane family at `offset` (multi-table LSH: table
    * `t` uses offset `t * numPlanes`, so no plane is shared between
    * tables). `planes(n, d)` ≡ `planesAt(n, d, 0)`. */

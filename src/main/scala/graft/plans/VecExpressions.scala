@@ -215,6 +215,69 @@ object MinHashSig {
 }
 
 /**
+ * Deterministic hash embedding: fan an `array<bigint>` of token hashes
+ * out to `dim` double coordinates — per dimension `j` the exact integer
+ * sum over hashes of `(h·(2j+1) + (7919j+13)) mod 2001 − 1000`, divided
+ * by 1000 once (the same decorrelation permutation family as
+ * [[MinHashSig]]). Native twin of `Similarity.hashEmbed`'s composable
+ * aggregate/zip_with spelling: the interpreted HOF chain allocates a
+ * dim-array per token and boxes every lambda step — this is one unboxed
+ * n×dim loop inside whole-stage codegen. Values are identical (integer
+ * arithmetic), so SQL oracles keep the list_transform spelling.
+ */
+case class HashEmbed(child: Expression, dim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "hash_embed"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashEmbed.compute(input.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashEmbed.compute($c, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashEmbed {
+  /** One-pass n×dim accumulation (shared by eval and codegen). */
+  def compute(xs: ArrayData, dim: Int): ArrayData = {
+    val n = xs.numElements()
+    val sums = new Array[Long](dim)
+    var i = 0
+    while (i < n) {
+      val h = xs.getLong(i)
+      var j = 0
+      while (j < dim) {
+        sums(j) += (h * (2L * j + 1) + (7919L * j + 13)) % 2001L - 1000L
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Double](dim)
+    var j = 0
+    while (j < dim) { out(j) = sums(j) / 1000.0; j += 1 }
+    new GenericArrayData(out)
+  }
+
+  // SQL surface takes dim as a literal second argument
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hash_embed"),
+    new ExpressionInfo(classOf[HashEmbed].getName, "hash_embed"),
+    (children: Seq[Expression]) => HashEmbed(children(0),
+      children(1).eval().asInstanceOf[Number].intValue()))
+}
+
+/**
  * Long hash from the first `nibbles` hex chars of MD5 — the native twin of
  * `conv(substr(md5(s),1,nibbles),16,10)`.
  *
@@ -918,7 +981,8 @@ object GraftExtensions {
       PqAdc.descriptor,
       PqEncodeExpr.descriptor,
       KgramHashStream.descriptor,
-      TopNgramFrac.descriptor)
+      TopNgramFrac.descriptor,
+      HashEmbed.descriptor)
 
   /** Registered SQL function names, in registration order. */
   def functionNames: Seq[String] = descriptors.map(_._1.funcName)

@@ -61,13 +61,17 @@ class SqlSurfaceSpec extends SparkSpec {
     // codebook sub0 = {[0.0], [10.0]}; v=[9.0] is nearer 10 -> code 1
     "pq_encode" -> (
       "SELECT element_at(pq_encode(array(9.0d), array(array(array(0.0d), array(10.0d)))), 1)",
-      "1"))
+      "1"),
+    // h=7: j=1 -> (7*3 + 7919 + 13) % 2001 - 1000 = 950 -> 0.95
+    "hash_embed" -> (
+      "SELECT element_at(hash_embed(array(7L), 2), 2)",
+      "0.95"))
 
   test("every registered function has a census entry and answers via spark.sql") {
     val registered = GraftExtensions.functionNames
     assert(registered.sorted === census.keys.toSeq.sorted,
       "census out of sync with GraftExtensions.descriptors")
-    assert(registered.size === 12)
+    assert(registered.size === 13)
     registered.foreach { name =>
       val (sql, expected) = census(name)
       val rows = spark.sql(sql).collect()
