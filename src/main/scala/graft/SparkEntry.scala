@@ -675,6 +675,18 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // linear-probe quality classifier (FineWeb-Edu shape): the
+    // distributed half of training — ONE pass of sum-decomposable
+    // ridge sufficient statistics over the embeddings, micro-unit
+    // exact; the driver-side (d+1)x(d+1) solve is pinned by ProbeSpec
+    "q84_probe_stats" -> ((s, dir) => {
+      import graft.data.Probe
+      Probe.suffStats(
+          t(s, dir, "embeddings")
+            .select(col("embedding").cast("array<double>").as("v"), col("label")),
+          "v", "label")
+        .orderBy(col("pos"))
+    }),
     // exact-size weighted sampling without replacement (A-ES, log form)
     "q81_weighted_sample" -> ((s, dir) => {
       import graft.data.Sampling
@@ -2105,6 +2117,15 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, score, row_number() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM fused)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q84_probe_stats" ->
+      s"""WITH z AS (SELECT [1.0] || CAST(embedding AS DOUBLE[]) ||
+         |    [CAST(label AS DOUBLE)] AS z FROM embeddings),
+         |zi AS (SELECT z, unnest(range(1, len(z) + 1)) AS i FROM z),
+         |pr AS (SELECT (i - 1) * len(z) + (j - 1) AS pos,
+         |    CAST(round(z[i] * z[j] * 1e6) AS BIGINT) AS m
+         |  FROM (SELECT z, i, unnest(range(1, len(z) + 1)) AS j FROM zi))
+         |SELECT pos, CAST(sum(m) AS DOUBLE) / 1e6 AS s FROM pr
+         |GROUP BY pos ORDER BY pos""".stripMargin,
     "q82_weighted_stratified" ->
       s"""SELECT source, doc_id FROM (
          |  SELECT source, doc_id, row_number() OVER (PARTITION BY source

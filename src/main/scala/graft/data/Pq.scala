@@ -255,6 +255,22 @@ object Pq {
       coarse, cb, residual)
   }
 
+  /** Append a DELTA to an existing index without touching its rows:
+   * encode only `newCorpus` with the index's FROZEN coarse centroids
+   * and codebook and union the code rows. With [[saveIndexVersioned]]
+   * this makes an hourly publish cost O(|new documents|), not
+   * O(|corpus|): load the published version, append the delta, publish
+   * v+1. Because the quantizers are frozen by construction, searching
+   * the appended index is EXACTLY a full rebuild under the same
+   * codebook (spec-pinned) — refresh the codebook on a slower cadence
+   * with a real rebuild when the data distribution drifts. Caller owns
+   * id uniqueness across the union (duplicate ids would both answer). */
+  def appendToIndex(index: Index, newCorpus: DataFrame, idCol: String,
+      vecCol: String): Index =
+    index.copy(rows = index.rows.unionByName(
+      buildIndex(newCorpus, idCol, vecCol, index.coarse, index.cb,
+        index.residual).rows))
+
   /** Persist an index: encoded rows as (cell-partitioned) parquet, the
    * coarse centroids and codebook as plain parquet tables — no bespoke
    * serialization, any engine can read the layout back.

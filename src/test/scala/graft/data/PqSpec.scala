@@ -209,6 +209,28 @@ class PqSpec extends SparkSpec {
     assert(Pq.loadIndexVersioned(spark, dir)._1 === 3L)
   }
 
+  test("appendToIndex: delta publish == full rebuild under the frozen codebook") {
+    val coarse = Similarity.planes(8, 64)
+    val old = emb.filter($"vec_id" < 300)
+    val delta = emb.filter($"vec_id" >= 300)
+    val appended = Pq.appendToIndex(
+      Pq.buildIndex(old, "vec_id", "v", coarse, seed), delta, "vec_id", "v")
+    val rebuilt = Pq.buildIndex(emb, "vec_id", "v", coarse, seed)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 9))
+      .collect().map(_.toString).sorted.toSeq
+    def search(i: Pq.Index) =
+      canon(Pq.searchIndex(i, queries, "vec_id", "v", k = 3, nProbe = 3))
+    assert(search(appended) === search(rebuilt))
+    // and the appended rows are the union, codes frozen
+    assert(appended.rows.count() === 500L)
+    // versioned delta publish round-trips
+    val dir = java.nio.file.Files.createTempDirectory("pq_append").toString
+    assert(Pq.saveIndexVersioned(appended, dir) === 1L)
+    assert(search(Pq.loadIndexVersioned(spark, dir)._2) === search(rebuilt))
+  }
+
   test("Versioned.publish refuses to clobber an existing version (publisher race)") {
     val dir = java.nio.file.Files.createTempDirectory("pq_race").toString
     val idx = Pq.buildIndex(emb.filter($"vec_id" < 50), "vec_id", "v",

@@ -1,0 +1,80 @@
+package graft.data
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Linear-probe quality classifier: sufficient-statistic exactness,
+ * planted-weight recovery of the closed-form ridge solve, shrinkage
+ * teeth, and the end-to-end filter contract — on the driver-generated
+ * sf0.01 embeddings.
+ */
+class ProbeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+      col("label"))
+
+  test("suffStats: exact micro-unit cells on a hand-checkable frame") {
+    // two rows, d=2: z1 = [1, 2, 3, 10], z2 = [1, 0, -1, 4]
+    val df = Seq((Seq(2.0, 3.0), 10.0), (Seq(0.0, -1.0), 4.0))
+      .toDF("v", "y")
+    val got = Probe.suffStats(df, "v", "y")
+      .as[(Long, Double)].collect().toMap
+    val z1 = Array(1.0, 2.0, 3.0, 10.0)
+    val z2 = Array(1.0, 0.0, -1.0, 4.0)
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(got(i * 4L + j) === z1(i) * z1(j) + z2(i) * z2(j),
+        s"cell ($i,$j)")
+    assert(got.size === 16)
+  }
+
+  test("fitRidge recovers planted linear weights exactly (lambda=0)") {
+    // label = 2 - 3 v1 + 0.5 v2 + 0.25 v64 — an exact linear function of
+    // the embedding; micro-unit rounding bounds recovery at ~1e-4
+    val planted = emb.select(col("v"),
+      (lit(2.0) - lit(3.0) * element_at(col("v"), 1)
+        + lit(0.5) * element_at(col("v"), 2)
+        + lit(0.25) * element_at(col("v"), 64)).as("y"))
+    val w = Probe.fitRidge(planted, "v", "y")
+    assert(w.length === 65)
+    assert(math.abs(w(0) - 2.0) < 1e-3, s"intercept ${w(0)}")
+    assert(math.abs(w(1) + 3.0) < 1e-3, s"w1 ${w(1)}")
+    assert(math.abs(w(2) - 0.5) < 1e-3, s"w2 ${w(2)}")
+    assert(math.abs(w(64) - 0.25) < 1e-3, s"w64 ${w(64)}")
+    val noise = (3 until 64).map(i => math.abs(w(i))).max
+    assert(noise < 1e-3, s"inactive weight leaked: $noise")
+    // scoring with the fitted weights reproduces the planted label
+    val err = planted.select(abs(Probe.score(col("v"), w) - col("y")).as("e"))
+      .agg(max("e")).as[Double].head()
+    assert(err < 1e-2, s"max |score - label| = $err")
+  }
+
+  test("ridge shrinkage: larger lambda pulls weights toward zero") {
+    val planted = emb.select(col("v"),
+      (lit(1.0) + lit(2.0) * element_at(col("v"), 1)).as("y"))
+    def l2(w: Array[Double]): Double =
+      math.sqrt(w.drop(1).map(x => x * x).sum)
+    val free = l2(Probe.fitRidge(planted, "v", "y", lambda = 0.0))
+    val tight = l2(Probe.fitRidge(planted, "v", "y", lambda = 1000.0))
+    assert(tight < free, s"lambda=1000 norm $tight !< lambda=0 norm $free")
+    assert(tight > 0.0)
+  }
+
+  test("qualityFilter keeps exactly the rows scoring >= the threshold") {
+    val planted = emb.select(col("vec_id"), col("v"),
+      element_at(col("v"), 1).as("y"))
+    val w = Probe.fitRidge(planted, "v", "y")
+    val scores = planted.select(col("vec_id"),
+        Probe.score(col("v"), w).as("s"))
+      .as[(Long, Double)].collect()
+    val thr = scores.map(_._2).sorted.apply(scores.length / 2)
+    val want = scores.filter(_._2 >= thr).map(_._1).toSet
+    val kept = Probe.qualityFilter(planted, planted, "v", "y", minScore = thr)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(kept === want)
+    assert(kept.nonEmpty && kept.size < scores.length)
+  }
+}
