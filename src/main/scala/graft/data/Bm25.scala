@@ -147,26 +147,37 @@ object Bm25 {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true,
+      maxDfFrac: Double = 1.0): DataFrame = {
     // document frequency via a (query, term) window over the JOINED
     // rows: each such partition holds exactly the postings of one
     // matched term, so its count IS that term's df — identical values
     // to a stats-table join, but the plan carries no second corpus-wide
     // aggregation (PlanSpec pins a single corpus explode; the window's
-    // input is already down to |matching postings|)
+    // input is already down to |matching postings|). maxDfFrac < 1 is
+    // the standard STOPWORD GUARD: a term in half the corpus carries
+    // ~ln(2) of idf signal but O(corpus) postings, and its (query, term)
+    // window partition — like the equivalent join fan-out — is one
+    // task; dropping ultra-high-df terms caps that skew. Default 1.0
+    // keeps textbook BM25 (what the oracles pin). Here the drop runs
+    // after the window (fan-out already paid); score-many jobs should
+    // prefer the model path, which prunes BEFORE the join.
     val joined = joinTerms(docTerms(corpus, idCol, textCol), queries, idCol,
         textCol, broadcastQueries)
       .crossJoin(docLenConsts(corpus, textCol))
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("query_id"), col("term"))))
-    scoreJoined(joined, k, k1, b)
+    scoreJoined(dropStopTerms(joined, maxDfFrac), k, k1, b)
   }
 
   /** [[bm25TopK]] against a pre-fitted (possibly [[loadModel]]ed)
    * [[Bm25Model]] — the score-many half of train-once/score-many.
    * Here df comes from the model's precomputed `stats` table (joined
    * on the term key), bit-identical to the one-shot window spelling —
-   * `Bm25Spec` pins the two paths against each other. */
+   * `Bm25Spec` pins the two paths against each other. `maxDfFrac` < 1
+   * prunes stopword terms from the postings BEFORE the query join (df
+   * is already known here), so the skewed fan-out never materializes
+   * at all. */
   def bm25TopK(
       model: Bm25Model,
       queries: DataFrame,
@@ -175,11 +186,23 @@ object Bm25 {
       k: Int,
       k1: Double,
       b: Double,
-      broadcastQueries: Boolean): DataFrame =
+      broadcastQueries: Boolean,
+      maxDfFrac: Double): DataFrame =
     scoreJoined(
-      joinTerms(model.terms.join(model.stats, "term"), queries, idCol,
-        textCol, broadcastQueries).crossJoin(model.consts),
+      joinTerms(
+        dropStopTerms(model.terms.join(model.stats, "term")
+          .crossJoin(model.consts), maxDfFrac),
+        queries, idCol, textCol, broadcastQueries),
       k, k1, b)
+
+  /** Keep rows whose term df is within `maxDfFrac` of the corpus size
+   * (`df` and `__n` must be in scope); 1.0 = identity. */
+  private def dropStopTerms(rows: DataFrame, maxDfFrac: Double): DataFrame = {
+    require(maxDfFrac > 0 && maxDfFrac <= 1,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    if (maxDfFrac >= 1.0) rows
+    else rows.filter(col("df") <= lit(maxDfFrac) * col("__n"))
+  }
 
   /** Explode the queries to distinct terms and meet the postings at the
    * term key — shared by the window and stats-table spellings. */

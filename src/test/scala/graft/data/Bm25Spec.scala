@@ -67,6 +67,27 @@ class Bm25Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("maxDfFrac stopword guard: ultra-high-df terms stop contributing, both paths agree") {
+    // corpus of 5 docs: "spark" is in 4/5 (df frac 0.8), "optimizer" in 2/5
+    val q = Seq((100L, "spark optimizer")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"neighbor_id", $"score").as[(Long, Double)].collect().toSet
+    val guarded = rows(Bm25.bm25TopK(corpus, q, "doc_id", "text", k = 5,
+      maxDfFrac = 0.5))
+    // equals scoring with a query stripped of the stopword term
+    val stripped = rows(Bm25.bm25TopK(corpus, q.withColumn("text",
+      lit("optimizer")), "doc_id", "text", k = 5))
+    assert(guarded === stripped)
+    assert(guarded.nonEmpty)
+    // and docs matched ONLY via the stopword drop out entirely
+    assert(!guarded.map(_._1).contains(2L)) // doc 2 is all "spark"
+    // model path prunes before the join, same answers
+    val viaModel = rows(Bm25.bm25TopK(Bm25.fit(corpus, "doc_id", "text"), q,
+      "doc_id", "text", k = 5, k1 = 1.2, b = 0.75, broadcastQueries = true,
+      maxDfFrac = 0.5))
+    assert(viaModel === guarded)
+  }
+
   test("saveModel/loadModel round-trip: loaded stats score bit-equal the fresh fit") {
     val dir = java.nio.file.Files.createTempDirectory("bm25_model").toString
     Bm25.saveModel(Bm25.fit(corpus, "doc_id", "text"), dir)
@@ -76,7 +97,7 @@ class Bm25Spec extends SparkSpec {
       .select($"neighbor_id", $"score", $"rank").as[(Long, Double, Int)]
       .collect().toSet
     val again = Bm25.bm25TopK(loaded, queries, "doc_id", "text", k = 5,
-        k1 = 1.2, b = 0.75, broadcastQueries = true)
+        k1 = 1.2, b = 0.75, broadcastQueries = true, maxDfFrac = 1.0)
       .select($"neighbor_id", $"score", $"rank").as[(Long, Double, Int)]
       .collect().toSet
     assert(again === fresh) // bit-equal: tf/df/dl integer, (N, avgdl) doubles round-trip
