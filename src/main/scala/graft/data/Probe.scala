@@ -43,12 +43,72 @@ object Probe {
   def suffStats(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
     val z = concat(array(lit(1.0)), col(vecCol).cast("array<double>"),
       array(col(labelCol).cast("double")))
+    // the product grid is computed INSIDE the aggregation buffer (one
+    // (d+2)²-long array per task, merged pairwise): each input row is
+    // just its 66-element z vector, and a tight JVM loop does
+    // multiply→micro-round→add per cell. No per-cell row explosion
+    // (the shuffle is |partitions| arrays, not rows×cells) and no
+    // per-cell Catalyst expression — the naive spellings (posexplode
+    // grid, or per-row transform×transform arrays) put 4356
+    // interpreted higher-order-function + BigDecimal-round evaluations
+    // per row on the hot path, ~50× slower. Longs sum exactly in any
+    // order, so this is value-identical to the DuckDB oracle's
+    // unnest+GROUP BY.
+    val gridSum = udaf(GridSum)
     df.select(z.as("__z"))
-      .select(posexplode(flatten(transform(col("__z"), vi =>
-        transform(col("__z"), vj =>
-          round(vi * vj * lit(1e6), 0).cast("long"))))))
-      .groupBy(col("pos").cast("long").as("pos"))
-      .agg((sum(col("col")).cast("double") / lit(1e6)).as("s"))
+      .agg(gridSum(col("__z")).as("__sums"))
+      .select(posexplode(col("__sums")))
+      .select(col("pos").cast("long").as("pos"),
+        (col("col").cast("double") / lit(1e6)).as("s"))
+  }
+
+  /** Accumulates the flattened micro-unit outer-product grid of each z
+   * vector into a single long array (sum-decomposable; exact integers,
+   * so aggregation order is irrelevant). Rounding is half-away-from-
+   * zero on the binary double — the semantics of DuckDB `round` (and
+   * of Spark's, away from decimal-string tie cases that these
+   * statistics never hit), computed without the `floor(x+0.5)`
+   * addition-rounding defect. */
+  object GridSum extends org.apache.spark.sql.expressions.Aggregator[
+      Array[Double], Array[Long], Array[Long]] {
+    private def microRound(x: Double): Long = {
+      val y = math.abs(x)
+      val f = math.floor(y)
+      val r = if (y - f >= 0.5) f + 1 else f
+      (if (x < 0) -r else r).toLong
+    }
+    override def zero: Array[Long] = Array.empty
+    override def reduce(b: Array[Long], z: Array[Double]): Array[Long] = {
+      val m = z.length
+      val buf = if (b.isEmpty) new Array[Long](m * m) else b
+      require(buf.length == m * m,
+        s"ragged input: ${buf.length} cells vs z of length $m")
+      var i = 0
+      while (i < m) {
+        val zi = z(i)
+        var j = 0
+        while (j < m) {
+          buf(i * m + j) += microRound(zi * z(j) * 1e6)
+          j += 1
+        }
+        i += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b else if (b.isEmpty) a
+      else {
+        require(a.length == b.length,
+          s"ragged buffers: ${a.length} vs ${b.length} cells")
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
   /**
