@@ -687,6 +687,38 @@ object SparkEntry {
           "v", "label")
         .orderBy(col("pos"))
     }),
+    // host-graph PageRank: co-occurrence edges from per-doc URL hosts,
+    // 3 damped iterations in exact integer micro-units (order-independent
+    // longs, so the unrolled DuckDB recurrence matches bit-for-bit)
+    "q85_pagerank" -> ((s, dir) => {
+      import graft.data.Graph
+      val aug = concat(col("text"),
+        lit(" see http://ex"), (col("doc_id") % 5).cast("string"),
+        lit(".org/p/"), col("doc_id").cast("string"),
+        lit(" and https://cdn.example.com/x"), (col("doc_id") % 3).cast("string"))
+      val hosts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(T.urlHosts(aug)).as("host"))
+      Graph.pageRank(Graph.coOccurrenceEdges(hosts, "doc_id", "host"),
+          "src", "dst", iters = 3)
+        .select(col("node").as("host"), col("rank_micro").as("pr_micro"),
+          col("rank").as("pr"))
+        .orderBy(col("host"))
+    }),
+    // BPE trainer surface: first-iteration weighted symbol-pair counts
+    // over the word-type table (the argmax of this table IS merge #1)
+    "q86_bpe_pairs" -> ((s, dir) => {
+      import graft.data.Bpe
+      Bpe.pairCounts(Bpe.wordTypes(t(s, dir, "documents"), "text"), Nil)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(20)
+    }),
+    // BPE merge training: ranked merges learned from the corpus word-type
+    // table (golden-pinned; the iterative argmax is not SQL-expressible)
+    "q87_bpe_merges" -> ((s, dir) => {
+      import graft.data.Bpe
+      Bpe.mergesDf(s, Bpe.trainMerges(t(s, dir, "documents"), "text", 20))
+        .orderBy(col("rank"))
+    }),
     // exact-size weighted sampling without replacement (A-ES, log form)
     "q81_weighted_sample" -> ((s, dir) => {
       import graft.data.Sampling
@@ -2126,6 +2158,53 @@ object SparkEntry {
          |  FROM (SELECT z, i, unnest(range(1, len(z) + 1)) AS j FROM zi))
          |SELECT pos, CAST(sum(m) AS DOUBLE) / 1e6 AS s FROM pr
          |GROUP BY pos ORDER BY pos""".stripMargin,
+    "q85_pagerank" ->
+      s"""WITH aug AS (SELECT doc_id, concat(text,
+         |    ' see http://ex', CAST(doc_id % 5 AS VARCHAR),
+         |    '.org/p/', CAST(doc_id AS VARCHAR),
+         |    ' and https://cdn.example.com/x', CAST(doc_id % 3 AS VARCHAR)) AS a
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    unnest(list_filter(
+         |      list_transform(regexp_extract_all(a, 'https?://[^\\s]+'),
+         |        u -> regexp_extract(u, 'https?://(?:[^/\\s@]*@)?([^/\\s:?#@]+)', 1)),
+         |      x -> len(x) > 0)) AS host
+         |  FROM aug),
+         |e AS (SELECT DISTINCT x.host AS src, y.host AS dst
+         |  FROM h x JOIN h y ON x.doc_id = y.doc_id AND x.host <> y.host),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT node, 1000000000 // (SELECT n FROM nn) AS r FROM nodes),
+         |c1 AS (SELECT e.dst AS node, CAST(sum(r0.r // od.deg) AS BIGINT) AS c
+         |  FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
+         |  GROUP BY e.dst),
+         |r1 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
+         |    + (17 * coalesce(c1.c, 0)) // 20 AS r
+         |  FROM nodes nd LEFT JOIN c1 ON nd.node = c1.node),
+         |c2 AS (SELECT e.dst AS node, CAST(sum(r1.r // od.deg) AS BIGINT) AS c
+         |  FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
+         |  GROUP BY e.dst),
+         |r2 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
+         |    + (17 * coalesce(c2.c, 0)) // 20 AS r
+         |  FROM nodes nd LEFT JOIN c2 ON nd.node = c2.node),
+         |c3 AS (SELECT e.dst AS node, CAST(sum(r2.r // od.deg) AS BIGINT) AS c
+         |  FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
+         |  GROUP BY e.dst),
+         |r3 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
+         |    + (17 * coalesce(c3.c, 0)) // 20 AS r
+         |  FROM nodes nd LEFT JOIN c3 ON nd.node = c3.node)
+         |SELECT node AS host, CAST(r AS BIGINT) AS pr_micro,
+         |  CAST(r AS DOUBLE) / 1e9 AS pr
+         |FROM r3 ORDER BY host""".stripMargin,
+    "q86_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
+         |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS word FROM documents),
+         |ty AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+         |p AS (SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r, n
+         |  FROM (SELECT word, n, unnest(range(1, length(word))) AS i FROM ty))
+         |SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt FROM p GROUP BY l, r
+         |ORDER BY cnt DESC, l, r LIMIT 20""".stripMargin,
     "q82_weighted_stratified" ->
       s"""SELECT source, doc_id FROM (
          |  SELECT source, doc_id, row_number() OVER (PARTITION BY source

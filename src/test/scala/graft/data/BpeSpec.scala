@@ -1,0 +1,88 @@
+package graft.data
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * BPE vocabulary induction: the hand-computed Sennrich et al. 2016
+ * corpus pins the merge ladder, encode pins greedy rank-order
+ * application, segmentation is a partition of every word, and the
+ * persisted merge list round-trips bit-equal.
+ */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic subword-NMT example: low*5 lower*2 newest*6 widest*3
+  private lazy val sennrich = Seq(
+    (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    .toDF("text")
+
+  test("trainMerges reproduces the hand-computed merge ladder") {
+    // pair counts: (e,s)=9 ties (s,t)=9 -> lexicographic (e,s); then
+    // (es,t)=9; then (l,o)=7 ties (o,w)=7 -> (l,o); then (lo,w)=7
+    val merges = Bpe.trainMerges(sennrich, "text", nMerges = 4)
+    assert(merges === Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("encode applies merges greedily in rank order") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val got = Bpe.encode(Seq("lowest newest low").toDF("text"), "text", merges)
+      .select(col("bpe_tokens")).as[Seq[String]].head()
+    // lowest: l o w e s t -> l o w es t -> l o w est -> lo w est -> low est
+    assert(got === Seq("low", "est", "n", "e", "w", "est", "low"))
+  }
+
+  test("segmentation is a partition: tokens concat back to the word") {
+    val merges = Bpe.trainMerges(sennrich, "text", nMerges = 8)
+    val docs = Seq("The widest rivers flow slowest, 42 km!",
+      "newest lowest estates").toDF("text")
+    val pre = docs.select(explode(TextFunctions.bpeTokens(col("text"))).as("w"))
+      .as[String].collect()
+    val enc = Bpe.encode(docs, "text", merges)
+      .select(col("bpe_tokens")).as[Seq[String]].collect().flatten
+    assert(enc.mkString === pre.mkString)
+    assert(enc.length >= pre.length) // each word yields >= 1 subword
+  }
+
+  test("pairCounts with no merges is weighted character-bigram counting") {
+    val counts = Bpe.pairCounts(Bpe.wordTypes(sennrich, "text"), Nil)
+      .as[(String, String, Long)].collect()
+      .map { case (l, r, n) => (l, r) -> n }.toMap
+    assert(counts(("e", "s")) === 9L) // 6 newest + 3 widest
+    assert(counts(("s", "t")) === 9L)
+    assert(counts(("l", "o")) === 7L) // 5 low + 2 lower
+    assert(counts(("w", "e")) === 8L) // 2 lower + 6 newest
+    assert(counts(("i", "d")) === 3L)
+  }
+
+  test("trainMerges stops when no pair reaches minCount") {
+    // every word distinct, every pair seen once -> nothing to merge
+    val merges = Bpe.trainMerges(Seq("ab cd ef").toDF("text"), "text", 10)
+    assert(merges.isEmpty)
+    // minCount=1 merges the lexicographically-first singleton pair
+    val one = Bpe.trainMerges(Seq("ab cd ef").toDF("text"), "text", 1,
+      minCount = 1L)
+    assert(one === Seq(("a", "b")))
+  }
+
+  test("merge list persists and loads bit-equal; encode agrees") {
+    val merges = Bpe.trainMerges(sennrich, "text", nMerges = 6)
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString + "/m"
+    Bpe.saveMerges(spark, merges, dir)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded === merges)
+    val docs = Seq("the newest low estates").toDF("text")
+    val a = Bpe.encode(docs, "text", merges)
+      .select(col("bpe_tokens")).as[Seq[String]].head()
+    val b = Bpe.encode(docs, "text", loaded)
+      .select(col("bpe_tokens")).as[Seq[String]].head()
+    assert(a === b)
+  }
+
+  test("astral-plane characters stay one symbol (code points, not chars)") {
+    assert(Bpe.segmentWord("a😀b", Nil) ===
+      Seq("a", "😀", "b"))
+    assert(Bpe.segmentWord("😀", Nil).length === 1)
+  }
+}

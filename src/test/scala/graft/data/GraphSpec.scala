@@ -1,0 +1,85 @@
+package graft.data
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Integer micro-unit PageRank: equality against an independent
+ * driver-side reference on a hand-built graph, partition-order
+ * invariance (the point of exact longs), co-occurrence edge
+ * construction, and conservation/ordering sanity.
+ */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Straight-line scalar reference of the same integer recurrence. */
+  private def refPageRank(
+      edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    var r = nodes.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = e.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      r = nodes.map(nd =>
+        nd -> (150000000L / n + 17L * contrib.getOrElse(nd, 0L) / 20L)).toMap
+    }
+    r
+  }
+
+  private val toyEdges = Seq(
+    ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+    ("b", "c"), ("c", "b"), ("d", "a"), ("a", "d"),
+    ("e", "a"), ("a", "e"), ("d", "e"), ("e", "d"))
+
+  test("pageRank matches the scalar reference exactly (3 and 7 iters)") {
+    val df = toyEdges.toDF("s", "d")
+    for (iters <- Seq(3, 7)) {
+      val got = Graph.pageRank(df, "s", "d", iters)
+        .select(col("node"), col("rank_micro"))
+        .as[(String, Long)].collect().toMap
+      assert(got === refPageRank(toyEdges, iters), s"iters=$iters")
+    }
+  }
+
+  test("pageRank is invariant to input partitioning (exact longs)") {
+    val a = Graph.pageRank(toyEdges.toDF("s", "d"), "s", "d", 3)
+      .select(col("node"), col("rank_micro")).as[(String, Long)]
+      .collect().toMap
+    val b = Graph.pageRank(toyEdges.toDF("s", "d").repartition(7), "s", "d", 3)
+      .select(col("node"), col("rank_micro")).as[(String, Long)]
+      .collect().toMap
+    assert(a === b)
+  }
+
+  test("hub outranks leaves; mass is conserved up to floor loss") {
+    val got = Graph.pageRank(toyEdges.toDF("s", "d"), "s", "d", 5)
+      .select(col("node"), col("rank_micro")).as[(String, Long)]
+      .collect().toMap
+    assert(got("a") > got("b") && got("a") > got("d"),
+      s"hub a should dominate: $got") // a has degree 4, others 2
+    val total = got.values.sum
+    // symmetric graph: no dangling leak; only integer floor truncation
+    // (bounded by one micro per edge/node per iteration)
+    assert(total <= 1000000000L)
+    assert(total > 1000000000L - 1000L, s"floor loss too large: $total")
+  }
+
+  test("coOccurrenceEdges: distinct within-group pairs, both directions") {
+    val pairs = Seq((1L, "x"), (1L, "y"), (1L, "y"), (2L, "y"), (2L, "z"),
+      (3L, "x")).toDF("g", "m")
+    val got = Graph.coOccurrenceEdges(pairs, "g", "m")
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("x", "y"), ("y", "x"), ("y", "z"), ("z", "y")))
+  }
+
+  test("pageRank with zero iterations returns the uniform init") {
+    val got = Graph.pageRank(toyEdges.toDF("s", "d"), "s", "d", 0)
+      .select(col("node"), col("rank_micro")).as[(String, Long)]
+      .collect().toMap
+    assert(got.values.toSet === Set(1000000000L / 5))
+  }
+}
