@@ -317,6 +317,31 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    "q88_incremental_dedup" -> ((s, dir) => {
+      // continuous-ingest admit: a new batch (doc_id % 7 == 3) checked
+      // against the accepted corpus's SIGNATURE STORE — exact fp, then
+      // near-dup vs store, then within-batch clustering. The accepted
+      // documents themselves are never re-read.
+      val docs = t(s, dir, "documents")
+      val store = Dedup.signatures(docs.filter(col("doc_id") % 7 =!= 3),
+        "doc_id", "text")
+      Dedup.incrementalDedup(docs.filter(col("doc_id") % 7 === 3),
+          "doc_id", "text", store, threshold = 0.3)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    "q88b_incremental_pairs" -> ((s, dir) => {
+      // the batch-vs-store probe in isolation with its similarity
+      // evidence; broadcastBatch — the store is the big side
+      val docs = t(s, dir, "documents")
+      Dedup.crossNearDups(
+          Dedup.signatures(docs.filter(col("doc_id") % 7 === 3), "doc_id", "text"),
+          Dedup.signatures(docs.filter(col("doc_id") % 7 =!= 3), "doc_id", "text"),
+          threshold = 0.3, broadcastBatch = true)
+        .select(col("id_new"), col("id_old"),
+          round(col("est_jaccard"), 6).as("est_jaccard"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_new"), col("id_old"))
+    }),
     "q38_winnow" -> ((s, dir) => {
       // winnowing (rolling k-gram hash + window-min) fingerprints via the
       // fused one-pass native expression; first repartition spreads the
@@ -1321,6 +1346,17 @@ object SparkEntry {
       |  WHERE len(list_filter(range(0,4), b ->
       |    a.sig[b*4+1] = c.sig[b*4+1] AND a.sig[b*4+2] = c.sig[b*4+2] AND
       |    a.sig[b*4+3] = c.sig[b*4+3] AND a.sig[b*4+4] = c.sig[b*4+4])) > 0""".stripMargin
+  /** LSH band agreement between sig tables aliased `a` and `c` (4 bands
+   * × 4 rows — Dedup.crossNearDups spelling). */
+  private val bandAgreeSql =
+    """len(list_filter(range(0,4), b ->
+      |    a.sig[b*4+1] = c.sig[b*4+1] AND a.sig[b*4+2] = c.sig[b*4+2] AND
+      |    a.sig[b*4+3] = c.sig[b*4+3] AND a.sig[b*4+4] = c.sig[b*4+4])) > 0""".stripMargin
+  /** Exact Jaccard between shingle sets of tables `a` and `c`. */
+  private val pairJaccardSql =
+    """len(list_intersect(a.sh, c.sh)) /
+      |    CAST(greatest(len(list_distinct(a.sh || c.sh)), 1) AS DOUBLE)""".stripMargin
+
   /** Hyperplane literals identical to Similarity.planes(8, 64). */
   private val planesSql = Similarity.planes(8, 64).zipWithIndex.map { case (p, i) =>
     s"($i, [${p.mkString(", ")}])"
@@ -1586,6 +1622,43 @@ object SparkEntry {
          |SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard, round(jaccard, 6) AS jaccard
          |FROM ($minhashCandidatesSql)
          |WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "q88_incremental_dedup" ->
+      s"""WITH RECURSIVE t AS ($minhashSigTableSql),
+         |f AS (SELECT doc_id,
+         |  ${h60Sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS fp
+         |  FROM documents),
+         |s1 AS (SELECT min(doc_id) AS doc_id FROM f WHERE doc_id % 7 = 3
+         |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 7 <> 3)
+         |  GROUP BY fp),
+         |hit AS (SELECT DISTINCT a.doc_id FROM t a JOIN t c
+         |  ON a.doc_id IN (SELECT doc_id FROM s1) AND c.doc_id % 7 <> 3
+         |  WHERE $bandAgreeSql AND $pairJaccardSql >= 0.3),
+         |s2 AS (SELECT doc_id FROM s1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+         |prs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b FROM t a JOIN t c
+         |  ON a.doc_id < c.doc_id
+         |  AND a.doc_id IN (SELECT doc_id FROM s2)
+         |  AND c.doc_id IN (SELECT doc_id FROM s2)
+         |  WHERE $bandAgreeSql AND $pairJaccardSql >= 0.3),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM prs
+         |          UNION SELECT id_b, id_a FROM prs),
+         |reach(node, lab) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+         |comp AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node)
+         |SELECT doc_id FROM s2
+         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster)
+         |ORDER BY doc_id""".stripMargin,
+    "q88b_incremental_pairs" ->
+      s"""WITH t AS ($minhashSigTableSql)
+         |SELECT a.doc_id AS id_new, c.doc_id AS id_old,
+         |  round(len(list_filter(range(1,17), i -> a.sig[i] = c.sig[i])) / 16.0,
+         |    6) AS est_jaccard,
+         |  round($pairJaccardSql, 6) AS jaccard
+         |FROM t a JOIN t c ON a.doc_id % 7 = 3 AND c.doc_id % 7 <> 3
+         |WHERE $bandAgreeSql AND $pairJaccardSql >= 0.3
+         |ORDER BY id_new, id_old""".stripMargin,
     "q29_dedup_clusters" ->
       s"""WITH RECURSIVE t AS ($minhashSigTableSql),
          |prs AS (SELECT id_a, id_b FROM ($minhashCandidatesSql) WHERE jaccard >= 0.3),

@@ -334,6 +334,136 @@ object Dedup {
     deduplicate(exact, idCol, pairs)
   }
 
+  // --------------------------------------------- continuous-ingest dedup
+
+  /**
+   * Per-doc signature rows for a persisted dedup store: `(id, fp, sh,
+   * sig)` — normalized-content fingerprint ([[TextFunctions.fingerprint]]),
+   * sorted shingle-hash set, MinHash signature. The store is what makes
+   * dedup INCREMENTAL at corpus scale: ~hundreds of bytes per accepted
+   * document instead of the document itself, so admitting a new crawl
+   * batch never re-reads, re-tokenizes, or re-shuffles the accepted
+   * corpus — only its signature table.
+   *
+   * Docs with fewer than `shingleN` tokens get an empty `sh` and a null
+   * `sig`: they still participate in exact-fingerprint dedup but are
+   * invisible to the band join (no shingles to estimate Jaccard from).
+   *
+   * The repartition barrier mirrors [[minhashNearDups]]: it materializes
+   * `sh`/`sig` as exchanged attributes so downstream band-key references
+   * don't re-inline the minhash chain (generator projections get no
+   * subexpression elimination).
+   */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        TextFunctions.fingerprint(col(textCol)).as("fp"),
+        shingleHashes(col(textCol), shingleN).as("sh"))
+      .withColumn("sig",
+        when(size(col("sh")) > 0, minhashSignature(col("sh"), k)))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
+  /** Persist a signature table as parquet; `append = true` adds a batch's
+   * survivors after [[incrementalDedup]] admits them (the ingest cycle:
+   * admit, then append `signatures(survivors)`). */
+  def saveSignatureStore(sigs: DataFrame, path: String,
+      append: Boolean = false): Unit =
+    sigs.write.mode(if (append) "append" else "overwrite").parquet(path)
+
+  /** Load a persisted signature store written by [[saveSignatureStore]]. */
+  def loadSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /**
+   * Near-dup pairs between two signature tables (from [[signatures]]) —
+   * the batch-vs-store probe of continuous-ingest dedup, and (applied to
+   * one table twice, filtered to `id_new < id_old`) the within-batch pair
+   * finder.
+   *
+   * Plan shape: band keys exploded from both signatures, ONE equi-join on
+   * the band-key string, first-agreeing-band filter instead of a
+   * `distinct` (O(k) integer compares), exact-Jaccard verify on the
+   * candidate set only. The store side is never broadcast — it carries
+   * the accepted corpus's shingle sets. With `broadcastBatch` the batch
+   * side (signatures only, not documents) is broadcast and the store is
+   * probed shuffle-free — the right call when a batch is orders of
+   * magnitude smaller than the accepted corpus; otherwise a shuffle-hash
+   * join on the uniform MD5-derived band key.
+   *
+   * Output: `(id_new, id_old, est_jaccard, jaccard)`, one row per pair
+   * with exact Jaccard ≥ `threshold`.
+   */
+  def crossNearDups(batchSigs: DataFrame, storeSigs: DataFrame,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      broadcastBatch: Boolean = false): DataFrame = {
+    val rows = k / bands
+    val n = batchSigs.filter(col("sig").isNotNull)
+      .select(col("id").as("id_new"), col("sh").as("sh_n"), col("sig").as("sig_n"),
+        posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band_idx", "band")))
+    val o = storeSigs.filter(col("sig").isNotNull)
+      .select(col("id").as("id_old"), col("sh").as("sh_o"), col("sig").as("sig_o"),
+        explode(bandKeys(col("sig"), bands, rows)).as("band"))
+    val firstAgreeingBand = (0 until bands).foldRight(lit(-1)) { (bd, rest) =>
+      val bandAgrees = (0 until rows)
+        .map(r => element_at(col("sig_n"), bd * rows + r + 1) ===
+          element_at(col("sig_o"), bd * rows + r + 1))
+        .reduce(_ && _)
+      when(bandAgrees, lit(bd)).otherwise(rest)
+    }
+    val joined =
+      if (broadcastBatch) o.join(broadcast(n), Seq("band"))
+      else n.hint("shuffle_hash").join(o, Seq("band"))
+    joined
+      .filter(col("id_new") =!= col("id_old"))
+      .filter(col("band_idx") === firstAgreeingBand)
+      .select(col("id_new"), col("id_old"),
+        signatureAgreement(col("sig_n"), col("sig_o"), k).as("est_jaccard"),
+        jaccardSorted(col("sh_n"), col("sh_o")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * Admit a new ingest batch against an accepted-corpus signature store —
+   * continuous-crawl dedup that never touches accepted documents:
+   *
+   *  1. exact: batch docs whose fingerprint is already in the store are
+   *     dropped; identical docs WITHIN the batch collapse to the min id;
+   *  2. near-dup vs store: batch docs with Jaccard ≥ `threshold` against
+   *     any store signature are dropped ([[crossNearDups]]);
+   *  3. near-dup within batch: remaining docs cluster via the band join +
+   *     connected components; each cluster keeps its min id — the same
+   *     survivor rule as [[dedupCorpus]].
+   *
+   * Returns the surviving rows of `newDocs` (original columns); append
+   * `signatures(survivors)` to the store to complete the cycle. Accepted
+   * docs are immutable — an admit never revokes one (the contract that
+   * distinguishes incremental ingest from re-running [[dedupCorpus]] on
+   * the union, which could instead keep a new doc and drop an old one).
+   */
+  def incrementalDedup(newDocs: DataFrame, idCol: String, textCol: String,
+      store: DataFrame, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, broadcastBatch: Boolean = false): DataFrame = {
+    val sigs = signatures(newDocs, idCol, textCol, shingleN, k)
+    // 1. exact: min id per batch fingerprint, minus store fingerprints
+    val keepExact = sigs.groupBy(col("fp")).agg(min(col("id")).as("id"))
+      .join(store.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .select(col("id"))
+    val s1 = sigs.join(keepExact, Seq("id"), "left_semi")
+    // 2. near-dup vs store
+    val hitStore = crossNearDups(s1, store, k, bands, threshold, broadcastBatch)
+      .select(col("id_new").as("id")).distinct()
+    val s2 = s1.join(hitStore, Seq("id"), "left_anti")
+    // 3. within-batch near-dup clusters -> min-id survivors
+    val pairs = crossNearDups(s2, s2, k, bands, threshold)
+      .filter(col("id_new") < col("id_old"))
+      .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
+    val ids = deduplicate(s2.select(col("id")), "id", pairs)
+      .withColumnRenamed("id", idCol)
+    newDocs.join(ids, Seq(idCol), "left_semi")
+  }
+
   /**
    * Exact duplicate-SUBSTRING span detection — the suffix-array pass of
    * Lee et al., "Deduplicating Training Data Makes Language Models

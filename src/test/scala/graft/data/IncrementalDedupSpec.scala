@@ -1,0 +1,116 @@
+package graft.data
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Continuous-ingest dedup against a persisted signature store: the
+ * three-stage admit contract on a hand-built batch, pair-finder
+ * equivalence with the batch-mode LSH, broadcast/shuffle path equality,
+ * and the parquet store round-trip.
+ */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ten-word base texts: 8 word-3-shingles each; one changed trailing
+  // word leaves 6 of 10 distinct shingles shared (jaccard 0.6 >= 0.5)
+  private val tA = "the quick brown fox jumps over the lazy dog today"
+  private val tB = "pack my box with five dozen fresh liquor jugs now"
+  private val tC = "rivers carve deep winding canyons through ancient layered stone walls"
+  // long enough (24 words) that a single trailing-word edit keeps
+  // jaccard ~0.92 — high enough for the 4x4 LSH bands to fire on it
+  private val tD = "bright satellites drift silently across cold clear autumn " +
+    "skies while distant radio towers blink red warnings to airplanes " +
+    "crossing the mountain passes tonight"
+
+  private lazy val oldDocs = Seq(
+    (1L, tA), (2L, tB), (3L, tC)).toDF("doc_id", "text")
+
+  private lazy val batch = Seq(
+    (11L, tA),                                        // exact dup of store 1
+    (12L, tB.replace("now", "here")),                 // near-dup of store 2
+    (13L, tD),                                        // novel
+    (14L, tD),                                        // exact dup of 13 in-batch
+    (15L, tD.replace("tonight", "again")),            // near-dup of 13 in-batch
+    (16L, "completely different words about gardening tulips and soil preparation techniques"),
+    (17L, "hi"),                                      // too short to shingle
+    (18L, "hi")                                       // exact dup of 17 in-batch
+  ).toDF("doc_id", "text")
+
+  private def store = Dedup.signatures(oldDocs, "doc_id", "text")
+
+  test("incrementalDedup applies exact, cross-store, and in-batch stages") {
+    val kept = Dedup.incrementalDedup(batch, "doc_id", "text", store)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept === Set(13L, 16L, 17L))
+  }
+
+  test("crossNearDups finds batch-vs-store pairs with exact jaccard") {
+    val got = Dedup.crossNearDups(
+        Dedup.signatures(batch, "doc_id", "text"), store)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.map { case (n, o, _) => (n, o) } === Set((11L, 1L), (12L, 2L)))
+    assert(got.find(_._1 == 11L).get._3 === 1.0) // identical text
+    val nearJ = got.find(_._1 == 12L).get._3
+    assert(nearJ >= 0.5 && nearJ < 1.0, s"jaccard $nearJ")
+  }
+
+  test("broadcastBatch path returns identical pairs to the shuffle path") {
+    val sigs = Dedup.signatures(batch, "doc_id", "text")
+    def rows(b: Boolean) =
+      Dedup.crossNearDups(sigs, store, broadcastBatch = b)
+        .select(col("id_new"), col("id_old"),
+          round(col("est_jaccard"), 9), round(col("jaccard"), 9))
+        .as[(Long, Long, Double, Double)].collect().toSet
+    assert(rows(true) === rows(false))
+  }
+
+  test("self-applied crossNearDups equals minhashNearDups") {
+    val all = oldDocs.union(batch)
+    val sigs = Dedup.signatures(all, "doc_id", "text")
+    val viaCross = Dedup.crossNearDups(sigs, sigs)
+      .filter(col("id_new") < col("id_old"))
+      .select(col("id_new"), col("id_old"),
+        round(col("est_jaccard"), 9), round(col("jaccard"), 9))
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val viaBatch = Dedup.minhashNearDups(all, "doc_id", "text")
+      .select(col("id_a"), col("id_b"),
+        round(col("est_jaccard"), 9), round(col("jaccard"), 9))
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(viaCross === viaBatch)
+    assert(viaCross.nonEmpty)
+  }
+
+  test("signature store round-trips through parquet; append admits cycle") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString + "/s"
+    Dedup.saveSignatureStore(store, dir)
+    val loaded = Dedup.loadSignatureStore(spark, dir)
+    val kept = Dedup.incrementalDedup(batch, "doc_id", "text", loaded)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept === Set(13L, 16L, 17L))
+    // complete the cycle: append survivors' signatures, admit a second
+    // batch that duplicates a FIRST-batch survivor -> dropped
+    val survivors = batch.filter(col("doc_id").isin(13L, 16L, 17L))
+    Dedup.saveSignatureStore(
+      Dedup.signatures(survivors, "doc_id", "text"), dir, append = true)
+    val store2 = Dedup.loadSignatureStore(spark, dir)
+    val batch2 = Seq((21L, tD), (22L, "genuinely new content appears in the second crawl wave"))
+      .toDF("doc_id", "text")
+    val kept2 = Dedup.incrementalDedup(batch2, "doc_id", "text", store2)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept2 === Set(22L))
+  }
+
+  test("short docs (no shingles) still dedup exactly, never via bands") {
+    val s = Dedup.signatures(Seq((1L, "hi")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val row = s.select(col("sh"), col("sig")).collect()(0)
+    assert(row.getSeq[Long](0).isEmpty && row.isNullAt(1))
+    val kept = Dedup.incrementalDedup(
+        Seq((31L, "hi"), (32L, "yo")).toDF("doc_id", "text"),
+        "doc_id", "text", s)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept === Set(32L))
+  }
+}

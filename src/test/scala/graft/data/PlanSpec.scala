@@ -235,4 +235,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<a:bigint,c:double>"), p.take(2000))
     assert(p.contains("PushedFilters: [IsNotNull(a), GreaterThan(a,10)]"), p.take(2000))
   }
+
+  test("crossNearDups never broadcasts the store; broadcastBatch sends only the batch") {
+    val docs = (0 until 40).map(i => (i.toLong, s"ingest document body number ${i % 7} with overlapping phrasing"))
+      .toDF("doc_id", "text")
+    val batchSigs = Dedup.signatures(docs.filter($"doc_id" < 8), "doc_id", "text")
+    val storeSigs = Dedup.signatures(docs.filter($"doc_id" >= 8), "doc_id", "text")
+    withNoAutoBroadcast {
+      val shuffled = plan(Dedup.crossNearDups(batchSigs, storeSigs))
+      assert(!shuffled.contains("BroadcastExchange"), shuffled.take(2000))
+      assert(shuffled.contains("ShuffledHashJoin") || shuffled.contains("SortMergeJoin"),
+        shuffled.take(2000))
+      val bcast = plan(Dedup.crossNearDups(batchSigs, storeSigs, broadcastBatch = true))
+      // exactly one broadcast — the batch signatures; the store side stays
+      // a plain scan feeding the probe
+      assert("BroadcastExchange".r.findAllIn(bcast).size === 1, bcast.take(2000))
+      assert(bcast.contains("BroadcastHashJoin"), bcast.take(2000))
+    }
+  }
 }
