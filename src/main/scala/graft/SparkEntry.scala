@@ -317,6 +317,19 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    "q89_snapshot_diff" -> ((s, dir) => {
+      // corpus-version diff (crawl N vs N+1): two synthetic snapshots of
+      // the documents table — different membership, some texts revised —
+      // judged added/removed/changed/unchanged by content fingerprint
+      import graft.data.Corpus
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 11 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      Corpus.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     "q88_incremental_dedup" -> ((s, dir) => {
       // continuous-ingest admit: a new batch (doc_id % 7 == 3) checked
       // against the accepted corpus's SIGNATURE STORE — exact fp, then
@@ -1622,6 +1635,26 @@ object SparkEntry {
          |SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard, round(jaccard, 6) AS jaccard
          |FROM ($minhashCandidatesSql)
          |WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "q89_snapshot_diff" ->
+      s"""WITH o AS (SELECT doc_id,
+         |  ${h60Sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS fp
+         |  FROM documents WHERE doc_id % 11 <> 0),
+         |n AS (SELECT doc_id,
+         |  ${h60Sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS fp
+         |  FROM (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+         |      THEN text || ' [rev2]' ELSE text END AS text
+         |    FROM documents WHERE doc_id % 13 <> 0)),
+         |d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |  o.fp AS fp_old, n.fp AS fp_new,
+         |  o.doc_id IS NOT NULL AS in_old, n.doc_id IS NOT NULL AS in_new
+         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN NOT in_old THEN 'added'
+         |       WHEN NOT in_new THEN 'removed'
+         |       WHEN fp_old = fp_new THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  fp_old, fp_new
+         |FROM d ORDER BY doc_id""".stripMargin,
     "q88_incremental_dedup" ->
       s"""WITH RECURSIVE t AS ($minhashSigTableSql),
          |f AS (SELECT doc_id,

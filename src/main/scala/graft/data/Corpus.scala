@@ -164,4 +164,34 @@ object Corpus {
       .select(col("doc_id").as(idCol))
     prepared.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /**
+   * Snapshot diff between two corpus versions — the dataset-versioning
+   * primitive behind "what changed between crawl N and crawl N+1":
+   * per id, `status` ∈ added | removed | changed | unchanged, judged by
+   * the normalized-content fingerprint ([[TextFunctions.fingerprint]]),
+   * with both fingerprints carried as evidence (null on the absent side).
+   *
+   * Scale shape: each side collapses to a narrow `(id, fp, flag)`
+   * projection BEFORE the full-outer join, so the one shuffle per side
+   * carries 17 bytes a row, not documents; the text columns never cross
+   * the exchange. Null text fingerprints as the empty string rather than
+   * propagating null into the status logic.
+   */
+  def snapshotDiff(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String = "id", textCol: String = "text"): DataFrame = {
+    def side(df: DataFrame, fpName: String, flagName: String) =
+      df.select(col(idCol).as("id"),
+        TextFunctions.fingerprint(coalesce(col(textCol), lit(""))).as(fpName),
+        lit(true).as(flagName))
+    side(oldDocs, "fp_old", "in_old")
+      .join(side(newDocs, "fp_new", "in_new"), Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("fp_old"), col("fp_new"))
+  }
 }
