@@ -376,6 +376,23 @@ object Dedup {
       path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Publish the store as a new immutable `dir/v<N>` behind the `latest`
+   * pointer ([[Versioned.publish]]) — the rebuild cadence of an ingest
+   * pipeline without yanking parquet out from under in-flight admits.
+   * Returns the version number. */
+  def saveSignatureStoreVersioned(sigs: DataFrame, dir: String): Long =
+    Versioned.publish(sigs.sparkSession, dir)(saveSignatureStore(sigs, _))
+
+  /** Load the currently-published store version: `(version, store)`. */
+  def loadSignatureStoreVersioned(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, DataFrame) = {
+    val v = Versioned.latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"no signature store published under $dir " +
+          "(write one with Dedup.saveSignatureStoreVersioned)"))
+    (v, loadSignatureStore(spark, s"$dir/v$v"))
+  }
+
   /**
    * Near-dup pairs between two signature tables (from [[signatures]]) —
    * the batch-vs-store probe of continuous-ingest dedup, and (applied to

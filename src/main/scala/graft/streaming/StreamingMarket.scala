@@ -112,6 +112,58 @@ object StreamingMarket {
       .dropDuplicatesWithinWatermark("fp")
 
   /**
+   * Streaming admit against a PERIODICALLY REPUBLISHED signature store —
+   * the streaming twin of [[graft.data.Dedup.incrementalDedup]], wearing
+   * the same hot-reload harness as [[annSearchWithIndexRefresh]] /
+   * [[lmScoreWithModelRefresh]]: an offline ingest job republishes the
+   * accepted-corpus signature store with
+   * [[graft.data.Dedup.saveSignatureStoreVersioned]] on its own cadence
+   * (e.g. appending each admitted batch's signatures), and the stream
+   * picks the new version up WITHOUT a restart.
+   *
+   * `foreachBatch`: each micro-batch reads the tiny `latest` pointer,
+   * reloads only on a version change (driver state is a version number —
+   * the store's parquet stays on disk and is probed via the band join,
+   * never collected), then runs the exact batch admit; `sink` receives
+   * the micro-batch's surviving docs. Versioned immutability is what
+   * makes the swap safe: an in-flight micro-batch keeps its consistent
+   * snapshot while the publisher stages the next one. Each micro-batch
+   * is one ingest batch — the within-batch clustering stage applies per
+   * micro-batch; for cross-batch exactness within a horizon, compose
+   * [[streamingDedup]] upstream.
+   *
+   * Returns the configured writer — call `.start()` (and set a trigger /
+   * checkpoint as needed).
+   */
+  def dedupWithStoreRefresh(
+      docs: DataFrame,
+      storeDir: String,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      broadcastBatch: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.data.Dedup
+    // closure state on the driver: the currently-loaded store version
+    var loaded: Option[(Long, DataFrame)] = None
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      graft.data.Versioned.latestVersion(spark, storeDir).foreach { v =>
+        if (!loaded.exists(_._1 == v))
+          loaded = Some((v, Dedup.loadSignatureStore(spark, s"$storeDir/v$v")))
+      }
+      val store = loaded.getOrElse(throw new IllegalStateException(
+        s"no signature store published under $storeDir — " +
+          "publish one with Dedup.saveSignatureStoreVersioned"))._2
+      sink(Dedup.incrementalDedup(batch, idCol, textCol, store,
+        shingleN, k, bands, threshold, broadcastBatch), batchId)
+    }
+  }
+
+  /**
    * Streaming twin of [[graft.data.Corpus.prepare]]: the stateless stages
    * (C4 filter/clean, PII redaction, language/quality tagging, split
    * labels) run unchanged on a stream — they are narrow projections —

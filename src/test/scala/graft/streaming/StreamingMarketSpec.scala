@@ -476,6 +476,47 @@ class StreamingMarketSpec extends SparkSpec {
     q.stop()
   }
 
+  test("dedupWithStoreRefresh: a republished signature store applies next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.data.Dedup
+    val tA = "the quick brown fox jumps over the lazy dog today"
+    val tB = "pack my box with five dozen fresh liquor jugs now"
+    val tC = "rivers carve deep winding canyons through ancient layered stone walls"
+    def store(docs: Seq[(Long, String)]) =
+      Dedup.signatures(docs.toDF("doc_id", "text"), "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sig_refresh").toString
+    assert(Dedup.saveSignatureStoreVersioned(store(Seq(1L -> tA)), dir) === 1L)
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = dedupWithStoreRefresh(input.toDF().toDF("doc_id", "text"), dir,
+        "doc_id", "text") { (out, batchId) =>
+      results ++= out.select(col("doc_id")).collect()
+        .map(r => (batchId, r.getLong(0)))
+    }.start()
+
+    // batch 1 against v1 (knows only tA): the tB copy is admitted
+    input.addData((11L, tA), (12L, tB))
+    q.processAllAvailable()
+    // offline ingest republishes with tB now accepted; v1 stays on disk
+    assert(Dedup.saveSignatureStoreVersioned(
+      store(Seq(1L -> tA, 2L -> tB)), dir) === 2L)
+    // batch 2 against v2: tA and tB both rejected, tC admitted
+    input.addData((21L, tA), (22L, tB), (23L, tC))
+    q.processAllAvailable()
+    q.stop()
+
+    val batch1 = results.collect { case (b, id) if b == 0L => id }.toSet
+    val batch2 = results.collect { case (b, id) if b == 1L => id }.toSet
+    assert(batch1 === Set(12L), results.toString)
+    assert(batch2 === Set(23L), results.toString)
+    // the superseded store version is still a loadable snapshot
+    assert(Dedup.loadSignatureStore(spark, s"$dir/v1").count() === 1L)
+    val (v, _) = Dedup.loadSignatureStoreVersioned(spark, dir)
+    assert(v === 2L)
+  }
+
   test("chunked rolling stats == unpartitioned rolling stats") {
     import org.apache.spark.sql.functions._
     val days = (1 to 60).map(d => (Timestamp.valueOf(f"2024-${1 + (d - 1) / 28}%02d-${1 + (d - 1) % 28}%02d 00:00:00"),
