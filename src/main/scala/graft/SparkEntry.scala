@@ -317,6 +317,21 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    "q90_length_buckets" -> ((s, dir) => {
+      // dynamic-batching report: per length bucket, how many hash-mod
+      // batches, docs, tokens, and the padding waste vs the bucket bound
+      import graft.data.Corpus
+      Corpus.lengthBucketBatches(t(s, dir, "documents"), "doc_id",
+          T.wordCount(col("text")), batchSize = 32)
+        .groupBy(col("bucket"), col("batch"))
+        .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("st"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_batches"), sum(col("nd")).as("n_docs"),
+          sum(col("st")).as("sum_tokens"),
+          (sum(col("nd")) * col("bucket") - sum(col("st"))).as("pad_waste"),
+          min(col("nd")).as("min_batch_docs"), max(col("nd")).as("max_batch_docs"))
+        .orderBy(col("bucket"))
+    }),
     "q89_snapshot_diff" -> ((s, dir) => {
       // corpus-version diff (crawl N vs N+1): two synthetic snapshots of
       // the documents table — different membership, some texts revised —
@@ -1635,6 +1650,27 @@ object SparkEntry {
          |SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard, round(jaccard, 6) AS jaccard
          |FROM ($minhashCandidatesSql)
          |WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "q90_length_buckets" ->
+      s"""WITH d AS (SELECT doc_id, len($tokSql) AS n FROM documents),
+         |b AS (SELECT doc_id, n,
+         |  CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+         |       WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+         |       WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+         |       ELSE 4096 END AS bucket
+         |  FROM d),
+         |s AS (SELECT bucket, CAST(ceil(count(*) / 32.0) AS BIGINT) AS n_slots
+         |  FROM b GROUP BY bucket),
+         |a AS (SELECT b.doc_id, b.n, b.bucket,
+         |  ${h28Sql("CAST(b.doc_id AS VARCHAR)")} % s.n_slots AS batch
+         |  FROM b JOIN s ON b.bucket = s.bucket),
+         |p AS (SELECT bucket, batch, count(*) AS nd, sum(n) AS st
+         |  FROM a GROUP BY bucket, batch)
+         |SELECT bucket, count(*) AS n_batches,
+         |  CAST(sum(nd) AS BIGINT) AS n_docs,
+         |  CAST(sum(st) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(nd) * bucket - sum(st) AS BIGINT) AS pad_waste,
+         |  min(nd) AS min_batch_docs, max(nd) AS max_batch_docs
+         |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q89_snapshot_diff" ->
       s"""WITH o AS (SELECT doc_id,
          |  ${h60Sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS fp

@@ -166,6 +166,45 @@ object Corpus {
   }
 
   /**
+   * Length-bucketed BATCH ASSIGNMENT — dynamic batching for training:
+   * group documents of similar token count so per-batch padding (to the
+   * longest member) stays bounded by the bucket granularity, instead of
+   * padding everything to the global max.
+   *
+   * Each doc lands in the smallest `bounds` bucket covering its count
+   * (clamped to the top bucket beyond the last bound — truncation is the
+   * trainer's call), and fills batches by DETERMINISTIC HASH-MOD over
+   * `ceil(bucketCount / batchSize)` slots. No sort anywhere: the
+   * classical rank-within-bucket spelling funnels the corpus through
+   * |buckets| reducers (a dozen partitions for 100 TB); hash-mod filling
+   * is one tiny count aggregate + a broadcast join + a map, batches are
+   * `batchSize` docs in expectation, and the assignment is reproducible
+   * across runs and engines (MD5-derived [[TextFunctions.hash28]]).
+   *
+   * Output: one row per doc — `(idCol, n_tokens, bucket, batch)`.
+   */
+  def lengthBucketBatches(docs: DataFrame, idCol: String,
+      nTokens: org.apache.spark.sql.Column, batchSize: Int,
+      bounds: Seq[Int] = Seq(64, 128, 256, 512, 1024, 2048, 4096)): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(bounds.nonEmpty && bounds == bounds.sorted && bounds.head > 0,
+      s"bounds must be positive ascending, got $bounds")
+    val bucket = bounds.init.foldRight(lit(bounds.last.toLong): org.apache.spark.sql.Column) {
+      (b, rest) => when(col("n_tokens") <= b, lit(b.toLong)).otherwise(rest)
+    }
+    val base = docs
+      .select(col(idCol), nTokens.cast("long").as("n_tokens"))
+      .withColumn("bucket", bucket)
+    // |bounds| rows — the only aggregation over the corpus is this count
+    val slots = base.groupBy(col("bucket"))
+      .agg(ceil(count(lit(1)) / lit(batchSize.toDouble)).cast("long").as("n_slots"))
+    base.join(broadcast(slots), Seq("bucket"))
+      .withColumn("batch",
+        pmod(TextFunctions.hash28(col(idCol).cast("string")), col("n_slots")))
+      .select(col(idCol), col("n_tokens"), col("bucket"), col("batch"))
+  }
+
+  /**
    * Snapshot diff between two corpus versions — the dataset-versioning
    * primitive behind "what changed between crawl N and crawl N+1":
    * per id, `status` ∈ added | removed | changed | unchanged, judged by

@@ -82,6 +82,37 @@ class CorpusSpec extends SparkSpec {
     assert(covered === (0 until 10).toSet)
   }
 
+  test("lengthBucketBatches: smallest covering bucket, clamp, slot bounds") {
+    val docs = Seq(
+      (1L, 10L), (2L, 64L), (3L, 65L), (4L, 300L), (5L, 5000L))
+      .toDF("id", "n")
+    val got = Corpus.lengthBucketBatches(docs, "id", col("n"), batchSize = 2)
+      .select(col("id"), col("n_tokens"), col("bucket"), col("batch"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._3 === 64L && got(2L)._3 === 64L)  // <= bound inclusive
+    assert(got(3L)._3 === 128L)
+    assert(got(4L)._3 === 512L)
+    assert(got(5L)._3 === 4096L)                      // clamped to top bucket
+    assert(got.values.forall(_._4 >= 0L))
+    // bucket 64 has 2 docs, batchSize 2 -> exactly 1 slot, so batch = 0
+    assert(got(1L)._4 === 0L && got(2L)._4 === 0L)
+  }
+
+  test("lengthBucketBatches: deterministic, batches ~batchSize, waste bounded") {
+    val docs = (1L to 500L).map(i => (i, 1L + (i * 37 % 400))).toDF("id", "n")
+    def run() = Corpus.lengthBucketBatches(docs, "id", col("n"), batchSize = 25)
+      .select(col("id"), col("bucket"), col("batch"))
+      .as[(Long, Long, Long)].collect().toSet
+    val a = run()
+    assert(a === run()) // reproducible across runs
+    val perBatch = a.groupBy(t => (t._2, t._3)).map(_._2.size)
+    // hash-mod filling: every batch within a small factor of batchSize
+    assert(perBatch.sum === 500 && perBatch.max <= 3 * 25, perBatch.toString)
+    // no doc exceeds its bucket bound (nothing here reaches the clamp)
+    val withN = docs.as[(Long, Long)].collect().toMap
+    assert(a.forall { case (id, bucket, _) => withN(id) <= bucket })
+  }
+
   test("prepare is deterministic across partitionings") {
     val docs = (0 until 200).map { i =>
       (i.toLong, s"$longBody unique closing number ${i % 50} appears here today.")
