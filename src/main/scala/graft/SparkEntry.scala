@@ -757,6 +757,26 @@ object SparkEntry {
           col("rank").as("pr"))
         .orderBy(col("host"))
     }),
+    // the curation USE of host PageRank: rank joined back to documents
+    // as a per-doc quality prior (max authority among the doc's hosts) —
+    // the Common-Crawl-style host-level weighting signal
+    "q85b_host_authority" -> ((s, dir) => {
+      import graft.data.Graph
+      val aug = concat(col("text"),
+        lit(" see http://ex"), (col("doc_id") % 5).cast("string"),
+        lit(".org/p/"), col("doc_id").cast("string"),
+        lit(" and https://cdn.example.com/x"), (col("doc_id") % 3).cast("string"))
+      val hosts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(T.urlHosts(aug)).as("host"))
+      val pr = Graph.pageRank(Graph.coOccurrenceEdges(hosts, "doc_id", "host"),
+        "src", "dst", iters = 3)
+      hosts.join(pr.withColumnRenamed("node", "host"), Seq("host"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("host")).as("n_hosts"),
+          max(col("rank_micro")).as("auth_micro"),
+          (max(col("rank_micro")).cast("double") / lit(1e9)).as("authority"))
+        .orderBy(col("doc_id"))
+    }),
     // BPE trainer surface: first-iteration weighted symbol-pair counts
     // over the word-type table (the argmax of this table IS merge #1)
     "q86_bpe_pairs" -> ((s, dir) => {
@@ -1374,6 +1394,47 @@ object SparkEntry {
       |  WHERE len(list_filter(range(0,4), b ->
       |    a.sig[b*4+1] = c.sig[b*4+1] AND a.sig[b*4+2] = c.sig[b*4+2] AND
       |    a.sig[b*4+3] = c.sig[b*4+3] AND a.sig[b*4+4] = c.sig[b*4+4])) > 0""".stripMargin
+  /** Shared q85/q85b oracle prelude: synthetic per-doc URL hosts, the
+   * co-occurrence edge list, and the 3-iteration integer micro-unit
+   * PageRank recurrence unrolled (Graph.pageRank spelling; table `h` =
+   * (doc_id, host), `r3` = final (node, r)). */
+  private val hostPagerankSql =
+    """aug AS (SELECT doc_id, concat(text,
+      |    ' see http://ex', CAST(doc_id % 5 AS VARCHAR),
+      |    '.org/p/', CAST(doc_id AS VARCHAR),
+      |    ' and https://cdn.example.com/x', CAST(doc_id % 3 AS VARCHAR)) AS a
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |    unnest(list_filter(
+      |      list_transform(regexp_extract_all(a, 'https?://[^\s]+'),
+      |        u -> regexp_extract(u, 'https?://(?:[^/\s@]*@)?([^/\s:?#@]+)', 1)),
+      |      x -> len(x) > 0)) AS host
+      |  FROM aug),
+      |e AS (SELECT DISTINCT x.host AS src, y.host AS dst
+      |  FROM h x JOIN h y ON x.doc_id = y.doc_id AND x.host <> y.host),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |r0 AS (SELECT node, 1000000000 // (SELECT n FROM nn) AS r FROM nodes),
+      |c1 AS (SELECT e.dst AS node, CAST(sum(r0.r // od.deg) AS BIGINT) AS c
+      |  FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
+      |  GROUP BY e.dst),
+      |r1 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
+      |    + (17 * coalesce(c1.c, 0)) // 20 AS r
+      |  FROM nodes nd LEFT JOIN c1 ON nd.node = c1.node),
+      |c2 AS (SELECT e.dst AS node, CAST(sum(r1.r // od.deg) AS BIGINT) AS c
+      |  FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
+      |  GROUP BY e.dst),
+      |r2 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
+      |    + (17 * coalesce(c2.c, 0)) // 20 AS r
+      |  FROM nodes nd LEFT JOIN c2 ON nd.node = c2.node),
+      |c3 AS (SELECT e.dst AS node, CAST(sum(r2.r // od.deg) AS BIGINT) AS c
+      |  FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
+      |  GROUP BY e.dst),
+      |r3 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
+      |    + (17 * coalesce(c3.c, 0)) // 20 AS r
+      |  FROM nodes nd LEFT JOIN c3 ON nd.node = c3.node)""".stripMargin
+
   /** LSH band agreement between sig tables aliased `a` and `c` (4 bands
    * × 4 rows — Dedup.crossNearDups spelling). */
   private val bandAgreeSql =
@@ -2301,44 +2362,17 @@ object SparkEntry {
          |SELECT pos, CAST(sum(m) AS DOUBLE) / 1e6 AS s FROM pr
          |GROUP BY pos ORDER BY pos""".stripMargin,
     "q85_pagerank" ->
-      s"""WITH aug AS (SELECT doc_id, concat(text,
-         |    ' see http://ex', CAST(doc_id % 5 AS VARCHAR),
-         |    '.org/p/', CAST(doc_id AS VARCHAR),
-         |    ' and https://cdn.example.com/x', CAST(doc_id % 3 AS VARCHAR)) AS a
-         |  FROM documents),
-         |h AS (SELECT doc_id,
-         |    unnest(list_filter(
-         |      list_transform(regexp_extract_all(a, 'https?://[^\\s]+'),
-         |        u -> regexp_extract(u, 'https?://(?:[^/\\s@]*@)?([^/\\s:?#@]+)', 1)),
-         |      x -> len(x) > 0)) AS host
-         |  FROM aug),
-         |e AS (SELECT DISTINCT x.host AS src, y.host AS dst
-         |  FROM h x JOIN h y ON x.doc_id = y.doc_id AND x.host <> y.host),
-         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |nn AS (SELECT count(*) AS n FROM nodes),
-         |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-         |r0 AS (SELECT node, 1000000000 // (SELECT n FROM nn) AS r FROM nodes),
-         |c1 AS (SELECT e.dst AS node, CAST(sum(r0.r // od.deg) AS BIGINT) AS c
-         |  FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
-         |  GROUP BY e.dst),
-         |r1 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
-         |    + (17 * coalesce(c1.c, 0)) // 20 AS r
-         |  FROM nodes nd LEFT JOIN c1 ON nd.node = c1.node),
-         |c2 AS (SELECT e.dst AS node, CAST(sum(r1.r // od.deg) AS BIGINT) AS c
-         |  FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
-         |  GROUP BY e.dst),
-         |r2 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
-         |    + (17 * coalesce(c2.c, 0)) // 20 AS r
-         |  FROM nodes nd LEFT JOIN c2 ON nd.node = c2.node),
-         |c3 AS (SELECT e.dst AS node, CAST(sum(r2.r // od.deg) AS BIGINT) AS c
-         |  FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
-         |  GROUP BY e.dst),
-         |r3 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
-         |    + (17 * coalesce(c3.c, 0)) // 20 AS r
-         |  FROM nodes nd LEFT JOIN c3 ON nd.node = c3.node)
+      s"""WITH $hostPagerankSql
          |SELECT node AS host, CAST(r AS BIGINT) AS pr_micro,
          |  CAST(r AS DOUBLE) / 1e9 AS pr
          |FROM r3 ORDER BY host""".stripMargin,
+    "q85b_host_authority" ->
+      s"""WITH $hostPagerankSql
+         |SELECT h.doc_id, count(DISTINCT h.host) AS n_hosts,
+         |  CAST(max(r3.r) AS BIGINT) AS auth_micro,
+         |  CAST(max(r3.r) AS DOUBLE) / 1e9 AS authority
+         |FROM h JOIN r3 ON h.host = r3.node
+         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
     "q86_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
          |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS word FROM documents),
