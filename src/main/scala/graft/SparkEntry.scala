@@ -701,7 +701,8 @@ object SparkEntry {
     // embedding per chunk -> PQ index built and PUBLISHED as an immutable
     // version -> served from the LOADED snapshot (ANN searchIndex,
     // nProbe=2) fused with BM25 over the same chunks via RRF. Chunk keys
-    // are doc_id*100 + chunk_id + 1 (disjoint from the query ids 0..2)
+    // are doc_id*100 + chunk_id + 1 (>= 1); query ids are negative so
+    // the two key spaces cannot collide
     "q83_rag_pipeline" -> ((s, dir) => {
       import graft.data.{Bm25, Corpus, Pq}
       val docs = t(s, dir, "documents")
@@ -714,7 +715,9 @@ object SparkEntry {
       val qChunks = Corpus.chunkDocuments(docs.filter(col("doc_id") < 3),
           "doc_id", "text", chunkTokens = 32, overlap = 8)
         .filter(col("chunk_id") === 0)
-        .select(col("doc_id").as("id"), col("chunk_text").as("text"))
+        // negative query ids: chunk ids are >= 1, so searchIndex's
+        // self-exclusion (q_id =!= c_id) can never drop a real chunk
+        .select((-(col("doc_id") + 1)).as("id"), col("chunk_text").as("text"))
       val qEmb = qChunks.withColumn("__hs", Similarity.tokenHashes(col("text")))
         .select(col("id"), Similarity.hashEmbed(col("__hs"), 64).as("v"))
       val idxDir = java.nio.file.Files.createTempDirectory("rag_idx").toString
@@ -1384,16 +1387,24 @@ object SparkEntry {
        |  FROM (SELECT doc_id, $shingleSql AS sh
        |        FROM (SELECT doc_id, text, $tokSql AS toks FROM documents))
        |  WHERE len(sh) > 0""".stripMargin
-  /** LSH candidate pairs with est/exact jaccard over table `t`. */
-  private val minhashCandidatesSql =
-    """SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-      |  len(list_filter(range(1,17), i -> a.sig[i] = c.sig[i])) / 16.0 AS est_jaccard,
-      |  len(list_intersect(a.sh, c.sh)) /
-      |    CAST(greatest(len(list_distinct(a.sh || c.sh)), 1) AS DOUBLE) AS jaccard
-      |  FROM t a JOIN t c ON a.doc_id < c.doc_id
-      |  WHERE len(list_filter(range(0,4), b ->
+  /** LSH band agreement between sig tables aliased `a` and `c` (4 bands
+   * × 4 rows — the one spelling shared by every minhash oracle:
+   * q23/q29/q29b via [[minhashCandidatesSql]], q88/q88b directly). */
+  private val bandAgreeSql =
+    """len(list_filter(range(0,4), b ->
       |    a.sig[b*4+1] = c.sig[b*4+1] AND a.sig[b*4+2] = c.sig[b*4+2] AND
       |    a.sig[b*4+3] = c.sig[b*4+3] AND a.sig[b*4+4] = c.sig[b*4+4])) > 0""".stripMargin
+  /** Exact Jaccard between shingle sets of tables `a` and `c`. */
+  private val pairJaccardSql =
+    """len(list_intersect(a.sh, c.sh)) /
+      |    CAST(greatest(len(list_distinct(a.sh || c.sh)), 1) AS DOUBLE)""".stripMargin
+  /** LSH candidate pairs with est/exact jaccard over table `t`. */
+  private val minhashCandidatesSql =
+    s"""SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       |  len(list_filter(range(1,17), i -> a.sig[i] = c.sig[i])) / 16.0 AS est_jaccard,
+       |  $pairJaccardSql AS jaccard
+       |  FROM t a JOIN t c ON a.doc_id < c.doc_id
+       |  WHERE $bandAgreeSql""".stripMargin
   /** Shared q85/q85b oracle prelude: synthetic per-doc URL hosts, the
    * co-occurrence edge list, and the 3-iteration integer micro-unit
    * PageRank recurrence unrolled (Graph.pageRank spelling; table `h` =
@@ -1434,17 +1445,6 @@ object SparkEntry {
       |r3 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
       |    + (17 * coalesce(c3.c, 0)) // 20 AS r
       |  FROM nodes nd LEFT JOIN c3 ON nd.node = c3.node)""".stripMargin
-
-  /** LSH band agreement between sig tables aliased `a` and `c` (4 bands
-   * × 4 rows — Dedup.crossNearDups spelling). */
-  private val bandAgreeSql =
-    """len(list_filter(range(0,4), b ->
-      |    a.sig[b*4+1] = c.sig[b*4+1] AND a.sig[b*4+2] = c.sig[b*4+2] AND
-      |    a.sig[b*4+3] = c.sig[b*4+3] AND a.sig[b*4+4] = c.sig[b*4+4])) > 0""".stripMargin
-  /** Exact Jaccard between shingle sets of tables `a` and `c`. */
-  private val pairJaccardSql =
-    """len(list_intersect(a.sh, c.sh)) /
-      |    CAST(greatest(len(list_distinct(a.sh || c.sh)), 1) AS DOUBLE)""".stripMargin
 
   /** Hyperplane literals identical to Similarity.planes(8, 64). */
   private val planesSql = Similarity.planes(8, 64).zipWithIndex.map { case (p, i) =>
@@ -2317,7 +2317,8 @@ object SparkEntry {
          |cht AS (SELECT doc_id * 100 + i + 1 AS doc_id,
          |    array_to_string(list_slice(t, i * 24 + 1, least(i * 24 + 32, n)), ' ') AS text
          |  FROM (SELECT doc_id, unnest(range(0, nc)) AS i, t, n FROM base)),
-         |qch AS (SELECT doc_id, array_to_string(list_slice(t, 1, least(32, n)), ' ') AS text
+         |qch AS (SELECT -(doc_id + 1) AS doc_id,
+         |    array_to_string(list_slice(t, 1, least(32, n)), ' ') AS text
          |  FROM base WHERE doc_id < 3),
          |che AS (${hashEmbSqlOn("cht")}),
          |qe AS (${hashEmbSqlOn("qch")}),

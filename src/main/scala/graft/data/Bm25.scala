@@ -208,9 +208,16 @@ object Bm25 {
    * term key — shared by the window and stats-table spellings. */
   private def joinTerms(postings: DataFrame, queries: DataFrame,
       idCol: String, textCol: String, broadcastQueries: Boolean): DataFrame = {
+    // distinct across ROWS as well as within one (array_distinct): a
+    // resubmitted duplicate query row must not double the joined
+    // postings — the one-shot path derives df from a count over them,
+    // so duplicates would inflate df and corrupt the ranking (the
+    // model path would merely duplicate output rows). The distinct is
+    // on the small query side, before any broadcast.
     val qterms = queries.select(col(idCol).as("query_id"),
       explode(array_distinct(
         TextFunctions.tokens(lower(col(textCol))))).as("term"))
+      .distinct()
     Similarity.joinQ(qterms, postings, Seq("term"), broadcastQueries)
   }
 

@@ -40,6 +40,12 @@ object Graph {
    * For large `iters`, lineage is truncated every 10 iterations with
    * `localCheckpoint` (the rank table is |nodes| rows — small relative to
    * edges); the default 3–5 iterations need no checkpoint.
+   *
+   * The result is MATERIALIZED (eager `localCheckpoint`) before the
+   * edge/node caches are released: the iterations run once, inside this
+   * call, while the caches are warm. Returning the lazy plan instead
+   * would re-scan and re-shuffle the raw edges once per iteration per
+   * caller action after the `unpersist` — the iterative-trainer pitfall.
    */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -68,7 +74,8 @@ object Graph {
         if (i % 10 == 0) r = r.localCheckpoint()
       }
       r.select(col("node"), col("r").as("rank_micro"),
-        (col("r").cast("double") / lit(1e9)).as("rank"))
+          (col("r").cast("double") / lit(1e9)).as("rank"))
+        .localCheckpoint() // eager: runs the iterations with caches warm
     } finally { e.unpersist(); nodes.unpersist(); () }
   }
 

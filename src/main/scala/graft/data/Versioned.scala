@@ -42,11 +42,25 @@ object Versioned {
   /** Publish one new version: `write` receives the staging path to fill,
    * then the directory is rename-committed to `dir/v<N>` and the
    * pointer flipped. Returns N. Fails (leaving the pointer untouched)
-   * if `v<N>` already exists — the lost half of a publisher race. */
+   * if `v<N>` appears between the scan and the rename — the lost half
+   * of a publisher race.
+   *
+   * N is one past BOTH the pointer and the highest committed `v<i>` on
+   * disk: a publisher that died between the rename-commit and the
+   * pointer flip leaves an orphaned version above the pointer, and
+   * deriving N from the pointer alone would collide with it on every
+   * subsequent publish — a permanent wedge. The orphan is skipped, not
+   * adopted (nothing ever pointed at it, so republishing fresh is the
+   * safe call), and it is GC'd by [[pruneVersions]] once the pointer
+   * passes it. */
   def publish(spark: SparkSession, dir: String)(write: String => Unit): Long = {
     import spark.implicits._
-    val next = latestVersion(spark, dir).getOrElse(0L) + 1
     val hfs = fs(spark, dir)
+    val onDisk = Option(hfs.globStatus(new Path(s"$dir/v*")))
+      .getOrElse(Array.empty)
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("v").toLong).toOption)
+    val next = (latestVersion(spark, dir).getOrElse(0L) +: onDisk.toSeq).max + 1
     val staged = new Path(s"$dir/.staging-v$next")
     val committed = new Path(s"$dir/v$next")
     if (hfs.exists(staged)) hfs.delete(staged, true) // a crashed prior attempt

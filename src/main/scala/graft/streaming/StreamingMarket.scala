@@ -129,8 +129,17 @@ object StreamingMarket {
    * makes the swap safe: an in-flight micro-batch keeps its consistent
    * snapshot while the publisher stages the next one. Each micro-batch
    * is one ingest batch — the within-batch clustering stage applies per
-   * micro-batch; for cross-batch exactness within a horizon, compose
-   * [[streamingDedup]] upstream.
+   * micro-batch.
+   *
+   * Cross-batch semantics are bounded by the REPUBLISH CADENCE: a
+   * near-dup of a doc admitted in an earlier micro-batch is only caught
+   * once that doc's signatures reach a published store version. Close
+   * the loop in `sink`: append `Dedup.signatures(survivors)` and
+   * republish with [[graft.data.Dedup.saveSignatureStoreVersioned]]
+   * (every batch for exactness, or on a timer to trade storage churn
+   * for a bounded dup window). Composing [[streamingDedup]] upstream
+   * narrows the gap for EXACT duplicates only — fingerprint equality,
+   * not shingle Jaccard.
    *
    * Returns the configured writer — call `.start()` (and set a trigger /
    * checkpoint as needed).

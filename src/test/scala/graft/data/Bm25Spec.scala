@@ -88,6 +88,23 @@ class Bm25Spec extends SparkSpec {
     assert(viaModel === guarded)
   }
 
+  test("a duplicated query row scores identically to the single row, both paths") {
+    val once = Seq((100L, "spark optimizer")).toDF("doc_id", "text")
+    val twice = once.union(once)
+    def canon(df: DataFrame) = df
+      .select($"query_id", $"rank", $"neighbor_id", round($"score", 9))
+      .collect().map(_.toString).sorted.toSeq
+    // one-shot path: df comes from a window over joined rows — a
+    // duplicate row must not inflate it
+    assert(canon(Bm25.bm25TopK(corpus, twice, "doc_id", "text", 5)) ===
+      canon(Bm25.bm25TopK(corpus, once, "doc_id", "text", 5)))
+    // model path agrees
+    val m = Bm25.fit(corpus, "doc_id", "text")
+    assert(canon(Bm25.bm25TopK(m, twice, "doc_id", "text", 5,
+        k1 = 1.2, b = 0.75, broadcastQueries = true, maxDfFrac = 1.0)) ===
+      canon(Bm25.bm25TopK(corpus, once, "doc_id", "text", 5)))
+  }
+
   test("saveModel/loadModel round-trip: loaded stats score bit-equal the fresh fit") {
     val dir = java.nio.file.Files.createTempDirectory("bm25_model").toString
     Bm25.saveModel(Bm25.fit(corpus, "doc_id", "text"), dir)

@@ -231,18 +231,21 @@ class PqSpec extends SparkSpec {
     assert(search(Pq.loadIndexVersioned(spark, dir)._2) === search(rebuilt))
   }
 
-  test("Versioned.publish refuses to clobber an existing version (publisher race)") {
+  test("Versioned.publish never clobbers an existing version (orphan skipped)") {
     val dir = java.nio.file.Files.createTempDirectory("pq_race").toString
     val idx = Pq.buildIndex(emb.filter($"vec_id" < 50), "vec_id", "v",
       Similarity.planes(8, 64), seed)
     assert(Pq.saveIndexVersioned(idx, dir) === 1L)
-    // simulate the losing half of a race: v2 already landed but the
-    // pointer flip hasn't (so latestVersion still says 1 -> next = 2)
+    // a v2 already landed but its pointer flip never happened (a crashed
+    // publisher): the next publish must neither clobber it nor wedge —
+    // it skips to v3 and leaves the orphan untouched
     assert(new java.io.File(s"$dir/v2").mkdirs())
-    val e = intercept[IllegalStateException](Pq.saveIndexVersioned(idx, dir))
-    assert(e.getMessage.contains("v2"))
-    // pointer still consistent with the last successful publish
-    assert(Pq.latestVersion(spark, dir) === Some(1L))
+    val marker = new java.io.File(s"$dir/v2/marker")
+    assert(marker.createNewFile())
+    assert(Pq.saveIndexVersioned(idx, dir) === 3L)
+    assert(marker.exists()) // orphan contents untouched
+    assert(Pq.latestVersion(spark, dir) === Some(3L))
+    assert(Pq.loadIndexVersioned(spark, dir)._1 === 3L)
   }
 
   test("SQ8 int8 quantization: near-exact recall, tiny dot-product error") {

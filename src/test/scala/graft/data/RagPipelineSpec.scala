@@ -73,7 +73,9 @@ class RagPipelineSpec extends SparkSpec {
     val qChunks = Corpus.chunkDocuments(docs.filter(col("doc_id") < 3),
         "doc_id", "text", chunkTokens = 32, overlap = 8)
       .filter(col("chunk_id") === 0)
-      .select(col("doc_id").as("id"), col("chunk_text").as("text"))
+      // negative query ids — disjoint from the >= 1 chunk keys, so the
+      // searcher's self-exclusion can never drop a real chunk
+      .select((-(col("doc_id") + 1)).as("id"), col("chunk_text").as("text"))
     val qEmb = embed(qChunks)
 
     val idxDir = java.nio.file.Files.createTempDirectory("rag_e2e").toString
@@ -109,7 +111,7 @@ class RagPipelineSpec extends SparkSpec {
     val perQuery = fused.groupBy("query_id")
       .agg(count(lit(1)).as("c"), collect_set("rank").as("rs"))
       .as[(Long, Long, Seq[Int])].collect()
-    assert(perQuery.map(_._1).sorted.toSeq === Seq(0L, 1L, 2L))
+    assert(perQuery.map(_._1).sorted.toSeq === Seq(-3L, -2L, -1L))
     assert(perQuery.forall(r => r._2 === 5L && r._3.sorted == (1 to 5)))
     val both = lex.select(col("query_id"), col("neighbor_id"), col("rank").as("ra"))
       .join(viaIndex.select(col("query_id"), col("neighbor_id"), col("rank").as("rb")),
@@ -120,10 +122,11 @@ class RagPipelineSpec extends SparkSpec {
       .filter(abs(col("d")) > 1e-12)
     assert(both.count() === 0L)
 
-    // each query's identical twin chunk (doc d chunk 0 = key 100d+1) is
-    // retrieved by the lexical tier — full term overlap
-    val twins = lex.filter(col("neighbor_id") === col("query_id") * 100 + 1)
+    // each query's identical twin chunk (doc d chunk 0 = key 100d+1,
+    // with d = -query_id - 1) is retrieved by the lexical tier
+    val twins = lex.filter(col("neighbor_id") ===
+        (-col("query_id") - 1) * 100 + 1)
       .select(col("query_id")).as[Long].collect().toSet
-    assert(twins === Set(0L, 1L, 2L))
+    assert(twins === Set(-1L, -2L, -3L))
   }
 }
