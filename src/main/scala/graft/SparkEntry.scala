@@ -795,6 +795,18 @@ object SparkEntry {
       Bpe.mergesDf(s, Bpe.trainMerges(t(s, dir, "documents"), "text", 20))
         .orderBy(col("rank"))
     }),
+    // the ENCODE half of BPE at the query level: corpus re-tokenized
+    // under the 20 trained merges, top subwords by count (golden-pinned
+    // like q87 — the trainer's argmax chain is not SQL-expressible)
+    "q87b_bpe_encode" -> ((s, dir) => {
+      import graft.data.Bpe
+      val docs = t(s, dir, "documents")
+      Bpe.encode(docs, "text", Bpe.trainMerges(docs, "text", 20))
+        .select(explode(col("bpe_tokens")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(30)
+    }),
     // exact-size weighted sampling without replacement (A-ES, log form)
     "q81_weighted_sample" -> ((s, dir) => {
       import graft.data.Sampling

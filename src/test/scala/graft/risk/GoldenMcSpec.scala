@@ -32,7 +32,8 @@ class GoldenMcSpec extends SparkSpec {
     "q27c_ann_ivf_kmeans", "q30_mc_portfolio_var", "q31_var_by_country",
     "q32_compliance", "q33_mc_trials", "q33b_mc_trials_stored",
     "q34_risk_contribution", "q35_compliance_daily", "q37_file_config",
-    "q54_pca", "q54b_pca_ann", "q54c_pca_sampled", "q87_bpe_merges")
+    "q54_pca", "q54b_pca_ann", "q54c_pca_sampled", "q87_bpe_merges",
+    "q87b_bpe_encode")
 
   /** Canonical text form: columns sorted by name, one CSV line per row,
    * rows sorted lexicographically, doubles to 6 significant digits. */
