@@ -351,6 +351,9 @@ object SparkEntry {
       // near-dup vs store, then within-batch clustering. The accepted
       // documents themselves are never re-read.
       val docs = t(s, dir, "documents")
+      // built inline for the oracle; a real pipeline probes a persisted
+      // parquet store (loadSignatureStore) — columnar scans per consumer
+      // beat materializing the corpus-scale table here (measured)
       val store = Dedup.signatures(docs.filter(col("doc_id") % 7 =!= 3),
         "doc_id", "text")
       Dedup.incrementalDedup(docs.filter(col("doc_id") % 7 === 3),

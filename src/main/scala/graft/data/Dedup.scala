@@ -462,7 +462,13 @@ object Dedup {
   def incrementalDedup(newDocs: DataFrame, idCol: String, textCol: String,
       store: DataFrame, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, broadcastBatch: Boolean = false): DataFrame = {
+    // materialize the batch signatures ONCE (eager): five consumers
+    // follow (exact groupBy, semi join, store probe, self pair join x2)
+    // and each would otherwise re-tokenize and re-minhash the batch from
+    // raw text. The batch is the small side by contract; the store —
+    // corpus-scale, normally a parquet table — is never materialized here
     val sigs = signatures(newDocs, idCol, textCol, shingleN, k)
+      .localCheckpoint()
     // 1. exact: min id per batch fingerprint, minus store fingerprints
     val keepExact = sigs.groupBy(col("fp")).agg(min(col("id")).as("id"))
       .join(store.select(col("fp")).distinct(), Seq("fp"), "left_anti")
