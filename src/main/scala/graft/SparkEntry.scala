@@ -391,6 +391,16 @@ object SparkEntry {
           try_element_at(col("fp"), lit(-1)).as("fp_max"))
         .orderBy(col("doc_id"))
     }),
+    // Hamming-ball simhash near-dups via pigeonhole chunking: the
+    // oracle BRUTE-FORCES every pair, so parity proves the chunk join
+    // finds exactly the Hamming ball (the pigeonhole bound is exact)
+    "q91_simhash_hamming" -> ((s, dir) => {
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          bits = 28, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q24_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("source"), Dedup.simhash(col("text")).as("sh"))
@@ -1886,6 +1896,15 @@ object SparkEntry {
          |  FROM (SELECT source, list_transform(list_distinct($tokSql),
          |        tk -> ${h28Sql("tk")}) AS hs FROM documents))
          |GROUP BY source ORDER BY source""".stripMargin,
+    "q91_simhash_hamming" ->
+      s"""WITH t AS (SELECT doc_id, $simhashSql AS sh
+         |  FROM (SELECT doc_id, list_transform(list_distinct($tokSql),
+         |        tk -> ${h28Sql("tk")}) AS hs FROM documents))
+         |SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.sh AS sh_a, c.sh AS sh_b,
+         |  CAST(bit_count(xor(a.sh, c.sh)) AS BIGINT) AS hamming
+         |FROM t a JOIN t c ON a.doc_id < c.doc_id
+         |WHERE bit_count(xor(a.sh, c.sh)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "q25_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT id_a, id_b, round(sim, 6) AS sim

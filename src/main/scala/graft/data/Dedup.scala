@@ -169,6 +169,66 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * SimHash near-dup pairs within a HAMMING BALL — the "small Hamming
+   * distance" tier [[simhashClusters]]' exact-equality grouping cannot
+   * see. Pigeonhole chunking (Manku, Jain & Das Sarma, WWW 2007): the
+   * `bits`-bit simhash splits into `maxHamming + 1` chunks, and any two
+   * hashes within Hamming distance `maxHamming` must agree EXACTLY on at
+   * least one chunk — so candidates are the pairs sharing a
+   * `(chunk_idx, chunk_value)` key, found by one keyed self-join, then
+   * verified with an exact `bit_count(xor)`. No recall loss (the
+   * pigeonhole bound is a theorem, not a probability), no quadratic
+   * scan: the oracle brute-forces all pairs and must match EXACTLY.
+   *
+   * Scale shape mirrors [[minhashNearDups]]: chunk keys are near-uniform
+   * ints, the self-join shuffles on them, a first-agreeing-chunk filter
+   * replaces a distinct, and only candidate pairs pay the verify. Pairs
+   * of IDENTICAL simhashes are included (hamming 0) — callers wanting
+   * only the near-miss tier can filter `hamming > 0` or dedup exact
+   * matches first ([[simhashClusters]]).
+   */
+  def simhashNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 28,
+      maxHamming: Int = 3): DataFrame = {
+    require(bits > 0 && bits <= 60, s"bits must be in (0, 60], got $bits")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits), got $maxHamming")
+    val nChunks = maxHamming + 1
+    val w = (bits + nChunks - 1) / nChunks
+    def chunk(sh: Column, i: Int): Column = {
+      val lo = i * w
+      val width = math.min(w, bits - lo)
+      shiftright(sh, lo).bitwiseAND(lit((1L << width) - 1))
+    }
+    def sides(src: DataFrame, idAs: String, shAs: String, withIdx: Boolean) = {
+      val base = repartitioned(src)
+        .select(col(idCol).as(idAs), simhash(col(textCol), bits).as(shAs))
+      val keys = array((0 until nChunks).map(i =>
+        concat_ws(":", lit(i), chunk(col(shAs), i))): _*)
+      if (withIdx) base.select(col(idAs), col(shAs),
+        posexplode(keys).as(Seq("chunk_idx", "chunk")))
+      else base.select(col(idAs), col(shAs), explode(keys).as("chunk"))
+    }
+    val a = sides(docs, "id_a", "sh_a", withIdx = true)
+    val b = sides(docs, "id_b", "sh_b", withIdx = false)
+    // a pair within the ball agrees on >= 1 chunk; keep only the FIRST
+    // agreeing chunk per pair — O(nChunks) compares, no distinct shuffle
+    val firstAgreeingChunk = (0 until nChunks).foldRight(lit(-1)) { (i, rest) =>
+      when(chunk(col("sh_a"), i) === chunk(col("sh_b"), i), lit(i))
+        .otherwise(rest)
+    }
+    a.hint("shuffle_hash").join(b, Seq("chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("chunk_idx") === firstAgreeingChunk)
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"), col("hamming"))
+  }
+
   /** SimHash duplicate clusters: docs sharing an identical simhash. */
   def simhashClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs

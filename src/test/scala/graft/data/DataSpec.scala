@@ -106,6 +106,28 @@ class DataSpec extends SparkSpec {
     assert(r.forall(v => v >= 0 && v < (1L << 28)))
   }
 
+  test("simhashNearDups == brute-force Hamming ball (pigeonhole exactness)") {
+    // 60 docs over a tiny vocabulary -> many simhash collisions and
+    // near-misses; the chunk join must find EXACTLY what brute force does
+    val corpus = (0L until 60L).map { i =>
+      val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      (i, (0 until 8).map(j => words(((i >> j) % (2 + j % 3)).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (maxH <- Seq(0, 2, 4)) {
+      val got = Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = maxH)
+        .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+        .collect().toSet
+      val sh = corpus.select($"doc_id", Dedup.simhash($"text"))
+        .as[(Long, Long)].collect().toMap
+      val brute = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        d = java.lang.Long.bitCount(sh(a) ^ sh(b)) if d <= maxH
+      } yield (a, b, d)).toSet
+      assert(got === brute, s"maxHamming=$maxH")
+      assert(brute.nonEmpty, s"fixture too sparse at maxHamming=$maxH")
+    }
+  }
+
   test("jaccard on shingle sets") {
     val t = docs.select($"doc_id", Dedup.shingleHashes($"text", 3).as("sh"))
     val j = t.as("a").crossJoin(t.as("b"))
