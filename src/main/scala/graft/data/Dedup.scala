@@ -181,12 +181,20 @@ object Dedup {
    * pigeonhole bound is a theorem, not a probability), no quadratic
    * scan: the oracle brute-forces all pairs and must match EXACTLY.
    *
-   * Scale shape mirrors [[minhashNearDups]]: chunk keys are near-uniform
-   * ints, the self-join shuffles on them, a first-agreeing-chunk filter
-   * replaces a distinct, and only candidate pairs pay the verify. Pairs
-   * of IDENTICAL simhashes are included (hamming 0) — callers wanting
-   * only the near-miss tier can filter `hamming > 0` or dedup exact
-   * matches first ([[simhashClusters]]).
+   * Scale shape: chunk keys shuffle the self-join like
+   * [[minhashNearDups]]' bands, a first-agreeing-chunk filter replaces a
+   * distinct, and only candidate pairs pay the verify. The candidate
+   * volume is governed by the chunk WIDTH `w ≈ bits/(maxHamming+1)`:
+   * random hashes collide on a fixed chunk with probability `2^-w`, so
+   * expect `~(maxHamming+1) · N²/2^w` joined rows — at the 28-bit
+   * default with `maxHamming = 3` (7-bit chunks) that is N²/32, fine
+   * for dedup *within a shard or bucket* but quadratic-in-N for a whole
+   * web corpus. At that scale, widen the underlying hash (a 64-bit
+   * simhash gives 16-bit chunks = N²/16384) — the chunking is
+   * width-agnostic; only the portable 28-bit MD5 spelling caps `bits`
+   * here. Pairs of IDENTICAL simhashes are included (hamming 0) —
+   * callers wanting only the near-miss tier can filter `hamming > 0` or
+   * dedup exact matches first ([[simhashClusters]]).
    */
   def simhashNearDups(
       docs: DataFrame,
@@ -199,6 +207,11 @@ object Dedup {
       s"maxHamming must be in [0, $bits), got $maxHamming")
     val nChunks = maxHamming + 1
     val w = (bits + nChunks - 1) / nChunks
+    // every chunk must own >= 1 bit: an empty trailing chunk would be
+    // the constant 0 for every row — a full N x N cross join per chunk
+    require((nChunks - 1) * w < bits,
+      s"maxHamming = $maxHamming needs more than $bits simhash bits " +
+        s"(chunk ${nChunks - 1} would be empty); raise bits or lower maxHamming")
     def chunk(sh: Column, i: Int): Column = {
       val lo = i * w
       val width = math.min(w, bits - lo)
@@ -518,17 +531,25 @@ object Dedup {
    * docs are immutable — an admit never revokes one (the contract that
    * distinguishes incremental ingest from re-running [[dedupCorpus]] on
    * the union, which could instead keep a new doc and drop an old one).
+   *
+   * The call EAGERLY materializes the batch's signature table (cached,
+   * lineage kept); the returned plan references that cache, so
+   * long-running drivers admitting many batches should let Spark's LRU
+   * evict old entries or `spark.catalog.clearCache()` between cycles.
    */
   def incrementalDedup(newDocs: DataFrame, idCol: String, textCol: String,
       store: DataFrame, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, broadcastBatch: Boolean = false): DataFrame = {
-    // materialize the batch signatures ONCE (eager): five consumers
+    // cache AND eagerly materialize the batch signatures: five consumers
     // follow (exact groupBy, semi join, store probe, self pair join x2)
     // and each would otherwise re-tokenize and re-minhash the batch from
-    // raw text. The batch is the small side by contract; the store —
-    // corpus-scale, normally a parquet table — is never materialized here
-    val sigs = signatures(newDocs, idCol, textCol, shingleN, k)
-      .localCheckpoint()
+    // raw text — while a lazy cache makes them race to fill it
+    // concurrently (measured slower than no cache). Lineage is kept, so
+    // executor loss recomputes instead of failing. The batch is the
+    // small side by contract; the corpus-scale store is never
+    // materialized here
+    val sigs = signatures(newDocs, idCol, textCol, shingleN, k).cache()
+    sigs.count()
     // 1. exact: min id per batch fingerprint, minus store fingerprints
     val keepExact = sigs.groupBy(col("fp")).agg(min(col("id")).as("id"))
       .join(store.select(col("fp")).distinct(), Seq("fp"), "left_anti")

@@ -41,11 +41,14 @@ object Graph {
    * `localCheckpoint` (the rank table is |nodes| rows — small relative to
    * edges); the default 3–5 iterations need no checkpoint.
    *
-   * The result is MATERIALIZED (eager `localCheckpoint`) before the
-   * edge/node caches are released: the iterations run once, inside this
-   * call, while the caches are warm. Returning the lazy plan instead
-   * would re-scan and re-shuffle the raw edges once per iteration per
-   * caller action after the `unpersist` — the iterative-trainer pitfall.
+   * The result is CACHED AND MATERIALIZED before the edge/node caches
+   * are released: the iterations run once, inside this call, while the
+   * caches are warm. Returning the lazy plan instead would re-scan and
+   * re-shuffle the raw edges once per iteration per caller action after
+   * the `unpersist` — the iterative-trainer pitfall. Lineage is KEPT
+   * (cache, not checkpoint): if executors holding the cached blocks are
+   * lost, the result recomputes — slower (edges uncached by then) but
+   * correct. Callers may `unpersist()` the returned frame when done.
    */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -73,9 +76,11 @@ object Graph {
             (lit(base) + expr("(17 * coalesce(c, 0L)) div 20")).as("r"))
         if (i % 10 == 0) r = r.localCheckpoint()
       }
-      r.select(col("node"), col("r").as("rank_micro"),
+      val out = r.select(col("node"), col("r").as("rank_micro"),
           (col("r").cast("double") / lit(1e9)).as("rank"))
-        .localCheckpoint() // eager: runs the iterations with caches warm
+        .cache()
+      out.count() // eager: runs the iterations while e/nodes are cached
+      out
     } finally { e.unpersist(); nodes.unpersist(); () }
   }
 

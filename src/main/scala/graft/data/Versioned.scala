@@ -20,8 +20,13 @@ import org.apache.spark.sql.SparkSession
  * interleaving files inside the same version directory. The pointer
  * flip itself is a parquet overwrite (delete-then-write, NOT atomic);
  * readers treat an unreadable pointer as "no change" and keep their
- * current version, so the race window is harmless by construction —
- * but serializing publishers remains the deployment's job.
+ * current version, so the reader-side window is harmless by
+ * construction — but serializing publishers remains the deployment's
+ * job: two concurrent publishers can also interleave pointer flips
+ * (the slower writer's older value landing last), a regression the
+ * next publish heals but no filesystem primitive here can prevent.
+ * Publisher CRASHES, by contrast, are fully recovered — see
+ * [[publish]]'s orphan handling.
  */
 object Versioned {
 

@@ -27,4 +27,23 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.pruneVersions(spark, dir, keep = 0).toSet === Set(1L, 2L))
     assert(Versioned.latestVersion(spark, dir) === Some(3L))
   }
+
+  test("publish refuses to clobber a version that lands mid-staging") {
+    val dir = java.nio.file.Files.createTempDirectory("versioned_race").toString
+    // the write callback runs between the version scan and the
+    // rename-commit — the only window where a racing publisher's v<N>
+    // can appear; landing one there must trigger the loud refusal
+    val e = intercept[IllegalStateException] {
+      Versioned.publish(spark, dir) { staged =>
+        write(1)(staged)
+        Seq(Tuple1(99L)).toDF("x").write.parquet(s"$dir/v1")
+      }
+    }
+    assert(e.getMessage.contains("v1"))
+    // the interloper's version is untouched, the pointer never flipped,
+    // and the staging residue is cleaned up
+    assert(Versioned.latestVersion(spark, dir) === None)
+    assert(spark.read.parquet(s"$dir/v1").count() === 1L)
+    assert(!new java.io.File(s"$dir/.staging-v1").exists())
+  }
 }
