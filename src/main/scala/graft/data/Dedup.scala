@@ -106,6 +106,28 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** Full-width 64-bit SimHash over the distinct tokens of a text column —
+   * the SCALE spelling: per-token hash is Spark's builtin `xxhash64`
+   * (seed 42, not portable to DuckDB, hence no oracle), majority vote per
+   * bit. 64 bits give [[simhashNearDups]] 16-bit pigeonhole chunks at
+   * `maxHamming = 3` — candidate volume N²/16384 vs the 28-bit MD5
+   * form's N²/32. */
+  def simhash64(text: Column): Column =
+    call_function("vec_simhash64", array_distinct(tokens(text)))
+
+  /** Extension-free composable twin of [[simhash64]] — 64 interpreted
+   * array scans over `transform(toks, xxhash64)`; identical output, kept
+   * as the portability reference and the parity pin for the fused
+   * expression. */
+  def simhash64Composable(text: Column): Column = {
+    val hashes = transform(array_distinct(tokens(text)), t => xxhash64(t))
+    val n = size(hashes)
+    (0 until 64).map { j =>
+      val ones = size(filter(hashes, h => shiftrightunsigned(h, j).bitwiseAND(lit(1L)) === 1))
+      when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -189,12 +211,14 @@ object Dedup {
    * expect `~(maxHamming+1) · N²/2^w` joined rows — at the 28-bit
    * default with `maxHamming = 3` (7-bit chunks) that is N²/32, fine
    * for dedup *within a shard or bucket* but quadratic-in-N for a whole
-   * web corpus. At that scale, widen the underlying hash (a 64-bit
-   * simhash gives 16-bit chunks = N²/16384) — the chunking is
-   * width-agnostic; only the portable 28-bit MD5 spelling caps `bits`
-   * here. Pairs of IDENTICAL simhashes are included (hamming 0) —
-   * callers wanting only the near-miss tier can filter `hamming > 0` or
-   * dedup exact matches first ([[simhashClusters]]).
+   * web corpus. At that scale pass `bits = 64`: the [[simhash64]]
+   * xxhash64 spelling gives 16-bit chunks = N²/16384 candidate rows,
+   * ~500× fewer, with identical recall (the pigeonhole bound holds at
+   * any width). `bits ≤ 28` keeps the portable MD5 spelling for
+   * DuckDB-oracle parity (q91); 64 is the production width. Pairs of
+   * IDENTICAL simhashes are included (hamming 0) — callers wanting only
+   * the near-miss tier can filter `hamming > 0` or dedup exact matches
+   * first ([[simhashClusters]]).
    */
   def simhashNearDups(
       docs: DataFrame,
@@ -202,7 +226,8 @@ object Dedup {
       textCol: String,
       bits: Int = 28,
       maxHamming: Int = 3): DataFrame = {
-    require(bits > 0 && bits <= 60, s"bits must be in (0, 60], got $bits")
+    require((bits > 0 && bits <= 28) || bits == 64,
+      s"bits must be in (0, 28] (portable MD5 simhash) or 64 (xxhash64), got $bits")
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, $bits), got $maxHamming")
     val nChunks = maxHamming + 1
@@ -215,11 +240,16 @@ object Dedup {
     def chunk(sh: Column, i: Int): Column = {
       val lo = i * w
       val width = math.min(w, bits - lo)
-      shiftright(sh, lo).bitwiseAND(lit((1L << width) - 1))
+      // width = 64 only when maxHamming = 0 at full width (one chunk =
+      // the whole hash); a 64-bit mask literal would overflow, so skip it
+      if (width >= 64) sh
+      else shiftrightunsigned(sh, lo).bitwiseAND(lit((1L << width) - 1))
     }
+    val shExpr =
+      if (bits == 64) simhash64(col(textCol)) else simhash(col(textCol), bits)
     def sides(src: DataFrame, idAs: String, shAs: String, withIdx: Boolean) = {
       val base = repartitioned(src)
-        .select(col(idCol).as(idAs), simhash(col(textCol), bits).as(shAs))
+        .select(col(idCol).as(idAs), shExpr.as(shAs))
       val keys = array((0 until nChunks).map(i =>
         concat_ws(":", lit(i), chunk(col(shAs), i))): _*)
       if (withIdx) base.select(col(idAs), col(shAs),

@@ -446,6 +446,76 @@ case class SimHash(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/**
+ * 64-bit fused SimHash: `array<string>` (distinct) tokens → full-width
+ * simhash long, per-token hash = Spark's builtin `xxhash64` (seed 42),
+ * majority vote per bit. The SCALE spelling of [[SimHash]]: pigeonhole
+ * Hamming-ball chunking over a 64-bit hash gives 16-bit chunks at
+ * `maxHamming = 3` (candidate volume N²/16384 vs the 28-bit form's
+ * N²/32 — see `Dedup.simhashNearDups`). Not DuckDB-reproducible (no
+ * portable xxhash64 there), so oracle queries keep the 28-bit MD5
+ * spelling; parity here is pinned against the composable
+ * `transform(toks, xxhash64)` twin instead.
+ */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SimHash64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Seed of Spark's SQL `xxhash64` function — keeps the fused hash
+   * bit-identical to the composable `transform(toks, t => xxhash64(t))`
+   * spelling. */
+  val Seed = 42L
+
+  def compute(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val ones = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(toks.getUTF8String(i), Seed)
+      var j = 0
+      while (j < 64) {
+        ones(j) += ((h >>> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var v = 0L
+    var j = 0
+    while (j < 64) {
+      if (2L * ones(j) > n) v |= 1L << j
+      j += 1
+    }
+    v
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "vec_simhash64"),
+    (children: Seq[Expression]) => SimHash64(children(0)))
+}
+
 object SimHash {
   def compute(toks: ArrayData, bits: Int): Long = {
     val n = toks.numElements()
@@ -976,6 +1046,7 @@ object GraftExtensions {
       Md5PrefixHash.descriptor,
       ShingleHashes.descriptor,
       SimHash.descriptor,
+      SimHash64.descriptor,
       PredictNonLinear.descriptor,
       WinnowFingerprint.descriptor,
       PqAdc.descriptor,

@@ -128,6 +128,40 @@ class DataSpec extends SparkSpec {
     }
   }
 
+  test("simhash64: fused expression == composable xxhash64 twin") {
+    val both = docs.select(Dedup.simhash64($"text").as("fused"),
+      Dedup.simhash64Composable($"text").as("comp")).collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // 64-bit hashes use the full width: at least one fixture doc should
+    // set a high bit (sign bit or above bit 28)
+    assert(both.exists(r => r.getLong(0) < 0 || r.getLong(0) >= (1L << 28)))
+  }
+
+  test("simhashNearDups bits=64 == brute-force Hamming ball (recall equivalence)") {
+    // same pigeonhole-exactness contract as the 28-bit test, on the
+    // xxhash64 scale spelling: the chunk join must find EXACTLY the
+    // brute-force Hamming ball — no recall loss from the wider hash
+    val corpus = (0L until 60L).map { i =>
+      val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      (i, (0 until 8).map(j => words(((i >> j) % (2 + j % 3)).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = corpus.select($"doc_id", Dedup.simhash64($"text"))
+      .as[(Long, Long)].collect().toMap
+    for (maxH <- Seq(0, 3, 6)) {
+      val got = Dedup.simhashNearDups(corpus, "doc_id", "text",
+          bits = 64, maxHamming = maxH)
+        .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+        .collect().toSet
+      val brute = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        d = java.lang.Long.bitCount(sh(a) ^ sh(b)) if d <= maxH
+      } yield (a, b, d)).toSet
+      assert(got === brute, s"bits=64 maxHamming=$maxH")
+    }
+    // the tiny-vocab fixture has identical-token docs -> hamming-0 pairs
+    assert(sh.values.toSeq.distinct.size < sh.size, "fixture too sparse")
+  }
+
   test("jaccard on shingle sets") {
     val t = docs.select($"doc_id", Dedup.shingleHashes($"text", 3).as("sh"))
     val j = t.as("a").crossJoin(t.as("b"))

@@ -38,6 +38,10 @@ class SqlSurfaceSpec extends SparkSpec {
     "vec_simhash" -> (
       "SELECT vec_simhash(array('a','b','c'), 24)",
       null),
+    // singleton token: every bit of the simhash is the bit of xxhash64('a')
+    "vec_simhash64" -> (
+      "SELECT vec_simhash64(array('a')) = xxhash64('a')",
+      "true"),
     // weights layout is [w0, 4 per raw factor]
     "predict_nonlinear" -> (
       "SELECT predict_nonlinear(array(1.0d, 2.0d, 3.0d, 4.0d, 5.0d), array(0.5d))",
@@ -71,7 +75,7 @@ class SqlSurfaceSpec extends SparkSpec {
     val registered = GraftExtensions.functionNames
     assert(registered.sorted === census.keys.toSeq.sorted,
       "census out of sync with GraftExtensions.descriptors")
-    assert(registered.size === 13)
+    assert(registered.size === 14)
     registered.foreach { name =>
       val (sql, expected) = census(name)
       val rows = spark.sql(sql).collect()
