@@ -12,14 +12,18 @@ import org.apache.spark.sql.functions._
  * the WORD-TYPE table (distinct pre-tokens with corpus frequencies), which
  * is orders of magnitude smaller than the corpus — ~1e6–1e8 types for a
  * web-scale corpus vs ~1e13 running tokens. One corpus-wide aggregation
- * builds the type table ([[wordTypes]]); each merge iteration is then ONE
- * hash aggregation over the cached type table (segment with the merges
- * learned so far, count adjacent symbol pairs weighted by type frequency,
- * take the argmax — [[pairCounts]] + a 1-row collect) with driver-bounded
- * state: the merge list itself, `nMerges` string pairs. No iteration ever
- * re-reads or re-shuffles the corpus, and the per-iteration aggregate
- * output is at most |alphabet ∪ merged symbols|² rows — the k-means /
- * PQ-codebook training shape ([[Similarity.trainIvfCentroids]]).
+ * builds the type table ([[wordTypes]]); training then runs the
+ * INCREMENTAL Sennrich loop on the collected type table ([[trainMerges]]):
+ * after each argmax only the types containing the merged pair are
+ * re-segmented and only their pair-count DELTAS applied — O(affected
+ * types) per merge, no Spark job in the loop, so a realistic 30k-merge
+ * vocabulary is minutes of driver time, not 30k scheduled jobs. The type
+ * table is vocab-scale (KBs–GBs, never corpus-scale), which is why
+ * collecting it is the honest 100 TB shape — the same boundary as
+ * collecting PQ codebooks or k-means cells; [[trainMergesDistributed]]
+ * keeps the all-Spark per-iteration aggregation (one hash agg per merge
+ * over the cached type table) for type tables beyond driver memory, and
+ * the two are spec-pinned to produce bit-identical merge ladders.
  *
  * Pre-tokenization is the shared [[TextFunctions.bpeTokens]] regex
  * (GPT-2-style split into letter runs / digit runs / single punctuation),
@@ -81,13 +85,137 @@ object Bpe {
       .groupBy(col("l"), col("r")).agg(sum(col("n")).as("cnt"))
   }
 
+  /** Strict UTF-8 binary order — how Spark's `orderBy` compares string
+   * columns (UTF8String is byte-compared), replicated on the driver so
+   * [[trainMerges]]' tie-breaks match [[trainMergesDistributed]]'
+   * `orderBy(cnt.desc, l, r)` exactly, astral-plane symbols included
+   * (Java String.compareTo would order surrogates differently). */
+  private def utf8Lt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
   /**
-   * Learn up to `nMerges` ranked merges from the corpus. Deterministic:
-   * ties on count break lexicographically on (l, r); stops early when no
-   * pair reaches `minCount` (merging a once-seen pair is vocabulary
-   * noise). Each iteration collects exactly ONE row.
+   * Learn up to `nMerges` ranked merges from the corpus — the
+   * INCREMENTAL Sennrich trainer. ONE corpus pass builds the word-type
+   * table ([[wordTypes]]); it is then collected (vocab-scale by
+   * construction — guarded by `maxTypes`) and the merge loop runs on
+   * the driver, maintaining pair counts by DELTA: each argmax
+   * re-segments only the types whose symbol stream contains the merged
+   * pair and adjusts only their adjacent-pair counts. Per-merge cost is
+   * O(types containing the pair), not O(all types), and no Spark job
+   * runs inside the loop — a 30k-merge production vocabulary is driver
+   * minutes. Semantics are identical to [[trainMergesDistributed]]
+   * (bit-identical ladders, spec-pinned): same leftmost-first merge
+   * application, same (cnt DESC, l, r) argmax with UTF-8 binary
+   * tie-break, same `minCount` early stop.
    */
   def trainMerges(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L, maxTypes: Long = 20000000L): Seq[(String, String)] = {
+    require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    // cache so the guard count and the collect share ONE corpus pass
+    val typesDf = wordTypes(docs, textCol).cache()
+    val collected = try {
+      val nTypes = typesDf.count()
+      require(nTypes <= maxTypes,
+        s"$nTypes word types exceed maxTypes = $maxTypes; raise the cap or " +
+          "use trainMergesDistributed (all-Spark per-iteration aggregation)")
+      // bounded collect: the word-TYPE table — vocab-scale, not corpus-scale
+      typesDf.collect()
+    } finally { typesDf.unpersist(); () }
+    val syms = new Array[Array[String]](collected.length)
+    val freq = new Array[Long](collected.length)
+    var i = 0
+    while (i < collected.length) {
+      syms(i) = collected(i).getString(0).codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      freq(i) = collected(i).getLong(1)
+      i += 1
+    }
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    // pair -> type indices that contained it when last touched (may go
+    // stale after later merges; re-checked against the live symbol
+    // stream before use — `counts` alone is authoritative)
+    val occurs = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
+    def addPairs(idx: Int, sign: Long): Unit = {
+      val s = syms(idx)
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val c = counts.getOrElse(p, 0L) + sign * freq(idx)
+        if (c == 0L) counts.remove(p) else counts.update(p, c)
+        if (sign > 0)
+          occurs.getOrElseUpdate(p,
+            scala.collection.mutable.ArrayBuffer.empty[Int]) += idx
+        j += 1
+      }
+    }
+    i = 0
+    while (i < syms.length) { addPairs(i, 1L); i += 1 }
+
+    // leftmost-first single-merge application — the same scan as
+    // segmentWord's per-merge step, so cumulative application over the
+    // ladder is exactly segmentWord(word, merges)
+    def applyMerge(s: Array[String], l: String, r: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var j = 0
+      while (j < s.length) {
+        if (j + 1 < s.length && s(j) == l && s(j + 1) == r) {
+          out += (l + r); j += 2
+        } else { out += s(j); j += 1 }
+      }
+      out.result()
+    }
+    def containsPair(s: Array[String], l: String, r: String): Boolean = {
+      var j = 0
+      while (j + 1 < s.length) {
+        if (s(j) == l && s(j + 1) == r) return true
+        j += 1
+      }
+      false
+    }
+
+    var merges = Vector.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      var bl: String = null
+      var br: String = null
+      var bc = 0L
+      counts.foreach { case ((l, r), c) =>
+        if (c >= minCount && (bl == null || c > bc || (c == bc &&
+            (utf8Lt(l, bl) || (l == bl && utf8Lt(r, br)))))) {
+          bl = l; br = r; bc = c
+        }
+      }
+      if (bl == null) exhausted = true
+      else {
+        merges = merges :+ ((bl, br))
+        occurs.remove((bl, br)).foreach(_.foreach { idx =>
+          if (containsPair(syms(idx), bl, br)) {
+            addPairs(idx, -1L)
+            syms(idx) = applyMerge(syms(idx), bl, br)
+            addPairs(idx, 1L)
+          }
+        })
+        // a merged pair's adjacency cannot reappear (later merges only
+        // create pairs involving their new concatenated symbol), so
+        // dropping its occurs entry is safe
+      }
+    }
+    merges
+  }
+
+  /**
+   * All-Spark trainer — ONE hash aggregation + 1-row argmax collect per
+   * merge over the cached type table, re-segmenting every type under the
+   * merges learned so far. O(nMerges² · types) total work and one Spark
+   * job per iteration, so it trails [[trainMerges]] badly at real vocab
+   * sizes — kept for type tables beyond driver memory and as the
+   * semantics reference the incremental trainer is spec-pinned against.
+   */
+  def trainMergesDistributed(
       docs: DataFrame, textCol: String, nMerges: Int,
       minCount: Long = 2L): Seq[(String, String)] = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")

@@ -80,6 +80,41 @@ class BpeSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("incremental trainer == distributed trainer, bit-identical ladder") {
+    // messier corpus than the Sennrich fixture: punctuation pre-tokens,
+    // digits, repeated bigram structure, count ties — 20 merges deep the
+    // delta-maintained pair counts must reproduce the full
+    // re-segmentation argmax exactly, tie-breaks included
+    val corpus = Seq(
+      "the cat sat on the mat, the cat ate; 2020 vision 2020!",
+      "lower lowest low low low slower slowest newest widest",
+      "ab ab ab abc abc bc bcd cd cde de a b c d e",
+      "résumé naïve café café résumé: naïve café 123 123 12").toDF("text")
+    val inc = Bpe.trainMerges(corpus, "text", nMerges = 20)
+    val dist = Bpe.trainMergesDistributed(corpus, "text", nMerges = 20)
+    assert(inc === dist)
+    assert(inc.size === 20, "fixture too small to reach 20 merges")
+    // minCount early stop agrees too
+    assert(Bpe.trainMerges(corpus, "text", 200, minCount = 4L) ===
+      Bpe.trainMergesDistributed(corpus, "text", 200, minCount = 4L))
+  }
+
+  test("incremental trainer: deep ladders stay cheap (no per-merge jobs)") {
+    // 200 merges on the mixed corpus: exhausts to the full reachable
+    // ladder at minCount=1 and matches the distributed reference on a
+    // prefix — and completes in driver time, not 200 Spark jobs
+    val corpus = Seq(
+      "interdependence independence interdependent independent",
+      "internationalization internalization internationalize",
+      "the quick brown fox jumps over the lazy dog again and again").toDF("text")
+    val deep = Bpe.trainMerges(corpus, "text", nMerges = 200, minCount = 1L)
+    assert(deep.nonEmpty)
+    assert(deep === deep.distinct, "a merge pair repeated in the ladder")
+    val prefix = Bpe.trainMergesDistributed(corpus, "text", nMerges = 12,
+      minCount = 1L)
+    assert(deep.take(12) === prefix)
+  }
+
   test("astral-plane characters stay one symbol (code points, not chars)") {
     assert(Bpe.segmentWord("a😀b", Nil) ===
       Seq("a", "😀", "b"))
