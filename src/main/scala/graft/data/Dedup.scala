@@ -479,6 +479,48 @@ object Dedup {
       path: String): DataFrame =
     spark.read.parquet(path)
 
+  /**
+   * Compact an append-mode signature store: `saveSignatureStore(append =
+   * true)` accretes one parquet file-set per admitted batch FOREVER — at
+   * crawl-ingest cadence (a batch an hour) the store becomes thousands
+   * of small files and every probe pays the listing + open cost. This
+   * rewrites the store into `numFiles` files (default: the session's
+   * parallelism) without changing a row, and returns the row count.
+   *
+   * The swap is staged (write `<path>.compacting`, rename the live store
+   * aside, rename the compacted set in, drop the old) because parquet
+   * cannot self-overwrite a path it is reading. NOT atomic — run it from
+   * the single ingest writer between admits (the same single-publisher
+   * contract as [[Versioned.publish]]); a crash mid-swap leaves either
+   * the untouched store plus a stale `.compacting` (harmless — retried
+   * compactions delete it) or the store under `<path>.precompact`
+   * (recover by renaming it back). Pipelines wanting crash-safe
+   * compaction should publish through [[saveSignatureStoreVersioned]] +
+   * [[Versioned.pruneVersions]] instead — each version is immutable and
+   * the pointer flip is the only mutation.
+   */
+  def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, numFiles: Int = 0): Long = {
+    import org.apache.hadoop.fs.Path
+    require(numFiles >= 0, s"numFiles must be >= 0, got $numFiles")
+    val n = if (numFiles > 0) numFiles else spark.sparkContext.defaultParallelism
+    val hfs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    val staged = new Path(path + ".compacting")
+    val old = new Path(path + ".precompact")
+    if (hfs.exists(staged)) hfs.delete(staged, true) // a crashed prior attempt
+    val df = spark.read.parquet(path).repartition(n)
+    df.write.mode("overwrite").parquet(staged.toString)
+    val rows = spark.read.parquet(staged.toString).count()
+    if (hfs.exists(old)) hfs.delete(old, true)
+    if (!hfs.rename(live, old) || !hfs.rename(staged, live))
+      throw new IllegalStateException(
+        s"compaction swap failed under $path — concurrent writer? " +
+          "compactSignatureStore requires the single ingest writer")
+    hfs.delete(old, true)
+    rows
+  }
+
   /** Publish the store as a new immutable `dir/v<N>` behind the `latest`
    * pointer ([[Versioned.publish]]) — the rebuild cadence of an ingest
    * pipeline without yanking parquet out from under in-flight admits.

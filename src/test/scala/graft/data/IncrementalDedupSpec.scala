@@ -102,6 +102,37 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(kept2 === Set(22L))
   }
 
+  test("compactSignatureStore: 10 appends collapse to few files, rows intact") {
+    val dir = java.nio.file.Files.createTempDirectory("sigcompact").toString + "/s"
+    Dedup.saveSignatureStore(store, dir)
+    (0 until 10).foreach { i =>
+      val b = Seq((100L + i, s"unique crawl batch number $i with some fresh words " +
+        s"about topic $i and nothing else shared")).toDF("doc_id", "text")
+      Dedup.saveSignatureStore(
+        Dedup.signatures(b, "doc_id", "text"), dir, append = true)
+    }
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = Dedup.loadSignatureStore(spark, dir)
+      .select(col("id"), col("fp")).as[(Long, Long)].collect().sorted.toSeq
+    assert(parquetFiles() > 10, "append mode should accrete file-sets")
+    val n = Dedup.compactSignatureStore(spark, dir)
+    assert(n === before.size)
+    assert(parquetFiles() <= spark.sparkContext.defaultParallelism)
+    val after = Dedup.loadSignatureStore(spark, dir)
+      .select(col("id"), col("fp")).as[(Long, Long)].collect().sorted.toSeq
+    assert(after === before)
+    // no staging debris
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("compact")), parent.mkString(","))
+    // the compacted store still admits correctly
+    val kept = Dedup.incrementalDedup(
+        Seq((200L, tA), (201L, "something of genuine novelty arrives")).toDF("doc_id", "text"),
+        "doc_id", "text", Dedup.loadSignatureStore(spark, dir))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept === Set(201L))
+  }
+
   test("short docs (no shingles) still dedup exactly, never via bands") {
     val s = Dedup.signatures(Seq((1L, "hi")).toDF("doc_id", "text"),
       "doc_id", "text")
