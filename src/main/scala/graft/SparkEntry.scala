@@ -793,6 +793,20 @@ object SparkEntry {
           (max(col("rank_micro")).cast("double") / lit(1e9)).as("authority"))
         .orderBy(col("doc_id"))
     }),
+    // DIRECTED-graph PageRank with dangling-mass redistribution: a
+    // deterministic synthetic web graph (doc_id % 37 -> doc_id % 50, so
+    // nodes 37..49 are sinks with no out-edges); each iteration folds
+    // the sink mass back uniformly — still exact integer micro-units,
+    // so the unrolled DuckDB recurrence matches bit-for-bit
+    "q92_pagerank_dangling" -> ((s, dir) => {
+      import graft.data.Graph
+      val e = t(s, dir, "documents")
+        .select((col("doc_id") % 37).as("src"), (col("doc_id") % 50).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Graph.pageRank(e, "src", "dst", iters = 3, redistributeDangling = true)
+        .select(col("node"), col("rank_micro").as("pr_micro"), col("rank").as("pr"))
+        .orderBy(col("node"))
+    }),
     // BPE trainer surface: first-iteration weighted symbol-pair counts
     // over the word-type table (the argmax of this table IS merge #1)
     "q86_bpe_pairs" -> ((s, dir) => {
@@ -2408,6 +2422,43 @@ object SparkEntry {
          |  CAST(max(r3.r) AS DOUBLE) / 1e9 AS authority
          |FROM h JOIN r3 ON h.host = r3.node
          |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+    "q92_pagerank_dangling" ->
+      s"""WITH e AS (SELECT DISTINCT doc_id % 37 AS src, doc_id % 50 AS dst
+         |  FROM documents WHERE doc_id % 37 <> doc_id % 50),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT node, 1000000000 // (SELECT n FROM nn) AS r FROM nodes),
+         |d1 AS (SELECT CAST(coalesce(sum(r0.r), 0) AS BIGINT) AS dm FROM r0
+         |  LEFT JOIN od ON r0.node = od.src WHERE od.src IS NULL),
+         |c1 AS (SELECT e.dst AS node, CAST(sum(r0.r // od.deg) AS BIGINT) AS c
+         |  FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
+         |  GROUP BY e.dst),
+         |r1 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
+         |    + (17 * (coalesce(c1.c, 0)
+         |      + (SELECT dm FROM d1) // (SELECT n FROM nn))) // 20 AS r
+         |  FROM nodes nd LEFT JOIN c1 ON nd.node = c1.node),
+         |d2 AS (SELECT CAST(coalesce(sum(r1.r), 0) AS BIGINT) AS dm FROM r1
+         |  LEFT JOIN od ON r1.node = od.src WHERE od.src IS NULL),
+         |c2 AS (SELECT e.dst AS node, CAST(sum(r1.r // od.deg) AS BIGINT) AS c
+         |  FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
+         |  GROUP BY e.dst),
+         |r2 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
+         |    + (17 * (coalesce(c2.c, 0)
+         |      + (SELECT dm FROM d2) // (SELECT n FROM nn))) // 20 AS r
+         |  FROM nodes nd LEFT JOIN c2 ON nd.node = c2.node),
+         |d3 AS (SELECT CAST(coalesce(sum(r2.r), 0) AS BIGINT) AS dm FROM r2
+         |  LEFT JOIN od ON r2.node = od.src WHERE od.src IS NULL),
+         |c3 AS (SELECT e.dst AS node, CAST(sum(r2.r // od.deg) AS BIGINT) AS c
+         |  FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
+         |  GROUP BY e.dst),
+         |r3 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
+         |    + (17 * (coalesce(c3.c, 0)
+         |      + (SELECT dm FROM d3) // (SELECT n FROM nn))) // 20 AS r
+         |  FROM nodes nd LEFT JOIN c3 ON nd.node = c3.node)
+         |SELECT node, CAST(r AS BIGINT) AS pr_micro,
+         |  CAST(r AS DOUBLE) / 1e9 AS pr
+         |FROM r3 ORDER BY node""".stripMargin,
     "q86_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
          |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS word FROM documents),

@@ -32,10 +32,20 @@ object Graph {
    * (micro-units of probability mass), rank = rank_micro / 1e9 as double
    * (exact: longs < 2^53 convert losslessly).
    *
-   * Simplified-PageRank contract: dangling nodes (no out-edges) leak
-   * their mass rather than teleporting it — standard for link-quality
-   * scoring, and moot on symmetric (co-occurrence) graphs where every
-   * node has out-degree ≥ 1. Self-loops should be excluded by the caller.
+   * Dangling-node contract: with `redistributeDangling = false` (the
+   * default) nodes with no out-edges LEAK their mass — fine for
+   * symmetric (co-occurrence) graphs where every node has out-degree
+   * ≥ 1, and a common simplification for link-quality scoring. For
+   * genuinely DIRECTED web graphs pass `redistributeDangling = true`:
+   * each iteration folds the dangling mass `D = Σ r(dangling)` back
+   * uniformly — `r' = base + (17 · (contrib + D div N)) div 20`, the
+   * classic teleporting-dangling correction — at the cost of ONE extra
+   * 1-row aggregate per iteration (an anti-join sum cross-joined back
+   * into the lazy plan; nothing is collected, the chain stays one job).
+   * Still exact integer micro-units: total mass is invariant up to
+   * deterministic floor truncation (< |E| + 3N micros per iteration),
+   * where the leaking default loses ~0.85·D per iteration instead.
+   * Self-loops should be excluded by the caller.
    *
    * For large `iters`, lineage is truncated every 10 iterations with
    * `localCheckpoint` (the rank table is |nodes| rows — small relative to
@@ -52,7 +62,7 @@ object Graph {
    */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().cache()
@@ -71,10 +81,33 @@ object Graph {
           .join(outDeg, Seq("src"))
           .select(col("dst").as("node"), expr("r div deg").as("t"))
           .groupBy(col("node")).agg(sum(col("t")).as("c"))
-        r = nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            (lit(base) + expr("(17 * coalesce(c, 0L)) div 20")).as("r"))
-        if (i % 10 == 0) r = r.localCheckpoint()
+        r =
+          if (!redistributeDangling)
+            nodes.join(contrib, Seq("node"), "left")
+              .select(col("node"),
+                (lit(base) + expr("(17 * coalesce(c, 0L)) div 20")).as("r"))
+          else {
+            // dangling mass this iteration: rank held by nodes absent
+            // from the out-degree table. A 1-row LAZY aggregate
+            // cross-joined back in (Catalyst broadcasts the single
+            // row) — a driver-side collect here would execute the
+            // whole lineage once per iteration
+            val dang = r
+              .join(outDeg.select(col("src").as("node")), Seq("node"), "left_anti")
+              .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+            nodes.join(contrib, Seq("node"), "left")
+              .crossJoin(dang)
+              .select(col("node"),
+                (lit(base) +
+                  expr(s"(17 * (coalesce(c, 0L) + dm div ${n}L)) div 20")).as("r"))
+          }
+        // the redistributing update reads r TWICE (contribution join +
+        // dangling aggregate): truncate lineage every iteration there,
+        // or each level would re-derive the previous rank table twice —
+        // a 2^iters blowup in both analysis and execution. The rank
+        // table is |nodes| rows, so the per-iteration materialization
+        // is the cheap side of that trade.
+        if (redistributeDangling || i % 10 == 0) r = r.localCheckpoint()
       }
       val out = r.select(col("node"), col("r").as("rank_micro"),
           (col("r").cast("double") / lit(1e9)).as("rank"))

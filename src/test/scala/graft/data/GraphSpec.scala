@@ -14,7 +14,8 @@ class GraphSpec extends SparkSpec {
 
   /** Straight-line scalar reference of the same integer recurrence. */
   private def refPageRank(
-      edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+      edges: Seq[(String, String)], iters: Int,
+      redistribute: Boolean = false): Map[String, Long] = {
     val e = edges.distinct
     val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
     val n = nodes.size.toLong
@@ -24,8 +25,11 @@ class GraphSpec extends SparkSpec {
       val contrib = e.groupBy(_._2).map { case (d, in) =>
         d -> in.map { case (s, _) => r(s) / deg(s) }.sum
       }
+      val dang =
+        if (redistribute) nodes.filterNot(deg.contains).map(r).sum / n else 0L
       r = nodes.map(nd =>
-        nd -> (150000000L / n + 17L * contrib.getOrElse(nd, 0L) / 20L)).toMap
+        nd -> (150000000L / n +
+          17L * (contrib.getOrElse(nd, 0L) + dang) / 20L)).toMap
     }
     r
   }
@@ -66,6 +70,52 @@ class GraphSpec extends SparkSpec {
     // (bounded by one micro per edge/node per iteration)
     assert(total <= 1000000000L)
     assert(total > 1000000000L - 1000L, s"floor loss too large: $total")
+  }
+
+  // directed graph with two dangling sinks: d and f have no out-edges
+  private val directedEdges = Seq(
+    ("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"),
+    ("c", "a"), ("c", "d"), ("e", "a"), ("e", "f"))
+
+  test("redistributeDangling matches the scalar reference exactly") {
+    val df = directedEdges.toDF("s", "d")
+    for (iters <- Seq(1, 3, 7)) {
+      val got = Graph.pageRank(df, "s", "d", iters, redistributeDangling = true)
+        .select(col("node"), col("rank_micro"))
+        .as[(String, Long)].collect().toMap
+      assert(got === refPageRank(directedEdges, iters, redistribute = true),
+        s"iters=$iters")
+    }
+  }
+
+  test("redistributeDangling conserves mass; the leaking default does not") {
+    val df = directedEdges.toDF("s", "d")
+    val n = 6L // a..f
+    val nE = directedEdges.size.toLong
+    val iters = 5
+    val kept = Graph.pageRank(df, "s", "d", iters, redistributeDangling = true)
+      .select(col("rank_micro")).as[Long].collect().sum
+    val leaked = Graph.pageRank(df, "s", "d", iters)
+      .select(col("rank_micro")).as[Long].collect().sum
+    // conservation up to deterministic floor truncation: each iteration
+    // floors away < |E| micros (per-edge contribution division) + 3N
+    // (base, damping, D div N), nothing else
+    assert(kept <= 1000000000L)
+    assert(kept > 1000000000L - (nE + 3 * n) * iters,
+      s"floor loss too large: $kept")
+    // the leaking default drops ~0.85 of the dangling mass per
+    // iteration — orders beyond floor noise on this graph
+    assert(leaked < kept - 50000000L,
+      s"leak should dwarf floor loss: leaked=$leaked kept=$kept")
+  }
+
+  test("redistributeDangling is a no-op on graphs with no dangling nodes") {
+    val df = toyEdges.toDF("s", "d") // symmetric: every node has out-edges
+    val a = Graph.pageRank(df, "s", "d", 3)
+      .select(col("node"), col("rank_micro")).as[(String, Long)].collect().toMap
+    val b = Graph.pageRank(df, "s", "d", 3, redistributeDangling = true)
+      .select(col("node"), col("rank_micro")).as[(String, Long)].collect().toMap
+    assert(a === b)
   }
 
   test("coOccurrenceEdges: distinct within-group pairs, both directions") {
