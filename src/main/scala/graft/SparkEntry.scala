@@ -373,6 +373,21 @@ object SparkEntry {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_new"), col("id_old"))
     }),
+    // the Hamming-tier store probe in isolation (incrementalDedup's
+    // optional second tier): batch vs accepted-corpus signatures via the
+    // pigeonhole chunk join, exact bit_count verify; the oracle
+    // brute-forces every cross pair, so parity proves the chunk join
+    // finds exactly the cross Hamming ball
+    "q93_hamming_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossHammingPairs(
+          Dedup.signatures(docs.filter(col("doc_id") % 7 === 3), "doc_id", "text"),
+          Dedup.signatures(docs.filter(col("doc_id") % 7 =!= 3), "doc_id", "text"),
+          maxHamming = 3, broadcastBatch = true)
+        .select(col("id_new"), col("id_old"), col("sh_n"), col("sh_o"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_new"), col("id_old"))
+    }),
     "q38_winnow" -> ((s, dir) => {
       // winnowing (rolling k-gram hash + window-min) fingerprints via the
       // fused one-pass native expression; first repartition spreads the
@@ -1919,6 +1934,17 @@ object SparkEntry {
          |FROM t a JOIN t c ON a.doc_id < c.doc_id
          |WHERE bit_count(xor(a.sh, c.sh)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    "q93_hamming_ingest" ->
+      s"""WITH t AS (SELECT doc_id, $simhashSql AS sh
+         |  FROM (SELECT doc_id, list_transform(list_distinct($tokSql),
+         |        tk -> ${h28Sql("tk")}) AS hs FROM documents)
+         |  WHERE len(hs) > 0)
+         |SELECT n.doc_id AS id_new, o.doc_id AS id_old,
+         |  n.sh AS sh_n, o.sh AS sh_o,
+         |  CAST(bit_count(xor(n.sh, o.sh)) AS BIGINT) AS hamming
+         |FROM t n JOIN t o ON n.doc_id % 7 = 3 AND o.doc_id % 7 <> 3
+         |  AND bit_count(xor(n.sh, o.sh)) <= 3
+         |ORDER BY id_new, id_old""".stripMargin,
     "q25_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT id_a, id_b, round(sim, 6) AS sim

@@ -220,12 +220,10 @@ object Dedup {
    * the near-miss tier can filter `hamming > 0` or dedup exact matches
    * first ([[simhashClusters]]).
    */
-  def simhashNearDups(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      bits: Int = 28,
-      maxHamming: Int = 3): DataFrame = {
+  /** Validate a (bits, maxHamming) pigeonhole configuration and return
+   * (nChunks, chunk width). Shared by [[simhashNearDups]] and
+   * [[crossHammingPairs]]. */
+  private def hammingChunks(bits: Int, maxHamming: Int): (Int, Int) = {
     require((bits > 0 && bits <= 28) || bits == 64,
       s"bits must be in (0, 28] (portable MD5 simhash) or 64 (xxhash64), got $bits")
     require(maxHamming >= 0 && maxHamming < bits,
@@ -237,36 +235,61 @@ object Dedup {
     require((nChunks - 1) * w < bits,
       s"maxHamming = $maxHamming needs more than $bits simhash bits " +
         s"(chunk ${nChunks - 1} would be empty); raise bits or lower maxHamming")
-    def chunk(sh: Column, i: Int): Column = {
-      val lo = i * w
-      val width = math.min(w, bits - lo)
-      // width = 64 only when maxHamming = 0 at full width (one chunk =
-      // the whole hash); a 64-bit mask literal would overflow, so skip it
-      if (width >= 64) sh
-      else shiftrightunsigned(sh, lo).bitwiseAND(lit((1L << width) - 1))
+    (nChunks, w)
+  }
+
+  /** Chunk `i` of a `bits`-wide simhash under `w`-bit pigeonholes. */
+  private def chunkOf(sh: Column, i: Int, w: Int, bits: Int): Column = {
+    val lo = i * w
+    val width = math.min(w, bits - lo)
+    // width = 64 only when maxHamming = 0 at full width (one chunk =
+    // the whole hash); a 64-bit mask literal would overflow, so skip it
+    if (width >= 64) sh
+    else shiftrightunsigned(sh, lo).bitwiseAND(lit((1L << width) - 1))
+  }
+
+  /** `(chunk_idx, chunk_value)` string keys for the pigeonhole join. */
+  private def chunkKeys(sh: Column, nChunks: Int, w: Int, bits: Int): Column =
+    array((0 until nChunks).map(i =>
+      concat_ws(":", lit(i), chunkOf(sh, i, w, bits))): _*)
+
+  /** Index of the FIRST chunk two simhashes agree on (−1 if none) —
+   * the per-pair dedup filter that replaces a distinct shuffle. */
+  private def firstAgreeingChunk(
+      a: Column, b: Column, nChunks: Int, w: Int, bits: Int): Column =
+    (0 until nChunks).foldRight(lit(-1)) { (i, rest) =>
+      when(chunkOf(a, i, w, bits) === chunkOf(b, i, w, bits), lit(i))
+        .otherwise(rest)
     }
-    val shExpr =
-      if (bits == 64) simhash64(col(textCol)) else simhash(col(textCol), bits)
+
+  /** The `bits`-wide simhash spelling: ≤ 28 = portable MD5 ([[simhash]],
+   * DuckDB-reproducible), 64 = xxhash64 ([[simhash64]], the scale path). */
+  private def simhashFor(text: Column, bits: Int): Column =
+    if (bits == 64) simhash64(text) else simhash(text, bits)
+
+  def simhashNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 28,
+      maxHamming: Int = 3): DataFrame = {
+    val (nChunks, w) = hammingChunks(bits, maxHamming)
     def sides(src: DataFrame, idAs: String, shAs: String, withIdx: Boolean) = {
       val base = repartitioned(src)
-        .select(col(idCol).as(idAs), shExpr.as(shAs))
-      val keys = array((0 until nChunks).map(i =>
-        concat_ws(":", lit(i), chunk(col(shAs), i))): _*)
+        .select(col(idCol).as(idAs), simhashFor(col(textCol), bits).as(shAs))
+      val keys = chunkKeys(col(shAs), nChunks, w, bits)
       if (withIdx) base.select(col(idAs), col(shAs),
         posexplode(keys).as(Seq("chunk_idx", "chunk")))
       else base.select(col(idAs), col(shAs), explode(keys).as("chunk"))
     }
     val a = sides(docs, "id_a", "sh_a", withIdx = true)
     val b = sides(docs, "id_b", "sh_b", withIdx = false)
-    // a pair within the ball agrees on >= 1 chunk; keep only the FIRST
-    // agreeing chunk per pair — O(nChunks) compares, no distinct shuffle
-    val firstAgreeingChunk = (0 until nChunks).foldRight(lit(-1)) { (i, rest) =>
-      when(chunk(col("sh_a"), i) === chunk(col("sh_b"), i), lit(i))
-        .otherwise(rest)
-    }
     a.hint("shuffle_hash").join(b, Seq("chunk"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("chunk_idx") === firstAgreeingChunk)
+      // a pair within the ball agrees on >= 1 chunk; keep only the FIRST
+      // agreeing chunk per pair — O(nChunks) compares, no distinct shuffle
+      .filter(col("chunk_idx") ===
+        firstAgreeingChunk(col("sh_a"), col("sh_b"), nChunks, w, bits))
       .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"), col("hamming"))
@@ -441,16 +464,20 @@ object Dedup {
 
   /**
    * Per-doc signature rows for a persisted dedup store: `(id, fp, sh,
-   * sig)` — normalized-content fingerprint ([[TextFunctions.fingerprint]]),
-   * sorted shingle-hash set, MinHash signature. The store is what makes
-   * dedup INCREMENTAL at corpus scale: ~hundreds of bytes per accepted
-   * document instead of the document itself, so admitting a new crawl
-   * batch never re-reads, re-tokenizes, or re-shuffles the accepted
-   * corpus — only its signature table.
+   * sig, simh)` — normalized-content fingerprint
+   * ([[TextFunctions.fingerprint]]), sorted shingle-hash set, MinHash
+   * signature, SimHash. The store is what makes dedup INCREMENTAL at
+   * corpus scale: ~hundreds of bytes per accepted document instead of
+   * the document itself, so admitting a new crawl batch never re-reads,
+   * re-tokenizes, or re-shuffles the accepted corpus — only its
+   * signature table.
    *
    * Docs with fewer than `shingleN` tokens get an empty `sh` and a null
    * `sig`: they still participate in exact-fingerprint dedup but are
    * invisible to the band join (no shingles to estimate Jaccard from).
+   * Docs with NO tokens get a null `simh` (a majority vote over nothing
+   * is not a fingerprint) and are likewise invisible to the Hamming
+   * tier ([[crossHammingPairs]]).
    *
    * The repartition barrier mirrors [[minhashNearDups]]: it materializes
    * `sh`/`sig` as exchanged attributes so downstream band-key references
@@ -458,11 +485,13 @@ object Dedup {
    * subexpression elimination).
    */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 16): DataFrame =
+      shingleN: Int = 3, k: Int = 16, simhashBits: Int = 28): DataFrame =
     docs
       .select(col(idCol).as("id"),
         TextFunctions.fingerprint(col(textCol)).as("fp"),
-        shingleHashes(col(textCol), shingleN).as("sh"))
+        shingleHashes(col(textCol), shingleN).as("sh"),
+        when(size(tokens(col(textCol))) > 0,
+          simhashFor(col(textCol), simhashBits)).as("simh"))
       .withColumn("sig",
         when(size(col("sh")) > 0, minhashSignature(col("sh"), k)))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
@@ -587,16 +616,67 @@ object Dedup {
   }
 
   /**
+   * SimHash Hamming-ball pairs between two signature tables (from
+   * [[signatures]]) — the SECOND tier of the continuous-ingest store
+   * probe, and (applied to one table twice, filtered to `id_new <
+   * id_old`) the within-batch finder. Catches what the MinHash-Jaccard
+   * tier ([[crossNearDups]]) structurally misses: shingle Jaccard is
+   * word-ORDER-sensitive, so a reshuffled or lightly reordered
+   * near-copy shares almost no 3-shingles while its token-set simhash
+   * is unchanged — a Hamming hit at distance 0.
+   *
+   * Plan shape mirrors [[simhashNearDups]]: pigeonhole chunk keys
+   * exploded from both `simh` columns, ONE equi-join on the chunk key,
+   * first-agreeing-chunk filter instead of a distinct, exact
+   * `bit_count(xor)` verify. The store side is never broadcast; with
+   * `broadcastBatch` the batch's (id, simh) pairs broadcast and the
+   * store is probed shuffle-free. `bits` must match the width the
+   * store's signatures were built with ([[signatures]]' `simhashBits`;
+   * 64 recommended at corpus scale, 28 for DuckDB-oracle parity).
+   *
+   * Output: `(id_new, id_old, sh_n, sh_o, hamming)` with
+   * `hamming ≤ maxHamming`; null-simh (token-free) docs never pair.
+   */
+  def crossHammingPairs(batchSigs: DataFrame, storeSigs: DataFrame,
+      bits: Int = 28, maxHamming: Int = 3,
+      broadcastBatch: Boolean = false): DataFrame = {
+    val (nChunks, w) = hammingChunks(bits, maxHamming)
+    val n = batchSigs.filter(col("simh").isNotNull)
+      .select(col("id").as("id_new"), col("simh").as("sh_n"),
+        posexplode(chunkKeys(col("simh"), nChunks, w, bits))
+          .as(Seq("chunk_idx", "chunk")))
+    val o = storeSigs.filter(col("simh").isNotNull)
+      .select(col("id").as("id_old"), col("simh").as("sh_o"),
+        explode(chunkKeys(col("simh"), nChunks, w, bits)).as("chunk"))
+    val joined =
+      if (broadcastBatch) o.join(broadcast(n), Seq("chunk"))
+      else n.hint("shuffle_hash").join(o, Seq("chunk"))
+    joined
+      .filter(col("id_new") =!= col("id_old"))
+      .filter(col("chunk_idx") ===
+        firstAgreeingChunk(col("sh_n"), col("sh_o"), nChunks, w, bits))
+      .withColumn("hamming", hamming(col("sh_n"), col("sh_o")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_new"), col("id_old"), col("sh_n"), col("sh_o"),
+        col("hamming"))
+  }
+
+  /**
    * Admit a new ingest batch against an accepted-corpus signature store —
    * continuous-crawl dedup that never touches accepted documents:
    *
    *  1. exact: batch docs whose fingerprint is already in the store are
    *     dropped; identical docs WITHIN the batch collapse to the min id;
    *  2. near-dup vs store: batch docs with Jaccard ≥ `threshold` against
-   *     any store signature are dropped ([[crossNearDups]]);
-   *  3. near-dup within batch: remaining docs cluster via the band join +
-   *     connected components; each cluster keeps its min id — the same
-   *     survivor rule as [[dedupCorpus]].
+   *     any store signature are dropped ([[crossNearDups]]); with
+   *     `maxHamming ≥ 0` a SECOND tier also drops batch docs within
+   *     SimHash Hamming distance `maxHamming` of any store signature
+   *     ([[crossHammingPairs]] — catches token-order rewrites whose
+   *     shingle Jaccard is near zero);
+   *  3. near-dup within batch: remaining docs cluster via the band join
+   *     (plus the Hamming pairs when enabled) + connected components;
+   *     each cluster keeps its min id — the same survivor rule as
+   *     [[dedupCorpus]].
    *
    * Returns the surviving rows of `newDocs` (original columns); append
    * `signatures(survivors)` to the store to complete the cycle. Accepted
@@ -611,7 +691,8 @@ object Dedup {
    */
   def incrementalDedup(newDocs: DataFrame, idCol: String, textCol: String,
       store: DataFrame, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, broadcastBatch: Boolean = false): DataFrame = {
+      threshold: Double = 0.5, broadcastBatch: Boolean = false,
+      maxHamming: Int = -1, simhashBits: Int = 28): DataFrame = {
     // cache AND eagerly materialize the batch signatures: five consumers
     // follow (exact groupBy, semi join, store probe, self pair join x2)
     // and each would otherwise re-tokenize and re-minhash the batch from
@@ -620,21 +701,37 @@ object Dedup {
     // executor loss recomputes instead of failing. The batch is the
     // small side by contract; the corpus-scale store is never
     // materialized here
-    val sigs = signatures(newDocs, idCol, textCol, shingleN, k).cache()
+    val sigs = signatures(newDocs, idCol, textCol, shingleN, k, simhashBits)
+      .cache()
     sigs.count()
     // 1. exact: min id per batch fingerprint, minus store fingerprints
     val keepExact = sigs.groupBy(col("fp")).agg(min(col("id")).as("id"))
       .join(store.select(col("fp")).distinct(), Seq("fp"), "left_anti")
       .select(col("id"))
     val s1 = sigs.join(keepExact, Seq("id"), "left_semi")
-    // 2. near-dup vs store
-    val hitStore = crossNearDups(s1, store, k, bands, threshold, broadcastBatch)
-      .select(col("id_new").as("id")).distinct()
+    // 2. near-dup vs store: Jaccard tier, plus the optional Hamming tier
+    // (both probes run against s1 and the hit ids union before the ONE
+    // corpus-side anti join)
+    val hitJaccard = crossNearDups(s1, store, k, bands, threshold, broadcastBatch)
+      .select(col("id_new").as("id"))
+    val hitStore = (
+      if (maxHamming >= 0)
+        hitJaccard.union(
+          crossHammingPairs(s1, store, simhashBits, maxHamming, broadcastBatch)
+            .select(col("id_new").as("id")))
+      else hitJaccard).distinct()
     val s2 = s1.join(hitStore, Seq("id"), "left_anti")
     // 3. within-batch near-dup clusters -> min-id survivors
-    val pairs = crossNearDups(s2, s2, k, bands, threshold)
+    val jaccardPairs = crossNearDups(s2, s2, k, bands, threshold)
       .filter(col("id_new") < col("id_old"))
       .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
+    val pairs =
+      if (maxHamming >= 0)
+        jaccardPairs.union(
+          crossHammingPairs(s2, s2, simhashBits, maxHamming)
+            .filter(col("id_new") < col("id_old"))
+            .select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+      else jaccardPairs
     val ids = deduplicate(s2.select(col("id")), "id", pairs)
       .withColumnRenamed("id", idCol)
     newDocs.join(ids, Seq(idCol), "left_semi")

@@ -102,6 +102,56 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(kept2 === Set(22L))
   }
 
+  test("Hamming tier blocks a token-order rewrite the Jaccard tier misses") {
+    // same 12 words, reshuffled: token SET identical -> simhash equal
+    // (hamming 0), but word-3-shingles almost disjoint -> jaccard ~0
+    val original = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val shuffled = "mu kappa iota eta zeta beta delta alpha theta gamma lambda epsilon"
+    val st = Dedup.signatures(Seq((1L, original)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val b = Seq((10L, shuffled), (11L, tC)).toDF("doc_id", "text")
+    // sanity: the Jaccard evidence really is below threshold
+    val jac = Dedup.crossNearDups(
+        Dedup.signatures(b, "doc_id", "text"), st, threshold = 0.0)
+      .filter(col("id_new") === 10L).select(col("jaccard")).as[Double].collect()
+    assert(jac.forall(_ < 0.5), s"fixture broken: jaccard ${jac.toSeq}")
+    // without the tier: admitted; with it: blocked at hamming 0
+    val without = Dedup.incrementalDedup(b, "doc_id", "text", st)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(without === Set(10L, 11L))
+    val withTier = Dedup.incrementalDedup(b, "doc_id", "text", st,
+        maxHamming = 3)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(withTier === Set(11L))
+    // the isolated probe reports the pair with its evidence
+    val pairs = Dedup.crossHammingPairs(
+        Dedup.signatures(b, "doc_id", "text"), st, maxHamming = 3)
+      .select(col("id_new"), col("id_old"), col("hamming"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs === Set((10L, 1L, 0)))
+  }
+
+  test("Hamming tier clusters within-batch reorderings to the min id") {
+    val original = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val shuffled = "mu kappa iota eta zeta beta delta alpha theta gamma lambda epsilon"
+    val emptyStore = Dedup.signatures(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    val b = Seq((20L, original), (21L, shuffled), (22L, tC)).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(b, "doc_id", "text", emptyStore,
+        maxHamming = 3)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept === Set(20L, 22L))
+    // broadcastBatch and shuffle paths agree on the cross probe
+    val st = Dedup.signatures(Seq((1L, original)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val bs = Dedup.signatures(b, "doc_id", "text")
+    val viaB = Dedup.crossHammingPairs(bs, st, maxHamming = 3, broadcastBatch = true)
+      .select(col("id_new"), col("id_old")).as[(Long, Long)].collect().toSet
+    val viaS = Dedup.crossHammingPairs(bs, st, maxHamming = 3)
+      .select(col("id_new"), col("id_old")).as[(Long, Long)].collect().toSet
+    assert(viaB === viaS && viaB.nonEmpty)
+  }
+
   test("compactSignatureStore: 10 appends collapse to few files, rows intact") {
     val dir = java.nio.file.Files.createTempDirectory("sigcompact").toString + "/s"
     Dedup.saveSignatureStore(store, dir)
