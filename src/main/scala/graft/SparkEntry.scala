@@ -771,6 +771,20 @@ object SparkEntry {
           "v", "label")
         .orderBy(col("pos"))
     }),
+    // held-out probe evaluation: ridge fit on the train split's
+    // integer-exact sufficient stats (d=2 so the 3x3 solve is Cramer's
+    // rule, FP-order-pinned in both engines -> bit-identical weights),
+    // test-split SSE in exact floor-micro longs
+    "q94_probe_eval" -> ((s, dir) => {
+      import graft.data.Probe
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 2).as("v"),
+          col("label"))
+      Probe.evalRidge2(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0), "v", "label")
+    }),
     // host-graph PageRank: co-occurrence edges from per-doc URL hosts,
     // 3 damped iterations in exact integer micro-units (order-independent
     // longs, so the unrolled DuckDB recurrence matches bit-for-bit)
@@ -2436,6 +2450,47 @@ object SparkEntry {
          |  FROM (SELECT z, i, unnest(range(1, len(z) + 1)) AS j FROM zi))
          |SELECT pos, CAST(sum(m) AS DOUBLE) / 1e6 AS s FROM pr
          |GROUP BY pos ORDER BY pos""".stripMargin,
+    "q94_probe_eval" ->
+      s"""WITH tr AS (SELECT [1.0] || CAST(embedding[1:2] AS DOUBLE[])
+         |    || [CAST(label AS DOUBLE)] AS z
+         |  FROM embeddings WHERE vec_id % 5 <> 0),
+         |zi AS (SELECT z, unnest(range(1, len(z) + 1)) AS i FROM tr),
+         |pr AS (SELECT (i - 1) * len(z) + (j - 1) AS pos,
+         |    CAST(round(z[i] * z[j] * 1e6) AS BIGINT) AS m
+         |  FROM (SELECT z, i, unnest(range(1, len(z) + 1)) AS j FROM zi)),
+         |cells AS (SELECT pos, CAST(sum(m) AS DOUBLE) / 1e6 AS s FROM pr
+         |  GROUP BY pos),
+         |gr AS (SELECT
+         |    max(CASE WHEN pos = 0 THEN s END) AS a,
+         |    max(CASE WHEN pos = 1 THEN s END) AS b,
+         |    max(CASE WHEN pos = 2 THEN s END) AS c,
+         |    max(CASE WHEN pos = 3 THEN s END) AS r0,
+         |    max(CASE WHEN pos = 4 THEN s END) AS d,
+         |    max(CASE WHEN pos = 5 THEN s END) AS e,
+         |    max(CASE WHEN pos = 6 THEN s END) AS f,
+         |    max(CASE WHEN pos = 7 THEN s END) AS r1,
+         |    max(CASE WHEN pos = 8 THEN s END) AS g,
+         |    max(CASE WHEN pos = 9 THEN s END) AS h,
+         |    max(CASE WHEN pos = 10 THEN s END) AS i,
+         |    max(CASE WHEN pos = 11 THEN s END) AS r2
+         |  FROM cells),
+         |dets AS (SELECT
+         |    a*(e*i - f*h) - b*(d*i - f*g) + c*(d*h - e*g) AS det,
+         |    r0*(e*i - f*h) - b*(r1*i - f*r2) + c*(r1*h - e*r2) AS det0,
+         |    a*(r1*i - f*r2) - r0*(d*i - f*g) + c*(d*r2 - r1*g) AS det1,
+         |    a*(e*r2 - r1*h) - b*(d*r2 - r1*g) + r0*(d*h - e*g) AS det2
+         |  FROM gr),
+         |wv AS (SELECT det0/det AS w0, det1/det AS w1, det2/det AS w2 FROM dets),
+         |te AS (SELECT CAST(embedding[1] AS DOUBLE) AS x1,
+         |    CAST(embedding[2] AS DOUBLE) AS x2, CAST(label AS DOUBLE) AS y
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |er AS (SELECT CAST(floor(
+         |    (y - (w0 + x1*w1 + x2*w2)) * (y - (w0 + x1*w1 + x2*w2)) * 1e6)
+         |    AS BIGINT) AS e2 FROM te, wv)
+         |SELECT CAST(count(*) AS BIGINT) AS n_test,
+         |  CAST(sum(e2) AS BIGINT) AS sse_micro,
+         |  sqrt(CAST(sum(e2) AS BIGINT) / 1e6 / count(*)) AS rmse
+         |FROM er""".stripMargin,
     "q85_pagerank" ->
       s"""WITH $hostPagerankSql
          |SELECT node AS host, CAST(r AS BIGINT) AS pr_micro,

@@ -144,6 +144,65 @@ object Probe {
       .toArray
   }
 
+  /**
+   * Closed-form ridge fit for d = 2 via Cramer's rule — the
+   * SQL-EXPRESSIBLE twin of [[fitRidge]]: the 3×3 normal-equation solve
+   * is three cofactor expansions whose floating-point operation ORDER
+   * is pinned (each `det` is literally
+   * `a·(e·i − f·h) − b·(d·i − f·g) + c·(d·h − e·g)`), so a SQL engine
+   * computing the same expansions from the same integer-exact
+   * [[suffStats]] cells reproduces the weights BIT-FOR-BIT (q94's
+   * oracle does). [[fitRidge]]'s LU pivoting is numerically fine but
+   * not order-reproducible across engines; for the d = 2 evaluation
+   * surface Cramer is exact enough and portable. Returns
+   * `[w₀, w₁, w₂]`.
+   */
+  def fitRidge2(df: DataFrame, vecCol: String, labelCol: String,
+      lambda: Double = 0.0): Array[Double] = {
+    require(lambda >= 0, s"lambda must be >= 0, got $lambda")
+    val cells = suffStats(df, vecCol, labelCol)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    require(cells.size == 16,
+      s"fitRidge2 needs 2-dim features (16 cells), got ${cells.size}")
+    def cl(i: Int, j: Int): Double = cells(i.toLong * 4 + j)
+    val (a, b, c) = (cl(0, 0), cl(0, 1), cl(0, 2))
+    val (d, e, f) = (cl(1, 0), cl(1, 1) + lambda, cl(1, 2))
+    val (g, h, i) = (cl(2, 0), cl(2, 1), cl(2, 2) + lambda)
+    val (r0, r1, r2) = (cl(0, 3), cl(1, 3), cl(2, 3))
+    val det = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    require(det != 0.0, "singular normal equations (collinear features)")
+    val det0 = r0 * (e * i - f * h) - b * (r1 * i - f * r2) + c * (r1 * h - e * r2)
+    val det1 = a * (r1 * i - f * r2) - r0 * (d * i - f * g) + c * (d * r2 - r1 * g)
+    val det2 = a * (e * r2 - r1 * h) - b * (d * r2 - r1 * g) + r0 * (d * h - e * g)
+    Array(det0 / det, det1 / det, det2 / det)
+  }
+
+  /**
+   * HELD-OUT evaluation of the d = 2 probe — the metric a real pipeline
+   * reports before trusting the filter: fit on `train`
+   * ([[fitRidge2]], reusing [[suffStats]]), score `test` with the
+   * learned weights, and return ONE row
+   * `(n_test, sse_micro, rmse)` where `sse_micro =
+   * Σ floor(err² · 1e6)` as an exact long (order-independent, so the
+   * aggregation is reproducible across engines and partitionings —
+   * `floor`, not `round`, because floor on a binary double has no tie
+   * semantics to disagree on) and `rmse = sqrt(sse_micro/1e6/n)`.
+   * Scoring arithmetic is order-pinned `y − (w₀ + x₁·w₁ + x₂·w₂)` to
+   * match the SQL oracle term for term. Map-only over the test split;
+   * training touches the corpus once ([[suffStats]]).
+   */
+  def evalRidge2(train: DataFrame, test: DataFrame, vecCol: String,
+      labelCol: String, lambda: Double = 0.0): DataFrame = {
+    val w = fitRidge2(train, vecCol, labelCol, lambda)
+    val v = col(vecCol).cast("array<double>")
+    val err = col(labelCol).cast("double") -
+      (lit(w(0)) + element_at(v, 1) * lit(w(1)) + element_at(v, 2) * lit(w(2)))
+    test.select(floor(err * err * lit(1e6)).as("e2"))
+      .agg(count(lit(1)).as("n_test"), sum(col("e2")).as("sse_micro"))
+      .select(col("n_test"), col("sse_micro"),
+        sqrt(col("sse_micro") / lit(1e6) / col("n_test")).as("rmse"))
+  }
+
   /** Map-only probe score `w₀ + ⟨w, v⟩` from broadcast literal weights
    * (native `vec_dot` — stays inside whole-stage codegen). */
   def score(vec: Column, weights: Array[Double]): Column =

@@ -63,6 +63,39 @@ class ProbeSpec extends SparkSpec {
     assert(tight > 0.0)
   }
 
+  test("fitRidge2 (Cramer) agrees with fitRidge (LU) on 2-dim features") {
+    val two = emb.select(slice(col("v"), 1, 2).as("v"),
+      (lit(1.5) + lit(2.0) * element_at(col("v"), 1)
+        - lit(0.75) * element_at(col("v"), 2)).as("y"))
+    val cramer = Probe.fitRidge2(two, "v", "y")
+    val lu = Probe.fitRidge(two, "v", "y")
+    assert(cramer.length === 3 && lu.length === 3)
+    cramer.zip(lu).foreach { case (cw, lw) =>
+      assert(math.abs(cw - lw) < 1e-9, s"cramer $cw vs lu $lw")
+    }
+    // planted recovery through the Cramer path too
+    assert(math.abs(cramer(0) - 1.5) < 1e-3)
+    assert(math.abs(cramer(1) - 2.0) < 1e-3)
+    assert(math.abs(cramer(2) + 0.75) < 1e-3)
+  }
+
+  test("evalRidge2: near-zero held-out RMSE on a noiseless planted label") {
+    val two = emb.select(col("vec_id"), slice(col("v"), 1, 2).as("v"),
+      (lit(0.5) - lit(1.25) * element_at(col("v"), 1)
+        + lit(3.0) * element_at(col("v"), 2)).as("y"))
+    val train = two.filter(col("vec_id") % 5 =!= 0)
+    val test_ = two.filter(col("vec_id") % 5 === 0)
+    val row = Probe.evalRidge2(train, test_, "v", "y").collect()(0)
+    val nTest = test_.count()
+    assert(row.getLong(0) === nTest)
+    assert(row.getDouble(2) < 1e-3, s"rmse ${row.getDouble(2)}")
+    assert(row.getLong(1) >= 0L)
+    // a deliberately WRONG split direction (fit on test, eval on train)
+    // still evaluates; rmse stays tiny because the relationship is exact
+    val swapped = Probe.evalRidge2(test_, train, "v", "y").collect()(0)
+    assert(swapped.getDouble(2) < 1e-3)
+  }
+
   test("qualityFilter keeps exactly the rows scoring >= the threshold") {
     val planted = emb.select(col("vec_id"), col("v"),
       element_at(col("v"), 1).as("y"))
