@@ -141,6 +141,14 @@ object StreamingMarket {
    * narrows the gap for EXACT duplicates only — fingerprint equality,
    * not shingle Jaccard.
    *
+   * With `pruneKeep = Some(k)` the poller also garbage-collects
+   * superseded store versions on every reload
+   * ([[graft.data.Versioned.pruneVersions]], retaining the published
+   * version plus `k` below it) — a long-running stream against an
+   * hourly publisher must not accrete versions forever. Pruning runs
+   * AFTER the switch, so this poller never deletes a version it still
+   * reads; size `k` for any OTHER readers' lag.
+   *
    * Returns the configured writer — call `.start()` (and set a trigger /
    * checkpoint as needed).
    */
@@ -153,7 +161,8 @@ object StreamingMarket {
       k: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
-      broadcastBatch: Boolean = true)(
+      broadcastBatch: Boolean = true,
+      pruneKeep: Option[Int] = None)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.data.Dedup
     // closure state on the driver: the currently-loaded store version
@@ -161,8 +170,15 @@ object StreamingMarket {
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.data.Versioned.latestVersion(spark, storeDir).foreach { v =>
-        if (!loaded.exists(_._1 == v))
+        if (!loaded.exists(_._1 == v)) {
           loaded = Some((v, Dedup.loadSignatureStore(spark, s"$storeDir/v$v")))
+          // GC superseded versions AFTER switching off them — foreachBatch
+          // bodies are sequential, so nothing here still reads them; a
+          // long-running stream against an hourly publisher must not
+          // accrete versions forever (keep covers OTHER readers' lag)
+          pruneKeep.foreach(keep =>
+            graft.data.Versioned.pruneVersions(spark, storeDir, keep))
+        }
       }
       val store = loaded.getOrElse(throw new IllegalStateException(
         s"no signature store published under $storeDir — " +
@@ -344,6 +360,9 @@ object StreamingMarket {
    * (joined per batch, never collected). `sink` receives each batch's
    * `(idCol, n_tokens, logscore)` frame.
    *
+   * `pruneKeep` garbage-collects superseded model versions on reload,
+   * as in [[dedupWithStoreRefresh]].
+   *
    * Returns the configured writer — call `.start()` (and set a trigger /
    * checkpoint as needed).
    */
@@ -351,7 +370,8 @@ object StreamingMarket {
       docs: DataFrame,
       modelDir: String,
       idCol: String,
-      textCol: String)(
+      textCol: String,
+      pruneKeep: Option[Int] = None)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.data.NgramLm
     // closure state on the driver: the currently-loaded model + version
@@ -359,8 +379,13 @@ object StreamingMarket {
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.data.Versioned.latestVersion(spark, modelDir).foreach { v =>
-        if (!loaded.exists(_._1 == v))
+        if (!loaded.exists(_._1 == v)) {
           loaded = Some((v, NgramLm.loadModel(spark, s"$modelDir/v$v")))
+          // GC superseded versions after switching off them (see
+          // dedupWithStoreRefresh)
+          pruneKeep.foreach(keep =>
+            graft.data.Versioned.pruneVersions(spark, modelDir, keep))
+        }
       }
       val model = loaded.getOrElse(throw new IllegalStateException(
         s"no model published under $modelDir — write one with NgramLm.saveModelVersioned"))._2
@@ -391,6 +416,9 @@ object StreamingMarket {
    * (KBs); index rows stay on disk, cell-pruned at the scan like any
    * loaded index.
    *
+   * `pruneKeep` garbage-collects superseded index versions on reload,
+   * as in [[dedupWithStoreRefresh]].
+   *
    * Returns the configured writer — call `.start()` (and set a trigger /
    * checkpoint as needed).
    */
@@ -400,7 +428,8 @@ object StreamingMarket {
       idCol: String,
       vecCol: String,
       k: Int,
-      nProbe: Int)(
+      nProbe: Int,
+      pruneKeep: Option[Int] = None)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.data.Pq
     // closure state on the driver: the currently-loaded index + its version
@@ -408,8 +437,13 @@ object StreamingMarket {
     queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       Pq.latestVersion(spark, indexDir).foreach { v =>
-        if (!loaded.exists(_._1 == v))
+        if (!loaded.exists(_._1 == v)) {
           loaded = Some((v, Pq.loadIndex(spark, s"$indexDir/v$v")))
+          // GC superseded versions after switching off them (see
+          // dedupWithStoreRefresh)
+          pruneKeep.foreach(keep =>
+            graft.data.Versioned.pruneVersions(spark, indexDir, keep))
+        }
       }
       val idx = loaded.getOrElse(throw new IllegalStateException(
         s"no index published under $indexDir — write one with Pq.saveIndexVersioned"))._2

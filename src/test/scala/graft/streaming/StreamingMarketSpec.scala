@@ -517,6 +517,53 @@ class StreamingMarketSpec extends SparkSpec {
     assert(v === 2L)
   }
 
+  test("dedupWithStoreRefresh pruneKeep: superseded versions GC'd, stream keeps answering") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.data.{Dedup, Versioned}
+    val tA = "the quick brown fox jumps over the lazy dog today"
+    val tB = "pack my box with five dozen fresh liquor jugs now"
+    val tC = "rivers carve deep winding canyons through ancient layered stone walls"
+    val tD = "bright satellites drift silently across cold clear autumn skies tonight"
+    def store(docs: Seq[(Long, String)]) =
+      Dedup.signatures(docs.toDF("doc_id", "text"), "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sig_prune").toString
+    assert(Dedup.saveSignatureStoreVersioned(store(Seq(1L -> tA)), dir) === 1L)
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = dedupWithStoreRefresh(input.toDF().toDF("doc_id", "text"), dir,
+        "doc_id", "text", pruneKeep = Some(0)) { (out, batchId) =>
+      results ++= out.select(col("doc_id")).collect()
+        .map(r => (batchId, r.getLong(0)))
+    }.start()
+
+    input.addData((11L, tA), (12L, tB))
+    q.processAllAvailable()
+    // the publisher advances TWO versions between batches: the poller
+    // must skip straight to v3 and GC both superseded versions
+    assert(Dedup.saveSignatureStoreVersioned(
+      store(Seq(1L -> tA, 2L -> tB)), dir) === 2L)
+    assert(Dedup.saveSignatureStoreVersioned(
+      store(Seq(1L -> tA, 2L -> tB, 3L -> tC)), dir) === 3L)
+    input.addData((21L, tB), (22L, tC), (23L, tD))
+    q.processAllAvailable()
+    q.stop()
+
+    val batch1 = results.collect { case (b, id) if b == 0L => id }.toSet
+    val batch2 = results.collect { case (b, id) if b == 1L => id }.toSet
+    assert(batch1 === Set(12L), results.toString)
+    assert(batch2 === Set(23L), results.toString)
+    // keep = 0: only the published version survives on disk
+    val onDisk = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v")).toSet
+    assert(onDisk === Set("v3"), onDisk.toString)
+    assert(Versioned.latestVersion(spark, dir) === Some(3L))
+    // and the store the stream ended on is the loadable latest
+    val (v, s) = Dedup.loadSignatureStoreVersioned(spark, dir)
+    assert(v === 3L && s.count() === 3L)
+  }
+
   test("chunked rolling stats == unpartitioned rolling stats") {
     import org.apache.spark.sql.functions._
     val days = (1 to 60).map(d => (Timestamp.valueOf(f"2024-${1 + (d - 1) / 28}%02d-${1 + (d - 1) % 28}%02d 00:00:00"),
