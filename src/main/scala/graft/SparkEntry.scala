@@ -373,6 +373,18 @@ object SparkEntry {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_new"), col("id_old"))
     }),
+    // the PRODUCTION-width Hamming ball: 64-bit xxhash64 simhash ->
+    // 16-bit pigeonhole chunks, candidate volume N^2/16384 (vs N^2/32 at
+    // 28 bits). xxhash64 is not DuckDB-reproducible, so this is
+    // golden-pinned (GoldenMcSpec) and its recall is spec-pinned equal
+    // to brute force (DataSpec); q91 keeps the portable-oracle spelling
+    "q91b_simhash_hamming64" -> ((s, dir) => {
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          bits = 64, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // the Hamming-tier store probe in isolation (incrementalDedup's
     // optional second tier): batch vs accepted-corpus signatures via the
     // pigeonhole chunk join, exact bit_count verify; the oracle
