@@ -355,7 +355,7 @@ object SparkEntry {
       // parquet store (loadSignatureStore) — columnar scans per consumer
       // beat materializing the corpus-scale table here (measured)
       val store = Dedup.signatures(docs.filter(col("doc_id") % 7 =!= 3),
-        "doc_id", "text")
+        "doc_id", "text", simhashBits = 0) // Jaccard-only admit: skip the simhash walk
       Dedup.incrementalDedup(docs.filter(col("doc_id") % 7 === 3),
           "doc_id", "text", store, threshold = 0.3)
         .select(col("doc_id")).orderBy(col("doc_id"))
@@ -365,8 +365,10 @@ object SparkEntry {
       // evidence; broadcastBatch — the store is the big side
       val docs = t(s, dir, "documents")
       Dedup.crossNearDups(
-          Dedup.signatures(docs.filter(col("doc_id") % 7 === 3), "doc_id", "text"),
-          Dedup.signatures(docs.filter(col("doc_id") % 7 =!= 3), "doc_id", "text"),
+          Dedup.signatures(docs.filter(col("doc_id") % 7 === 3), "doc_id", "text",
+            simhashBits = 0),
+          Dedup.signatures(docs.filter(col("doc_id") % 7 =!= 3), "doc_id", "text",
+            simhashBits = 0),
           threshold = 0.3, broadcastBatch = true)
         .select(col("id_new"), col("id_old"),
           round(col("est_jaccard"), 6).as("est_jaccard"),

@@ -477,7 +477,11 @@ object Dedup {
    * invisible to the band join (no shingles to estimate Jaccard from).
    * Docs with NO tokens get a null `simh` (a majority vote over nothing
    * is not a fingerprint) and are likewise invisible to the Hamming
-   * tier ([[crossHammingPairs]]).
+   * tier ([[crossHammingPairs]]). `simhashBits = 0` skips the simhash
+   * entirely (an all-null column, schema-stable for appends) — the
+   * extra text walk is ~30% of signature-build cost, so pipelines not
+   * running the Hamming tier shouldn't pay it; a store built without
+   * it simply yields no Hamming hits.
    *
    * The repartition barrier mirrors [[minhashNearDups]]: it materializes
    * `sh`/`sig` as exchanged attributes so downstream band-key references
@@ -490,8 +494,9 @@ object Dedup {
       .select(col(idCol).as("id"),
         TextFunctions.fingerprint(col(textCol)).as("fp"),
         shingleHashes(col(textCol), shingleN).as("sh"),
-        when(size(tokens(col(textCol))) > 0,
-          simhashFor(col(textCol), simhashBits)).as("simh"))
+        (if (simhashBits == 0) lit(null).cast("long")
+         else when(size(tokens(col(textCol))) > 0,
+           simhashFor(col(textCol), simhashBits))).as("simh"))
       .withColumn("sig",
         when(size(col("sh")) > 0, minhashSignature(col("sh"), k)))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
@@ -700,9 +705,10 @@ object Dedup {
     // concurrently (measured slower than no cache). Lineage is kept, so
     // executor loss recomputes instead of failing. The batch is the
     // small side by contract; the corpus-scale store is never
-    // materialized here
-    val sigs = signatures(newDocs, idCol, textCol, shingleN, k, simhashBits)
-      .cache()
+    // materialized here. With the Hamming tier off, skip the batch-side
+    // simhash walk too (simhashBits = 0)
+    val sigs = signatures(newDocs, idCol, textCol, shingleN, k,
+      if (maxHamming >= 0) simhashBits else 0).cache()
     sigs.count()
     // 1. exact: min id per batch fingerprint, minus store fingerprints
     val keepExact = sigs.groupBy(col("fp")).agg(min(col("id")).as("id"))

@@ -102,6 +102,26 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(kept2 === Set(22L))
   }
 
+  test("simhashBits = 0 skips the simhash; schema stays append-stable") {
+    val s0 = Dedup.signatures(oldDocs, "doc_id", "text", simhashBits = 0)
+    assert(s0.schema("simh").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(s0.filter(col("simh").isNotNull).count() === 0L)
+    // a simh-bearing batch appends cleanly onto a simh-free store
+    val dir = java.nio.file.Files.createTempDirectory("sigmixed").toString + "/s"
+    Dedup.saveSignatureStore(s0, dir)
+    Dedup.saveSignatureStore(
+      Dedup.signatures(batch, "doc_id", "text"), dir, append = true)
+    val loaded = Dedup.loadSignatureStore(spark, dir)
+    assert(loaded.count() === oldDocs.count() + batch.count())
+    // the Hamming probe sees only simh-bearing store rows — no error,
+    // and the simh-free half yields no hits by contract
+    val hits = Dedup.crossHammingPairs(
+        Dedup.signatures(batch, "doc_id", "text"), loaded, maxHamming = 3)
+      .select(col("id_old")).as[Long].collect()
+    assert(hits.forall(id => id >= 11L), hits.toSeq.toString)
+  }
+
   test("Hamming tier blocks a token-order rewrite the Jaccard tier misses") {
     // same 12 words, reshuffled: token SET identical -> simhash equal
     // (hamming 0), but word-3-shingles almost disjoint -> jaccard ~0
