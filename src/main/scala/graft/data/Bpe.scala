@@ -235,6 +235,50 @@ object Bpe {
     } finally { types.unpersist(); () }
   }
 
+  /**
+   * Rank-lookup segmentation — [[segmentWord]]'s scale twin for ENCODE:
+   * instead of walking the full merge list per word (O(nMerges · len),
+   * ruinous at a production 30k-merge vocabulary), repeatedly merge the
+   * lowest-RANK adjacent pair present (hash lookup per pair,
+   * O(len²·lookup) per word, independent of vocab size — the shape real
+   * BPE tokenizers use). Provably identical output: a trained merge
+   * consuming a symbol always out-ranks the merge that created it (the
+   * symbol must exist before the pair can be counted), so pairs created
+   * by applying merge k can only have rank > k — the min-rank-present
+   * order therefore coincides with full rank-order application, and
+   * within one pair both spellings merge leftmost-first.
+   * `BpeSpec` pins the equivalence on every fixture.
+   */
+  private[data] def segmentWordRanked(
+      word: String, rank: collection.Map[(String, String), Int]): Seq[String] = {
+    var syms: Array[String] = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+    var done = rank.isEmpty
+    while (!done && syms.length >= 2) {
+      // lowest-rank adjacent pair present in the current symbol stream
+      var best = Int.MaxValue
+      var j = 0
+      while (j + 1 < syms.length) {
+        rank.get((syms(j), syms(j + 1))).foreach(r => if (r < best) best = r)
+        j += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // merge ALL its occurrences leftmost-first (segmentWord's scan)
+        val out = Array.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && rank.get((syms(i), syms(i + 1)))
+              .contains(best)) {
+            out += (syms(i) + syms(i + 1)); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms.toSeq
+  }
+
   /** The ranked merge table as a DataFrame — the persistence / query
    * surface: (rank, l, r), rank 0 = first (highest-priority) merge. */
   def mergesDf(
@@ -246,13 +290,17 @@ object Bpe {
   }
 
   /** Map-only corpus encode: pre-tokenize, segment each pre-token under
-   * the ranked merges, flatten — adds `outCol` (array<string> subword
-   * tokens). The merge list rides the closure (vocab-sized, KBs). */
+   * the ranked merges ([[segmentWordRanked]] — per-word cost independent
+   * of vocab size), flatten — adds `outCol` (array<string> subword
+   * tokens). The rank map rides the closure (vocab-sized, KBs). */
   def encode(
       docs: DataFrame, textCol: String, merges: Seq[(String, String)],
       outCol: String = "bpe_tokens"): DataFrame = {
+    // reverse so a (never-trained, but possible hand-built) duplicate
+    // pair keeps its FIRST rank — the one segmentWord would apply at
+    val rank: Map[(String, String), Int] = merges.zipWithIndex.reverse.toMap
     val segAll = udf((ws: Seq[String]) =>
-      ws.flatMap(w => segmentWord(w, merges)))
+      ws.flatMap(w => segmentWordRanked(w, rank)))
     docs.withColumn(outCol, segAll(TextFunctions.bpeTokens(col(textCol))))
   }
 

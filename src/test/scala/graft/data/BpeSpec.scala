@@ -120,4 +120,35 @@ class BpeSpec extends SparkSpec {
       Seq("a", "😀", "b"))
     assert(Bpe.segmentWord("😀", Nil).length === 1)
   }
+
+  test("rank-lookup segmentation == rank-order segmentation, every fixture") {
+    // the encode-path scale spelling must be extensionally identical to
+    // the reference full-list walk — chained merges included (the
+    // es -> est -> lo -> low ladder exercises pairs created mid-stream)
+    val corpus = Seq(
+      "the cat sat on the mat, the cat ate; 2020 vision 2020!",
+      "lower lowest low low low slower slowest newest widest",
+      "ab ab ab abc abc bc bcd cd cde de a b c d e",
+      "résumé naïve café café résumé: naïve café 123 123 12").toDF("text")
+    val merges = Bpe.trainMerges(corpus, "text", nMerges = 20)
+    val rank = merges.zipWithIndex.reverse.toMap
+    val words = Bpe.wordTypes(corpus, "text").select(col("word"))
+      .as[String].collect() ++
+      Seq("lowest", "newest", "a😀b", "unseen", "xyzzy", "", "q")
+    words.foreach { w =>
+      assert(Bpe.segmentWordRanked(w, rank) === Bpe.segmentWord(w, merges),
+        s"word '$w'")
+    }
+    // and at the encode surface, token streams match exactly
+    val docs = Seq("The widest rivers flow slowest, 42 km!",
+      "lowest newest estates 2020").toDF("text")
+    val viaRank = Bpe.encode(docs, "text", merges)
+      .select(col("bpe_tokens")).as[Seq[String]].collect().toSeq
+    val segFull = udf((ws: Seq[String]) =>
+      ws.flatMap(w => Bpe.segmentWord(w, merges)))
+    val viaFull = docs.withColumn("bpe_tokens",
+        segFull(TextFunctions.bpeTokens(col("text"))))
+      .select(col("bpe_tokens")).as[Seq[String]].collect().toSeq
+    assert(viaRank === viaFull)
+  }
 }
