@@ -432,7 +432,11 @@ object Dedup {
   /**
    * One-call corpus shrink: exact-duplicate removal (normalized
    * fingerprint, keeps min id per fingerprint) followed by MinHash-LSH
-   * near-dup clustering and survivor selection.
+   * near-dup clustering and survivor selection. With `maxHamming ≥ 0`
+   * the SimHash Hamming-ball pairs ([[simhashNearDups]], `simhashBits`
+   * wide — 64 recommended at corpus scale) union into the clustering,
+   * catching token-order rewrites whose shingle Jaccard is near zero —
+   * the same two-tier contract as [[incrementalDedup]].
    *
    * The exact stage FIRST is load-bearing at scale: identical documents
    * all land in the same LSH bands, so ten thousand copies of one page
@@ -447,7 +451,9 @@ object Dedup {
       shingleN: Int = 3,
       k: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxHamming: Int = -1,
+      simhashBits: Int = 28): DataFrame = {
     val fp = TextFunctions.fingerprint(col(textCol))
     val keepExact = docs
       .withColumn("__fp", fp)
@@ -455,8 +461,15 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .drop("__fp")
     val exact = docs.join(keepExact, Seq(idCol), "left_semi")
-    val pairs = minhashNearDups(exact, idCol, textCol, shingleN, k, bands, threshold)
+    val jaccardPairs = minhashNearDups(exact, idCol, textCol, shingleN, k,
+        bands, threshold)
       .select(col("id_a"), col("id_b"))
+    val pairs =
+      if (maxHamming >= 0)
+        jaccardPairs.union(
+          simhashNearDups(exact, idCol, textCol, simhashBits, maxHamming)
+            .select(col("id_a"), col("id_b")))
+      else jaccardPairs
     deduplicate(exact, idCol, pairs)
   }
 

@@ -141,6 +141,11 @@ object StreamingMarket {
    * narrows the gap for EXACT duplicates only — fingerprint equality,
    * not shingle Jaccard.
    *
+   * `maxHamming`/`simhashBits` pass through to
+   * [[graft.data.Dedup.incrementalDedup]]'s optional SimHash Hamming
+   * tier (the published store must carry `simh` at the same width —
+   * [[graft.data.Dedup.signatures]]' `simhashBits`).
+   *
    * With `pruneKeep = Some(k)` the poller also garbage-collects
    * superseded store versions on every reload
    * ([[graft.data.Versioned.pruneVersions]], retaining the published
@@ -162,7 +167,9 @@ object StreamingMarket {
       bands: Int = 4,
       threshold: Double = 0.5,
       broadcastBatch: Boolean = true,
-      pruneKeep: Option[Int] = None)(
+      pruneKeep: Option[Int] = None,
+      maxHamming: Int = -1,
+      simhashBits: Int = 28)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.data.Dedup
     // closure state on the driver: the currently-loaded store version
@@ -184,7 +191,8 @@ object StreamingMarket {
         s"no signature store published under $storeDir — " +
           "publish one with Dedup.saveSignatureStoreVersioned"))._2
       sink(Dedup.incrementalDedup(batch, idCol, textCol, store,
-        shingleN, k, bands, threshold, broadcastBatch), batchId)
+        shingleN, k, bands, threshold, broadcastBatch, maxHamming,
+        simhashBits), batchId)
     }
   }
 

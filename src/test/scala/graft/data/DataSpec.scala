@@ -338,6 +338,25 @@ class DataSpec extends SparkSpec {
       Seq("doc_id", "text"))
   }
 
+  test("dedupCorpus Hamming tier drops a token-order rewrite (64-bit width)") {
+    val original = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val shuffled = "mu kappa iota eta zeta beta delta alpha theta gamma lambda epsilon"
+    val corpus = Seq(
+      (1L, original),
+      (2L, shuffled), // token set identical, shingles ~disjoint
+      (3L, "a completely unrelated sentence about columnar query engines")
+    ).toDF("doc_id", "text")
+    // Jaccard-only: the reshuffle survives (shingle similarity ~0)
+    val without = Dedup.dedupCorpus(corpus, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(without === Seq(1L, 2L, 3L))
+    // two-tier at the production 64-bit width: clustered, min id kept
+    val withTier = Dedup.dedupCorpus(corpus, "doc_id", "text",
+        maxHamming = 3, simhashBits = 64)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(withTier === Seq(1L, 3L))
+  }
+
   test("native winnow_fingerprint is bit-identical to the composable spelling") {
     import graft.data.{TextFunctions => T}
     val rng = new scala.util.Random(3)

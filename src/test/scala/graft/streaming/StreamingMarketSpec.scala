@@ -532,13 +532,17 @@ class StreamingMarketSpec extends SparkSpec {
 
     val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val input = MemoryStream[(Long, String)]
+    // maxHamming exercises the tier passthrough: a token-order rewrite
+    // of a STORED doc must be blocked even though its shingle Jaccard
+    // is ~0 (word order destroyed, token set identical)
+    val tAshuffled = "today dog lazy the over jumps fox brown quick the"
     val q = dedupWithStoreRefresh(input.toDF().toDF("doc_id", "text"), dir,
-        "doc_id", "text", pruneKeep = Some(0)) { (out, batchId) =>
+        "doc_id", "text", pruneKeep = Some(0), maxHamming = 3) { (out, batchId) =>
       results ++= out.select(col("doc_id")).collect()
         .map(r => (batchId, r.getLong(0)))
     }.start()
 
-    input.addData((11L, tA), (12L, tB))
+    input.addData((11L, tA), (12L, tB), (13L, tAshuffled))
     q.processAllAvailable()
     // the publisher advances TWO versions between batches: the poller
     // must skip straight to v3 and GC both superseded versions
