@@ -253,4 +253,34 @@ class PlanSpec extends SparkSpec {
       assert(bcast.contains("BroadcastHashJoin"), bcast.take(2000))
     }
   }
+
+  test("crossHammingPairs mirrors the tier contract: store never broadcast") {
+    val docs = (0 until 40).map(i => (i.toLong, s"ingest document body number ${i % 7} with overlapping phrasing"))
+      .toDF("doc_id", "text")
+    val batchSigs = Dedup.signatures(docs.filter($"doc_id" < 8), "doc_id", "text")
+    val storeSigs = Dedup.signatures(docs.filter($"doc_id" >= 8), "doc_id", "text")
+    withNoAutoBroadcast {
+      val shuffled = plan(Dedup.crossHammingPairs(batchSigs, storeSigs))
+      assert(!shuffled.contains("BroadcastExchange"), shuffled.take(2000))
+      assert(shuffled.contains("ShuffledHashJoin") || shuffled.contains("SortMergeJoin"),
+        shuffled.take(2000))
+      val bcast = plan(Dedup.crossHammingPairs(batchSigs, storeSigs,
+        broadcastBatch = true))
+      assert("BroadcastExchange".r.findAllIn(bcast).size === 1, bcast.take(2000))
+      assert(bcast.contains("BroadcastHashJoin"), bcast.take(2000))
+    }
+  }
+
+  test("simhashNearDups at 64 bits keeps the keyed shuffle join, no broadcast") {
+    val docs = (0 until 50).map(i => (i.toLong, s"some document text number ${i % 9} with shared words"))
+      .toDF("doc_id", "text")
+    withNoAutoBroadcast {
+      val p = plan(Dedup.simhashNearDups(docs, "doc_id", "text",
+        bits = 64, maxHamming = 3))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        p.take(2000))
+      assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+        p.take(2000))
+    }
+  }
 }
