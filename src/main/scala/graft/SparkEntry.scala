@@ -799,6 +799,19 @@ object SparkEntry {
         e.filter(col("vec_id") % 5 =!= 0),
         e.filter(col("vec_id") % 5 === 0), "v", "label")
     }),
+    // the probe as a binary ranker: exact Mann-Whitney AUC on the test
+    // split (positive = label >= 5), ranks tie-broken by vec_id so the
+    // rank assignment is bit-reproducible cross-engine
+    "q94b_probe_auc" -> ((s, dir) => {
+      import graft.data.Probe
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 2).as("v"),
+          col("label"))
+      Probe.rocAuc2(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0), "vec_id", "v", "label", posAt = 5.0)
+    }),
     // host-graph PageRank: co-occurrence edges from per-doc URL hosts,
     // 3 damped iterations in exact integer micro-units (order-independent
     // longs, so the unrolled DuckDB recurrence matches bit-for-bit)
@@ -1527,6 +1540,44 @@ object SparkEntry {
       |r3 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
       |    + (17 * coalesce(c3.c, 0)) // 20 AS r
       |  FROM nodes nd LEFT JOIN c3 ON nd.node = c3.node)""".stripMargin
+
+  /** Shared q94/q94b oracle prelude: d = 2 ridge weights from the
+   * train split's micro-exact sufficient statistics, solved by the SAME
+   * Cramer expansions (same FP operation order) as Probe.fitRidge2 —
+   * table `wv` = 1 row (w0, w1, w2), bit-identical to the Spark side. */
+  private val probeWeights2Sql =
+    // NB interpolated into outer stripMargin'd strings — no line here may
+    // start with '|' after this stripMargin, or it gets stripped twice
+    """tr AS (SELECT [1.0] || CAST(embedding[1:2] AS DOUBLE[]) ||
+      |    [CAST(label AS DOUBLE)] AS z
+      |  FROM embeddings WHERE vec_id % 5 <> 0),
+      |zi AS (SELECT z, unnest(range(1, len(z) + 1)) AS i FROM tr),
+      |pr2 AS (SELECT (i - 1) * len(z) + (j - 1) AS pos,
+      |    CAST(round(z[i] * z[j] * 1e6) AS BIGINT) AS m
+      |  FROM (SELECT z, i, unnest(range(1, len(z) + 1)) AS j FROM zi)),
+      |cells AS (SELECT pos, CAST(sum(m) AS DOUBLE) / 1e6 AS s FROM pr2
+      |  GROUP BY pos),
+      |gr AS (SELECT
+      |    max(CASE WHEN pos = 0 THEN s END) AS a,
+      |    max(CASE WHEN pos = 1 THEN s END) AS b,
+      |    max(CASE WHEN pos = 2 THEN s END) AS c,
+      |    max(CASE WHEN pos = 3 THEN s END) AS r0,
+      |    max(CASE WHEN pos = 4 THEN s END) AS d,
+      |    max(CASE WHEN pos = 5 THEN s END) AS e,
+      |    max(CASE WHEN pos = 6 THEN s END) AS f,
+      |    max(CASE WHEN pos = 7 THEN s END) AS r1,
+      |    max(CASE WHEN pos = 8 THEN s END) AS g,
+      |    max(CASE WHEN pos = 9 THEN s END) AS h,
+      |    max(CASE WHEN pos = 10 THEN s END) AS i,
+      |    max(CASE WHEN pos = 11 THEN s END) AS r2
+      |  FROM cells),
+      |dets AS (SELECT
+      |    a*(e*i - f*h) - b*(d*i - f*g) + c*(d*h - e*g) AS det,
+      |    r0*(e*i - f*h) - b*(r1*i - f*r2) + c*(r1*h - e*r2) AS det0,
+      |    a*(r1*i - f*r2) - r0*(d*i - f*g) + c*(d*r2 - r1*g) AS det1,
+      |    a*(e*r2 - r1*h) - b*(d*r2 - r1*g) + r0*(d*h - e*g) AS det2
+      |  FROM gr),
+      |wv AS (SELECT det0/det AS w0, det1/det AS w1, det2/det AS w2 FROM dets)""".stripMargin
 
   /** Hyperplane literals identical to Similarity.planes(8, 64). */
   private val planesSql = Similarity.planes(8, 64).zipWithIndex.map { case (p, i) =>
@@ -2465,36 +2516,7 @@ object SparkEntry {
          |SELECT pos, CAST(sum(m) AS DOUBLE) / 1e6 AS s FROM pr
          |GROUP BY pos ORDER BY pos""".stripMargin,
     "q94_probe_eval" ->
-      s"""WITH tr AS (SELECT [1.0] || CAST(embedding[1:2] AS DOUBLE[])
-         |    || [CAST(label AS DOUBLE)] AS z
-         |  FROM embeddings WHERE vec_id % 5 <> 0),
-         |zi AS (SELECT z, unnest(range(1, len(z) + 1)) AS i FROM tr),
-         |pr AS (SELECT (i - 1) * len(z) + (j - 1) AS pos,
-         |    CAST(round(z[i] * z[j] * 1e6) AS BIGINT) AS m
-         |  FROM (SELECT z, i, unnest(range(1, len(z) + 1)) AS j FROM zi)),
-         |cells AS (SELECT pos, CAST(sum(m) AS DOUBLE) / 1e6 AS s FROM pr
-         |  GROUP BY pos),
-         |gr AS (SELECT
-         |    max(CASE WHEN pos = 0 THEN s END) AS a,
-         |    max(CASE WHEN pos = 1 THEN s END) AS b,
-         |    max(CASE WHEN pos = 2 THEN s END) AS c,
-         |    max(CASE WHEN pos = 3 THEN s END) AS r0,
-         |    max(CASE WHEN pos = 4 THEN s END) AS d,
-         |    max(CASE WHEN pos = 5 THEN s END) AS e,
-         |    max(CASE WHEN pos = 6 THEN s END) AS f,
-         |    max(CASE WHEN pos = 7 THEN s END) AS r1,
-         |    max(CASE WHEN pos = 8 THEN s END) AS g,
-         |    max(CASE WHEN pos = 9 THEN s END) AS h,
-         |    max(CASE WHEN pos = 10 THEN s END) AS i,
-         |    max(CASE WHEN pos = 11 THEN s END) AS r2
-         |  FROM cells),
-         |dets AS (SELECT
-         |    a*(e*i - f*h) - b*(d*i - f*g) + c*(d*h - e*g) AS det,
-         |    r0*(e*i - f*h) - b*(r1*i - f*r2) + c*(r1*h - e*r2) AS det0,
-         |    a*(r1*i - f*r2) - r0*(d*i - f*g) + c*(d*r2 - r1*g) AS det1,
-         |    a*(e*r2 - r1*h) - b*(d*r2 - r1*g) + r0*(d*h - e*g) AS det2
-         |  FROM gr),
-         |wv AS (SELECT det0/det AS w0, det1/det AS w1, det2/det AS w2 FROM dets),
+      s"""WITH $probeWeights2Sql,
          |te AS (SELECT CAST(embedding[1] AS DOUBLE) AS x1,
          |    CAST(embedding[2] AS DOUBLE) AS x2, CAST(label AS DOUBLE) AS y
          |  FROM embeddings WHERE vec_id % 5 = 0),
@@ -2505,6 +2527,24 @@ object SparkEntry {
          |  CAST(sum(e2) AS BIGINT) AS sse_micro,
          |  sqrt(CAST(sum(e2) AS BIGINT) / 1e6 / count(*)) AS rmse
          |FROM er""".stripMargin,
+    "q94b_probe_auc" ->
+      s"""WITH $probeWeights2Sql,
+         |te AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x1,
+         |    CAST(embedding[2] AS DOUBLE) AS x2, CAST(label AS DOUBLE) AS y
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |sc AS (SELECT vec_id, w0 + x1*w1 + x2*w2 AS s,
+         |    (y >= 5.0) AS pos FROM te, wv),
+         |rk AS (SELECT pos, row_number() OVER (ORDER BY s, vec_id) AS r
+         |  FROM sc),
+         |ag AS (SELECT
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+         |    CAST(sum(CASE WHEN pos THEN r ELSE 0 END) AS BIGINT) AS rank_sum_pos
+         |  FROM rk)
+         |SELECT n_pos, n_neg, rank_sum_pos,
+         |  CAST(rank_sum_pos - n_pos * (n_pos + 1) // 2 AS DOUBLE)
+         |    / CAST(n_pos * n_neg AS DOUBLE) AS auc
+         |FROM ag""".stripMargin,
     "q85_pagerank" ->
       s"""WITH $hostPagerankSql
          |SELECT node AS host, CAST(r AS BIGINT) AS pr_micro,

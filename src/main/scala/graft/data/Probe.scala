@@ -203,6 +203,41 @@ object Probe {
         sqrt(col("sse_micro") / lit(1e6) / col("n_test")).as("rmse"))
   }
 
+  /**
+   * Held-out ROC-AUC of the d = 2 probe used as a BINARY ranker
+   * (positive = `labelCol ≥ posAt`): fit on `train` ([[fitRidge2]]),
+   * score `test`, and compute the exact Mann-Whitney AUC
+   * `(Σ_{pos} rank − P(P+1)/2) / (P·N)` from integer ranks — ties on
+   * the double score broken deterministically by `idCol`, so the rank
+   * assignment (and with it the AUC) is bit-reproducible across
+   * engines (q94b's oracle) and partitionings. One global sort of the
+   * TEST split (an eval metric is eval-sized; sample upstream if the
+   * held-out set is corpus-scale). Returns ONE row
+   * `(n_pos, n_neg, rank_sum_pos, auc)`.
+   */
+  def rocAuc2(train: DataFrame, test: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, posAt: Double,
+      lambda: Double = 0.0): DataFrame = {
+    val w = fitRidge2(train, vecCol, labelCol, lambda)
+    val v = col(vecCol).cast("array<double>")
+    val s = lit(w(0)) + element_at(v, 1) * lit(w(1)) +
+      element_at(v, 2) * lit(w(2))
+    val ranked = test
+      .select(col(idCol).as("__id"), s.as("__s"),
+        (col(labelCol).cast("double") >= lit(posAt)).as("__pos"))
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__s"), col("__id"))))
+    ranked.agg(
+        sum(when(col("__pos"), lit(1L)).otherwise(lit(0L))).as("n_pos"),
+        sum(when(col("__pos"), lit(0L)).otherwise(lit(1L))).as("n_neg"),
+        sum(when(col("__pos"), col("__r").cast("long")).otherwise(lit(0L)))
+          .as("rank_sum_pos"))
+      .select(col("n_pos"), col("n_neg"), col("rank_sum_pos"),
+        ((col("rank_sum_pos") - expr("n_pos * (n_pos + 1L) div 2"))
+          .cast("double") /
+          (col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+  }
+
   /** Map-only probe score `w₀ + ⟨w, v⟩` from broadcast literal weights
    * (native `vec_dot` — stays inside whole-stage codegen). */
   def score(vec: Column, weights: Array[Double]): Column =

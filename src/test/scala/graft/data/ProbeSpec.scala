@@ -96,6 +96,41 @@ class ProbeSpec extends SparkSpec {
     assert(swapped.getDouble(2) < 1e-3)
   }
 
+  test("rocAuc2: separable planted label -> AUC 1; anti-label -> AUC 0") {
+    // y = v1 + 2 v2 is a deterministic function of the features, so the
+    // fitted ranker separates positives (y >= median-ish cut) perfectly
+    val two = emb.select(col("vec_id"), slice(col("v"), 1, 2).as("v"),
+      (element_at(col("v"), 1) + lit(2.0) * element_at(col("v"), 2)).as("y"))
+    val train = two.filter(col("vec_id") % 5 =!= 0)
+    val test_ = two.filter(col("vec_id") % 5 === 0)
+    val cut = test_.select(col("y")).as[Double].collect().sorted
+      .apply((test_.count() / 2).toInt)
+    val row = Probe.rocAuc2(train, test_, "vec_id", "v", "y", posAt = cut)
+      .collect()(0)
+    assert(row.getLong(0) + row.getLong(1) === test_.count())
+    assert(row.getLong(0) > 0 && row.getLong(1) > 0)
+    assert(row.getDouble(3) === 1.0, s"auc ${row.getDouble(3)}")
+    // inverting the label definition inverts the ranking: AUC -> 0
+    val anti = two.withColumn("y", -col("y"))
+    val rowAnti = Probe.rocAuc2(
+        anti.filter(col("vec_id") % 5 =!= 0),
+        anti.filter(col("vec_id") % 5 === 0),
+        "vec_id", "v", "y", posAt = -cut)
+      .collect()(0)
+    // positives are now the LOWEST-scoring rows (score tracks -y's fit
+    // of... fitted on anti-label, so ranking still matches: stays 1.0)
+    assert(rowAnti.getDouble(3) === 1.0)
+    // a label independent of the features lands near chance
+    val noise = emb.select(col("vec_id"), slice(col("v"), 1, 2).as("v"),
+      (col("vec_id") % 2).cast("double").as("y"))
+    val aucNoise = Probe.rocAuc2(
+        noise.filter(col("vec_id") % 5 =!= 0),
+        noise.filter(col("vec_id") % 5 === 0),
+        "vec_id", "v", "y", posAt = 0.5)
+      .collect()(0).getDouble(3)
+    assert(aucNoise > 0.3 && aucNoise < 0.7, s"noise auc $aucNoise")
+  }
+
   test("qualityFilter keeps exactly the rows scoring >= the threshold") {
     val planted = emb.select(col("vec_id"), col("v"),
       element_at(col("v"), 1).as("y"))
