@@ -890,6 +890,19 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("tok"))
         .limit(30)
     }),
+    // the tokenize-to-IDS surface a training pipeline feeds the model:
+    // alphabet-first GPT-2-style vocabulary over the trained merges,
+    // full token-id histogram (golden-pinned like q87/q87b)
+    "q87c_bpe_token_ids" -> ((s, dir) => {
+      import graft.data.Bpe
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.trainMerges(docs, "text", 20)
+      val vocab = Bpe.vocabulary(docs, "text", merges)
+      Bpe.encodeIds(docs, "text", merges, vocab)
+        .select(explode(col("token_ids")).as("tok_id"))
+        .groupBy(col("tok_id")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("tok_id"))
+    }),
     // exact-size weighted sampling without replacement (A-ES, log form)
     "q81_weighted_sample" -> ((s, dir) => {
       import graft.data.Sampling

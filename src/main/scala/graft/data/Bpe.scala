@@ -304,6 +304,53 @@ object Bpe {
     docs.withColumn(outCol, segAll(TextFunctions.bpeTokens(col(textCol))))
   }
 
+  /**
+   * The tokenizer VOCABULARY induced by a corpus + merge ladder — the
+   * id space a training pipeline feeds the model: base alphabet first
+   * (every distinct code-point symbol of the corpus word types, UTF-8
+   * binary order, ids `0..A-1`), then one entry per merge in rank order
+   * (ids `A..A+nMerges-1`) — the GPT-2 layout. One corpus aggregation
+   * (the [[wordTypes]] pass + a distinct over its exploded symbols,
+   * alphabet-sized collect); deterministic, so the id assignment is
+   * stable across partitionings. Returns `(id, token)` pairs.
+   */
+  def vocabulary(
+      docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): Seq[(Int, String)] = {
+    // code-point splitting via the same kernel as segmentWord, so
+    // vocabulary symbols are exactly the symbols segmentation emits
+    // (an astral-plane character is ONE symbol, not two UTF-16 halves)
+    val cpSplit = udf((w: String) => w.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toSeq)
+    val alphabet = wordTypes(docs, textCol)
+      .select(explode(cpSplit(col("word"))).as("sym"))
+      .distinct()
+      .collect().map(_.getString(0))
+      .sortWith(utf8Lt)
+    val mergeTokens = merges.map { case (l, r) => l + r }
+    (alphabet.toSeq ++ mergeTokens).zipWithIndex
+      .map { case (t, i) => (i, t) }
+  }
+
+  /**
+   * Map-only encode to VOCABULARY IDS: [[encode]]'s subword stream
+   * mapped through the `(token → id)` table ([[vocabulary]] — rides the
+   * closure, vocab-sized); symbols outside the vocabulary (characters
+   * never seen in the training corpus) become `unkId`, the standard
+   * UNK policy. Adds `outCol` (array<int>).
+   */
+  def encodeIds(
+      docs: DataFrame, textCol: String, merges: Seq[(String, String)],
+      vocab: Seq[(Int, String)], unkId: Int = -1,
+      outCol: String = "token_ids"): DataFrame = {
+    val byToken: Map[String, Int] = vocab.map { case (i, t) => (t, i) }.toMap
+    val rank: Map[(String, String), Int] = merges.zipWithIndex.reverse.toMap
+    val segAll = udf((ws: Seq[String]) =>
+      ws.flatMap(w => segmentWordRanked(w, rank))
+        .map(t => byToken.getOrElse(t, unkId)))
+    docs.withColumn(outCol, segAll(TextFunctions.bpeTokens(col(textCol))))
+  }
+
   /** Persist the ranked merge list (train-once/encode-many, like
    * [[NgramLm.saveModel]] / [[Bm25.saveModel]]). */
   def saveMerges(

@@ -121,6 +121,39 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.segmentWord("😀", Nil).length === 1)
   }
 
+  test("vocabulary: alphabet-first ids, merges appended in rank order") {
+    val merges = Bpe.trainMerges(sennrich, "text", nMerges = 4)
+    val vocab = Bpe.vocabulary(sennrich, "text", merges)
+    val byToken = vocab.map { case (i, t) => (t, i) }.toMap
+    // ids are contiguous from 0
+    assert(vocab.map(_._1) === vocab.indices.toSeq)
+    // the corpus alphabet (d e i l n o r s t w) comes first, UTF-8 sorted
+    val alpha = "deilnorstw".map(_.toString)
+    alpha.zipWithIndex.foreach { case (c, i) => assert(byToken(c) === i, c) }
+    // then the merge outputs, in rank order
+    assert(byToken("es") === 10 && byToken("est") === 11 &&
+      byToken("lo") === 12 && byToken("low") === 13)
+  }
+
+  test("encodeIds: ids decode to encode()'s tokens; unseen chars -> unkId") {
+    val merges = Bpe.trainMerges(sennrich, "text", nMerges = 4)
+    val vocab = Bpe.vocabulary(sennrich, "text", merges)
+    val byId = vocab.toMap
+    val docs = Seq("lowest newest low").toDF("text")
+    val ids = Bpe.encodeIds(docs, "text", merges, vocab)
+      .select(col("token_ids")).as[Seq[Int]].head()
+    val toks = Bpe.encode(docs, "text", merges)
+      .select(col("bpe_tokens")).as[Seq[String]].head()
+    assert(ids.map(byId) === toks)
+    // 'z' and 'q' never occur in the Sennrich corpus -> unkId
+    val unk = Bpe.encodeIds(Seq("lazy quiz").toDF("text"), "text", merges,
+        vocab, unkId = -7)
+      .select(col("token_ids")).as[Seq[Int]].head()
+    // alphabet is {d e i l n o r s t w}: a, z, y, q, u, z are unknown
+    assert(unk.count(_ === -7) === 6)
+    assert(unk.exists(_ >= 0)) // known chars (l, i) still map
+  }
+
   test("rank-lookup segmentation == rank-order segmentation, every fixture") {
     // the encode-path scale spelling must be extensionally identical to
     // the reference full-list walk — chained merges included (the
