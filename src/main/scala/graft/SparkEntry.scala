@@ -652,6 +652,13 @@ object SparkEntry {
           col("span_end").cast("long").as("span_end"), col("n_grams"))
         .orderBy(col("doc_id"), col("span_start"))
     }),
+    // the CUT step: duplicated spans excised from the normalized text —
+    // the action substring-dedup takes on the corpus (Lee et al. 2022)
+    "q63b_span_removal" -> ((s, dir) => {
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+          k = 30)
+        .orderBy(col("doc_id"))
+    }),
     // ------------------------------- product quantization (PQ) retrieval
     "q62_pq_encode" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -2340,6 +2347,34 @@ object SparkEntry {
          |SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
          |  count(*) AS n_grams
          |FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+    "q63b_span_removal" ->
+      s"""WITH norm AS (SELECT doc_id,
+         |  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents),
+         |p AS (SELECT doc_id, t,
+         |  CAST(unnest(range(1, greatest(len(t) - 28, 1))) AS BIGINT) AS pos FROM norm),
+         |g AS (SELECT doc_id, pos,
+         |  ${h60Sql("substr(t, CAST(pos AS INT), 30)")} AS h FROM p),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+         |d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+         |b AS (SELECT doc_id, pos,
+         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
+         |    THEN 0 ELSE 1 END AS brk FROM d),
+         |sgrp AS (SELECT doc_id, pos,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM b),
+         |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 29 AS e
+         |  FROM sgrp GROUP BY doc_id, grp),
+         |chars AS (SELECT doc_id, CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS i,
+         |  t FROM norm),
+         |keptc AS (SELECT c.doc_id, c.i, substr(c.t, CAST(c.i AS INT), 1) AS ch
+         |  FROM chars c WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |    WHERE sp.doc_id = c.doc_id AND c.i BETWEEN sp.s AND sp.e)),
+         |agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS txt
+         |  FROM keptc GROUP BY doc_id)
+         |SELECT n.doc_id, CAST(len(coalesce(a.txt, '')) AS BIGINT) AS n_kept,
+         |  CAST(len(n.t) - len(coalesce(a.txt, '')) AS BIGINT) AS n_cut,
+         |  coalesce(a.txt, '') AS text_clean
+         |FROM norm n LEFT JOIN agg a USING (doc_id)
+         |ORDER BY n.doc_id""".stripMargin,
     "q62_pq_encode" ->
       s"""WITH $pqEncSql
          |SELECT vec_id, sub, code FROM enc ORDER BY vec_id, sub""".stripMargin,

@@ -821,6 +821,54 @@ object Dedup {
   }
 
   /**
+   * The CUT step of substring-level dedup — applies [[duplicateSpans]]'
+   * findings by removing every duplicated span from the (normalized)
+   * text, the action Lee et al. 2022 actually take on the corpus.
+   * Returns `(idCol, n_kept, n_cut, text_clean)`: the normalized text
+   * with all spans excised (a doc whose whole text was duplicated
+   * yields an empty `text_clean`, not a dropped row).
+   *
+   * Plan shape: the span finder's two keyed shuffles, then a per-doc
+   * rollup of the span list (bounded by doc length — spans are disjoint
+   * maximal intervals, so the sorted start/end arrays align
+   * positionally) and one map-side cut UDF over the joined text. The
+   * corpus-side join is one shuffle on the id; docs without spans pass
+   * through the left join unchanged.
+   */
+  def removeDuplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minCount: Long = 2L): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, k, minCount)
+      .groupBy(col("doc_id"))
+      // disjoint intervals: independently sorted starts/ends stay aligned
+      .agg(sort_array(collect_list(col("span_start"))).as("ss"),
+        sort_array(collect_list(col("span_end"))).as("es"))
+    val cut = udf((t: String, ss: Seq[Int], es: Seq[Int]) =>
+      if (ss == null || ss.isEmpty) t
+      else {
+        val sb = new StringBuilder
+        var from = 0 // 0-based exclusive cursor; spans are 1-based inclusive
+        ss.indices.foreach { i =>
+          sb.append(t.substring(from, ss(i) - 1))
+          from = math.min(es(i), t.length)
+        }
+        sb.append(t.substring(from)).toString
+      })
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.normalizeText(col(textCol)).as("t"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("text_clean", cut(col("t"), col("ss"), col("es")))
+      .select(col("doc_id").as(idCol),
+        length(col("text_clean")).cast("long").as("n_kept"),
+        (length(col("t")) - length(col("text_clean"))).cast("long").as("n_cut"),
+        col("text_clean"))
+  }
+
+  /**
    * LINE-level exact dedup across the corpus — the RefinedWeb/FineWeb
    * boilerplate pass: a line occurring anywhere else in the corpus
    * survives only at its FIRST occurrence (lexicographic min of

@@ -66,6 +66,35 @@ class DupSpansSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("removeDuplicateSpans excises exactly the found spans") {
+    val shared = "the quick brown fox jumped"
+    val docs = Seq(
+      1L -> s"aleph bet gimel $shared dalet he vav",
+      2L -> s"zxqwv $shared plugh xyzzy thud",
+      3L -> "an entirely unique body with nothing repeated anywhere at all"
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k)
+      .select($"doc_id", $"n_kept", $"n_cut", $"text_clean")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // the span covers " the quick brown fox jumped " incl. flanking
+    // spaces -> the cut splices the remainders directly together
+    // doc 1 span = (16, 43): keep 1..15 ("aleph bet gimel") + 44.. ("dalet he vav")
+    assert(out(1L)._4 === "aleph bet gimeldalet he vav")
+    assert(out(2L)._4 === "zxqwvplugh xyzzy thud")
+    assert(out(1L)._3 === shared.length + 2L)
+    // untouched doc passes through with zero cut
+    assert(out(3L)._3 === 0L)
+    assert(out(3L)._4 === "an entirely unique body with nothing repeated anywhere at all")
+    // a FULLY duplicated document empties rather than disappearing
+    val twin = Seq(10L -> "exact duplicated body here", 11L -> "exact duplicated body here")
+      .toDF("doc_id", "text")
+    val twinOut = Dedup.removeDuplicateSpans(twin, "doc_id", "text", k)
+      .select($"doc_id", $"n_kept", $"text_clean")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(twinOut.keySet === Set(10L, 11L))
+    assert(twinOut(10L)._2 === 0L && twinOut(10L)._3 === "")
+  }
+
   test("dedupLines: first occurrence owns a line; reassembly keeps order") {
     val out = Dedup.dedupLines(Seq(
         (1L, "unique one\nshared footer\nunique two"),
