@@ -910,6 +910,19 @@ object SparkEntry {
         .groupBy(col("tok_id")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("tok_id"))
     }),
+    // deterministic shuffle-shard for training delivery: seeded hash IS
+    // the permutation (reproducible cross-engine), shards balanced by
+    // the hash mod; per-shard stats + key-order head pin the assignment
+    "q95_shard_corpus" -> ((s, dir) => {
+      import graft.data.Corpus
+      Corpus.shardCorpus(t(s, dir, "documents"), "doc_id", nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("shuffle_key")).as("min_key"),
+          max(col("shuffle_key")).as("max_key"),
+          min_by(col("doc_id"), col("shuffle_key")).as("first_doc"))
+        .orderBy(col("shard"))
+    }),
     // exact-size weighted sampling without replacement (A-ES, log form)
     "q81_weighted_sample" -> ((s, dir) => {
       import graft.data.Sampling
@@ -2347,6 +2360,15 @@ object SparkEntry {
          |SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
          |  count(*) AS n_grams
          |FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+    "q95_shard_corpus" ->
+      s"""WITH sk AS (SELECT doc_id,
+         |  ${h60Sql("concat(CAST(doc_id AS VARCHAR), '#shard0')")} AS shuffle_key
+         |  FROM documents),
+         |sh AS (SELECT doc_id, shuffle_key, shuffle_key % 8 AS shard FROM sk)
+         |SELECT shard, count(*) AS n_docs,
+         |  min(shuffle_key) AS min_key, max(shuffle_key) AS max_key,
+         |  arg_min(doc_id, shuffle_key) AS first_doc
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
     "q63b_span_removal" ->
       s"""WITH norm AS (SELECT doc_id,
          |  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents),

@@ -217,6 +217,29 @@ object Corpus {
    * the exchange. Null text fingerprints as the empty string rather than
    * propagating null into the status logic.
    */
+  /**
+   * Deterministic global shuffle + sharding — the delivery step between
+   * a prepared corpus and the training job: each doc gets a `shard`
+   * (seeded 60-bit MD5 hash of its id, mod `nShards` — balanced in
+   * expectation regardless of id distribution) and a `shuffle_key` (the
+   * hash itself), so reading shard files in key order yields a training
+   * order uncorrelated with crawl/source order, reproducible across
+   * runs AND engines (no RNG state — the hash IS the permutation).
+   *
+   * Scale shape: map-only; the downstream write is
+   * `.repartition(nShards, $"shard").sortWithinPartitions("shuffle_key")`
+   * — one shuffle keyed by shard, no global sort (the within-shard sort
+   * is per-partition). Epoch re-shuffles are a `seed` change.
+   */
+  def shardCorpus(docs: DataFrame, idCol: String, nShards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(nShards > 0, s"nShards must be > 0, got $nShards")
+    val key = TextFunctions.hash60(
+      concat(col(idCol).cast("string"), lit(s"#shard$seed")))
+    docs.withColumn("shuffle_key", key)
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+  }
+
   def snapshotDiff(
       oldDocs: DataFrame, newDocs: DataFrame,
       idCol: String = "id", textCol: String = "text"): DataFrame = {

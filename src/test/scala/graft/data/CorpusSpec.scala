@@ -113,6 +113,30 @@ class CorpusSpec extends SparkSpec {
     assert(a.forall { case (id, bucket, _) => withN(id) <= bucket })
   }
 
+  test("shardCorpus: balanced, deterministic, seed changes the permutation") {
+    val docs = (0L until 800L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    val a = Corpus.shardCorpus(docs, "doc_id", nShards = 8)
+      .select($"doc_id", $"shard", $"shuffle_key")
+      .as[(Long, Long, Long)].collect()
+    assert(a.length === 800)
+    assert(a.forall { case (_, s, k) => s >= 0 && s < 8 && k >= 0 })
+    assert(a.forall { case (_, s, k) => s === k % 8 })
+    // balanced in expectation: every shard within [60, 140] of 100
+    val sizes = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet === (0L until 8L).toSet)
+    assert(sizes.values.forall(n => n > 60 && n < 140), sizes.toString)
+    // deterministic across partitionings
+    val b = Corpus.shardCorpus(docs.repartition(13), "doc_id", nShards = 8)
+      .select($"doc_id", $"shard", $"shuffle_key")
+      .as[(Long, Long, Long)].collect()
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+    // a different seed is a different permutation (epoch re-shuffle)
+    val c = Corpus.shardCorpus(docs, "doc_id", nShards = 8, seed = 1L)
+      .select($"doc_id", $"shuffle_key").as[(Long, Long)].collect().toMap
+    val aKeys = a.map(r => r._1 -> r._3).toMap
+    assert((0L until 800L).count(i => aKeys(i) != c(i)) > 700)
+  }
+
   test("prepare is deterministic across partitionings") {
     val docs = (0 until 200).map { i =>
       (i.toLong, s"$longBody unique closing number ${i % 50} appears here today.")
