@@ -82,15 +82,27 @@ object Versioned {
   }
 
   /** Garbage-collect old versions: drop every `v<i>` with
-   * `i < latest - keep` (i.e. retain the published version plus the
+   * `i < anchor - keep` (i.e. retain the anchor version plus the
    * `keep` versions just below it for in-flight readers — a reader
    * that loaded any retained version keeps answering). Never touches
-   * versions at or above the pointer. Returns the versions deleted.
+   * versions at or above the anchor. Returns the versions deleted.
    * Safe to run on a schedule; size `keep` to cover the longest query
-   * a reader might still be running against an old snapshot. */
-  def pruneVersions(spark: SparkSession, dir: String, keep: Int = 1): Seq[Long] = {
+   * a reader might still be running against an old snapshot.
+   *
+   * The anchor defaults to the CURRENT pointer, which is right for a
+   * standalone GC job — but a READER that prunes after loading must
+   * pass `asOf = Some(loadedVersion)`: re-reading the pointer here
+   * would race a concurrent publish (pointer now at N+1) and, at
+   * `keep = 0`, delete the version the reader just loaded while its
+   * lazily-evaluated DataFrames still reference those files. With an
+   * explicit anchor the prune can only ever delete strictly below
+   * what the caller holds. An `asOf` above the pointer is clamped to
+   * the pointer (pruning must never outrun what was published). */
+  def pruneVersions(spark: SparkSession, dir: String, keep: Int = 1,
+      asOf: Option[Long] = None): Seq[Long] = {
     require(keep >= 0, s"keep must be >= 0, got $keep")
-    val latest = latestVersion(spark, dir).getOrElse(return Nil)
+    val published = latestVersion(spark, dir).getOrElse(return Nil)
+    val latest = asOf.fold(published)(math.min(_, published))
     val hfs = fs(spark, dir)
     val vs = Option(hfs.globStatus(new Path(s"$dir/v*"))).getOrElse(Array.empty)
       .map(_.getPath)

@@ -182,9 +182,11 @@ object StreamingMarket {
           // GC superseded versions AFTER switching off them — foreachBatch
           // bodies are sequential, so nothing here still reads them; a
           // long-running stream against an hourly publisher must not
-          // accrete versions forever (keep covers OTHER readers' lag)
+          // accrete versions forever (keep covers OTHER readers' lag).
+          // Anchored on v, NOT the live pointer: a publish landing
+          // between our load and this prune must not delete v.
           pruneKeep.foreach(keep =>
-            graft.data.Versioned.pruneVersions(spark, storeDir, keep))
+            graft.data.Versioned.pruneVersions(spark, storeDir, keep, Some(v)))
         }
       }
       val store = loaded.getOrElse(throw new IllegalStateException(
@@ -389,10 +391,10 @@ object StreamingMarket {
       graft.data.Versioned.latestVersion(spark, modelDir).foreach { v =>
         if (!loaded.exists(_._1 == v)) {
           loaded = Some((v, NgramLm.loadModel(spark, s"$modelDir/v$v")))
-          // GC superseded versions after switching off them (see
-          // dedupWithStoreRefresh)
+          // GC superseded versions after switching off them, anchored on
+          // the loaded version (see dedupWithStoreRefresh)
           pruneKeep.foreach(keep =>
-            graft.data.Versioned.pruneVersions(spark, modelDir, keep))
+            graft.data.Versioned.pruneVersions(spark, modelDir, keep, Some(v)))
         }
       }
       val model = loaded.getOrElse(throw new IllegalStateException(
@@ -447,10 +449,10 @@ object StreamingMarket {
       Pq.latestVersion(spark, indexDir).foreach { v =>
         if (!loaded.exists(_._1 == v)) {
           loaded = Some((v, Pq.loadIndex(spark, s"$indexDir/v$v")))
-          // GC superseded versions after switching off them (see
-          // dedupWithStoreRefresh)
+          // GC superseded versions after switching off them, anchored on
+          // the loaded version (see dedupWithStoreRefresh)
           pruneKeep.foreach(keep =>
-            graft.data.Versioned.pruneVersions(spark, indexDir, keep))
+            graft.data.Versioned.pruneVersions(spark, indexDir, keep, Some(v)))
         }
       }
       val idx = loaded.getOrElse(throw new IllegalStateException(

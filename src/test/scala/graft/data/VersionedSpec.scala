@@ -28,6 +28,22 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.latestVersion(spark, dir) === Some(3L))
   }
 
+  test("pruneVersions anchored asOf never deletes the version a reader holds") {
+    val dir = java.nio.file.Files.createTempDirectory("versioned_asof").toString
+    assert(Versioned.publish(spark, dir)(write(1)) === 1L)
+    assert(Versioned.publish(spark, dir)(write(2)) === 2L)
+    // a reader loaded v2, then a publisher landed v3 BEFORE the reader's
+    // prune ran — the TOCTOU window. Anchored on the loaded version,
+    // keep=0 must delete only versions strictly below v2, never v2.
+    assert(Versioned.publish(spark, dir)(write(3)) === 3L)
+    assert(Versioned.pruneVersions(spark, dir, keep = 0, asOf = Some(2L)) === Seq(1L))
+    assert(spark.read.parquet(s"$dir/v2").count() === 1L)
+    assert(spark.read.parquet(s"$dir/v3").count() === 1L)
+    // an anchor above the pointer is clamped — pruning can't outrun publish
+    assert(Versioned.pruneVersions(spark, dir, keep = 0, asOf = Some(99L)) === Seq(2L))
+    assert(spark.read.parquet(s"$dir/v3").count() === 1L)
+  }
+
   test("publish refuses to clobber a version that lands mid-staging") {
     val dir = java.nio.file.Files.createTempDirectory("versioned_race").toString
     // the write callback runs between the version scan and the
