@@ -215,7 +215,9 @@ object Dedup {
    * xxhash64 spelling gives 16-bit chunks = N²/16384 candidate rows,
    * ~500× fewer, with identical recall (the pigeonhole bound holds at
    * any width). `bits ≤ 28` keeps the portable MD5 spelling for
-   * DuckDB-oracle parity (q91); 64 is the production width. Pairs of
+   * DuckDB-oracle parity (q91); 64 is the production width; widths in
+   * between use the xxhash64 spelling truncated to `bits` (every kept
+   * bit a real majority vote — see [[simhashFor]]). Pairs of
    * IDENTICAL simhashes are included (hamming 0) — callers wanting only
    * the near-miss tier can filter `hamming > 0` or dedup exact matches
    * first ([[simhashClusters]]).
@@ -224,8 +226,8 @@ object Dedup {
    * (nChunks, chunk width). Shared by [[simhashNearDups]] and
    * [[crossHammingPairs]]. */
   private def hammingChunks(bits: Int, maxHamming: Int): (Int, Int) = {
-    require((bits > 0 && bits <= 28) || bits == 64,
-      s"bits must be in (0, 28] (portable MD5 simhash) or 64 (xxhash64), got $bits")
+    require(bits > 0 && bits <= 64,
+      s"bits must be in (0, 64], got $bits")
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, $bits), got $maxHamming")
     val nChunks = maxHamming + 1
@@ -263,9 +265,19 @@ object Dedup {
     }
 
   /** The `bits`-wide simhash spelling: ≤ 28 = portable MD5 ([[simhash]],
-   * DuckDB-reproducible), 64 = xxhash64 ([[simhash64]], the scale path). */
-  private def simhashFor(text: Column, bits: Int): Column =
-    if (bits == 64) simhash64(text) else simhash(text, bits)
+   * DuckDB-reproducible), > 28 = xxhash64 ([[simhash64]], the scale
+   * path) truncated to the low `bits` bits. Truncation is sound because
+   * simhash bits are independent majority votes — bit j of the 64-bit
+   * form IS the j-th vote of a narrower xxhash64 simhash, so every kept
+   * bit carries real entropy (unlike widening the 28-bit-token MD5 form,
+   * whose bits above 27 would be constant 0 and hand the pigeonhole
+   * join a degenerate always-equal chunk). */
+  private def simhashFor(text: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 64, s"bits must be in (0, 64], got $bits")
+    if (bits <= 28) simhash(text, bits)
+    else if (bits == 64) simhash64(text)
+    else simhash64(text).bitwiseAND(lit((1L << bits) - 1))
+  }
 
   def simhashNearDups(
       docs: DataFrame,
@@ -477,7 +489,7 @@ object Dedup {
 
   /**
    * Per-doc signature rows for a persisted dedup store: `(id, fp, sh,
-   * sig, simh)` — normalized-content fingerprint
+   * sig, simh, simh_bits)` — normalized-content fingerprint
    * ([[TextFunctions.fingerprint]]), sorted shingle-hash set, MinHash
    * signature, SimHash. The store is what makes dedup INCREMENTAL at
    * corpus scale: ~hundreds of bytes per accepted document instead of
@@ -496,27 +508,40 @@ object Dedup {
    * running the Hamming tier shouldn't pay it; a store built without
    * it simply yields no Hamming hits.
    *
+   * The constant `simh_bits` column records the width `simh` was built
+   * at (0 = skipped). It is what lets [[crossHammingPairs]] FAIL LOUDLY
+   * when a store and a probe disagree on width — chunk keys computed at
+   * the wrong width silently miss essentially every near-dup, the worst
+   * possible failure mode for a dedup gate.
+   *
    * The repartition barrier mirrors [[minhashNearDups]]: it materializes
    * `sh`/`sig` as exchanged attributes so downstream band-key references
    * don't re-inline the minhash chain (generator projections get no
    * subexpression elimination).
    */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 16, simhashBits: Int = 28): DataFrame =
+      shingleN: Int = 3, k: Int = 16, simhashBits: Int = 28): DataFrame = {
+    require(simhashBits == 0 || (simhashBits > 0 && simhashBits <= 64),
+      s"simhashBits must be 0 (skip) or in (0, 64], got $simhashBits")
     docs
       .select(col(idCol).as("id"),
         TextFunctions.fingerprint(col(textCol)).as("fp"),
         shingleHashes(col(textCol), shingleN).as("sh"),
         (if (simhashBits == 0) lit(null).cast("long")
          else when(size(tokens(col(textCol))) > 0,
-           simhashFor(col(textCol), simhashBits))).as("simh"))
+           simhashFor(col(textCol), simhashBits))).as("simh"),
+        lit(simhashBits).as("simh_bits"))
       .withColumn("sig",
         when(size(col("sh")) > 0, minhashSignature(col("sh"), k)))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+  }
 
   /** Persist a signature table as parquet; `append = true` adds a batch's
    * survivors after [[incrementalDedup]] admits them (the ingest cycle:
-   * admit, then append `signatures(survivors)`). */
+   * admit, then append `signatures(survivors)`). Appends must use the
+   * SAME [[signatures]] configuration (`shingleN`, `k`, `simhashBits`)
+   * as the store — mixed widths in one store are undetectable (the
+   * `simh_bits` check samples one row). */
   def saveSignatureStore(sigs: DataFrame, path: String,
       append: Boolean = false): Unit =
     sigs.write.mode(if (append) "append" else "overwrite").parquet(path)
@@ -655,10 +680,41 @@ object Dedup {
    * Output: `(id_new, id_old, sh_n, sh_o, hamming)` with
    * `hamming ≤ maxHamming`; null-simh (token-free) docs never pair.
    */
+  /** Verify a signature table can serve the Hamming tier at `bits`.
+   * The `simh` column must exist — a store persisted before the Hamming
+   * tier existed lacks it, and without this check the failure is an
+   * unresolved-column AnalysisException deep in a streaming batch. When
+   * the table carries width metadata ([[signatures]]' `simh_bits`), a
+   * non-skipped width must EQUAL `bits`: chunk keys computed at
+   * mismatched widths can never agree, so the probe would run without
+   * error and silently admit near-duplicates — the worst failure mode a
+   * dedup gate has. Width 0 (simhash skipped at build) passes: all-null
+   * `simh` yields no hits by documented contract. Tables without the
+   * metadata column (assembled outside [[signatures]]) pass unverified.
+   * Cost: a schema check plus, when metadata exists, one limit-1 read. */
+  private def requireHammingCompatible(sigs: DataFrame, bits: Int,
+      side: String): Unit = {
+    val fields = sigs.schema.fieldNames.toSet
+    if (!fields.contains("simh"))
+      throw new IllegalStateException(
+        s"$side signature table has no 'simh' column — it predates the " +
+          "SimHash Hamming tier. Rebuild it with Dedup.signatures " +
+          "(simhashBits > 0) or disable the tier (maxHamming = -1)")
+    if (fields.contains("simh_bits"))
+      sigs.select(col("simh_bits")).limit(1).collect().headOption
+        .map(_.getInt(0)).filter(w => w != 0 && w != bits)
+        .foreach(w => throw new IllegalStateException(
+          s"$side signature table was built at simhashBits = $w but the " +
+            s"Hamming probe is running at bits = $bits — mismatched widths " +
+            "silently miss near-dups; probe at the store's width or rebuild"))
+  }
+
   def crossHammingPairs(batchSigs: DataFrame, storeSigs: DataFrame,
       bits: Int = 28, maxHamming: Int = 3,
       broadcastBatch: Boolean = false): DataFrame = {
     val (nChunks, w) = hammingChunks(bits, maxHamming)
+    requireHammingCompatible(batchSigs, bits, "batch")
+    requireHammingCompatible(storeSigs, bits, "store")
     val n = batchSigs.filter(col("simh").isNotNull)
       .select(col("id").as("id_new"), col("simh").as("sh_n"),
         posexplode(chunkKeys(col("simh"), nChunks, w, bits))

@@ -162,6 +162,32 @@ class DataSpec extends SparkSpec {
     assert(sh.values.toSeq.distinct.size < sh.size, "fixture too sparse")
   }
 
+  test("simhashNearDups intermediate width == brute force on truncated xxhash64") {
+    // widths in (28, 64) are the truncated-xxhash64 spelling: bit j of
+    // the 40-bit hash is the j-th majority vote of the 64-bit form, so
+    // brute force over (simhash64 & mask) is the ground truth — and the
+    // pigeonhole join must match it exactly (the width-agnostic contract)
+    val corpus = (0L until 60L).map { i =>
+      val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      (i, (0 until 8).map(j => words(((i >> j) % (2 + j % 3)).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val mask = (1L << 40) - 1
+    val sh = corpus.select($"doc_id", Dedup.simhash64($"text"))
+      .as[(Long, Long)].collect().toMap.view.mapValues(_ & mask).toMap
+    for (maxH <- Seq(0, 3)) {
+      val got = Dedup.simhashNearDups(corpus, "doc_id", "text",
+          bits = 40, maxHamming = maxH)
+        .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+        .collect().toSet
+      val brute = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        d = java.lang.Long.bitCount(sh(a) ^ sh(b)) if d <= maxH
+      } yield (a, b, d)).toSet
+      assert(got === brute, s"bits=40 maxHamming=$maxH")
+      assert(brute.nonEmpty, s"fixture too sparse at maxHamming=$maxH")
+    }
+  }
+
   test("jaccard on shingle sets") {
     val t = docs.select($"doc_id", Dedup.shingleHashes($"text", 3).as("sh"))
     val j = t.as("a").crossJoin(t.as("b"))

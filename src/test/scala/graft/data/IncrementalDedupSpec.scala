@@ -203,6 +203,43 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(kept === Set(201L))
   }
 
+  test("Hamming probe fails loudly on a store/probe width mismatch") {
+    val st28 = Dedup.signatures(oldDocs, "doc_id", "text", simhashBits = 28)
+    val b64 = Dedup.signatures(batch, "doc_id", "text", simhashBits = 64)
+    // mismatched widths would run without error and miss near-dups —
+    // the metadata check must refuse instead
+    val e = intercept[IllegalStateException] {
+      Dedup.crossHammingPairs(b64, st28, bits = 64, maxHamming = 3).collect()
+    }
+    assert(e.getMessage.contains("simhashBits = 28"), e.getMessage)
+    // probing at the store's width but with a mismatched batch fails too
+    val e2 = intercept[IllegalStateException] {
+      Dedup.crossHammingPairs(b64, st28, bits = 28, maxHamming = 3).collect()
+    }
+    assert(e2.getMessage.contains("simhashBits = 64"), e2.getMessage)
+    // matched widths pass
+    Dedup.crossHammingPairs(
+      Dedup.signatures(batch, "doc_id", "text", simhashBits = 28),
+      st28, bits = 28, maxHamming = 3).collect()
+  }
+
+  test("Hamming probe against a pre-Hamming-tier store fails with guidance") {
+    // a store persisted before the tier existed has no simh column; the
+    // failure must name the rebuild, not surface an unresolved-column
+    // AnalysisException mid-stream
+    val legacy = Dedup.signatures(oldDocs, "doc_id", "text")
+      .drop("simh", "simh_bits")
+    val e = intercept[IllegalStateException] {
+      Dedup.incrementalDedup(batch, "doc_id", "text", legacy, maxHamming = 3)
+        .collect()
+    }
+    assert(e.getMessage.contains("Rebuild"), e.getMessage)
+    // without the tier the legacy store still serves the Jaccard path
+    val kept = Dedup.incrementalDedup(batch, "doc_id", "text", legacy)
+      .select(col("doc_id")).as[Long].collect()
+    assert(kept.nonEmpty)
+  }
+
   test("short docs (no shingles) still dedup exactly, never via bands") {
     val s = Dedup.signatures(Seq((1L, "hi")).toDF("doc_id", "text"),
       "doc_id", "text")
