@@ -817,7 +817,7 @@ object SparkEntry {
           col("label"))
       Probe.rocAuc2(
         e.filter(col("vec_id") % 5 =!= 0),
-        e.filter(col("vec_id") % 5 === 0), "vec_id", "v", "label", posAt = 5.0)
+        e.filter(col("vec_id") % 5 === 0), "v", "label", posAt = 5.0)
     }),
     // host-graph PageRank: co-occurrence edges from per-doc URL hosts,
     // 3 damped iterations in exact integer micro-units (order-independent
@@ -2604,16 +2604,17 @@ object SparkEntry {
          |  FROM embeddings WHERE vec_id % 5 = 0),
          |sc AS (SELECT vec_id, w0 + x1*w1 + x2*w2 AS s,
          |    (y >= 5.0) AS pos FROM te, wv),
-         |rk AS (SELECT pos, row_number() OVER (ORDER BY s, vec_id) AS r
+         |rk AS (SELECT pos, 2 * rank() OVER (ORDER BY s)
+         |    + count(*) OVER (PARTITION BY s) - 1 AS r2
          |  FROM sc),
          |ag AS (SELECT
          |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
          |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
-         |    CAST(sum(CASE WHEN pos THEN r ELSE 0 END) AS BIGINT) AS rank_sum_pos
+         |    CAST(sum(CASE WHEN pos THEN r2 ELSE 0 END) AS BIGINT) AS rank_sum2_pos
          |  FROM rk)
-         |SELECT n_pos, n_neg, rank_sum_pos,
-         |  CAST(rank_sum_pos - n_pos * (n_pos + 1) // 2 AS DOUBLE)
-         |    / CAST(n_pos * n_neg AS DOUBLE) AS auc
+         |SELECT n_pos, n_neg, rank_sum2_pos,
+         |  CAST(rank_sum2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+         |    / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
          |FROM ag""".stripMargin,
     "q85_pagerank" ->
       s"""WITH $hostPagerankSql

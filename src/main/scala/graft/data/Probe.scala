@@ -206,36 +206,43 @@ object Probe {
   /**
    * Held-out ROC-AUC of the d = 2 probe used as a BINARY ranker
    * (positive = `labelCol ≥ posAt`): fit on `train` ([[fitRidge2]]),
-   * score `test`, and compute the exact Mann-Whitney AUC
-   * `(Σ_{pos} rank − P(P+1)/2) / (P·N)` from integer ranks — ties on
-   * the double score broken deterministically by `idCol`, so the rank
-   * assignment (and with it the AUC) is bit-reproducible across
-   * engines (q94b's oracle) and partitionings. One global sort of the
-   * TEST split (an eval metric is eval-sized; sample upstream if the
+   * score `test`, and compute the exact Mann-Whitney AUC with MIDRANK
+   * tie handling — a positive and a negative sharing a score contribute
+   * exactly ½, the U-statistic's definition. Breaking ties by an id
+   * instead (the tempting row_number spelling) makes the metric depend
+   * on arbitrary id assignment: identical (score, label) distributions
+   * would report different AUCs. Ranks are integerized as DOUBLED
+   * midranks `r2 = 2·rank + |tie group| − 1` (midranks end in .5, their
+   * doubles never do), so the aggregation stays order-independent exact
+   * longs and `auc = (Σ_{pos} r2 − P(P+1)) / (2·P·N)` is bit-reproducible
+   * across engines (q94b's oracle) and partitionings. One global sort of
+   * the TEST split (an eval metric is eval-sized; sample upstream if the
    * held-out set is corpus-scale). Returns ONE row
-   * `(n_pos, n_neg, rank_sum_pos, auc)`.
+   * `(n_pos, n_neg, rank_sum2_pos, auc)`.
    */
-  def rocAuc2(train: DataFrame, test: DataFrame, idCol: String,
+  def rocAuc2(train: DataFrame, test: DataFrame,
       vecCol: String, labelCol: String, posAt: Double,
       lambda: Double = 0.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = fitRidge2(train, vecCol, labelCol, lambda)
     val v = col(vecCol).cast("array<double>")
     val s = lit(w(0)) + element_at(v, 1) * lit(w(1)) +
       element_at(v, 2) * lit(w(2))
     val ranked = test
-      .select(col(idCol).as("__id"), s.as("__s"),
+      .select(s.as("__s"),
         (col(labelCol).cast("double") >= lit(posAt)).as("__pos"))
-      .withColumn("__r", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__s"), col("__id"))))
+      .withColumn("__r2",
+        rank().over(Window.orderBy(col("__s"))).cast("long") * 2 +
+          count(lit(1)).over(Window.partitionBy(col("__s"))) - 1)
     ranked.agg(
         sum(when(col("__pos"), lit(1L)).otherwise(lit(0L))).as("n_pos"),
         sum(when(col("__pos"), lit(0L)).otherwise(lit(1L))).as("n_neg"),
-        sum(when(col("__pos"), col("__r").cast("long")).otherwise(lit(0L)))
-          .as("rank_sum_pos"))
-      .select(col("n_pos"), col("n_neg"), col("rank_sum_pos"),
-        ((col("rank_sum_pos") - expr("n_pos * (n_pos + 1L) div 2"))
+        sum(when(col("__pos"), col("__r2")).otherwise(lit(0L)))
+          .as("rank_sum2_pos"))
+      .select(col("n_pos"), col("n_neg"), col("rank_sum2_pos"),
+        ((col("rank_sum2_pos") - expr("n_pos * (n_pos + 1L)"))
           .cast("double") /
-          (col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
   }
 
   /** Map-only probe score `w₀ + ⟨w, v⟩` from broadcast literal weights

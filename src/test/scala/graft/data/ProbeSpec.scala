@@ -105,7 +105,7 @@ class ProbeSpec extends SparkSpec {
     val test_ = two.filter(col("vec_id") % 5 === 0)
     val cut = test_.select(col("y")).as[Double].collect().sorted
       .apply((test_.count() / 2).toInt)
-    val row = Probe.rocAuc2(train, test_, "vec_id", "v", "y", posAt = cut)
+    val row = Probe.rocAuc2(train, test_, "v", "y", posAt = cut)
       .collect()(0)
     assert(row.getLong(0) + row.getLong(1) === test_.count())
     assert(row.getLong(0) > 0 && row.getLong(1) > 0)
@@ -115,7 +115,7 @@ class ProbeSpec extends SparkSpec {
     val rowAnti = Probe.rocAuc2(
         anti.filter(col("vec_id") % 5 =!= 0),
         anti.filter(col("vec_id") % 5 === 0),
-        "vec_id", "v", "y", posAt = -cut)
+        "v", "y", posAt = -cut)
       .collect()(0)
     // positives are now the LOWEST-scoring rows (score tracks -y's fit
     // of... fitted on anti-label, so ranking still matches: stays 1.0)
@@ -126,9 +126,40 @@ class ProbeSpec extends SparkSpec {
     val aucNoise = Probe.rocAuc2(
         noise.filter(col("vec_id") % 5 =!= 0),
         noise.filter(col("vec_id") % 5 === 0),
-        "vec_id", "v", "y", posAt = 0.5)
+        "v", "y", posAt = 0.5)
       .collect()(0).getDouble(3)
     assert(aucNoise > 0.3 && aucNoise < 0.7, s"noise auc $aucNoise")
+  }
+
+  test("rocAuc2 ties earn Mann-Whitney half credit, not id-order credit") {
+    // two binary features, labels cycling at period 3: every (v1, v2)
+    // combo collapses to ONE score shared by a MIX of positives
+    // (y = 2) and negatives — heavy pos-neg score ties. An
+    // id-tie-break AUC would depend on which ids landed where; the
+    // midrank AUC equals the hand-computed U/(P*N) with 0.5 per tied
+    // cross pair.
+    val rows = (0L until 48L).map { i =>
+      (i, Array((i % 2).toDouble, ((i / 2) % 2).toDouble), (i % 3).toDouble)
+    }
+    val df = rows.toDF("vec_id", "v", "y")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"), col("y"))
+    val row = Probe.rocAuc2(df, df, "v", "y", posAt = 2.0).collect()(0)
+    val (p, n) = (row.getLong(0), row.getLong(1))
+    // hand Mann-Whitney: within a tie group a pos-neg pair credits 0.5;
+    // across groups full credit to the pair whose positive scored higher
+    val w = Probe.fitRidge2(df, "v", "y")
+    val scored = rows.map { case (_, v, y) =>
+      (w(0) + v(0) * w(1) + v(1) * w(2), y >= 2.0) }
+    val u = (for {
+      (sa, pa) <- scored if pa
+      (sb, pb) <- scored if !pb
+    } yield if (sa > sb) 1.0 else if (sa == sb) 0.5 else 0.0).sum
+    assert(math.abs(row.getDouble(3) - u / (p * n)) < 1e-12,
+      s"auc ${row.getDouble(3)} vs hand ${u / (p * n)}")
+    // ties exist by construction (each score group mixes labels)
+    assert(scored.groupBy(_._1).exists(_._2.map(_._2).distinct.size == 2))
+    // doubled midranks are integers; their sum is pinned in the output
+    assert(row.getLong(2) > 0)
   }
 
   test("qualityFilter keeps exactly the rows scoring >= the threshold") {
