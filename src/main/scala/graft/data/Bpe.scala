@@ -90,22 +90,27 @@ object Bpe {
    * [[trainMerges]]' tie-breaks match [[trainMergesDistributed]]'
    * `orderBy(cnt.desc, l, r)` exactly, astral-plane symbols included
    * (Java String.compareTo would order surrogates differently). */
-  private def utf8Lt(a: String, b: String): Boolean =
+  private def utf8Cmp(a: String, b: String): Int =
     java.util.Arrays.compareUnsigned(
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def utf8Lt(a: String, b: String): Boolean = utf8Cmp(a, b) < 0
 
   /**
    * Learn up to `nMerges` ranked merges from the corpus — the
    * INCREMENTAL Sennrich trainer. ONE corpus pass builds the word-type
    * table ([[wordTypes]]); it is then collected (vocab-scale by
    * construction — guarded by `maxTypes`) and the merge loop runs on
-   * the driver, maintaining pair counts by DELTA: each argmax
+   * the driver, maintaining pair counts by DELTA: each merge
    * re-segments only the types whose symbol stream contains the merged
-   * pair and adjusts only their adjacent-pair counts. Per-merge cost is
-   * O(types containing the pair), not O(all types), and no Spark job
-   * runs inside the loop — a 30k-merge production vocabulary is driver
-   * minutes. Semantics are identical to [[trainMergesDistributed]]
+   * pair and adjusts only their adjacent-pair counts, and the argmax
+   * reads the head of an ordered count index maintained alongside
+   * (O(log P) per delta, not an O(P) scan per merge — the scan would
+   * swamp the delta savings once the pair map reaches millions of
+   * entries). Per-merge cost is O(types containing the pair · log P),
+   * and no Spark job runs inside the loop — a 30k-merge production
+   * vocabulary is driver minutes. Semantics are identical to [[trainMergesDistributed]]
    * (bit-identical ladders, spec-pinned): same leftmost-first merge
    * application, same (cnt DESC, l, r) argmax with UTF-8 binary
    * tie-break, same `minCount` early stop.
@@ -134,6 +139,22 @@ object Bpe {
       i += 1
     }
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    // the argmax structure: (cnt, l, r) under (cnt DESC, l, r UTF-8 asc),
+    // kept in lockstep with `counts` by remove-old/insert-new on every
+    // delta — head() IS the next merge, O(log P) per update instead of a
+    // full O(P) scan per merge (which would swamp the delta savings at a
+    // production 30k-merge vocabulary: nMerges × millions of pairs)
+    val byCount = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1)
+          if (c != 0) c
+          else {
+            val c2 = utf8Cmp(x._2, y._2)
+            if (c2 != 0) c2 else utf8Cmp(x._3, y._3)
+          }
+        }
+      })
     // pair -> type indices that contained it when last touched (may go
     // stale after later merges; re-checked against the live symbol
     // stream before use — `counts` alone is authoritative)
@@ -144,8 +165,11 @@ object Bpe {
       var j = 0
       while (j + 1 < s.length) {
         val p = (s(j), s(j + 1))
-        val c = counts.getOrElse(p, 0L) + sign * freq(idx)
-        if (c == 0L) counts.remove(p) else counts.update(p, c)
+        val old = counts.getOrElse(p, 0L)
+        val c = old + sign * freq(idx)
+        if (old != 0L) byCount.remove((old, p._1, p._2))
+        if (c == 0L) counts.remove(p)
+        else { counts.update(p, c); byCount.add((c, p._1, p._2)); () }
         if (sign > 0)
           occurs.getOrElseUpdate(p,
             scala.collection.mutable.ArrayBuffer.empty[Int]) += idx
@@ -180,17 +204,12 @@ object Bpe {
     var merges = Vector.empty[(String, String)]
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
-      var bl: String = null
-      var br: String = null
-      var bc = 0L
-      counts.foreach { case ((l, r), c) =>
-        if (c >= minCount && (bl == null || c > bc || (c == bc &&
-            (utf8Lt(l, bl) || (l == bl && utf8Lt(r, br)))))) {
-          bl = l; br = r; bc = c
-        }
-      }
-      if (bl == null) exhausted = true
+      // head of the order = (max cnt, then smallest l, r) — the exact
+      // argmax the old full scan computed
+      val top = if (byCount.isEmpty) null else byCount.first()
+      if (top == null || top._1 < minCount) exhausted = true
       else {
+        val (_, bl, br) = top
         merges = merges :+ ((bl, br))
         occurs.remove((bl, br)).foreach(_.foreach { idx =>
           if (containsPair(syms(idx), bl, br)) {
@@ -309,8 +328,14 @@ object Bpe {
    * id space a training pipeline feeds the model: base alphabet first
    * (every distinct code-point symbol of the corpus word types, UTF-8
    * binary order, ids `0..A-1`), then one entry per merge in rank order
-   * (ids `A..A+nMerges-1`) — the GPT-2 layout. One corpus aggregation
-   * (the [[wordTypes]] pass + a distinct over its exploded symbols,
+   * — the GPT-2 layout, which DEDUPES: two merges whose concatenations
+   * spell the same token (impossible for trained ladders' first
+   * occurrence vs. later ones only via e.g. ("ab","c") and ("a","bc"),
+   * which hand-built ladders [[encode]] accepts can contain) collapse
+   * to the FIRST rank's id, keeping ids dense — no dead rows in an
+   * embedding matrix sized by vocab length, and `encodeIds`' token→id
+   * map has exactly one id per token. One corpus aggregation (the
+   * [[wordTypes]] pass + a distinct over its exploded symbols,
    * alphabet-sized collect); deterministic, so the id assignment is
    * stable across partitionings. Returns `(id, token)` pairs.
    */
@@ -328,7 +353,10 @@ object Bpe {
       .collect().map(_.getString(0))
       .sortWith(utf8Lt)
     val mergeTokens = merges.map { case (l, r) => l + r }
-    (alphabet.toSeq ++ mergeTokens).zipWithIndex
+    // distinct keeps the first occurrence — merge tokens can't collide
+    // with the single-code-point alphabet, so this only collapses
+    // duplicate merge spellings onto their earliest rank
+    (alphabet.toSeq ++ mergeTokens).distinct.zipWithIndex
       .map { case (t, i) => (i, t) }
   }
 

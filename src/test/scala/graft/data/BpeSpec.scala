@@ -135,6 +135,24 @@ class BpeSpec extends SparkSpec {
       byToken("lo") === 12 && byToken("low") === 13)
   }
 
+  test("vocabulary dedupes duplicate merge spellings to the earliest rank") {
+    // a hand-built ladder (encode accepts these) where two merges spell
+    // the same token: ("lo","w") and ("l","ow") both emit "low". The
+    // GPT-2 layout dedupes — one id per token, first rank wins, ids
+    // stay dense (no dead embedding rows)
+    val ladder = Seq(("l", "o"), ("o", "w"), ("lo", "w"), ("l", "ow"))
+    val vocab = Bpe.vocabulary(sennrich, "text", ladder)
+    assert(vocab.map(_._1) === vocab.indices.toSeq, "ids must stay dense")
+    assert(vocab.count(_._2 == "low") === 1)
+    // first spelling's position: alphabet (10 symbols) + ranks lo, ow, low
+    val byToken = vocab.map { case (i, t) => (t, i) }.toMap
+    assert(byToken("low") === 12)
+    // encodeIds emits the surviving id for the token
+    val ids = Bpe.encodeIds(Seq("low").toDF("text"), "text", ladder, vocab)
+      .select(col("token_ids")).as[Seq[Int]].head()
+    assert(ids === Seq(byToken("low")))
+  }
+
   test("encodeIds: ids decode to encode()'s tokens; unseen chars -> unkId") {
     val merges = Bpe.trainMerges(sennrich, "text", nMerges = 4)
     val vocab = Bpe.vocabulary(sennrich, "text", merges)
