@@ -345,6 +345,16 @@ object SparkEntry {
       Corpus.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // distribution-level drift monitor: token-frequency deltas between
+    // two snapshots in exact integer ppm (floor div, cross-engine exact);
+    // top-40 leaderboard by |delta|, ties broken by token
+    "q97_token_drift" -> ((s, dir) => {
+      import graft.data.Corpus
+      val docs = t(s, dir, "documents")
+      Corpus.tokenDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", topK = 40)
+    }),
     "q88_incremental_dedup" -> ((s, dir) => {
       // continuous-ingest admit: a new batch (doc_id % 7 == 3) checked
       // against the accepted corpus's SIGNATURE STORE — exact fp, then
@@ -819,6 +829,20 @@ object SparkEntry {
         e.filter(col("vec_id") % 5 =!= 0),
         e.filter(col("vec_id") % 5 === 0), "v", "label", posAt = 5.0)
     }),
+    // probe CALIBRATION: reliability-diagram bins on the held-out split —
+    // per unit-width score bin, count + mean predicted vs mean actual
+    // label in exact micro-units
+    "q94c_probe_calibration" -> ((s, dir) => {
+      import graft.data.Probe
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 2).as("v"),
+          col("label"))
+      Probe.calibration2(
+          e.filter(col("vec_id") % 5 =!= 0),
+          e.filter(col("vec_id") % 5 === 0), "v", "label", nBins = 40)
+        .orderBy(col("bin"))
+    }),
     // host-graph PageRank: co-occurrence edges from per-doc URL hosts,
     // 3 damped iterations in exact integer micro-units (order-independent
     // longs, so the unrolled DuckDB recurrence matches bit-for-bit)
@@ -922,6 +946,20 @@ object SparkEntry {
           max(col("shuffle_key")).as("max_key"),
           min_by(col("doc_id"), col("shuffle_key")).as("first_doc"))
         .orderBy(col("shard"))
+    }),
+    // WITHIN-doc repeated-line removal (map-only): planted intra-doc
+    // repeats drop at their second occurrence; the same boilerplate line
+    // planted in EVERY doc survives once per doc — proving the cross-doc
+    // tier (q66) is untouched
+    "q96_within_doc_dedup" -> ((s, dir) => {
+      val aug = concat_ws("\n",
+        lit("shared banner line"), col("text"),
+        lit("shared banner line"),
+        concat(lit("doc tail "), col("doc_id")),
+        concat(lit("doc tail "), col("doc_id")))
+      Dedup.dedupLinesWithinDoc(
+          t(s, dir, "documents").withColumn("text", aug), "doc_id", "text")
+        .orderBy(col("doc_id"))
     }),
     // exact-size weighted sampling without replacement (A-ES, log form)
     "q81_weighted_sample" -> ((s, dir) => {
@@ -1898,6 +1936,29 @@ object SparkEntry {
          |  CAST(sum(nd) * bucket - sum(st) AS BIGINT) AS pad_waste,
          |  min(nd) AS min_batch_docs, max(nd) AS max_batch_docs
          |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q97_token_drift" ->
+      s"""WITH bc AS (SELECT tok, count(*) AS cnt FROM (
+         |    SELECT unnest($tokSql) AS tok FROM documents WHERE doc_id % 2 = 0)
+         |  GROUP BY tok),
+         |bt AS (SELECT sum(cnt) AS total FROM bc),
+         |bb AS (SELECT tok, cnt AS n_before,
+         |    (cnt * 1000000) // total AS ppm_before FROM bc, bt),
+         |ac AS (SELECT tok, count(*) AS cnt FROM (
+         |    SELECT unnest($tokSql) AS tok FROM documents WHERE doc_id % 2 = 1)
+         |  GROUP BY tok),
+         |a2 AS (SELECT sum(cnt) AS total FROM ac),
+         |aa AS (SELECT tok, cnt AS n_after,
+         |    (cnt * 1000000) // total AS ppm_after FROM ac, a2),
+         |j AS (SELECT coalesce(bb.tok, aa.tok) AS tok,
+         |    CAST(coalesce(n_before, 0) AS BIGINT) AS n_before,
+         |    CAST(coalesce(n_after, 0) AS BIGINT) AS n_after,
+         |    CAST(coalesce(ppm_before, 0) AS BIGINT) AS ppm_before,
+         |    CAST(coalesce(ppm_after, 0) AS BIGINT) AS ppm_after
+         |  FROM bb FULL OUTER JOIN aa ON bb.tok = aa.tok)
+         |SELECT tok, n_before, n_after, ppm_before, ppm_after,
+         |  ppm_after - ppm_before AS delta_ppm
+         |FROM j ORDER BY abs(ppm_after - ppm_before) DESC, tok
+         |LIMIT 40""".stripMargin,
     "q89_snapshot_diff" ->
       s"""WITH o AS (SELECT doc_id,
          |  ${h60Sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS fp
@@ -2369,6 +2430,21 @@ object SparkEntry {
          |  min(shuffle_key) AS min_key, max(shuffle_key) AS max_key,
          |  arg_min(doc_id, shuffle_key) AS first_doc
          |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+    "q96_within_doc_dedup" ->
+      s"""WITH aug AS (SELECT doc_id, concat('shared banner line', chr(10),
+         |    text, chr(10), 'shared banner line', chr(10),
+         |    'doc tail ', CAST(doc_id AS VARCHAR), chr(10),
+         |    'doc tail ', CAST(doc_id AS VARCHAR)) AS text FROM documents),
+         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM aug),
+         |l AS (SELECT doc_id, parts,
+         |    CAST(unnest(range(1, len(parts) + 1)) AS BIGINT) AS idx FROM ls),
+         |k AS (SELECT doc_id, idx, len(parts) AS n_total,
+         |    parts[CAST(idx AS INT)] AS line FROM l
+         |  WHERE list_position(parts, parts[CAST(idx AS INT)]) = idx)
+         |SELECT doc_id, count(*) AS n_lines,
+         |  max(n_total) - count(*) AS n_dropped,
+         |  string_agg(line, chr(10) ORDER BY idx) AS text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q63b_span_removal" ->
       s"""WITH norm AS (SELECT doc_id,
          |  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM documents),
@@ -2616,6 +2692,23 @@ object SparkEntry {
          |  CAST(rank_sum2_pos - n_pos * (n_pos + 1) AS DOUBLE)
          |    / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
          |FROM ag""".stripMargin,
+    "q94c_probe_calibration" ->
+      s"""WITH $probeWeights2Sql,
+         |te AS (SELECT CAST(embedding[1] AS DOUBLE) AS x1,
+         |    CAST(embedding[2] AS DOUBLE) AS x2, CAST(label AS DOUBLE) AS y
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |sc AS (SELECT w0 + x1*w1 + x2*w2 AS p, y FROM te, wv),
+         |bi AS (SELECT
+         |    least(greatest(CAST(floor((p - 0.0) / 0.25) AS BIGINT), 0), 39)
+         |      AS bin,
+         |    CAST(floor(p * 1e6) AS BIGINT) AS p6,
+         |    CAST(floor(y * 1e6) AS BIGINT) AS l6 FROM sc)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(p6) AS BIGINT) AS sum_pred_micro,
+         |  CAST(sum(l6) AS BIGINT) AS sum_label_micro,
+         |  CAST(sum(p6) AS BIGINT) / 1e6 / count(*) AS mean_pred,
+         |  CAST(sum(l6) AS BIGINT) / 1e6 / count(*) AS mean_label
+         |FROM bi GROUP BY bin ORDER BY bin""".stripMargin,
     "q85_pagerank" ->
       s"""WITH $hostPagerankSql
          |SELECT node AS host, CAST(r AS BIGINT) AS pr_micro,

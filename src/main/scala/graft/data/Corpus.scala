@@ -256,4 +256,53 @@ object Corpus {
           .otherwise(lit("changed")).as("status"),
         col("fp_old"), col("fp_new"))
   }
+
+  /**
+   * TOKEN-frequency drift between two corpus snapshots — the
+   * distribution-level companion to [[snapshotDiff]]'s doc-level diff,
+   * and the standard drift monitor for a continuous-ingest pipeline: a
+   * crawl source changing register, a spam burst, or a filter regression
+   * shows up as a handful of tokens with large relative-frequency deltas
+   * long before aggregate quality metrics move.
+   *
+   * Per token: occurrence counts in each snapshot (absent = 0) and
+   * relative frequencies in exact integer parts-per-million
+   * (`cnt · 1e6 div total` — floor division on longs, so results are
+   * bit-identical across engines and partitionings). Output is the
+   * `topK` tokens by |ppm_after − ppm_before| (ties broken by token) —
+   * the drift leaderboard, not the full vocabulary.
+   *
+   * Scale shape: two map-side-combinable token-count aggregations, the
+   * 1-row totals cross-joined back (broadcast, never collected), ONE
+   * full-outer shuffle join on the token key, and a TakeOrdered top-K —
+   * no corpus broadcast, no driver-side state. Token keys are naturally
+   * high-cardinality, so both the aggs and the join spread evenly; a
+   * corpus-hot token is one group key whose count combines map-side.
+   */
+  def tokenDrift(before: DataFrame, after: DataFrame, textCol: String,
+      topK: Int = 50): DataFrame = {
+    def counts(df: DataFrame) = {
+      // totals summed from the COUNT table, not a second corpus scan —
+      // identical subplans, so the token-count exchange is reused
+      val c = df
+        .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      c.crossJoin(broadcast(c.agg(sum(col("cnt")).as("total"))))
+    }
+    val a = counts(before)
+      .select(col("tok"), col("cnt").as("n_before"),
+        expr("cnt * 1000000 div total").as("ppm_before"))
+    val b = counts(after)
+      .select(col("tok"), col("cnt").as("n_after"),
+        expr("cnt * 1000000 div total").as("ppm_after"))
+    a.join(b, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("ppm_before"), lit(0L)).as("ppm_before"),
+        coalesce(col("ppm_after"), lit(0L)).as("ppm_after"))
+      .withColumn("delta_ppm", col("ppm_after") - col("ppm_before"))
+      .orderBy(abs(col("delta_ppm")).desc, col("tok"))
+      .limit(topK)
+  }
 }

@@ -965,6 +965,39 @@ object Dedup {
   }
 
   /**
+   * WITHIN-document repeated-line removal — the intra-doc half of the
+   * RefinedWeb/FineWeb line-dedup pass: a line repeated inside one
+   * document survives only at its first occurrence; occurrences in OTHER
+   * documents are untouched (that cross-doc tier is [[dedupLines]]).
+   * Catches per-page boilerplate loops (repeated nav blocks, pagination
+   * footers, scraped-twice sections) without any corpus-wide election.
+   *
+   * Scale shape: MAP-ONLY — no explode, no shuffle, no per-line hash
+   * table crossing an exchange. The first-occurrence test is
+   * `array_position(parts, line) == own index` on the in-memory split
+   * array, O(L²) equality compares per doc in the worst case — for the
+   * bounded line counts of real documents that is far cheaper than
+   * [[dedupLines]]' two corpus-wide shuffles, and it composes with any
+   * downstream operator as a plain projection. Docs with no repeats pass
+   * through byte-identical.
+   *
+   * Output: `(idCol, n_lines, n_dropped, text)` — surviving line count,
+   * dropped-occurrence count, text rebuilt from surviving lines in
+   * original order. Blank lines dedup like any other line (exact-line
+   * semantics, matching [[dedupLines]]).
+   */
+  def dedupLinesWithinDoc(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val parts = split(col(textCol), "\n")
+    val kept = filter(parts, (line, i) =>
+      array_position(parts, line) === (i + 1).cast("long"))
+    docs.select(col(idCol),
+      size(kept).cast("long").as("n_lines"),
+      (size(parts) - size(kept)).cast("long").as("n_dropped"),
+      array_join(kept, "\n").as("text"))
+  }
+
+  /**
    * Train/benchmark DECONTAMINATION — the n-gram overlap check every
    * serious pre-training pipeline runs before shipping a split (GPT-3
    * appendix C; Dodge et al. 2021 C4 analysis): flag each candidate

@@ -245,6 +245,54 @@ object Probe {
           (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
   }
 
+  /**
+   * Held-out CALIBRATION of the d = 2 probe — the reliability-diagram
+   * data a pipeline inspects before picking [[qualityFilter]]'s
+   * threshold: fit on `train` ([[fitRidge2]]), score `test`, bucket
+   * predictions into `nBins` fixed-width bins over `[lo, hi)` (clamped
+   * at both ends), and report per bin the count and the mean predicted
+   * vs mean actual label. A well-calibrated probe has
+   * `mean_pred ≈ mean_label` per bin; divergence localizes WHERE on the
+   * score axis the filter will over- or under-admit.
+   *
+   * Exactness: per-row micro-unit floors (`Σ floor(pred·1e6)`,
+   * `Σ floor(label·1e6)` — exact longs, order-independent) make the
+   * aggregation bit-reproducible across engines and partitionings;
+   * scoring arithmetic is order-pinned like [[evalRidge2]]. For
+   * cross-engine bit parity of the BIN INDEX keep `(hi − lo) / nBins`
+   * exactly representable (the default 10 bins over [0, 10) has
+   * width 1.0). Map-only over the test split plus one `nBins`-group
+   * aggregation; training touches the corpus once ([[suffStats]]).
+   * Returns `(bin, n, sum_pred_micro, sum_label_micro, mean_pred,
+   * mean_label)`; empty bins are absent.
+   */
+  def calibration2(train: DataFrame, test: DataFrame, vecCol: String,
+      labelCol: String, nBins: Int = 10, lo: Double = 0.0, hi: Double = 10.0,
+      lambda: Double = 0.0): DataFrame = {
+    require(nBins > 0, s"nBins must be > 0, got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val w = fitRidge2(train, vecCol, labelCol, lambda)
+    val v = col(vecCol).cast("array<double>")
+    val pred = lit(w(0)) + element_at(v, 1) * lit(w(1)) +
+      element_at(v, 2) * lit(w(2))
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(floor((pred - lit(lo)) / lit(width)), lit(0L)),
+      lit(nBins - 1L))
+    test.select(bin.as("bin"),
+        floor(pred * lit(1e6)).as("p6"),
+        floor(col(labelCol).cast("double") * lit(1e6)).as("l6"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p6")).as("sum_pred_micro"),
+        sum(col("l6")).as("sum_label_micro"))
+      .select(col("bin"), col("n"),
+        col("sum_pred_micro"), col("sum_label_micro"),
+        (col("sum_pred_micro").cast("double") / lit(1e6) / col("n"))
+          .as("mean_pred"),
+        (col("sum_label_micro").cast("double") / lit(1e6) / col("n"))
+          .as("mean_label"))
+  }
+
   /** Map-only probe score `w₀ + ⟨w, v⟩` from broadcast literal weights
    * (native `vec_dot` — stays inside whole-stage codegen). */
   def score(vec: Column, weights: Array[Double]): Column =

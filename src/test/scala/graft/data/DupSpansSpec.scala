@@ -109,4 +109,35 @@ class DupSpansSpec extends SparkSpec {
     assert(out(2L) == ((2L, 2L, "other body\nother tail")))
     assert(out(3L) == ((3L, 2L, "repeat me\nlast line")))
   }
+
+  test("dedupLinesWithinDoc: intra-doc repeats drop, cross-doc lines stay") {
+    val out = Dedup.dedupLinesWithinDoc(Seq(
+        (1L, "nav\nbody one\nnav\nfooter"),       // intra-doc repeat of nav
+        (2L, "nav\nbody two\nfooter"),            // nav again — must SURVIVE here
+        (3L, "a\na\na\nb\na"),                    // heavy repeats, order kept
+        (4L, "only\nunique\nlines")               // byte-identical passthrough
+      ).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"doc_id", $"n_lines", $"n_dropped", $"text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((1L, 3L, 1L, "nav\nbody one\nfooter")))
+    assert(out(2L) == ((2L, 3L, 0L, "nav\nbody two\nfooter")))
+    assert(out(3L) == ((3L, 2L, 3L, "a\nb")))
+    assert(out(4L) == ((4L, 3L, 0L, "only\nunique\nlines")))
+  }
+
+  test("dedupLinesWithinDoc is map-only: no exchange in the plan") {
+    val df = Dedup.dedupLinesWithinDoc(
+      Seq((1L, "x\ny")).toDF("doc_id", "text"), "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
+
+  test("dedupLinesWithinDoc: blank lines dedup like any other line") {
+    val out = Dedup.dedupLinesWithinDoc(
+        Seq((1L, "a\n\nb\n\nc")).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"n_lines", $"n_dropped", $"text")
+      .as[(Long, Long, String)].head()
+    assert(out == ((4L, 1L, "a\n\nb\nc")))
+  }
 }

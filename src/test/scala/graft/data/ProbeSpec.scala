@@ -96,6 +96,55 @@ class ProbeSpec extends SparkSpec {
     assert(swapped.getDouble(2) < 1e-3)
   }
 
+  test("calibration2: a perfectly-calibrated planted probe has mean_pred == mean_label per bin") {
+    val two = emb.select(col("vec_id"), slice(col("v"), 1, 2).as("v"),
+      (lit(0.5) - lit(1.25) * element_at(col("v"), 1)
+        + lit(3.0) * element_at(col("v"), 2)).as("y"))
+    val train = two.filter(col("vec_id") % 5 =!= 0)
+    val test_ = two.filter(col("vec_id") % 5 === 0)
+    val rows = Probe.calibration2(train, test_, "v", "y", nBins = 10,
+        lo = -10.0, hi = 10.0)
+      .select($"bin", $"n", $"mean_pred", $"mean_label")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum === test_.count())
+    rows.foreach { case (bin, n, mp, ml) =>
+      assert(bin >= 0 && bin <= 9, s"bin $bin out of range")
+      assert(n > 0)
+      // the label IS the noiseless linear function the probe recovers
+      assert(math.abs(mp - ml) < 1e-3, s"bin $bin: $mp vs $ml")
+    }
+  }
+
+  test("calibration2 clamps out-of-range predictions into the edge bins") {
+    // labels far beyond [0, 10): every prediction clamps to bin 0 or 9
+    val df = Seq(
+      (1L, Seq(1.0, 0.0), -50.0), (2L, Seq(2.0, 0.0), -100.0),
+      (3L, Seq(-1.0, 0.0), 50.0), (4L, Seq(-2.0, 0.0), 100.0),
+      (5L, Seq(0.5, 0.5), -25.0), (6L, Seq(-0.5, -0.5), 25.0)
+    ).toDF("vec_id", "v", "y")
+    val bins = Probe.calibration2(df, df, "v", "y")
+      .select($"bin").as[Long].collect().toSet
+    assert(bins.subsetOf(Set(0L, 9L)), s"expected only edge bins, got $bins")
+    assert(bins === Set(0L, 9L))
+  }
+
+  test("calibration2: exact micro-unit sums on a hand-checked frame") {
+    // planted y = x1 (w recovered exactly); preds 1.5 and 2.5 land in
+    // bins 1 and 2 with floor(p*1e6) sums checkable by hand
+    val df = Seq(
+      (1L, Seq(1.5, 0.0), 1.5), (2L, Seq(2.5, 0.0), 2.5),
+      (3L, Seq(0.5, 1.0), 0.5), (4L, Seq(3.5, -1.0), 3.5)
+    ).toDF("vec_id", "v", "y")
+    val out = Probe.calibration2(df, df, "v", "y")
+      .select($"bin", $"n", $"sum_pred_micro", $"sum_label_micro")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L))
+    assert(out(1L)._2 === 1L)
+    assert(math.abs(out(1L)._3 - 1500000L) <= 1L, s"got ${out(1L)._3}")
+    assert(out(1L)._3 === out(1L)._4)
+  }
+
   test("rocAuc2: separable planted label -> AUC 1; anti-label -> AUC 0") {
     // y = v1 + 2 v2 is a deterministic function of the features, so the
     // fitted ranker separates positives (y >= median-ish cut) perfectly

@@ -55,4 +55,38 @@ class SnapshotDiffSpec extends SparkSpec {
     val afterExchange = p.split("Exchange").head
     assert(!afterExchange.contains("text#"), p.take(2000))
   }
+
+  test("tokenDrift: exact ppm bookkeeping on a hand-checked corpus") {
+    // before: 4 tokens total (a a b c); after: 5 tokens (a b b b d)
+    val before = Seq((1L, "a a b"), (2L, "c")).toDF("id", "text")
+    val after = Seq((1L, "a b b"), (2L, "b d")).toDF("id", "text")
+    val out = Corpus.tokenDrift(before, after, "text", topK = 10)
+      .select(col("tok"), col("n_before"), col("n_after"),
+        col("ppm_before"), col("ppm_after"), col("delta_ppm"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet === Set("a", "b", "c", "d"))
+    assert(out("a") === (("a", 2L, 1L, 500000L, 200000L, -300000L)))
+    assert(out("b") === (("b", 1L, 3L, 250000L, 600000L, 350000L)))
+    assert(out("c") === (("c", 1L, 0L, 250000L, 0L, -250000L)))
+    assert(out("d") === (("d", 0L, 1L, 0L, 200000L, 200000L)))
+  }
+
+  test("tokenDrift topK truncates by |delta| with token tie-break") {
+    val before = Seq((1L, "x x y z")).toDF("id", "text")
+    val after = Seq((1L, "y y x z")).toDF("id", "text")
+    // deltas: x -250000, y +250000, z 0 -> top-2 is (x, y) by tie-break
+    val toks = Corpus.tokenDrift(before, after, "text", topK = 2)
+      .select(col("tok")).as[String].collect().toSet
+    assert(toks === Set("x", "y"))
+  }
+
+  test("tokenDrift floor-division matches `div` semantics (no rounding up)") {
+    // 1 of 3 tokens = 333333.33... ppm -> floor 333333, never 333334
+    val before = Seq((1L, "p q r")).toDF("id", "text")
+    val after = Seq((1L, "p")).toDF("id", "text")
+    val ppm = Corpus.tokenDrift(before, after, "text", topK = 10)
+      .filter(col("tok") === "q").select(col("ppm_before")).as[Long].head()
+    assert(ppm === 333333L)
+  }
 }
