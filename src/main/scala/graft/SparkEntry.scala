@@ -894,6 +894,17 @@ object SparkEntry {
         .select(col("node"), col("rank_micro").as("pr_micro"), col("rank").as("pr"))
         .orderBy(col("node"))
     }),
+    // HITS hubs/authorities on the same directed graph — exact integer
+    // micro-unit L1-normalized half-steps, bit-identical to the oracle's
+    // unrolled recurrence (nodes >= 37 are never a src: hub 0 teeth)
+    "q98_hits" -> ((s, dir) => {
+      import graft.data.Graph
+      val e = t(s, dir, "documents")
+        .select((col("doc_id") % 37).as("src"), (col("doc_id") % 50).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Graph.hits(e, "src", "dst", iters = 2)
+        .orderBy(col("node"))
+    }),
     // BPE trainer surface: first-iteration weighted symbol-pair counts
     // over the word-type table (the argmax of this table IS merge #1)
     "q86_bpe_pairs" -> ((s, dir) => {
@@ -1571,6 +1582,37 @@ object SparkEntry {
        |  $pairJaccardSql AS jaccard
        |  FROM t a JOIN t c ON a.doc_id < c.doc_id
        |  WHERE $bandAgreeSql""".stripMargin
+  /** q98 oracle: the full HITS SQL — Graph.hits' integer micro-unit
+   * L1-normalized half-steps unrolled `iters` times over the q92/q98
+   * synthetic directed graph. Built by loop so iteration count stays a
+   * one-line change; the produced text is final SQL (no stripMargin). */
+  private def hitsOracleSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      "WITH e AS (SELECT DISTINCT doc_id % 37 AS src, doc_id % 50 AS dst\n" +
+        "  FROM documents WHERE doc_id % 37 <> doc_id % 50),\n" +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n" +
+        "nn AS (SELECT count(*) AS n FROM nodes),\n" +
+        "h0 AS (SELECT node, 1000000000 // (SELECT n FROM nn) AS v FROM nodes)")
+    for (i <- 1 to iters) {
+      def half(rawT: String, sumT: String, outT: String, fromT: String,
+          joinOn: String, groupAs: String): Unit = sb.append(s""",
+$rawT AS (SELECT e.$groupAs AS node, CAST(sum($fromT.v) AS BIGINT) AS raw
+  FROM e JOIN $fromT ON e.$joinOn = $fromT.node GROUP BY e.$groupAs),
+$sumT AS (SELECT CAST(coalesce(sum(raw), 0) AS BIGINT) AS s FROM $rawT),
+$outT AS (SELECT nd.node, CAST(coalesce(
+    ($rawT.raw * 1000000000) // (SELECT s FROM $sumT), 0) AS BIGINT) AS v
+  FROM nodes nd LEFT JOIN $rawT ON nd.node = $rawT.node)""")
+      half(s"ar$i", s"sa$i", s"a$i", s"h${i - 1}", "src", "dst")
+      half(s"hr$i", s"sh$i", s"h$i", s"a$i", "dst", "src")
+    }
+    sb.append(s"""
+SELECT a$iters.node AS node, a$iters.v AS auth_micro, h$iters.v AS hub_micro,
+  CAST(a$iters.v AS DOUBLE) / 1e9 AS auth,
+  CAST(h$iters.v AS DOUBLE) / 1e9 AS hub
+FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
+    sb.toString
+  }
+
   /** Shared q85/q85b oracle prelude: synthetic per-doc URL hosts, the
    * co-occurrence edge list, and the 3-iteration integer micro-unit
    * PageRank recurrence unrolled (Graph.pageRank spelling; table `h` =
@@ -2758,6 +2800,7 @@ object SparkEntry {
          |SELECT node, CAST(r AS BIGINT) AS pr_micro,
          |  CAST(r AS DOUBLE) / 1e9 AS pr
          |FROM r3 ORDER BY node""".stripMargin,
+    "q98_hits" -> hitsOracleSql(2),
     "q86_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
          |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS word FROM documents),

@@ -117,6 +117,78 @@ object Graph {
     } finally { e.unpersist(); nodes.unpersist(); () }
   }
 
+  /**
+   * Fixed-iteration HITS (Kleinberg, JACM 1999) over a directed edge
+   * list — hubs point at good authorities, authorities are pointed at
+   * by good hubs. The link-analysis complement to [[pageRank]]: where
+   * PageRank ranks by global random-walk mass, HITS separates "pages
+   * that collect good links" (hubs — directories, link lists) from
+   * "pages good links collect to" (authorities) — both useful as
+   * quality priors when curating a crawl.
+   *
+   * Per iteration: authorities from the PREVIOUS hubs (edges join hubs
+   * on `src`, sum on `dst` — two keyed shuffles), L1-normalize; hubs
+   * from the NEW authorities (join on `dst`, sum on `src`), normalize.
+   * Normalization is exact integer micro-units like [[pageRank]]:
+   * `v' = raw · 1e9 div Σraw`, where each Σ is a 1-row LAZY aggregate
+   * cross-joined back (Catalyst broadcasts the row; nothing collected).
+   * Classic HITS normalizes by the L2 norm; the L1 spelling keeps the
+   * arithmetic in order-independent longs (bit-identical across
+   * partitionings AND engines — q98's DuckDB oracle unrolls the same
+   * recurrence) and yields the same RANKING (normalization only
+   * rescales). Headroom: after normalization each score table sums to
+   * ≤ 1e9, so a node's raw sum is ≤ 1e9 and `raw · 1e9 ≤ 1e18 < 2^63`.
+   *
+   * Both score tables are `localCheckpoint`ed per iteration (each is
+   * read twice: by its Σ and by the next half-step), keeping lineage
+   * — and planner time — constant in `iters`. Result is cached and
+   * materialized while the edge cache is warm, like [[pageRank]].
+   * Nodes with no in-edges get authority 0; no out-edges, hub 0.
+   *
+   * Returns `(node, auth_micro, hub_micro, auth, hub)` — exact longs
+   * plus their double forms (lossless: < 2^53).
+   */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    try {
+      val n = nodes.count()
+      require(n > 0, "hits on an empty edge list")
+      val init = 1000000000L / n
+      var hub = nodes.withColumn("v", lit(init))
+      var auth = nodes.withColumn("v", lit(0L))
+      // one half-step: scores flow across edges from `from` to `to`,
+      // then L1-renormalize to 1e9 total (floor division, exact longs)
+      def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {
+        val raw = e
+          .join(scores.withColumnRenamed("node", from), Seq(from))
+          .groupBy(col(to).as("node")).agg(sum(col("v")).as("raw"))
+        val tot = raw.agg(coalesce(sum(col("raw")), lit(0L)).as("s"))
+        nodes.join(raw, Seq("node"), "left")
+          .crossJoin(tot)
+          .select(col("node"),
+            coalesce(expr("raw * 1000000000 div s"), lit(0L)).as("v"))
+          .localCheckpoint()
+      }
+      for (_ <- 1 to iters) {
+        auth = halfStep(hub, "src", "dst")
+        hub = halfStep(auth, "dst", "src")
+      }
+      val out = auth.select(col("node"), col("v").as("auth_micro"))
+        .join(hub.select(col("node"), col("v").as("hub_micro")), Seq("node"))
+        .select(col("node"), col("auth_micro"), col("hub_micro"),
+          (col("auth_micro").cast("double") / lit(1e9)).as("auth"),
+          (col("hub_micro").cast("double") / lit(1e9)).as("hub"))
+        .cache()
+      out.count() // eager: runs the iterations while e/nodes are cached
+      out
+    } finally { e.unpersist(); nodes.unpersist(); () }
+  }
+
   /** Undirected co-occurrence edges from (group, member) pairs: both
    * directions of every distinct within-group member pair — the host
    * co-citation graph when `member` is a URL host and `group` a doc. */

@@ -132,4 +132,78 @@ class GraphSpec extends SparkSpec {
       .collect().toMap
     assert(got.values.toSet === Set(1000000000L / 5))
   }
+
+  /** Straight-line scalar reference of the same HITS integer
+   * recurrence (L1-normalized half-steps, floor division). */
+  private def refHits(edges: Seq[(String, String)],
+      iters: Int): Map[String, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    var hub = nodes.map(_ -> 1000000000L / n).toMap
+    var auth = nodes.map(_ -> 0L).toMap
+    def half(scores: Map[String, Long], out: Boolean): Map[String, Long] = {
+      val raw = nodes.map { nd =>
+        val in = if (out) e.filter(_._2 == nd).map(_._1)
+                 else e.filter(_._1 == nd).map(_._2)
+        nd -> in.map(scores).sum
+      }.toMap
+      val s = raw.values.sum
+      nodes.map(nd =>
+        nd -> (if (s == 0L || raw(nd) == 0L) 0L
+               else raw(nd) * 1000000000L / s)).toMap
+    }
+    for (_ <- 1 to iters) {
+      auth = half(hub, out = true)
+      hub = half(auth, out = false)
+    }
+    nodes.map(nd => nd -> ((auth(nd), hub(nd)))).toMap
+  }
+
+  // directed: a,b both point at c (authority); d points at a,b,c (hub);
+  // c points nowhere (pure authority, hub 0)
+  private val hitsEdges = Seq(
+    ("a", "c"), ("b", "c"), ("d", "a"), ("d", "b"), ("d", "c"))
+
+  test("hits matches the scalar reference exactly (1, 2, 3 iters)") {
+    val df = hitsEdges.toDF("s", "d")
+    for (iters <- Seq(1, 2, 3)) {
+      val got = Graph.hits(df, "s", "d", iters)
+        .select(col("node"), col("auth_micro"), col("hub_micro"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === refHits(hitsEdges, iters), s"iters=$iters")
+    }
+  }
+
+  test("hits: pure authority has hub 0; the fan-out node is the top hub") {
+    val got = Graph.hits(hitsEdges.toDF("s", "d"), "s", "d", 2)
+      .select(col("node"), col("auth_micro"), col("hub_micro"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("c")._2 === 0L)                       // no out-edges
+    assert(got("c")._1 === got.values.map(_._1).max) // top authority
+    assert(got("d")._2 === got.values.map(_._2).max) // top hub
+    assert(got("d")._1 === 0L)                       // nothing points at d
+  }
+
+  test("hits is invariant to input partitioning (exact longs)") {
+    val a = Graph.hits(hitsEdges.toDF("s", "d"), "s", "d", 2)
+      .select(col("node"), col("auth_micro"), col("hub_micro"))
+      .as[(String, Long, Long)].collect().toSet
+    val b = Graph.hits(hitsEdges.toDF("s", "d").repartition(7), "s", "d", 2)
+      .select(col("node"), col("auth_micro"), col("hub_micro"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("hits normalization: each score table sums to ~1e9 (floor loss < N)") {
+    val rows = Graph.hits(hitsEdges.toDF("s", "d"), "s", "d", 3)
+      .select(col("auth_micro"), col("hub_micro"))
+      .as[(Long, Long)].collect()
+    val n = rows.length
+    val (sa, sh) = (rows.map(_._1).sum, rows.map(_._2).sum)
+    assert(sa > 1000000000L - n && sa <= 1000000000L, s"auth sum $sa")
+    assert(sh > 1000000000L - n && sh <= 1000000000L, s"hub sum $sh")
+  }
 }
