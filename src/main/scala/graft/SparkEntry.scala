@@ -1153,6 +1153,25 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("l_suppkey"), col("rank"))
     }),
+    // crawl FRONT-DOOR dedup: canonical-URL key (scheme/www/port/
+    // tracking-param/fragment-insensitive) -> keep min doc per key; the
+    // synthesized URLs vary cosmetically within each doc_id%100 class
+    "q99_url_dedup" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("http://")).otherwise(lit("https://")),
+        when(col("doc_id") % 3 === 0, lit("WWW.Ex")).otherwise(lit("ex")),
+        (col("doc_id") % 5).cast("string"), lit(".org"),
+        when(col("doc_id") % 2 === 1, lit(":443")).otherwise(lit("")),
+        lit("/p/"), (col("doc_id") % 100).cast("string"), lit("/"),
+        lit("?utm_source=feed&page="), (col("doc_id") % 4).cast("string"),
+        lit("&fbclid=x"), col("doc_id").cast("string"),
+        lit("#sec"), (col("doc_id") % 7).cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), T.canonicalUrl(url).as("url_canon"))
+        .groupBy(col("url_canon"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("url_canon"))
+    }),
     // rollup with grouping id (subtotals + grand total in one pass)
     "q45_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -2801,6 +2820,39 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |  CAST(r AS DOUBLE) / 1e9 AS pr
          |FROM r3 ORDER BY node""".stripMargin,
     "q98_hits" -> hitsOracleSql(2),
+    "q99_url_dedup" ->
+      s"""WITH u AS (SELECT doc_id,
+         |  concat(CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.Ex' ELSE 'ex' END,
+         |    CAST(doc_id % 5 AS VARCHAR), '.org',
+         |    CASE WHEN doc_id % 2 = 1 THEN ':443' ELSE '' END,
+         |    '/p/', CAST(doc_id % 100 AS VARCHAR), '/',
+         |    '?utm_source=feed&page=', CAST(doc_id % 4 AS VARCHAR),
+         |    '&fbclid=x', CAST(doc_id AS VARCHAR),
+         |    '#sec', CAST(doc_id % 7 AS VARCHAR)) AS url
+         |  FROM documents),
+         |c1 AS (SELECT doc_id,
+         |  regexp_replace(url, '^[hH][tT][tT][pP][sS]?://', '') AS x FROM u),
+         |c2 AS (SELECT doc_id, regexp_replace(x, '#.*', '') AS x FROM c1),
+         |c3 AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(lower(regexp_replace(
+         |      regexp_extract(x, '^([^/?]*)', 1), '^[^@]*@', '')),
+         |    ':(80|443)$$', ''), '^www\\.', '') AS host,
+         |  regexp_extract(x, '^[^/?]*(.*)', 1) AS rest FROM c2),
+         |c4 AS (SELECT doc_id, host,
+         |  regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$$', '')
+         |    AS path,
+         |  regexp_extract(rest, '\\?(.*)', 1) AS query FROM c3),
+         |c5 AS (SELECT doc_id, host, path,
+         |  array_to_string(list_filter(string_split(query, '&'),
+         |    p -> len(p) > 0 AND NOT regexp_matches(p,
+         |      '^(utm_[A-Za-z0-9]+|gclid|fbclid|ref|ref_src)=')), '&')
+         |    AS q FROM c4),
+         |k AS (SELECT doc_id, concat(host, path,
+         |    CASE WHEN len(q) > 0 THEN concat('?', q) ELSE '' END)
+         |    AS url_canon FROM c5)
+         |SELECT url_canon, count(*) AS n_docs, min(doc_id) AS keep_id
+         |FROM k GROUP BY url_canon ORDER BY url_canon""".stripMargin,
     "q86_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
          |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS word FROM documents),

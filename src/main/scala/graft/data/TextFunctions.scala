@@ -244,6 +244,39 @@ object TextFunctions {
         u => regexp_extract(u, "https?://(?:[^/\\s@]*@)?([^/\\s:?#@]+)", 1)),
       h => length(h) > 0)
 
+  /**
+   * Canonical form of a URL — the KEY of crawl front-door dedup (the
+   * cheapest dedup tier of all: two fetches of the same page under
+   * cosmetically different URLs collapse BEFORE any content hashing).
+   * Normalizations, in order: scheme dropped (http ≡ https), fragment
+   * dropped, userinfo dropped, host lowercased with leading `www.` and
+   * default ports (`:80`/`:443`) stripped, trailing path slashes
+   * stripped, tracking query params removed (`utm_*`, `gclid`,
+   * `fbclid`, `ref`, `ref_src`), remaining params kept in original
+   * order. Map-only (a chain of anchored single-match regexes plus one
+   * array filter over the query params — every regex matches at most
+   * once, so Spark's replace-all and RE2's replace-first agree and a
+   * SQL oracle mirrors the chain verbatim). Path CASE is preserved
+   * (paths are case-sensitive by spec, unlike hosts).
+   */
+  def canonicalUrl(url: Column): Column = {
+    val noScheme = regexp_replace(url, "^[hH][tT][tT][pP][sS]?://", "")
+    val noFrag = regexp_replace(noScheme, "#.*", "")
+    val auth = regexp_replace(regexp_extract(noFrag, "^([^/?]*)", 1),
+      "^[^@]*@", "")
+    val host = regexp_replace(
+      regexp_replace(lower(auth), ":(80|443)$", ""), "^www\\.", "")
+    val rest = regexp_extract(noFrag, "^[^/?]*(.*)", 1)
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(rest, "\\?(.*)", 1)
+    val params = filter(split(query, "&"), p =>
+      length(p) > 0 &&
+        !p.rlike("^(utm_[A-Za-z0-9]+|gclid|fbclid|ref|ref_src)="))
+    val q = array_join(params, "&")
+    concat(host, path,
+      when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
+  }
+
   /** Fraction of lines that duplicate an earlier line of the same doc —
    * the Gopher duplicate-line filter. Lines split on newline, trimmed;
    * 0.0 for single-line or empty docs. */
