@@ -631,6 +631,18 @@ object SparkEntry {
           round(col("containment"), 6).as("containment"))
         .orderBy(col("doc_id"))
     }),
+    // exact-substring decontamination: maximal >=30-char verbatim spans
+    // of train/valid docs that appear anywhere in the test split
+    "q65b_decontaminate_spans" -> ((s, dir) => {
+      import graft.data.Sampling
+      val d = t(s, dir, "documents").withColumn("split",
+        Sampling.hashSplit(col("doc_id"),
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)))
+      Dedup.contaminationSpans(
+          d.filter(col("split") =!= "test"), d.filter(col("split") === "test"),
+          "doc_id", "text", k = 30)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
     // Gopher §A1.1 document-quality signals + keep decision
     "q64_gopher_quality" -> ((s, dir) => {
       // plant bullet/ellipsis lines so every signal is exercised
@@ -2474,6 +2486,34 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |  ${h60Sql("substr(t, CAST(pos AS INT), 30)")} AS h FROM p),
          |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
          |d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+         |b AS (SELECT doc_id, pos,
+         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
+         |    THEN 0 ELSE 1 END AS brk FROM d),
+         |s AS (SELECT doc_id, pos,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM b)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
+         |  count(*) AS n_grams
+         |FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+    "q65b_decontaminate_spans" ->
+      s"""WITH base AS (SELECT doc_id, text,
+         |    ${h60Sql("concat(CAST(doc_id AS VARCHAR), '')")} % 10000 AS slot
+         |  FROM documents),
+         |cn AS (SELECT doc_id,
+         |  regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+         |  FROM base WHERE slot < 9000),
+         |bn AS (SELECT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+         |  FROM base WHERE slot >= 9000),
+         |cp AS (SELECT doc_id, t,
+         |  CAST(unnest(range(1, greatest(len(t) - 28, 1))) AS BIGINT) AS pos
+         |  FROM cn),
+         |cg AS (SELECT doc_id, pos,
+         |  ${h60Sql("substr(t, CAST(pos AS INT), 30)")} AS h FROM cp),
+         |bp AS (SELECT t,
+         |  CAST(unnest(range(1, greatest(len(t) - 28, 1))) AS BIGINT) AS pos
+         |  FROM bn),
+         |bh AS (SELECT DISTINCT ${h60Sql("substr(t, CAST(pos AS INT), 30)")}
+         |    AS h FROM bp),
+         |d AS (SELECT cg.doc_id, cg.pos FROM cg JOIN bh USING (h)),
          |b AS (SELECT doc_id, pos,
          |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
          |    THEN 0 ELSE 1 END AS brk FROM d),

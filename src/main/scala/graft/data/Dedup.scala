@@ -834,38 +834,36 @@ object Dedup {
    * covers a corpus-hot phrase in the join-back), then one per-doc
    * window merges runs. Nothing is broadcast or collected.
    */
-  def duplicateSpans(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      k: Int,
-      minCount: Long = 2L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // materialize the normalized text behind an exchange FIRST: lambdas
-    // get no subexpression elimination, so an inline normalizeText would
-    // re-run the regex chain once per gram position — O(n²) regex work
-    // per document (the winnowFromKgrams hazard; measured 26 s vs 3 s at
-    // sf0.1). After the barrier the lambda reads a plain attribute.
-    val normed = docs
+  /** Positional k-gram hash stream of the NORMALIZED text:
+   * `(doc_id, pos, h)` with 1-based char positions. The repartition
+   * barrier materializes the normalized text first: lambdas get no
+   * subexpression elimination, so an inline normalizeText would re-run
+   * the regex chain once per gram position — O(n²) regex work per doc
+   * (the winnowFromKgrams hazard; measured 26 s vs 3 s at sf0.1). The
+   * hash stream itself is the native KgramHashStream: the composable
+   * transform-lambda spelling pays interpreted HOF dispatch per
+   * position — ~5× the md5 cost itself (sf0.1: 7 s vs ~2 s). */
+  private def kgramStream(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
         TextFunctions.normalizeText(col(textCol)).as("t"))
       .repartition()
-    // native positional hash stream (KgramHashStream): the composable
-    // transform-lambda spelling pays interpreted HOF dispatch per
-    // position — ~5× the md5 cost itself (sf0.1: 7 s vs ~2 s)
-    val grams = normed
       .select(col("doc_id"),
         posexplode(call_function("kgram_hashes", col("t"), lit(k), lit(15))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
-    val dupHashes = grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
-      .select(col("h"))
+
+  /** Join the gram stream to a flagged-hash set and merge hit positions
+   * into maximal per-doc spans (gaps ≤ k fuse — any shared substring of
+   * length L ≥ k yields exactly one span). Shuffle-hash on the hash key:
+   * sorting the full gram stream for an SMJ is the single most expensive
+   * step of this plan, and the flagged side is a post-aggregation
+   * distinct set — hash-joinable at any scale. */
+  private def mergeSpans(grams: DataFrame, flagged: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    // shuffle-hash: sorting the full gram stream for an SMJ is the single
-    // most expensive step of this plan, and the dup-hash side is the
-    // post-aggregation distinct set — hash-joinable at any scale
-    grams.join(dupHashes.hint("shuffle_hash"), Seq("h"))
+    grams.join(flagged.hint("shuffle_hash"), Seq("h"))
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(w) <= k, lit(0)).otherwise(lit(1)))
       .withColumn("grp", sum(col("brk")).over(w))
@@ -874,6 +872,50 @@ object Dedup {
         (max(col("pos")) + lit(k - 1)).as("span_end"),
         count(lit(1)).as("n_grams"))
       .drop("grp")
+  }
+
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minCount: Long = 2L): DataFrame = {
+    val grams = kgramStream(docs, idCol, textCol, k)
+    val dupHashes = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("h"))
+    mergeSpans(grams, dupHashes, k)
+  }
+
+  /**
+   * Exact-substring DECONTAMINATION spans — the verbatim-overlap tier of
+   * train/benchmark decontamination ([[contamination]] is the
+   * shingle-containment tier): every maximal span of a candidate
+   * document whose ≥ `k`-char substrings (of the normalized text) occur
+   * VERBATIM anywhere in the benchmark corpus. The k-gram re-expression
+   * of Lee et al. 2022's cross-corpus suffix-array pass; GPT-3 appendix
+   * C removed exact 13-gram collisions the same way. Returns
+   * `(doc_id, span_start, span_end, n_grams)` over candidates — docs
+   * with no verbatim overlap are absent; feed the spans to the cut
+   * ([[removeDuplicateSpans]]-style) or drop flagged docs outright.
+   *
+   * Scale shape: candidate grams are |cand chars| rows, benchmark grams
+   * collapse to a DISTINCT hash set before the ONE keyed join (the
+   * benchmark side is never broadcast — decontamination against another
+   * full split must not assume it fits), then the per-doc window merge.
+   * Same two-shuffle shape as [[duplicateSpans]].
+   */
+  def contaminationSpans(
+      candidates: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val candGrams = kgramStream(candidates, idCol, textCol, k)
+    val benchHashes = kgramStream(benchmark, idCol, textCol, k)
+      .select(col("h")).distinct()
+    mergeSpans(candGrams, benchHashes, k)
   }
 
   /**

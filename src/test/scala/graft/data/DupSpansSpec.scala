@@ -110,6 +110,38 @@ class DupSpansSpec extends SparkSpec {
     assert(out(3L) == ((3L, 2L, "repeat me\nlast line")))
   }
 
+  test("contaminationSpans: verbatim cross-corpus overlap flagged, within-corpus repeats not") {
+    val leak = "this exact benchmark passage leaks into training data"
+    val bench = Seq((100L, s"intro text $leak outro text")).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, s"some training doc containing $leak and more words here"),
+      (2L, "a clean training document with no overlap whatsoever in it"),
+      // within-CANDIDATE duplication only — must NOT flag (the dup set
+      // is the benchmark, not the candidate corpus)
+      (3L, "repeated candidate phrase repeated candidate phrase repeated candidate phrase")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.contaminationSpans(cands, bench, "doc_id", "text", k = 20)
+      .select($"doc_id", $"span_start".cast("long"), $"span_end".cast("long"))
+      .as[(Long, Long, Long)].collect()
+    assert(spans.map(_._1).toSet === Set(1L))
+    val (_, s0, e0) = spans.head
+    // the span covers the leaked passage (1-based inclusive, normalized text)
+    val norm = s"some training doc containing $leak and more words here"
+    val covered = norm.substring(s0.toInt - 1, e0.toInt)
+    assert(covered.contains(leak), s"span [$s0,$e0] covers: $covered")
+  }
+
+  test("contaminationSpans: a doc fully inside the benchmark is one full span") {
+    val t0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq((9L, s"prefix $t0 suffix")).toDF("doc_id", "text")
+    val cand = Seq((1L, t0)).toDF("doc_id", "text")
+    val spans = Dedup.contaminationSpans(cand, bench, "doc_id", "text", k = 10)
+      .select($"span_start".cast("long"), $"span_end".cast("long"), $"n_grams")
+      .as[(Long, Long, Long)].collect()
+    assert(spans.length === 1)
+    assert(spans.head._1 === 1L && spans.head._2 === t0.length.toLong)
+  }
+
   test("dedupLinesWithinDoc: intra-doc repeats drop, cross-doc lines stay") {
     val out = Dedup.dedupLinesWithinDoc(Seq(
         (1L, "nav\nbody one\nnav\nfooter"),       // intra-doc repeat of nav
