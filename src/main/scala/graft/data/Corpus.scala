@@ -280,22 +280,33 @@ object Corpus {
    * corpus-hot token is one group key whose count combines map-side.
    */
   def tokenDrift(before: DataFrame, after: DataFrame, textCol: String,
+      topK: Int = 50): DataFrame =
+    tokenDriftFromCounts(tokenCounts(before, textCol),
+      tokenCounts(after, textCol), topK)
+
+  /** Per-token occurrence counts `(tok, cnt)` of a corpus — the
+   * persistable baseline of the drift monitor (save with
+   * [[saveTokenCountsVersioned]] for the streaming twin's hot-reload). */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = df
+    .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+
+  /** The count-level drift kernel behind [[tokenDrift]]: both sides are
+   * `(tok, cnt)` tables (any extra columns ignored). Totals are summed
+   * from the count tables, not a corpus re-scan — when a side was just
+   * computed by [[tokenCounts]] the identical subplans share one reused
+   * exchange; when it was LOADED (the persisted-baseline path) the total
+   * is one cheap scan of the count parquet. */
+  def tokenDriftFromCounts(beforeCounts: DataFrame, afterCounts: DataFrame,
       topK: Int = 50): DataFrame = {
-    def counts(df: DataFrame) = {
-      // totals summed from the COUNT table, not a second corpus scan —
-      // identical subplans, so the token-count exchange is reused
-      val c = df
-        .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    def sided(c0: DataFrame, n: String, ppm: String) = {
+      val c = c0.select(col("tok"), col("cnt"))
       c.crossJoin(broadcast(c.agg(sum(col("cnt")).as("total"))))
+        .select(col("tok"), col("cnt").as(n),
+          expr("cnt * 1000000 div total").as(ppm))
     }
-    val a = counts(before)
-      .select(col("tok"), col("cnt").as("n_before"),
-        expr("cnt * 1000000 div total").as("ppm_before"))
-    val b = counts(after)
-      .select(col("tok"), col("cnt").as("n_after"),
-        expr("cnt * 1000000 div total").as("ppm_after"))
-    a.join(b, Seq("tok"), "full_outer")
+    sided(beforeCounts, "n_before", "ppm_before")
+      .join(sided(afterCounts, "n_after", "ppm_after"), Seq("tok"), "full_outer")
       .select(col("tok"),
         coalesce(col("n_before"), lit(0L)).as("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"),
@@ -305,4 +316,12 @@ object Corpus {
       .orderBy(abs(col("delta_ppm")).desc, col("tok"))
       .limit(topK)
   }
+
+  /** Publish a corpus' token counts as an immutable `dir/v<N>` behind
+   * the `latest` pointer ([[Versioned.publish]]) — the baseline-refresh
+   * cadence of the streaming drift monitor. Returns the version. */
+  def saveTokenCountsVersioned(docs: DataFrame, textCol: String,
+      dir: String): Long =
+    Versioned.publish(docs.sparkSession, dir)(p =>
+      tokenCounts(docs, textCol).write.mode("overwrite").parquet(p))
 }

@@ -404,6 +404,56 @@ object StreamingMarket {
   }
 
   /**
+   * Streaming token-DRIFT monitor against a PERIODICALLY REPUBLISHED
+   * baseline — the continuous form of [[graft.data.Corpus.tokenDrift]],
+   * and the alarm wire of an ingest pipeline: each micro-batch's token
+   * distribution is compared (exact integer ppm) to the latest published
+   * corpus baseline, emitting the top-`topK` drifted tokens per batch —
+   * a crawl source changing register or a filter regression pages the
+   * operator batches (not days) after it starts.
+   *
+   * Same `foreachBatch` hot-reload recipe as [[lmScoreWithModelRefresh]]:
+   * an offline job republishes the baseline counts with
+   * [[graft.data.Corpus.saveTokenCountsVersioned]] on its own cadence;
+   * each micro-batch reads the tiny `latest` pointer and reloads only on
+   * a version change (immutable `v<N>` keeps a mid-publish batch
+   * consistent). The baseline count table stays distributed — joined per
+   * batch, never collected; driver state is the version number.
+   * `pruneKeep` GCs superseded baselines on reload, anchored on the
+   * loaded version. `sink` receives each batch's drift leaderboard
+   * (`tok, n_before, n_after, ppm_before, ppm_after, delta_ppm`).
+   *
+   * Returns the configured writer — call `.start()` (and set a trigger /
+   * checkpoint as needed).
+   */
+  def driftWithBaselineRefresh(
+      docs: DataFrame,
+      baselineDir: String,
+      textCol: String,
+      topK: Int = 50,
+      pruneKeep: Option[Int] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.data.{Corpus, Versioned}
+    // closure state on the driver: the loaded baseline version + frame
+    var loaded: Option[(Long, DataFrame)] = None
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      Versioned.latestVersion(spark, baselineDir).foreach { v =>
+        if (!loaded.exists(_._1 == v)) {
+          loaded = Some((v, spark.read.parquet(s"$baselineDir/v$v")))
+          pruneKeep.foreach(keep =>
+            Versioned.pruneVersions(spark, baselineDir, keep, Some(v)))
+        }
+      }
+      val base = loaded.getOrElse(throw new IllegalStateException(
+        s"no token-count baseline published under $baselineDir — " +
+          "write one with Corpus.saveTokenCountsVersioned"))._2
+      sink(Corpus.tokenDriftFromCounts(base,
+        Corpus.tokenCounts(batch, textCol), topK), batchId)
+    }
+  }
+
+  /**
    * Streaming ANN against a PERIODICALLY REBUILT index — the production
    * serving shape [[streamingAnnSearch]] (static index, windowed merge)
    * deliberately does not cover: an offline job publishes rebuilds with

@@ -517,6 +517,52 @@ class StreamingMarketSpec extends SparkSpec {
     assert(v === 2L)
   }
 
+  test("driftWithBaselineRefresh: batch drift == batch kernel; republish applies next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.data.{Corpus, Versioned}
+    val dir = java.nio.file.Files.createTempDirectory("drift_base").toString
+    // baseline v1: 'alpha'-heavy corpus
+    assert(Corpus.saveTokenCountsVersioned(
+      Seq((1L, "alpha alpha alpha beta")).toDF("id", "text"), "text", dir) === 1L)
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val input = MemoryStream[String]
+    val q = driftWithBaselineRefresh(input.toDF().toDF("text"), dir,
+        "text", topK = 10, pruneKeep = Some(0)) { (out, batchId) =>
+      results ++= out.select(col("tok"), col("delta_ppm")).collect()
+        .map(r => (batchId, r.getString(0), r.getLong(1)))
+    }.start()
+
+    // batch 1 vs v1: all-beta stream -> alpha collapses, beta surges
+    input.addData("beta beta beta beta")
+    q.processAllAvailable()
+    // the per-batch result equals the batch kernel on the same frames
+    val expect1 = Corpus.tokenDriftFromCounts(
+        spark.read.parquet(s"$dir/v1"),
+        Corpus.tokenCounts(Seq("beta beta beta beta").toDF("text"), "text"), 10)
+      .select(col("tok"), col("delta_ppm")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(results.collect { case (0L, t, d) => (t, d) }.toSet === expect1)
+    assert(results.collect { case (0L, "alpha", d) => d }.head === -750000L)
+    assert(results.collect { case (0L, "beta", d) => d }.head === 750000L)
+
+    // offline republish: beta-heavy baseline; picked up next batch
+    assert(Corpus.saveTokenCountsVersioned(
+      Seq((1L, "beta beta beta gamma")).toDF("id", "text"), "text", dir) === 2L)
+    input.addData("beta beta beta gamma")
+    q.processAllAvailable()
+    q.stop()
+    // batch 2 vs v2: identical distribution -> zero drift everywhere
+    val b2 = results.collect { case (1L, t, d) => (t, d) }.toMap
+    assert(b2.values.toSet === Set(0L), b2.toString)
+    // pruneKeep = 0: v1 GC'd after the v2 swap, v2 is the loadable latest
+    val onDisk = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v")).toSet
+    assert(onDisk === Set("v2"), onDisk.toString)
+    assert(Versioned.latestVersion(spark, dir) === Some(2L))
+  }
+
   test("dedupWithStoreRefresh pruneKeep: superseded versions GC'd, stream keeps answering") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
