@@ -28,6 +28,43 @@ class EdgeSpec extends SparkSpec {
     assert(Dedup.contamination(noDocs, noDocs, "doc_id", "text").count() === 0L)
   }
 
+  test("round-7 second-batch operators on empty input never throw") {
+    assert(Dedup.dedupLinesWithinDoc(noDocs, "doc_id", "text").count() === 0L)
+    assert(Dedup.contaminationSpans(noDocs, noDocs, "doc_id", "text",
+      k = 10).count() === 0L)
+    // clean candidates vs an empty benchmark: nothing can be contaminated
+    val d = Seq((1L, "some perfectly ordinary training text here")).toDF("doc_id", "text")
+    assert(Dedup.contaminationSpans(d, noDocs, "doc_id", "text", k = 10)
+      .count() === 0L)
+  }
+
+  test("tokenDrift with one empty side: ppm 0 there, no divide-by-zero") {
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val out = Corpus.tokenDrift(noDocs, docs, "text", topK = 10)
+      .select($"tok", $"n_before", $"ppm_before", $"ppm_after")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet === Set("alpha", "beta"))
+    assert(out.forall(r => r._2 === 0L && r._3 === 0L && r._4 === 500000L))
+    // both sides empty: empty leaderboard
+    assert(Corpus.tokenDrift(noDocs, noDocs, "text").count() === 0L)
+  }
+
+  test("calibration2 on an empty test split returns no bins") {
+    val train = Seq((1L, Seq(1.0, 0.0), 1.0), (2L, Seq(2.0, 1.0), 2.0),
+      (3L, Seq(3.0, 1.0), 3.0)).toDF("id", "v", "y")
+    val empty = Seq.empty[(Long, Seq[Double], Double)].toDF("id", "v", "y")
+    assert(Probe.calibration2(train, empty, "v", "y").count() === 0L)
+  }
+
+  test("canonicalUrl degenerate inputs: empty, no scheme, query-only") {
+    def canon(u: String): String = Seq(u).toDF("u")
+      .select(TextFunctions.canonicalUrl(col("u"))).as[String].head()
+    assert(canon("") === "")
+    assert(canon("example.com/x") === "example.com/x") // scheme-less passes through
+    assert(canon("https://example.com?utm_source=x") === "example.com")
+    assert(canon("https://example.com/?a=1&utm_x=2&b=3") === "example.com?a=1&b=3")
+  }
+
   test("prefixSum / packSequences on empty and single-row input") {
     assert(Relational.prefixSum(noDocs.select($"doc_id", lit(1L).as("v")),
       "doc_id", col("v"), "p").count() === 0L)
