@@ -283,4 +283,25 @@ class PlanSpec extends SparkSpec {
         p.take(2000))
     }
   }
+
+  test("tokenDrift: per-side totals reuse the count exchange; corpus never broadcast") {
+    val a = (0 until 30).map(i => (i.toLong, s"alpha tok${i % 5} beta"))
+      .toDF("doc_id", "text")
+    val b = (0 until 30).map(i => (i.toLong, s"gamma tok${i % 5} beta"))
+      .toDF("doc_id", "text")
+    val df = Corpus.tokenDrift(a, b, "text", topK = 10)
+    df.collect() // AQE only materializes exchange reuse in the FINAL plan
+    // the adaptive plan prints Final AND Initial sections — count only final
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // each side's total is summed from its own count table — the
+    // identical agg subplans must share one exchange per side, so the
+    // corpus is tokenized and shuffled once per side, not twice
+    assert("Reused(Exchange|QueryStage)".r.findAllIn(p).size >= 2, p.take(4000))
+    // the token join itself is a shuffle join (full outer on the token
+    // key); the only broadcast JOINS are the two 1-row totals cross
+    // joins (nested-loop with a single-row build side)
+    assert(p.contains("SortMergeJoin [tok"), p.take(4000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 2, p.take(4000))
+  }
 }
