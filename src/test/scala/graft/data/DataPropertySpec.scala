@@ -165,4 +165,45 @@ class DataPropertySpec extends SparkSpec {
       assert(survivors.sorted.toSeq === distinctIn.toSeq)
     }
   }
+
+  test("dedupLinesWithinDoc: reference semantics + idempotence on arbitrary docs") {
+    val docGen = Gen.listOfN(4,
+      Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, word).map(_.mkString("\n"))))
+    forAll(docGen, n = 5) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = Dedup.dedupLinesWithinDoc(docs, "doc_id", "text")
+      val got = once.select($"doc_id", $"text").as[(Long, String)]
+        .collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val ref = t.split("\n", -1).distinct.mkString("\n") // order-preserving
+        assert(got(i.toLong) === ref, s"doc $i: $t")
+      }
+      // idempotent: a second pass changes nothing
+      val twice = Dedup.dedupLinesWithinDoc(
+          once.select($"doc_id", $"text"), "doc_id", "text")
+        .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+      assert(twice === got)
+    }
+  }
+
+  test("contaminationSpans(docs, docs) covers every doc with one full span") {
+    // self-decontamination: every k-gram of a doc trivially occurs in the
+    // benchmark (itself), so each doc ≥ k chars collapses to ONE span
+    // covering its whole normalized text
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "short")).toDF("doc_id", "text")
+    val k = 10
+    val spans = Dedup.contaminationSpans(docs, docs, "doc_id", "text", k)
+      .select($"doc_id", $"span_start".cast("long"), $"span_end".cast("long"))
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    assert(spans.keySet === Set(1L, 2L)) // doc 3 is under k chars
+    Seq(1L -> "alpha beta gamma delta epsilon zeta",
+        2L -> "the quick brown fox jumps over the lazy dog").foreach {
+      case (id, t) =>
+        assert(spans(id).toSeq === Seq((id, 1L, t.length.toLong)))
+    }
+  }
 }
