@@ -984,6 +984,18 @@ object SparkEntry {
           t(s, dir, "documents").withColumn("text", aug), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // DSIR importance scoring (Xie 2023): hashed-token bucket counts,
+    // add-1 log-likelihood ratios of target (src0) vs raw, per-doc
+    // integer-exact scores; top-40 most target-like docs
+    "q101_dsir_select" -> ((s, dir) => {
+      import graft.data.Dsir
+      val d = t(s, dir, "documents")
+      val ratios = Dsir.fitLogRatios(d,
+        d.filter(col("source") === "src0"), "text", buckets = 512)
+      Dsir.scoreDocs(d, "doc_id", "text", ratios, buckets = 512)
+        .orderBy(col("mean_micro").desc, col("doc_id"))
+        .limit(40)
+    }),
     // exact-size weighted sampling without replacement (A-ES, log form)
     "q81_weighted_sample" -> ((s, dir) => {
       import graft.data.Sampling
@@ -2860,6 +2872,33 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |  CAST(r AS DOUBLE) / 1e9 AS pr
          |FROM r3 ORDER BY node""".stripMargin,
     "q98_hits" -> hitsOracleSql(2),
+    "q101_dsir_select" ->
+      s"""WITH tk AS (SELECT doc_id, source,
+         |    ${h60Sql("tok")} % 512 AS bucket
+         |  FROM (SELECT doc_id, source, unnest($tokSql) AS tok FROM documents)),
+         |rc AS (SELECT bucket, count(*) AS c FROM tk GROUP BY bucket),
+         |rn AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM rc),
+         |tc AS (SELECT bucket, count(*) AS c FROM tk
+         |  WHERE source = 'src0' GROUP BY bucket),
+         |tn AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM tc),
+         |al AS (SELECT CAST(unnest(range(0, 512)) AS BIGINT) AS bucket),
+         |lam AS (SELECT al.bucket, CAST(floor(
+         |    (ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE)
+         |        / CAST(tn.n + 512 AS DOUBLE))
+         |   - ln(CAST(coalesce(rc.c, 0) + 1 AS DOUBLE)
+         |        / CAST(rn.n + 512 AS DOUBLE))) * 1e6) AS BIGINT) AS lam
+         |  FROM al LEFT JOIN rc ON rc.bucket = al.bucket
+         |    LEFT JOIN tc ON tc.bucket = al.bucket
+         |    CROSS JOIN rn CROSS JOIN tn),
+         |db AS (SELECT doc_id, bucket, count(*) AS cnt FROM tk
+         |  GROUP BY doc_id, bucket),
+         |sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |    CAST(sum(cnt * lam) AS BIGINT) AS score_micro
+         |  FROM db JOIN lam ON lam.bucket = db.bucket GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, score_micro,
+         |  score_micro // n_tokens AS mean_micro
+         |FROM sc ORDER BY score_micro // n_tokens DESC, doc_id
+         |LIMIT 40""".stripMargin,
     "q99_url_dedup" ->
       s"""WITH u AS (SELECT doc_id,
          |  concat(CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END,
