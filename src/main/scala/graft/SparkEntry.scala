@@ -1043,6 +1043,15 @@ object SparkEntry {
           round(col("logscore"), 6).as("logscore"))
         .orderBy(col("doc_id"))
     }),
+    // CCNet perplexity terciles: head/middle/tail by LM mean log-score,
+    // per-bucket doc/token counts and score range
+    "q78b_perplexity_buckets" -> ((s, dir) => {
+      import graft.data.NgramLm
+      val d = t(s, dir, "documents")
+      NgramLm.perplexityBuckets(NgramLm.fit(d, "doc_id", "text"),
+          d, "doc_id", "text", nBuckets = 3)
+        .orderBy(col("bucket"))
+    }),
     // -------------------------------------------- multimodal binary (stub)
     "q28_multimodal" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
@@ -1655,6 +1664,47 @@ SELECT a$iters.node AS node, a$iters.v AS auth_micro, h$iters.v AS hub_micro,
 FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
     sb.toString
   }
+
+  /** Shared q78/q78b oracle prelude: the full stupid-backoff
+   * trigram-LM scoring chain ending in per-doc table
+   * `docsc(doc_id, n_tokens, ls)` with ls the unrounded mean
+   * log-score (micro-exact sum / 1e6 / n). */
+  private val lmDocScoresSql =
+    s"""toks AS (SELECT doc_id, $ltokSql AS t FROM documents),
+         |pos AS (SELECT doc_id, n, i, t[i] AS w3,
+         |    CASE WHEN i >= 2 THEN t[i-1] END AS w2,
+         |    CASE WHEN i >= 3 THEN t[i-2] END AS w1
+         |  FROM (SELECT doc_id, t, len(t) AS n,
+         |        unnest(range(1, len(t)+1)) AS i FROM toks)),
+         |keys AS (SELECT doc_id, n, i, w1, w2, w3,
+         |    CASE WHEN i >= 3 THEN concat_ws(' ', w1, w2, w3) END AS tri_key,
+         |    CASE WHEN i >= 2 THEN concat_ws(' ', w2, w3) END AS bi_key,
+         |    CASE WHEN i >= 3 THEN concat_ws(' ', w1, w2) END AS ctx_key
+         |  FROM pos),
+         |uni AS (SELECT w3 AS w, count(*) AS c1 FROM keys GROUP BY w3),
+         |bi AS (SELECT bi_key AS key, count(*) AS c2 FROM keys WHERE i >= 2 GROUP BY bi_key),
+         |tri AS (SELECT tri_key AS key, count(*) AS c3 FROM keys WHERE i >= 3 GROUP BY tri_key),
+         |nn AS (SELECT CAST(sum(c1) AS DOUBLE) AS nt FROM uni),
+         |sc AS (SELECT k.doc_id, k.n,
+         |    CAST(round(ln(CASE
+         |      WHEN k.i >= 3 THEN CASE
+         |        WHEN t3.c3 IS NOT NULL THEN CAST(t3.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE)
+         |        WHEN b2.c2 IS NOT NULL THEN 0.4 * (CAST(b2.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+         |        ELSE 0.16 * (coalesce(CAST(u3.c1 AS DOUBLE), 1.0) / nn.nt) END
+         |      WHEN k.i = 2 THEN CASE
+         |        WHEN b2.c2 IS NOT NULL THEN CAST(b2.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE)
+         |        ELSE 0.4 * (coalesce(CAST(u3.c1 AS DOUBLE), 1.0) / nn.nt) END
+         |      ELSE coalesce(CAST(u3.c1 AS DOUBLE), 1.0) / nn.nt END) * 1e6) AS BIGINT) AS m
+         |  FROM keys k
+         |  LEFT JOIN tri t3 ON t3.key = k.tri_key
+         |  LEFT JOIN bi b2 ON b2.key = k.bi_key
+         |  LEFT JOIN bi bc ON bc.key = k.ctx_key
+         |  LEFT JOIN uni u3 ON u3.w = k.w3
+         |  LEFT JOIN uni u2 ON u2.w = k.w2
+         |  CROSS JOIN nn),
+         |docsc AS (SELECT doc_id, n AS n_tokens,
+         |    CAST(sum(m) AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS ls
+         |  FROM sc GROUP BY doc_id, n)""".stripMargin
 
   /** Shared q85/q85b oracle prelude: synthetic per-doc URL hosts, the
    * co-occurrence edge list, and the 3-iteration integer micro-unit
@@ -2990,41 +3040,18 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    AS chunk_text
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
     "q78_ngram_lm" ->
-      s"""WITH toks AS (SELECT doc_id, $ltokSql AS t FROM documents),
-         |pos AS (SELECT doc_id, n, i, t[i] AS w3,
-         |    CASE WHEN i >= 2 THEN t[i-1] END AS w2,
-         |    CASE WHEN i >= 3 THEN t[i-2] END AS w1
-         |  FROM (SELECT doc_id, t, len(t) AS n,
-         |        unnest(range(1, len(t)+1)) AS i FROM toks)),
-         |keys AS (SELECT doc_id, n, i, w1, w2, w3,
-         |    CASE WHEN i >= 3 THEN concat_ws(' ', w1, w2, w3) END AS tri_key,
-         |    CASE WHEN i >= 2 THEN concat_ws(' ', w2, w3) END AS bi_key,
-         |    CASE WHEN i >= 3 THEN concat_ws(' ', w1, w2) END AS ctx_key
-         |  FROM pos),
-         |uni AS (SELECT w3 AS w, count(*) AS c1 FROM keys GROUP BY w3),
-         |bi AS (SELECT bi_key AS key, count(*) AS c2 FROM keys WHERE i >= 2 GROUP BY bi_key),
-         |tri AS (SELECT tri_key AS key, count(*) AS c3 FROM keys WHERE i >= 3 GROUP BY tri_key),
-         |nn AS (SELECT CAST(sum(c1) AS DOUBLE) AS nt FROM uni),
-         |sc AS (SELECT k.doc_id, k.n,
-         |    CAST(round(ln(CASE
-         |      WHEN k.i >= 3 THEN CASE
-         |        WHEN t3.c3 IS NOT NULL THEN CAST(t3.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE)
-         |        WHEN b2.c2 IS NOT NULL THEN 0.4 * (CAST(b2.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
-         |        ELSE 0.16 * (coalesce(CAST(u3.c1 AS DOUBLE), 1.0) / nn.nt) END
-         |      WHEN k.i = 2 THEN CASE
-         |        WHEN b2.c2 IS NOT NULL THEN CAST(b2.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE)
-         |        ELSE 0.4 * (coalesce(CAST(u3.c1 AS DOUBLE), 1.0) / nn.nt) END
-         |      ELSE coalesce(CAST(u3.c1 AS DOUBLE), 1.0) / nn.nt END) * 1e6) AS BIGINT) AS m
-         |  FROM keys k
-         |  LEFT JOIN tri t3 ON t3.key = k.tri_key
-         |  LEFT JOIN bi b2 ON b2.key = k.bi_key
-         |  LEFT JOIN bi bc ON bc.key = k.ctx_key
-         |  LEFT JOIN uni u3 ON u3.w = k.w3
-         |  LEFT JOIN uni u2 ON u2.w = k.w2
-         |  CROSS JOIN nn)
-         |SELECT doc_id, n AS n_tokens,
-         |  round(CAST(sum(m) AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6) AS logscore
-         |FROM sc GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+      s"""WITH $lmDocScoresSql
+         |SELECT doc_id, n_tokens, round(ls, 6) AS logscore
+         |FROM docsc ORDER BY doc_id""".stripMargin,
+    "q78b_perplexity_buckets" ->
+      s"""WITH $lmDocScoresSql,
+         |tiles AS (SELECT doc_id, n_tokens, ls,
+         |    ntile(3) OVER (ORDER BY ls DESC, doc_id) AS bucket FROM docsc)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  round(min(ls), 6) AS min_logscore,
+         |  round(max(ls), 6) AS max_logscore
+         |FROM tiles GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q28_multimodal" ->
       s"""SELECT format, count(*) AS n, CAST(sum(byte_len) AS BIGINT) AS sum_bytes,
          |min(checksum) AS min_checksum, CAST(sum(frame_sum) AS BIGINT) AS sum_frames

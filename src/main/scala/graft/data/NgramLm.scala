@@ -207,4 +207,39 @@ object NgramLm {
         .select(col(idCol)),
       Seq(idCol), "left_semi")
   }
+
+  /**
+   * CCNet perplexity BUCKETS (Wenzek et al. 2020): rank every document
+   * by LM mean log-score and split into `nBuckets` equal-count tiles —
+   * bucket 1 = head (most fluent), last = tail (gibberish); CCNet
+   * keeps head+middle and drops (or down-weights) the tail. Returns one
+   * row per bucket: `(bucket, n_docs, sum_tokens, min_logscore,
+   * max_logscore)` — the table a pipeline inspects to choose the
+   * cut before applying [[perplexityFilter]] at the tail boundary.
+   *
+   * Determinism: scores are micro-unit exact ([[scoreDocs]]); the tile
+   * assignment orders by `(logscore DESC, id)` — a total order, so the
+   * bucketing is reproducible cross-engine (ntile fills the first
+   * `N mod k` tiles with the extra row in both Spark and standard SQL).
+   *
+   * Scale note: `ntile` over a global ORDER BY is a single-partition
+   * sort of the per-DOC score table (one row per document — eval-sized,
+   * not corpus-sized, and the heavy per-position work is already
+   * aggregated away). For corpora where even |docs| rows overwhelm one
+   * task, compute bucket THRESHOLDS from a histogram quantile
+   * ([[Sketches]]) and label map-side instead.
+   */
+  def perplexityBuckets(model: NgramModel, docs: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be > 0, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    scoreDocs(model, docs, idCol, textCol)
+      .withColumn("bucket", ntile(nBuckets)
+        .over(Window.orderBy(col("logscore").desc, col(idCol))))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        round(min(col("logscore")), 6).as("min_logscore"),
+        round(max(col("logscore")), 6).as("max_logscore"))
+  }
 }

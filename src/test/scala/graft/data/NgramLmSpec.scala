@@ -103,4 +103,38 @@ class NgramLmSpec extends SparkSpec {
       .select($"logscore").as[Double].head()
     assert(sa === sb)
   }
+
+  test("perplexityBuckets: equal-count terciles, head holds the top scores") {
+    // 6 docs: two fluent (repeated in-model phrases), two middling, two
+    // gibberish-ish (rare token salad) — 3 buckets of 2
+    val docs = Seq(
+      (1L, "the model scores the model scores the model scores"),
+      (2L, "the model scores the model scores the model again"),
+      (3L, "scores appear in the middle of this table today"),
+      (4L, "middle table rows appear in scores of the model"),
+      (5L, "zxq qqv wvx jjk pqz xxo vvq mmz kkj"),
+      (6L, "vvq mmz kkj zxq qqv wvx jjk pqz xxo extra")
+    ).toDF("doc_id", "text")
+    val model = NgramLm.fit(docs, "doc_id", "text")
+    val buckets = NgramLm.perplexityBuckets(model, docs, "doc_id", "text", 3)
+      .orderBy($"bucket")
+      .select($"bucket", $"n_docs", $"min_logscore", $"max_logscore")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(buckets.map(_._1).toSeq === Seq(1, 2, 3))
+    assert(buckets.map(_._2).toSeq === Seq(2L, 2L, 2L))
+    // buckets are descending, non-overlapping score bands
+    assert(buckets(0)._3 >= buckets(1)._4)
+    assert(buckets(1)._3 >= buckets(2)._4)
+    // head bucket holds the corpus-max logscore
+    val maxScore = NgramLm.scoreDocs(model, docs, "doc_id", "text")
+      .agg(max(round($"logscore", 6))).as[Double].head()
+    assert(buckets(0)._4 === maxScore)
+    // uneven split: 7 docs over 3 buckets -> first bucket gets the extra
+    val seven = docs.union(Seq((7L, "the model appears in the table"))
+      .toDF("doc_id", "text"))
+    val n7 = NgramLm.perplexityBuckets(NgramLm.fit(seven, "doc_id", "text"),
+        seven, "doc_id", "text", 3)
+      .orderBy($"bucket").select($"n_docs").as[Long].collect().toSeq
+    assert(n7 === Seq(3L, 2L, 2L))
+  }
 }
