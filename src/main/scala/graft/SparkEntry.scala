@@ -984,6 +984,13 @@ object SparkEntry {
           t(s, dir, "documents").withColumn("text", aug), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // corpus data card: the release-summary table (docs/tokens/chars/
+    // vocab/dup-rate/empties/longest) as exact-long (metric, value) rows
+    "q102_corpus_card" -> ((s, dir) => {
+      import graft.data.Corpus
+      Corpus.corpusCard(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("metric"))
+    }),
     // DSIR importance scoring (Xie 2023): hashed-token bucket counts,
     // add-1 log-likelihood ratios of target (src0) vs raw, per-doc
     // integer-exact scores; top-40 most target-like docs
@@ -2922,6 +2929,28 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |  CAST(r AS DOUBLE) / 1e9 AS pr
          |FROM r3 ORDER BY node""".stripMargin,
     "q98_hits" -> hitsOracleSql(2),
+    "q102_corpus_card" ->
+      s"""WITH pd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(coalesce(sum(len($tokSql)), 0) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars,
+         |    CAST(coalesce(max(len($tokSql)), 0) AS BIGINT) AS max_doc_tokens,
+         |    CAST(coalesce(sum(CASE WHEN length(trim(text)) = 0
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_empty_docs
+         |  FROM documents),
+         |vt AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+         |  FROM (SELECT unnest($tokSql) AS tok FROM documents)),
+         |fp AS (SELECT CAST(count(DISTINCT
+         |    ${h60Sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")})
+         |    AS BIGINT) AS v FROM documents)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, n_docs AS value FROM pd
+         |  UNION ALL SELECT 'n_tokens', n_tokens FROM pd
+         |  UNION ALL SELECT 'n_chars', n_chars FROM pd
+         |  UNION ALL SELECT 'max_doc_tokens', max_doc_tokens FROM pd
+         |  UNION ALL SELECT 'n_empty_docs', n_empty_docs FROM pd
+         |  UNION ALL SELECT 'n_distinct_tokens', v FROM vt
+         |  UNION ALL SELECT 'n_distinct_fingerprints', v FROM fp)
+         |ORDER BY metric""".stripMargin,
     "q101_dsir_select" ->
       s"""WITH tk AS (SELECT doc_id, source,
          |    ${h60Sql("tok")} % 512 AS bucket

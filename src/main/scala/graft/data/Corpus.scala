@@ -317,6 +317,43 @@ object Corpus {
       .limit(topK)
   }
 
+  /**
+   * Corpus DATA CARD — the one-call summary table a dataset release
+   * ships with (docs, tokens, chars, vocabulary size, exact-dup rate,
+   * empties, longest doc), as a tall `(metric, value)` frame of exact
+   * longs. Three scans, each one map-side-combinable aggregation:
+   * per-doc stats (count/sum/max — one pass), distinct token count
+   * (explode + count-distinct), distinct normalized fingerprints
+   * (the exact-dup denominator). Nothing collected; the result is
+   * seven rows.
+   */
+  def corpusCard(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val perDoc = docs.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(TextFunctions.wordCount(t)), lit(0L)).cast("long")
+        .as("n_tokens"),
+      coalesce(sum(length(t)), lit(0L)).cast("long").as("n_chars"),
+      coalesce(max(TextFunctions.wordCount(t)), lit(0L)).cast("long")
+        .as("max_doc_tokens"),
+      coalesce(sum(when(length(trim(t)) === 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_empty_docs"))
+    val vocab = docs.select(explode(TextFunctions.tokens(t)).as("tok"))
+      .agg(count_distinct(col("tok")).as("n_distinct_tokens"))
+    val fps = docs.select(TextFunctions.fingerprint(t).as("fp"))
+      .agg(count_distinct(col("fp")).as("n_distinct_fingerprints"))
+    // stack unpivots the 1-row stats frame so the per-doc scan runs ONCE
+    // (a five-way union of projections would replay the agg per branch)
+    perDoc.select(expr(
+        "stack(5, 'n_docs', n_docs, 'n_tokens', n_tokens, " +
+          "'n_chars', n_chars, 'max_doc_tokens', max_doc_tokens, " +
+          "'n_empty_docs', n_empty_docs) AS (metric, value)"))
+      .union(vocab.select(lit("n_distinct_tokens").as("metric"),
+        col("n_distinct_tokens").cast("long").as("value")))
+      .union(fps.select(lit("n_distinct_fingerprints").as("metric"),
+        col("n_distinct_fingerprints").cast("long").as("value")))
+  }
+
   /** Publish a corpus' token counts as an immutable `dir/v<N>` behind
    * the `latest` pointer ([[Versioned.publish]]) — the baseline-refresh
    * cadence of the streaming drift monitor. Returns the version. */

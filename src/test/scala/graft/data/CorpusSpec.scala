@@ -148,4 +148,23 @@ class CorpusSpec extends SparkSpec {
     // 50 distinct texts (i%50) -> 50 survivors, smallest ids
     assert(a.map(_._1) == (0L until 50L).toSet)
   }
+
+  test("corpusCard: hand-checked metrics incl. dup and empty docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),        // 3 tokens, 16 chars
+      (2L, "alpha  beta gamma"),       // fingerprint-identical to doc 1
+      (3L, "delta"),                   // 1 token
+      (4L, "   ")                      // empty after trim
+    ).toDF("doc_id", "text")
+    val card = Corpus.corpusCard(docs, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(card("n_docs") === 4L)
+    assert(card("n_chars") === (16L + 17L + 5L + 3L))
+    assert(card("max_doc_tokens") === 3L)
+    assert(card("n_empty_docs") === 1L)
+    assert(card("n_distinct_tokens") === 4L + 1L) // alpha beta gamma delta + ""
+    // docs 1/2 collapse; blank doc fingerprints as empty-normalized
+    assert(card("n_distinct_fingerprints") === 3L)
+    assert(card.size === 7)
+  }
 }
