@@ -326,6 +326,13 @@ object Corpus {
    * (explode + count-distinct), distinct normalized fingerprints
    * (the exact-dup denominator). Nothing collected; the result is
    * seven rows.
+   *
+   * Scale note: the two `count_distinct`s are exact (one shuffle of
+   * distinct keys each). At whole-corpus scale where even the distinct
+   * token set strains a shuffle, substitute [[Sketches.hllDistinct]]
+   * for the vocabulary metric — release cards tolerate ±2% there,
+   * while the fingerprint count (the dup-rate denominator) should stay
+   * exact.
    */
   def corpusCard(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
