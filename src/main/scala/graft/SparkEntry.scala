@@ -185,6 +185,24 @@ object SparkEntry {
           round(sum(col("right_pv")), 4).as("sum_pv"))
         .orderBy(col("user_id"))
     }),
+    // forward / nearest AS-OF directions (merge_asof completions): same
+    // click->purchase series, earliest-following and closest-in-time
+    // matches, ties to backward
+    "q13c_asof_directions" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pv"))
+      def agg(d: String, n: String, sm: String) =
+        AsOfJoin.asofJoin(clicks, purch, "ts", Seq("user_id"), direction = d)
+          .groupBy(col("user_id"))
+          .agg(count(col("right_pv")).as(n),
+            round(sum(col("right_pv")), 4).as(sm))
+      agg("forward", "n_fwd", "sum_fwd")
+        .join(agg("nearest", "n_near", "sum_near"), Seq("user_id"))
+        .orderBy(col("user_id"))
+    }),
     "q13b_asof_broadcast" -> ((s, dir) => {
       val ev = events(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
@@ -1975,6 +1993,33 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
         |SELECT c.user_id, count(p.pv) AS n_matched, round(sum(p.pv),4) AS sum_pv
         |FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    "q13c_asof_directions" ->
+      """WITH clicks AS (SELECT user_id, ts, value FROM events WHERE event_type='click'),
+        |purch AS (SELECT user_id, ts, max(value) AS pv FROM events
+        |  WHERE event_type='purchase' GROUP BY 1,2),
+        |f AS (SELECT c.user_id, count(p.pv) AS n_fwd,
+        |    round(sum(p.pv), 4) AS sum_fwd
+        |  FROM clicks c ASOF LEFT JOIN purch p
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts
+        |  GROUP BY c.user_id),
+        |ck AS (SELECT user_id, ts, count(*) AS n FROM clicks GROUP BY 1, 2),
+        |cb AS (SELECT k.user_id, k.ts, k.n, p.ts AS bts, p.pv AS bpv FROM ck k
+        |  ASOF LEFT JOIN purch p ON k.user_id = p.user_id AND k.ts >= p.ts),
+        |cf AS (SELECT k.user_id, k.ts, p.ts AS fts, p.pv AS fpv FROM ck k
+        |  ASOF LEFT JOIN purch p ON k.user_id = p.user_id AND k.ts <= p.ts),
+        |nr AS (SELECT cb.user_id, cb.n,
+        |    CASE WHEN cb.bts IS NULL THEN cf.fpv
+        |         WHEN cf.fts IS NULL THEN cb.bpv
+        |         WHEN cb.ts - cb.bts <= cf.fts - cb.ts THEN cb.bpv
+        |         ELSE cf.fpv END AS pv
+        |  FROM cb JOIN cf ON cb.user_id = cf.user_id AND cb.ts = cf.ts),
+        |n AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN pv IS NOT NULL THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_near,
+        |    round(sum(pv * n), 4) AS sum_near FROM nr GROUP BY user_id)
+        |SELECT f.user_id, f.n_fwd, f.sum_fwd, n.n_near, n.sum_near
+        |FROM f JOIN n ON f.user_id = n.user_id
+        |ORDER BY f.user_id""".stripMargin,
     "q13b_asof_broadcast" ->
       """WITH clicks AS (SELECT user_id, ts, value FROM events WHERE event_type='click'),
         |purch AS (SELECT user_id, ts, max(value) AS pv FROM events

@@ -28,20 +28,32 @@ import org.apache.spark.sql.functions._
  */
 object AsOfJoin {
 
-  /** Union + last-over-window as-of join.
+  /** Union + last/first-over-window as-of join.
    *
    * @param partitionCols series keys present in BOTH sides (e.g. ticker);
    *                      empty = one global series (single-task window —
    *                      prefer [[asofJoinBroadcast]] at scale).
-   * Right rows sort BEFORE left rows at equal ts, so an exact-ts right row
-   * matches (right.ts <= t inclusive).
+   * @param direction `"backward"` (default, the reference semantic):
+   *                  latest right with right.ts <= t; `"forward"`:
+   *                  earliest right with right.ts >= t; `"nearest"`:
+   *                  whichever of the two is closer in time, ties to
+   *                  backward. All three inclusive: an exact-ts right row
+   *                  always matches. Forward/nearest are the tempo/pandas
+   *                  `merge_asof(direction=...)` completions the VaR
+   *                  reference never needed but a general time-series user
+   *                  expects. `nearest` evaluates BOTH window fills — two
+   *                  sorts inside the one (partitionCols) shuffle, no
+   *                  extra exchange.
    */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       tsCol: String,
       partitionCols: Seq[String] = Nil,
-      rightPrefix: String = "right_"): DataFrame = {
+      rightPrefix: String = "right_",
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val side = "__asof_side"
     val payload = "__asof_payload"
     val rightValueCols = right.columns.filterNot(c => c == tsCol || partitionCols.contains(c))
@@ -58,14 +70,44 @@ object AsOfJoin {
           Seq(lit(0).as(side), rightStruct.as(payload)): _*)
 
     val unioned = l.select(l.columns.map(col).toSeq: _*).unionByName(r)
-    val w = Window
+    // backward: right rows (side 0) sort BEFORE left at equal ts, so the
+    // preceding frame sees the exact-ts match; forward mirrors — right
+    // rows sort AFTER left, so the following frame sees it
+    val wB = Window
       .partitionBy(partitionCols.map(col): _*)
       .orderBy(col(tsCol), col(side))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(tsCol), lit(1) - col(side))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    val filled = unioned
-      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
-      .filter(col(side) === 1)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def micros(c: org.apache.spark.sql.Column) =
+      left.schema(tsCol).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => c.cast("long")
+        case _ => unix_micros(c.cast("timestamp"))
+      }
+
+    val filled = (direction match {
+      case "backward" =>
+        unioned.withColumn(payload, last(col(payload), ignoreNulls = true).over(wB))
+      case "forward" =>
+        unioned.withColumn(payload, first(col(payload), ignoreNulls = true).over(wF))
+      case "nearest" =>
+        val withBoth = unioned
+          .withColumn("__b", last(col(payload), ignoreNulls = true).over(wB))
+          .withColumn("__f", first(col(payload), ignoreNulls = true).over(wF))
+        withBoth
+          .withColumn(payload,
+            when(col("__b").isNull, col("__f"))
+              .when(col("__f").isNull, col("__b"))
+              .when(micros(col(tsCol)) - micros(col("__b").getField(tsCol)) <=
+                micros(col("__f").getField(tsCol)) - micros(col(tsCol)),
+                col("__b"))
+              .otherwise(col("__f")))
+          .drop("__b", "__f")
+    }).filter(col(side) === 1)
 
     val expanded = (tsCol +: rightValueCols.toSeq).foldLeft(filled) { (df, c) =>
       df.withColumn(rightPrefix + c, col(payload).getField(c))
@@ -89,7 +131,10 @@ object AsOfJoin {
       right: DataFrame,
       tsCol: String,
       partitionCols: Seq[String] = Nil,
-      rightPrefix: String = "right_"): DataFrame = {
+      rightPrefix: String = "right_",
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val spark = left.sparkSession
     val sep = "\u001f" // unit separator: collision-safe key join, text-safe file
     val matchTs = "__asof_match_ts"
@@ -126,16 +171,37 @@ object AsOfJoin {
       .toMap
     val bc = spark.sparkContext.broadcast(rightTs)
 
+    val dir = direction // avoid closing over the enclosing method frame
     val lookup = udf { (key: String, ts: Long) =>
       bc.value.get(key) match {
         case Some(arr) =>
           // greatest right ts <= left ts
-          var lo = 0; var hi = arr.length - 1; var ans = -1L
-          while (lo <= hi) {
-            val mid = (lo + hi) >>> 1
-            if (arr(mid) <= ts) { ans = arr(mid); lo = mid + 1 } else hi = mid - 1
+          def bwd: Option[Long] = {
+            var lo = 0; var hi = arr.length - 1; var ans = Long.MinValue
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (arr(mid) <= ts) { ans = arr(mid); lo = mid + 1 } else hi = mid - 1
+            }
+            if (ans == Long.MinValue) None else Some(ans)
           }
-          if (ans < 0) None else Some(ans)
+          // smallest right ts >= left ts
+          def fwd: Option[Long] = {
+            var lo = 0; var hi = arr.length - 1; var ans = Long.MinValue
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (arr(mid) >= ts) { ans = arr(mid); hi = mid - 1 } else lo = mid + 1
+            }
+            if (ans == Long.MinValue) None else Some(ans)
+          }
+          dir match {
+            case "backward" => bwd
+            case "forward" => fwd
+            case _ => (bwd, fwd) match {
+              case (Some(b), Some(f)) =>
+                Some(if (ts - b <= f - ts) b else f) // tie -> backward
+              case (b, f) => b.orElse(f)
+            }
+          }
         case None => None
       }
     }

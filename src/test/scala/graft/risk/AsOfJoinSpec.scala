@@ -138,4 +138,93 @@ class AsOfJoinSpec extends SparkSpec {
       assert(got === brute)
     }
   }
+
+  test("forward direction: earliest following right row, exact ts inclusive") {
+    val fwdExpected = Map(
+      ("A", "2024-01-01 00:00:00.0") -> Some(10.0), // equal ts -> inclusive
+      ("A", "2024-01-03 00:00:00.0") -> Some(11.0),
+      ("A", "2024-01-05 00:00:00.0") -> None,       // after last right row
+      ("B", "2024-01-02 00:00:00.0") -> Some(12.0),
+      ("B", "2024-01-04 00:00:00.0") -> None)
+    for (out <- Seq(
+        AsOfJoin.asofJoin(left, right, "date", Seq("ticker"),
+          direction = "forward"),
+        AsOfJoin.asofJoinBroadcast(left, right, "date", Seq("ticker"),
+          direction = "forward"))) {
+      val got = out.collect().map { r =>
+        (r.getAs[String]("ticker"), r.getAs[Timestamp]("date").toString) ->
+          Option(r.getAs[Any]("right_rval")).map(_.asInstanceOf[Double])
+      }.toMap
+      assert(got === fwdExpected)
+    }
+  }
+
+  test("nearest direction: closer side wins, exact tie goes backward") {
+    // A@01-03: backward 01-01 (2d), forward 01-04 (1d) -> forward wins
+    // B@01-02: no backward -> forward; B@01-04: backward 01-03 (1d), none fwd
+    val l2 = Seq(
+      ("A", ts("2024-01-03 00:00:00"), 1.0),
+      ("B", ts("2024-01-02 00:00:00"), 2.0),
+      ("B", ts("2024-01-04 00:00:00"), 3.0),
+      // exact midpoint: right at 01-01 and 01-07, left at 01-04 -> backward
+      ("C", ts("2024-01-04 00:00:00"), 4.0)
+    ).toDF("ticker", "date", "lval")
+    val r2 = right.union(Seq(
+      ("C", ts("2024-01-01 00:00:00"), 20.0),
+      ("C", ts("2024-01-07 00:00:00"), 21.0)).toDF("ticker", "date", "rval"))
+    val nearExpected = Map(
+      ("A", "2024-01-03 00:00:00.0") -> Some(11.0),
+      ("B", "2024-01-02 00:00:00.0") -> Some(12.0),
+      ("B", "2024-01-04 00:00:00.0") -> Some(12.0),
+      ("C", "2024-01-04 00:00:00.0") -> Some(20.0)) // tie -> backward
+    for (out <- Seq(
+        AsOfJoin.asofJoin(l2, r2, "date", Seq("ticker"),
+          direction = "nearest"),
+        AsOfJoin.asofJoinBroadcast(l2, r2, "date", Seq("ticker"),
+          direction = "nearest"))) {
+      val got = out.collect().map { r =>
+        (r.getAs[String]("ticker"), r.getAs[Timestamp]("date").toString) ->
+          Option(r.getAs[Any]("right_rval")).map(_.asInstanceOf[Double])
+      }.toMap
+      assert(got === nearExpected)
+    }
+  }
+
+  test("directions: randomized brute-force parity, both variants") {
+    val rng = new scala.util.Random(7)
+    val keys = Seq("X", "Y")
+    val lrows = (1 to 200).map { i =>
+      (keys(rng.nextInt(2)), new Timestamp(1700000000000L + rng.nextInt(500000) * 1000L), i.toDouble)
+    }
+    val rrows = (1 to 60).map { i =>
+      (keys(rng.nextInt(2)), new Timestamp(1700000000000L + rng.nextInt(500000) * 1000L), i * 1.5)
+    }
+    val rdd = rrows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val l = lrows.toDF("k", "t", "lv")
+    val r = rdd.toDF("k", "t", "rv")
+    def bruteOf(dir: String) = lrows.map { case (k, t, lv) =>
+      val bwd = rdd.filter(x => x._1 == k && !x._2.after(t)).sortBy(_._2.getTime).lastOption
+      val fwd = rdd.filter(x => x._1 == k && !x._2.before(t)).sortBy(_._2.getTime).headOption
+      val best = dir match {
+        case "forward" => fwd
+        case "nearest" => (bwd, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (t.getTime - b._2.getTime <= f._2.getTime - t.getTime) Some(b)
+            else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+      }
+      ((k, t.getTime, lv), best.map(_._3))
+    }.toMap
+    for (dir <- Seq("forward", "nearest");
+         variant <- Seq(
+           AsOfJoin.asofJoin(l, r, "t", Seq("k"), direction = dir),
+           AsOfJoin.asofJoinBroadcast(l, r, "t", Seq("k"), direction = dir))) {
+      val got = variant.collect().map { row =>
+        ((row.getAs[String]("k"), row.getAs[Timestamp]("t").getTime, row.getAs[Double]("lv")),
+          Option(row.getAs[Any]("right_rv")).map(_.asInstanceOf[Double]))
+      }.toMap
+      assert(got === bruteOf(dir), s"direction=$dir")
+    }
+  }
 }
