@@ -1002,6 +1002,18 @@ object SparkEntry {
           t(s, dir, "documents").withColumn("text", aug), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // mixture PLAN: per-source token budgeting against a recipe —
+    // need/take/shortfall/implied-rate in exact integers (src0/src2
+    // under-supplied at this budget, src1 fits, others weight 0)
+    "q103_mixture_plan" -> ((s, dir) => {
+      import graft.data.Sampling
+      Sampling.mixturePlan(
+          t(s, dir, "documents").withColumn("n_tok", T.wordCount(col("text"))),
+          col("source"), col("n_tok"),
+          Map("src0" -> 900000L, "src1" -> 1000L, "src2" -> 250000L),
+          budgetTokens = 100000L)
+        .orderBy(col("source"))
+    }),
     // corpus data card: the release-summary table (docs/tokens/chars/
     // vocab/dup-rate/empties/longest) as exact-long (metric, value) rows
     "q102_corpus_card" -> ((s, dir) => {
@@ -2974,6 +2986,26 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |  CAST(r AS DOUBLE) / 1e9 AS pr
          |FROM r3 ORDER BY node""".stripMargin,
     "q98_hits" -> hitsOracleSql(2),
+    "q103_mixture_plan" ->
+      s"""WITH av AS (SELECT source,
+         |    CAST(sum(len($tokSql)) AS BIGINT) AS avail_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT * FROM (VALUES ('src0', 900000), ('src1', 1000),
+         |    ('src2', 250000)) w(source, weight_ppm)),
+         |j AS (SELECT av.source,
+         |    CAST(coalesce(w.weight_ppm, 0) AS BIGINT) AS weight_ppm,
+         |    av.avail_tokens FROM av LEFT JOIN w ON av.source = w.source),
+         |p AS (SELECT source, weight_ppm, avail_tokens,
+         |    weight_ppm * 0 + (weight_ppm * 100000) // 1000000 AS need_tokens
+         |  FROM j),
+         |q AS (SELECT *, least(need_tokens, avail_tokens) AS take_tokens
+         |  FROM p)
+         |SELECT source, weight_ppm, avail_tokens, need_tokens, take_tokens,
+         |  need_tokens - take_tokens AS shortfall_tokens,
+         |  CASE WHEN avail_tokens > 0
+         |    THEN (take_tokens * 1000000) // avail_tokens ELSE 0 END
+         |    AS rate_ppm
+         |FROM q ORDER BY source""".stripMargin,
     "q102_corpus_card" ->
       s"""WITH pd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(coalesce(sum(len($tokSql)), 0) AS BIGINT) AS n_tokens,

@@ -135,4 +135,51 @@ object Sampling {
         groupCols, Seq(col("__sk").desc, key), k)
       .drop("__sk", "rank")
   }
+
+  /**
+   * MIXTURE PLAN — the budgeting step before [[mixtureSample]]: given a
+   * target token budget and per-source mixture weights (the
+   * Pile/DCLM-style recipe table), report per source what the recipe
+   * NEEDS (`floor(weight · budget)` tokens, parts-per-million weights
+   * so the arithmetic stays exact longs), what the corpus HAS, the
+   * feasible take (`min(need, avail)`), the shortfall, and the implied
+   * per-source sampling rate in ppm (`take · 1e6 div avail` — feed the
+   * rates, `/1e6`, to [[mixtureSample]]). A source under-supplied for
+   * its weight shows a positive `shortfall_tokens` — the signal to
+   * re-weight or up-sample (epoch) that source rather than silently
+   * shifting the mixture.
+   *
+   * One map-side-combinable aggregation over the corpus (per-source
+   * token sums) + a broadcast of the |sources|-row weight table; exact
+   * integer arithmetic end to end. Sources absent from `weightsPpm` get
+   * weight 0 (need 0, rate 0); weights need not sum to 1e6 — the plan
+   * reports against whatever recipe is given.
+   */
+  def mixturePlan(docs: DataFrame, sourceCol: Column, tokensCol: Column,
+      weightsPpm: Map[String, Long], budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    weightsPpm.values.foreach(w =>
+      require(w >= 0, s"weights must be >= 0 ppm, got $w"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weightsPpm.toSeq.toDF("source", "weight_ppm")
+    docs
+      .select(sourceCol.as("source"), tokensCol.cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("avail_tokens"))
+      .join(broadcast(w), Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("weight_ppm"), lit(0L)).as("weight_ppm"),
+        col("avail_tokens"))
+      // floor(w·B/1e6) without the w·B overflow a 100 TB-token budget
+      // would hit: with B = q·1e6 + r, it equals w·q + floor(w·r/1e6)
+      // exactly (w·q ≤ B stays in range, w·r < 1e12)
+      .withColumn("need_tokens",
+        expr(s"weight_ppm * ${budgetTokens / 1000000}L + " +
+          s"(weight_ppm * ${budgetTokens % 1000000}L) div 1000000"))
+      .withColumn("take_tokens", least(col("need_tokens"), col("avail_tokens")))
+      .withColumn("shortfall_tokens", col("need_tokens") - col("take_tokens"))
+      .withColumn("rate_ppm",
+        when(col("avail_tokens") > 0,
+          expr("take_tokens * 1000000 div avail_tokens")).otherwise(lit(0L)))
+  }
 }

@@ -165,4 +165,39 @@ class SketchesSamplingSpec extends SparkSpec {
       Sampling.hashSplit(lit(1L), Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("mixturePlan: need/take/shortfall/rate bookkeeping on a hand-checked recipe") {
+    val docs = Seq(
+      ("web", 100L), ("web", 300L),   // avail 400
+      ("wiki", 50L), ("wiki", 50L),   // avail 100
+      ("code", 1000L)                 // avail 1000, no weight -> 0
+    ).toDF("source", "n")
+    val plan = Sampling.mixturePlan(docs, col("source"), col("n"),
+        Map("web" -> 500000L, "wiki" -> 500000L), budgetTokens = 600L)
+      .select(col("source"), col("need_tokens"), col("take_tokens"),
+        col("shortfall_tokens"), col("rate_ppm"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // each side needs 300; web has 400 (take 300, rate 750000),
+    // wiki has 100 (take 100, shortfall 200, rate 1000000)
+    assert(plan("web") === (("web", 300L, 300L, 0L, 750000L)))
+    assert(plan("wiki") === (("wiki", 300L, 100L, 200L, 1000000L)))
+    assert(plan("code") === (("code", 0L, 0L, 0L, 0L)))
+  }
+
+  test("mixturePlan: a 100 TB-token budget does not overflow the need arithmetic") {
+    val docs = Seq(("web", 1000L)).toDF("source", "n")
+    // 5e13-token budget x 999999 ppm: w*B ~ 5e19 would overflow a long;
+    // the split spelling must still produce floor(w*B/1e6) exactly
+    val b = 50000000000000L
+    val w = 999999L
+    val need = Sampling.mixturePlan(docs, col("source"), col("n"),
+        Map("web" -> w), budgetTokens = b)
+      .select(col("need_tokens")).as[Long].head()
+    val expected = {
+      val bi = (BigInt(w) * BigInt(b)) / BigInt(1000000)
+      bi.toLong
+    }
+    assert(need === expected)
+  }
 }
