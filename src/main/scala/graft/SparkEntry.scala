@@ -1177,6 +1177,27 @@ object SparkEntry {
     }),
     // binned range join: events into OVERLAPPING 5-day windows placed every
     // 3 days — equi-join on bin key (no BroadcastNestedLoopJoin)
+    // interval×interval OVERLAP join, binned: 5-min click windows vs
+    // 3-min purchase windows per user — one (user, bin) equi-join,
+    // canonical-bin dedup, exact overlap counts
+    "q43c_interval_overlap" -> ((s, dir) => {
+      import graft.data.Relational
+      val ev = events(s, dir)
+      val m = unix_micros(col("ts"))
+      val a = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), m.as("a_start"),
+          (m + lit(300000000L)).as("a_end"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), m.as("b_start"),
+          (m + lit(180000000L)).as("b_end"))
+      Relational.intervalOverlapJoin(a, b, "a_start", "a_end",
+          "b_start", "b_end", binWidth = 600000000L, keys = Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          min(col("a_start")).as("first_click_start"),
+          max(col("b_end")).as("last_purchase_end"))
+        .orderBy(col("user_id"))
+    }),
     "q43_range_join_binned" -> ((s, dir) => {
       import graft.data.Relational
       val day = 86400000000L // µs
@@ -3218,6 +3239,19 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    AND NOT contains(clean, '{') THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
          |  bit_xor(${h60Sql("clean")}) AS hash_xor
          |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    "q43c_interval_overlap" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS a_start,
+        |    epoch_us(ts) + 300000000 AS a_end FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS b_start,
+        |    epoch_us(ts) + 180000000 AS b_end FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT c.user_id, count(*) AS n_overlaps,
+        |  min(a_start) AS first_click_start,
+        |  max(b_end) AS last_purchase_end
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND a_start <= b_end AND b_start <= a_end
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
     "q43_range_join_binned" ->
       """WITH r AS (SELECT 'r0' || CAST(i AS VARCHAR) AS range_id,
         |  1704067200000000 + i*259200000000 AS lo,

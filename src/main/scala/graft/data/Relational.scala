@@ -57,6 +57,46 @@ object Relational {
   }
 
   /**
+   * INTERVAL-OVERLAP join, binned: pairs `(a, b)` with
+   * `a.start <= b.end AND b.start <= a.end` (inclusive overlap) — the
+   * interval×interval generalization of [[rangeJoinBinned]]'s
+   * point-in-interval, and the classic sessions×outages /
+   * genomics-style overlap query a naive planner turns into a
+   * cartesian product.
+   *
+   * Scale shape: each interval explodes to the bins it covers, the
+   * sides meet in ONE equi-join on the bin key, the true-overlap
+   * predicate filters bin-mates that don't actually overlap, and the
+   * canonical-bin filter `bin == max(a.start, b.start) div width`
+   * keeps each overlapping pair EXACTLY ONCE (two overlapping
+   * intervals always share the later start's bin — no distinct
+   * shuffle). `keys` (series columns named identically on both sides,
+   * e.g. user id) join alongside the bin, so the shuffle spreads by
+   * (key, bin) and a hot time-bin doesn't funnel every series into one
+   * reducer. Replication factor is interval length / binWidth: size
+   * the width near the typical interval length. Long intervals fan out
+   * linearly — cap or split outliers upstream; residual skew falls to
+   * AQE like any equi-join.
+   */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      startL: String, endL: String, startR: String, endR: String,
+      binWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val collision =
+      left.columns.toSet.intersect(right.columns.toSet) -- keys.toSet
+    require(collision.isEmpty, s"column collision between sides: $collision")
+    val bin = "__ovl_bin"
+    def binned(df: DataFrame, s: String, e: String) = df.withColumn(bin,
+      explode(expr(s"sequence(`$s` div ${binWidth}L, `$e` div ${binWidth}L)")))
+    binned(left, startL, endL)
+      .join(binned(right, startR, endR), bin +: keys)
+      .filter(col(startL) <= col(endR) && col(startR) <= col(endL))
+      .filter(col(bin) === expr(
+        s"greatest(`$startL`, `$startR`) div ${binWidth}L"))
+      .drop(bin)
+  }
+
+  /**
    * Broadcast interval lookup via as-of join: match each point to the
    * interval with the greatest `startCol` ≤ point, keep it only when the
    * point is also ≤ its `endCol`. Inner-join semantics (unmatched points

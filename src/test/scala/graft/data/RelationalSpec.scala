@@ -104,4 +104,37 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set(("g1", 2L, 1), ("g1", 3L, 2),
       ("g2", 5L, 1), ("g3", 7L, 1), ("g3", 6L, 2)))
   }
+
+  test("intervalOverlapJoin matches brute force at any binWidth; pairs once") {
+    val rng = new scala.util.Random(11)
+    val as = (1 to 60).map { i =>
+      val s = rng.nextInt(1000).toLong; (i.toLong, s, s + rng.nextInt(200)) }
+    val bs = (1 to 40).map { i =>
+      val s = rng.nextInt(1000).toLong; (i.toLong, s, s + rng.nextInt(200)) }
+    val brute = (for {
+      (ai, s1, e1) <- as; (bi, s2, e2) <- bs
+      if s1 <= e2 && s2 <= e1
+    } yield (ai, bi)).toSet
+    val l = as.toDF("a_id", "a_start", "a_end")
+    val r = bs.toDF("b_id", "b_start", "b_end")
+    for (w <- Seq(1L, 7L, 100L, 5000L)) {
+      val rows = Relational.intervalOverlapJoin(l, r,
+          "a_start", "a_end", "b_start", "b_end", w)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect()
+      assert(rows.length === rows.distinct.length, s"dup pairs at w=$w")
+      assert(rows.toSet === brute, s"w=$w")
+    }
+  }
+
+  test("intervalOverlapJoin: inclusive touch counts; keys separate series") {
+    val l = Seq(("u1", 0L, 10L), ("u2", 0L, 10L)).toDF("user", "a_start", "a_end")
+    val r = Seq(("u1", 10L, 20L), ("u1", 11L, 20L), ("u2", 50L, 60L))
+      .toDF("user", "b_start", "b_end")
+    val got = Relational.intervalOverlapJoin(l, r, "a_start", "a_end",
+        "b_start", "b_end", binWidth = 8L, keys = Seq("user"))
+      .select($"user", $"b_start").as[(String, Long)].collect().toSet
+    // u1 [0,10] touches [10,20] (inclusive) but not [11,20];
+    // u2's intervals never pair with u1's despite identical bins
+    assert(got === Set(("u1", 10L)))
+  }
 }
