@@ -3025,7 +3025,10 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |  need_tokens - take_tokens AS shortfall_tokens,
          |  CASE WHEN avail_tokens > 0
          |    THEN (take_tokens * 1000000) // avail_tokens ELSE 0 END
-         |    AS rate_ppm
+         |    AS rate_ppm,
+         |  CASE WHEN avail_tokens > 0
+         |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
+         |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
     "q102_corpus_card" ->
       s"""WITH pd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -181,5 +181,12 @@ object Sampling {
       .withColumn("rate_ppm",
         when(col("avail_tokens") > 0,
           expr("take_tokens * 1000000 div avail_tokens")).otherwise(lit(0L)))
+      // how many passes over the source the recipe implies: 1 when it
+      // fits, ceil(need/avail) when under-supplied (the up-sample/epoch
+      // factor real recipes apply instead of silently shifting the mix)
+      .withColumn("epochs",
+        when(col("avail_tokens") > 0,
+          expr("(need_tokens + avail_tokens - 1) div avail_tokens"))
+          .otherwise(lit(0L)))
   }
 }

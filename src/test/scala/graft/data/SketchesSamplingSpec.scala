@@ -175,14 +175,14 @@ class SketchesSamplingSpec extends SparkSpec {
     val plan = Sampling.mixturePlan(docs, col("source"), col("n"),
         Map("web" -> 500000L, "wiki" -> 500000L), budgetTokens = 600L)
       .select(col("source"), col("need_tokens"), col("take_tokens"),
-        col("shortfall_tokens"), col("rate_ppm"))
-      .as[(String, Long, Long, Long, Long)].collect()
+        col("shortfall_tokens"), col("rate_ppm"), col("epochs"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> r).toMap
-    // each side needs 300; web has 400 (take 300, rate 750000),
-    // wiki has 100 (take 100, shortfall 200, rate 1000000)
-    assert(plan("web") === (("web", 300L, 300L, 0L, 750000L)))
-    assert(plan("wiki") === (("wiki", 300L, 100L, 200L, 1000000L)))
-    assert(plan("code") === (("code", 0L, 0L, 0L, 0L)))
+    // each side needs 300; web has 400 (take 300, rate 750000, 1 epoch),
+    // wiki has 100 (take 100, shortfall 200, rate 1000000, 3 epochs)
+    assert(plan("web") === (("web", 300L, 300L, 0L, 750000L, 1L)))
+    assert(plan("wiki") === (("wiki", 300L, 100L, 200L, 1000000L, 3L)))
+    assert(plan("code") === (("code", 0L, 0L, 0L, 0L, 0L)))
   }
 
   test("mixturePlan: a 100 TB-token budget does not overflow the need arithmetic") {
