@@ -1002,6 +1002,55 @@ object SparkEntry {
           t(s, dir, "documents").withColumn("text", aug), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // per-dimension embedding stats: ONE Summarizer pass (no N×d explode),
+    // mean/min/max/std all derived from plain sums for oracle parity
+    "q104_embedding_stats" -> ((s, dir) => {
+      Similarity.dimensionStats(t(s, dir, "embeddings"), "embedding")
+        .orderBy(col("dim"))
+    }),
+    // edit-distance verification tier over MinHash-LSH candidates:
+    // banded levenshtein (O(len·maxDist)) certifies literal few-edit dups
+    "q105_edit_neardups" -> ((s, dir) => {
+      Dedup.editNearDups(t(s, dir, "documents"), "doc_id", "text",
+          maxDist = 500)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // semantic decontamination: corpus docs within cosine 0.35 of any
+    // benchmark vector (bench side broadcast; argmax via max(struct))
+    "q106_semantic_decon" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.contaminationReport(
+          e.filter(col("vec_id") % 10 =!= 7),
+          e.filter(col("vec_id") % 10 === 7),
+          "vec_id", "v", threshold = 0.35)
+        .orderBy(col("id"))
+    }),
+    // incremental corpus-card maintenance: old card + delta of the diff'd
+    // docs == full recompute on the new snapshot (exact longs)
+    "q107_incremental_card" -> ((s, dir) => {
+      import graft.data.Corpus
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val nw = docs.filter(col("doc_id") % 19 =!= 5)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0,
+            concat(col("text"), lit(" extra tokens here")))
+            .otherwise(col("text")).as("text"))
+      Corpus.cardUpdate(Corpus.cardDecomposable(old, "text"), old, nw,
+          "doc_id", "text")
+        .orderBy(col("metric"))
+    }),
+    // prototype pruning (SSL-prototypes/D4): drop the 20% most
+    // centroid-typical vectors per cell; map-only assignment, per-cell rank
+    "q108_prototype_prune" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.prototypePrune(e, "vec_id", "v",
+          cents = Similarity.planes(8, 64), dropFrac = 0.2)
+        .orderBy(col("id"))
+    }),
     // mixture PLAN: per-source token budgeting against a recipe —
     // need/take/shortfall/implied-rate in exact integers (src0/src2
     // under-supplied at this budget, src1 fits, others weight 0)
@@ -3030,6 +3079,73 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q104_embedding_stats" ->
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (SELECT i, v[i+1] AS x FROM e CROSS JOIN range(64) t(i))
+         |SELECT CAST(i AS BIGINT) AS dim, count(*) AS n,
+         |  round(sum(x), 6) AS sum_v,
+         |  round(sum(x) / count(*), 6) AS mean,
+         |  round(min(x), 6) AS min_v, round(max(x), 6) AS max_v,
+         |  round(sqrt(greatest(
+         |    (sum(x*x) - sum(x)*sum(x)/count(*)) / (count(*) - 1), 0)), 6) AS std
+         |FROM x GROUP BY i ORDER BY dim""".stripMargin,
+    "q105_edit_neardups" ->
+      s"""WITH t AS ($minhashSigTableSql),
+         |c AS (SELECT id_a, id_b, jaccard FROM ($minhashCandidatesSql)),
+         |p AS (SELECT c.id_a, c.id_b, c.jaccard,
+         |    levenshtein(a.text, b.text) AS lev,
+         |    greatest(length(a.text), length(b.text), 1) AS mx
+         |  FROM c JOIN documents a ON a.doc_id = c.id_a
+         |  JOIN documents b ON b.doc_id = c.id_b)
+         |SELECT id_a, id_b, round(jaccard, 6) AS jaccard,
+         |  CAST(lev AS BIGINT) AS lev,
+         |  round(1.0 - lev / CAST(mx AS DOUBLE), 6) AS edit_sim
+         |FROM p WHERE lev <= 500 ORDER BY id_a, id_b""".stripMargin,
+    "q106_semantic_decon" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT c.vec_id AS id, b.vec_id AS bench_id,
+         |    list_dot_product(c.v, b.v) /
+         |      (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+         |  FROM (SELECT * FROM e WHERE vec_id % 10 <> 7) c
+         |  CROSS JOIN (SELECT * FROM e WHERE vec_id % 10 = 7) b),
+         |f AS (SELECT id, bench_id, sim,
+         |    row_number() OVER (PARTITION BY id ORDER BY sim DESC, bench_id) AS rn
+         |  FROM s WHERE sim >= 0.35)
+         |SELECT id, bench_id, round(sim, 6) AS sim FROM f WHERE rn = 1
+         |ORDER BY id""".stripMargin,
+    "q107_incremental_card" ->
+      s"""WITH nw AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 17 = 0 THEN text || ' extra tokens here'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 19 <> 5)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM nw
+         |  UNION ALL SELECT 'n_tokens',
+         |    CAST(coalesce(sum(len($tokSql)), 0) AS BIGINT) FROM nw
+         |  UNION ALL SELECT 'n_chars',
+         |    CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM nw
+         |  UNION ALL SELECT 'n_empty_docs',
+         |    CAST(coalesce(sum(CASE WHEN length(trim(text)) = 0
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) FROM nw)
+         |ORDER BY metric""".stripMargin,
+    "q108_prototype_prune" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |planes AS (SELECT * FROM (VALUES $planesSql) pl(p, coef)),
+         |asg AS (SELECT vec_id, v, p AS cell, s, coef FROM (
+         |    SELECT e.vec_id, e.v, pl.p, pl.coef,
+         |      list_dot_product(e.v, pl.coef) AS s,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, pl.coef) DESC, pl.p DESC) AS rn
+         |    FROM e CROSS JOIN planes pl) WHERE rn = 1),
+         |r AS (SELECT vec_id AS id, cell,
+         |    s / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(coef, coef))) AS ps
+         |  FROM asg),
+         |w AS (SELECT id, cell, ps,
+         |    row_number() OVER (PARTITION BY cell ORDER BY ps DESC, id) AS rn,
+         |    count(*) OVER (PARTITION BY cell) AS nc FROM r)
+         |SELECT id, CAST(cell AS BIGINT) AS cell, round(ps, 6) AS proto_sim,
+         |  rn > ceil(nc * 0.2) AS kept
+         |FROM w ORDER BY id""".stripMargin,
     "q102_corpus_card" ->
       s"""WITH pd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(coalesce(sum(len($tokSql)), 0) AS BIGINT) AS n_tokens,

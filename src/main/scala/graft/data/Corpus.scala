@@ -361,6 +361,77 @@ object Corpus {
         col("n_distinct_fingerprints").cast("long").as("value")))
   }
 
+  /** The SUM-DECOMPOSABLE subset of [[corpusCard]] — `n_docs, n_tokens,
+   * n_chars, n_empty_docs` as a `(metric, value)` frame. These four admit
+   * exact INCREMENTAL maintenance ([[cardUpdate]]); the card's distinct
+   * counts and max do not (distinct is only add-mergeable — via HLL
+   * union — and max is not subtractable), so they stay recompute-or-
+   * sketch and are deliberately absent here. */
+  def cardDecomposable(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(TextFunctions.wordCount(t)), lit(0L)).cast("long")
+        .as("n_tokens"),
+      coalesce(sum(length(t)), lit(0L)).cast("long").as("n_chars"),
+      coalesce(sum(when(length(trim(t)) === 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_empty_docs"))
+      .select(expr(
+        "stack(4, 'n_docs', n_docs, 'n_tokens', n_tokens, " +
+          "'n_chars', n_chars, 'n_empty_docs', n_empty_docs)" +
+          " AS (metric, value)"))
+  }
+
+  /**
+   * INCREMENTAL corpus-card maintenance: given the previous snapshot's
+   * decomposable card ([[cardDecomposable]]) and both snapshots, produce
+   * the new snapshot's card by applying only the DELTA — subtract the
+   * stats of removed/changed old docs, add those of added/changed new
+   * docs. Exact (all-long arithmetic), and the whole point at 100 TB: a
+   * daily crawl refresh touches a few percent of documents, so the
+   * update scans `O(|changed|)` text instead of re-reading the corpus.
+   *
+   * Plan shape: like [[snapshotDiff]], both sides project down to id +
+   * content hash (never full text) and full-outer join on id — but the
+   * hash here is EXACT (`xxhash64` of the raw text), not the
+   * whitespace-normalized dedup fingerprint: `n_chars` is whitespace-
+   * sensitive, so a whitespace-only edit must count as changed or the
+   * maintained card drifts from a recompute. Each side's changed ids
+   * then semi-join back to their snapshot (partition-prunable in a
+   * date/source-partitioned lake) and one [[cardDecomposable]] pass
+   * runs over just those docs. The final union is metric-keyed (≤ 12
+   * rows) — negligible.
+   */
+  def cardUpdate(
+      oldCard: DataFrame,
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String = "id",
+      textCol: String = "text"): DataFrame = {
+    def hashSide(df: DataFrame, fpName: String, flagName: String) =
+      df.select(col(idCol),
+        xxhash64(coalesce(col(textCol), lit(""))).as(fpName),
+        lit(true).as(flagName))
+    val diff = hashSide(oldDocs, "fp_old", "in_old")
+      .join(hashSide(newDocs, "fp_new", "in_new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+    def changedSide(docs: DataFrame, statuses: Seq[String]) =
+      cardDecomposable(
+        docs.join(diff.filter(col("status").isin(statuses: _*))
+          .select(col(idCol)), Seq(idCol), "left_semi"),
+        textCol)
+    val sub = changedSide(oldDocs, Seq("removed", "changed"))
+      .select(col("metric"), (-col("value")).as("value"))
+    val add = changedSide(newDocs, Seq("added", "changed"))
+    oldCard.union(add).union(sub)
+      .groupBy(col("metric"))
+      .agg(sum(col("value")).cast("long").as("value"))
+  }
+
   /** Publish a corpus' token counts as an immutable `dir/v<N>` behind
    * the `latest` pointer ([[Versioned.publish]]) — the baseline-refresh
    * cadence of the streaming drift monitor. Returns the version. */

@@ -192,6 +192,52 @@ object Dedup {
   }
 
   /**
+   * EDIT-DISTANCE verification tier over the MinHash-LSH candidates —
+   * the strictest near-dup check: shingle Jaccard is order-insensitive
+   * (it cannot tell "a b c d" from "d c b a"), while Levenshtein
+   * certifies the documents are literally a few edits apart, which is
+   * what "same page, new timestamp" crawl dups actually are. Candidates
+   * come from [[minhashNearDups]] with `threshold = 0` (i.e. every pair
+   * sharing an LSH band); each is verified with the BANDED Levenshtein —
+   * Spark's 3-arg `levenshtein(a, b, max)` stops at `maxDist + 1` and
+   * costs O(len·maxDist), not O(len²), so the bound is what makes the
+   * verify affordable on book-length documents. Pairs above the bound
+   * are dropped; survivors carry `lev` and `edit_sim = 1 −
+   * lev/max(len)`.
+   *
+   * Scale shape: texts are NOT carried through the band-key shuffle
+   * (that would move `bands ×` the corpus text volume); the candidate
+   * ids join BACK to the corpus — two keyed joins sized by the
+   * candidate set, which LSH keeps ≪ N². The id_a-side join carries
+   * only (id_b, jaccard) per candidate; text_a meets text_b in the
+   * second join.
+   */
+  def editNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(maxDist >= 0, s"maxDist $maxDist")
+    val cands = minhashNearDups(docs, idCol, textCol, shingleN, k, bands,
+        threshold = 0.0)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val txt = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    cands
+      .join(txt.select(col("id").as("id_a"), col("txt").as("text_a")), Seq("id_a"))
+      .join(txt.select(col("id").as("id_b"), col("txt").as("text_b")), Seq("id_b"))
+      .withColumn("lev", levenshtein(col("text_a"), col("text_b"), maxDist))
+      .filter(col("lev") >= 0)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
+        col("lev").cast("long").as("lev"),
+        round(lit(1.0) - col("lev") /
+          greatest(length(col("text_a")), length(col("text_b")), lit(1)), 6)
+          .as("edit_sim"))
+  }
+
+  /**
    * SimHash near-dup pairs within a HAMMING BALL — the "small Hamming
    * distance" tier [[simhashClusters]]' exact-equality grouping cannot
    * see. Pigeonhole chunking (Manku, Jain & Das Sarma, WWW 2007): the

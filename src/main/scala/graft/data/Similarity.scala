@@ -395,6 +395,133 @@ object Similarity {
     } finally { data.unpersist(); () }
   }
 
+  /**
+   * Per-DIMENSION statistics of an embedding column — the sanity panel a
+   * pipeline renders before trusting a new embedding drop (a dead
+   * dimension, a scale blow-up, or a NaN-poisoned shard shows up here
+   * first). Output: one row per dimension with `n, sum_v, mean, min_v,
+   * max_v, std` (std via the sum/sum-of-squares identity, ddof = 1, so
+   * every value derives from plain sums and an external SQL oracle
+   * reproduces it bit-for-bit up to summation association).
+   *
+   * Scale shape: ONE aggregation pass, no explode — `Summarizer` keeps
+   * a dim-length buffer per task and merges map-side, so only
+   * `numPartitions × dim` doubles cross the wire regardless of corpus
+   * size (the posexplode at the end unnests a SINGLE dim-length row).
+   * The naive `posexplode(v)` + groupBy(dim) spelling shuffles N × dim
+   * rows — 64× the corpus — and is the anti-pattern this replaces.
+   */
+  def dimensionStats(vectors: DataFrame, vecCol: String): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    val v = array_to_vector(col(vecCol).cast("array<double>"))
+    val agg = vectors
+      .select(v.as("vv"),
+        array_to_vector(transform(col(vecCol).cast("array<double>"),
+          x => x * x)).as("vv2"))
+      .agg(
+        Summarizer.metrics("sum", "min", "max", "count").summary(col("vv"))
+          .as("s"),
+        Summarizer.sum(col("vv2")).as("sq"))
+      .select(
+        vector_to_array(col("s.sum")).as("sums"),
+        vector_to_array(col("s.min")).as("mins"),
+        vector_to_array(col("s.max")).as("maxs"),
+        col("s.count").as("n"),
+        vector_to_array(col("sq")).as("sumsqs"))
+    agg
+      .select(posexplode(col("sums")).as(Seq("dim", "sum_v")), col("mins"),
+        col("maxs"), col("n"), col("sumsqs"))
+      .select(
+        col("dim").cast("long").as("dim"),
+        col("n"),
+        round(col("sum_v"), 6).as("sum_v"),
+        round(col("sum_v") / col("n"), 6).as("mean"),
+        round(element_at(col("mins"), col("dim") + 1), 6).as("min_v"),
+        round(element_at(col("maxs"), col("dim") + 1), 6).as("max_v"),
+        round(sqrt(greatest(
+          (element_at(col("sumsqs"), col("dim") + 1) -
+            col("sum_v") * col("sum_v") / col("n")) / (col("n") - 1),
+          lit(0.0))), 6).as("std"))
+  }
+
+  /**
+   * SEMANTIC decontamination report — the embedding-space complement of
+   * the n-gram [[Corpus.decontaminate]]: flag corpus documents whose
+   * embedding is within cosine `threshold` of ANY benchmark/eval-set
+   * vector (paraphrased or translated test questions that share no
+   * 8-gram with the original slip the lexical net; they do not slip
+   * this one). Emits one row per contaminated corpus id with its
+   * BEST-matching benchmark id (ties at equal similarity break toward
+   * the lower bench id, deterministically).
+   *
+   * Scale shape: the benchmark side is eval sets — thousands of rows,
+   * KBs–MBs — so it is **broadcast** and the corpus never shuffles; the
+   * per-corpus-row argmax is a partial-aggregable `max(struct)` (no
+   * window over a corpus-wide partition). For a benchmark too large to
+   * broadcast, route both sides through [[ivfTopKWith]] cells instead.
+   */
+  def contaminationReport(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol, "c_")
+    val b = withNorm(bench, idCol, vecCol, "b_")
+    c.crossJoin(broadcast(b))
+      .select(col("c_id"), col("b_id"), simCol("c_", "b_").as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("c_id"))
+      .agg(max(struct(col("sim").as("sim"), (-col("b_id")).as("nb"))).as("best"))
+      .select(col("c_id").as("id"), (-col("best")("nb")).as("bench_id"),
+        round(col("best")("sim"), 6).as("sim"))
+  }
+
+  /**
+   * Prototype-based pruning (Sorscher et al. 2022, "Beyond neural
+   * scaling laws: beating power law scaling via data pruning"; the
+   * "SSL prototypes" metric also used by D4): within each embedding
+   * cluster, the vectors MOST similar to their cluster centroid are the
+   * most prototypical — and at web scale the least informative — so
+   * drop the top `dropFrac` fraction per cell. Complements [[semDedup]]
+   * (which removes near-DUPLICATE pairs; this thins dense typical
+   * regions even when no pair is a near-dup).
+   *
+   * Output: every input id with its cell, `round(proto_sim, 6)` and a
+   * `kept` flag — callers filter `kept` for the pruned corpus; emitting
+   * the flag keeps the drop auditable. Deterministic end to end:
+   * centroid assignment ties break toward the higher cell (the
+   * [[cellSims]] contract), rank ties toward the lower id.
+   *
+   * Scale shape: centroids are broadcast literals (the IVF design), so
+   * assignment is map-only; the per-cell rank is a window PARTITIONED
+   * by cell — pick `cents` large enough that cells stay ~10⁴–10⁶ rows
+   * ([[trainIvfCentroids]]), and the sort stays in-executor.
+   */
+  def prototypePrune(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Double]],
+      dropFrac: Double): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac <= 1.0, s"dropFrac $dropFrac")
+    val centNorms = array(cents.toIndexedSeq.map(c =>
+      lit(math.sqrt(c.map(x => x * x).sum))): _*)
+    val v = withNorm(repartitioned(vectors), idCol, vecCol, "")
+      .withColumn("best", sort_array(cellSims(col("v"), cents), asc = false)(0))
+      .withColumn("cell", col("best")("cell"))
+      .withColumn("proto_sim",
+        col("best")("s") / (col("n") * element_at(centNorms, col("cell") + 1)))
+    val w = Window.partitionBy(col("cell"))
+    val byProto = w.orderBy(col("proto_sim").desc, col("id"))
+    v.withColumn("rn", row_number().over(byProto))
+      .withColumn("n_cell", count(lit(1)).over(w))
+      .select(col("id"), col("cell").cast("long").as("cell"),
+        round(col("proto_sim"), 6).as("proto_sim"),
+        (col("rn") > ceil(col("n_cell") * dropFrac)).as("kept"))
+  }
+
   /** Spread a (typically single-file) input across the session's
    * parallelism for CPU-bound pair scans. */
   private def repartitioned(df: DataFrame): DataFrame =

@@ -1,0 +1,66 @@
+package graft.data
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental corpus-card maintenance ([[Corpus.cardUpdate]]): the
+ * updated card equals a full recompute on the new snapshot for every
+ * combination of add/remove/change, an empty diff is the identity, and
+ * the delta passes scan only the changed documents.
+ */
+class CardUpdateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val oldSnap = Seq(
+    (1L, "alpha beta gamma"),
+    (2L, "delta epsilon"),
+    (3L, ""),
+    (4L, "kappa lambda mu nu")).toDF("id", "text")
+  private lazy val newSnap = Seq(
+    (1L, "alpha beta gamma"),          // unchanged
+    (2L, "delta epsilon zeta added"),  // changed (+2 tokens)
+    (4L, "kappa lambda mu nu"),        // unchanged
+    (5L, "brand new doc"),             // added
+    (6L, "")).toDF("id", "text")       // added empty; 3 removed
+
+  private def cardMap(df: org.apache.spark.sql.DataFrame) =
+    df.as[(String, Long)].collect().toMap
+
+  test("incremental update equals full recompute") {
+    val updated = cardMap(Corpus.cardUpdate(
+      Corpus.cardDecomposable(oldSnap, "text"), oldSnap, newSnap))
+    val full = cardMap(Corpus.cardDecomposable(newSnap, "text"))
+    assert(updated === full)
+    assert(updated("n_docs") === 5L)
+    assert(updated("n_empty_docs") === 1L)
+  }
+
+  test("empty diff is the identity") {
+    val updated = cardMap(Corpus.cardUpdate(
+      Corpus.cardDecomposable(oldSnap, "text"), oldSnap, oldSnap))
+    assert(updated === cardMap(Corpus.cardDecomposable(oldSnap, "text")))
+  }
+
+  test("pure removal subtracts exactly") {
+    val shrunk = oldSnap.filter(col("id") =!= 4L)
+    val updated = cardMap(Corpus.cardUpdate(
+      Corpus.cardDecomposable(oldSnap, "text"), oldSnap, shrunk))
+    assert(updated === cardMap(Corpus.cardDecomposable(shrunk, "text")))
+    assert(updated("n_tokens") ===
+      cardMap(Corpus.cardDecomposable(oldSnap, "text"))("n_tokens") - 4L)
+  }
+
+  test("whitespace-only edits count as changed (exact hash, not the dedup fingerprint)") {
+    // snapshotDiff's normalized fingerprint would call this 'unchanged',
+    // but n_chars shifts — cardUpdate diffs on the exact hash, so the
+    // maintained card still equals a full recompute
+    val ws = oldSnap.withColumn("text",
+      when(col("id") === 1L, lit("alpha  beta  gamma")).otherwise(col("text")))
+    val updated = cardMap(Corpus.cardUpdate(
+      Corpus.cardDecomposable(oldSnap, "text"), oldSnap, ws))
+    assert(updated === cardMap(Corpus.cardDecomposable(ws, "text")))
+    assert(updated("n_chars") ===
+      cardMap(Corpus.cardDecomposable(oldSnap, "text"))("n_chars") + 2L)
+  }
+}

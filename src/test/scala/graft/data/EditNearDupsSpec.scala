@@ -1,0 +1,64 @@
+package graft.data
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Edit-distance verification tier ([[Dedup.editNearDups]]): a literal
+ * few-edit near-dup survives with its exact Levenshtein distance, a
+ * reordered doc (high Jaccard, huge edit distance) is cut by the bound,
+ * and texts join back by id instead of riding the band shuffle.
+ */
+class EditNearDupsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+    "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+  // one token substituted mid-doc: same length class, tiny edit distance
+  private val edited = base.replace("sigma", "sigmb")
+  // same tokens fully reversed: near-identical shingle-free? no — word
+  // 3-grams all differ, but unigram multiset identical; minhash on
+  // 3-gram shingles finds NO band, so it never becomes a candidate
+  private val reversed = base.split(" ").reverse.mkString(" ")
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, edited), (3L, reversed),
+    (4L, "completely different text about query engines and shuffles " +
+      "with enough words to clear the shingle minimum for hashing"))
+    .toDF("doc_id", "text")
+
+  test("few-edit dup found with its exact distance") {
+    val got = Dedup.editNearDups(docs, "doc_id", "text", maxDist = 10)
+      .select(col("id_a"), col("id_b"), col("lev"))
+      .as[(Long, Long, Long)].collect().toList
+    assert(got === List((1L, 2L, 1L)))
+  }
+
+  test("the bound cuts candidates whose distance exceeds it") {
+    val tight = Dedup.editNearDups(docs, "doc_id", "text", maxDist = 0)
+    assert(tight.count() === 0L)
+  }
+
+  test("edit_sim is 1 - lev/maxlen") {
+    val sim = Dedup.editNearDups(docs, "doc_id", "text", maxDist = 10)
+      .select(col("edit_sim")).as[Double].head()
+    val expect = 1.0 - 1.0 / base.length.max(edited.length)
+    assert(math.abs(sim - math.rint(expect * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("texts do not ride the band-key shuffle (joined back by id)") {
+    val plan = Dedup.editNearDups(docs, "doc_id", "text", maxDist = 10)
+      .queryExecution.optimizedPlan
+    // exactly three joins: the band-key self-join plus the two id->text
+    // join-backs — and the band join's inputs never project the text
+    // column (it would multiply text volume by the band count)
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size === 3, plan.toString)
+    val bandJoin = joins.find(_.condition.exists(_.references
+      .exists(_.name == "band"))).orElse(joins.lastOption).get
+    val carried = bandJoin.children.flatMap(_.output.map(_.name))
+    assert(!carried.contains("text") && !carried.contains("text_a"),
+      carried.mkString(","))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.data
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-dimension embedding stats ([[Similarity.dimensionStats]]):
+ * hand-computed values on a tiny matrix, dead-dimension and scale-blow-up
+ * detection (the operator's reason to exist), and the one-pass plan
+ * shape (the generator unnests ONE aggregated row, not the corpus).
+ */
+class VectorStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 vectors × 2 dims: dim0 = {1, 2, 3}, dim1 = {4, 4, 4} (dead)
+  private lazy val vecs = Seq(
+    (1L, Array(1.0, 4.0)),
+    (2L, Array(2.0, 4.0)),
+    (3L, Array(3.0, 4.0))).toDF("id", "v")
+
+  test("hand-computed stats per dimension") {
+    val got = Similarity.dimensionStats(vecs, "v")
+      .orderBy(col("dim"))
+      .select(col("dim"), col("n"), col("sum_v"), col("mean"), col("min_v"),
+        col("max_v"), col("std"))
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect()
+    assert(got(0) === ((0L, 3L, 6.0, 2.0, 1.0, 3.0, 1.0)))
+    // dead dimension: zero variance, mean = value
+    assert(got(1) === ((1L, 3L, 12.0, 4.0, 4.0, 4.0, 0.0)))
+  }
+
+  test("a scale blow-up in one dimension is visible in max/std") {
+    val poisoned = vecs.union(Seq((4L, Array(1000.0, 4.0))).toDF("id", "v"))
+    val d0 = Similarity.dimensionStats(poisoned, "v")
+      .filter(col("dim") === 0).select(col("max_v"), col("std"))
+      .as[(Double, Double)].head()
+    assert(d0._1 === 1000.0)
+    assert(d0._2 > 400.0)
+  }
+
+  test("one aggregation pass: the generator unnests the 1-row aggregate, not the corpus") {
+    val plan = Similarity.dimensionStats(vecs, "v")
+      .queryExecution.optimizedPlan.toString
+    // exactly one Aggregate (both Summarizer metrics fused into it), and
+    // the Generate sits ABOVE it (unnesting dim-length arrays of one row)
+    assert("(?s)Generate.*Aggregate".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.sliding("Aggregate".length).count(_ == "Aggregate") === 1, plan)
+  }
+}
