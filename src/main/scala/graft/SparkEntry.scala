@@ -1051,6 +1051,22 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // contrastive pair mining: pos (near-dup) + hard-neg (same cell,
+    // mid-similarity) pairs for embedding-model training data
+    "q109_mine_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.minePairs(e, "vec_id", "v", Similarity.planes(8, 64),
+          posThreshold = 0.35, negLo = 0.15, negHi = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // join-key skew report: topK heavy keys with exact ppm + cumulative
+    // share — the pre-join diagnostic behind saltedJoin's salt factor
+    "q110_skew_report" -> ((s, dir) => {
+      import graft.data.Relational
+      Relational.skewReport(t(s, dir, "lineitem"), col("l_suppkey"), topK = 20)
+        .orderBy(col("cnt").desc, col("key"))
+    }),
     // mixture PLAN: per-source token budgeting against a recipe —
     // need/take/shortfall/implied-rate in exact integers (src0/src2
     // under-supplied at this budget, src1 fits, others weight 0)
@@ -3079,6 +3095,33 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q109_mine_pairs" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |planes AS (SELECT * FROM (VALUES $planesSql) pl(p, coef)),
+         |cell AS (SELECT vec_id, v, p AS cell FROM (
+         |    SELECT e.vec_id, e.v, pl.p, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, pl.coef) DESC, pl.p DESC) AS rn
+         |    FROM e CROSS JOIN planes pl) WHERE rn = 1),
+         |prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+         |    list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+         |  FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, CAST(cell AS BIGINT) AS cell, round(sim, 6) AS sim,
+         |  CASE WHEN sim >= 0.35 THEN 'pos'
+         |       WHEN sim >= 0.15 AND sim < 0.3 THEN 'hard_neg' END AS pair_type
+         |FROM prs WHERE sim >= 0.35 OR (sim >= 0.15 AND sim < 0.3)
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q110_skew_report" ->
+      s"""WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT sum(cnt) AS total FROM c),
+         |top AS (SELECT key, cnt,
+         |    CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm
+         |  FROM c, t ORDER BY cnt DESC, key LIMIT 20)
+         |SELECT key, cnt, share_ppm,
+         |  CAST(sum(share_ppm) OVER (ORDER BY cnt DESC, key
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ppm
+         |FROM top ORDER BY cnt DESC, key""".stripMargin,
     "q104_embedding_stats" ->
       s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |x AS (SELECT i, v[i+1] AS x FROM e CROSS JOIN range(64) t(i))

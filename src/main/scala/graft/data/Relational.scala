@@ -212,6 +212,39 @@ object Relational {
    * skewed key distributions skew the buckets (uniform ids are the
    * intended input — densify first if needed).
    */
+  /**
+   * JOIN-KEY skew report — the diagnostic run before sizing a big join
+   * or choosing [[saltedJoin]]'s salt factor: the `topK` heaviest keys
+   * with exact row counts and integer parts-per-million share
+   * (`cnt · 1e6 div total` — floor division on longs, bit-identical
+   * across engines/partitionings), plus each key's cumulative share so
+   * "the top 3 keys are 40% of the table" reads straight off the
+   * output. A key above ~`1e6/numPartitions` ppm is a straggler
+   * candidate; one above a few percent wants salting or an AQE skew
+   * split.
+   *
+   * Scale shape: one map-side-combinable count aggregation (hot keys
+   * combine before the shuffle — the aggregation does not itself
+   * suffer the skew it measures), the 1-row total cross-joined back
+   * (broadcast), a TakeOrdered top-K heap, and the tiny K-row window
+   * for the cumulative column. Nothing corpus-sized crosses the wire.
+   */
+  def skewReport(df: DataFrame, keyCol: Column, topK: Int = 20): DataFrame = {
+    val counts = df.groupBy(keyCol.as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val top = counts.crossJoin(total)
+      .select(col("key"), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_ppm"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+    top.withColumn("cum_ppm",
+      sum(col("share_ppm")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("key"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+        .cast("long"))
+  }
+
   def prefixSum(df: DataFrame, orderCol: String, valueCol: Column,
       outCol: String): DataFrame = {
     val pid = "__prefix_pid"

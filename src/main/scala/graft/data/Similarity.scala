@@ -522,6 +522,48 @@ object Similarity {
         (col("rn") > ceil(col("n_cell") * dropFrac)).as("kept"))
   }
 
+  /**
+   * CONTRASTIVE pair mining for embedding-model training data: from
+   * within-cell candidate pairs, emit `pos` pairs (near-duplicates /
+   * paraphrases, sim ≥ `posThreshold`) and `hard_neg` pairs (same
+   * semantic neighborhood but NOT duplicates, sim ∈ [`negLo`, `negHi`))
+   * — the in-batch-negatives recipe's hard tail. Random negatives are
+   * cheap anywhere; HARD negatives are exactly the same-cell pairs a
+   * random sampler almost never draws, which is why mining rides the
+   * cell structure.
+   *
+   * Scale shape: identical to [[semDedup]]'s — centroid assignment from
+   * broadcast literals (map-only), ONE shuffle on the small cell int,
+   * quadratic candidate work confined per cell (size cells via
+   * [[trainIvfCentroids]]). Pairs outside both bands are dropped before
+   * anything downstream sees them.
+   */
+  def minePairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Double]],
+      posThreshold: Double,
+      negLo: Double,
+      negHi: Double): DataFrame = {
+    require(negLo <= negHi && negHi <= posThreshold,
+      s"bands must not overlap: neg [$negLo, $negHi) vs pos >= $posThreshold")
+    def side(prefix: String, df: DataFrame) =
+      withNorm(df, idCol, vecCol, prefix)
+        .withColumn("cell",
+          sort_array(cellSims(col(s"${prefix}v"), cents), asc = false)(0)("cell"))
+    side("a_", repartitioned(vectors)).join(side("b_", vectors), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
+        col("cell"), simCol("a_", "b_").as("sim"))
+      .withColumn("pair_type",
+        when(col("sim") >= posThreshold, lit("pos"))
+          .when(col("sim") >= negLo && col("sim") < negHi, lit("hard_neg")))
+      .filter(col("pair_type").isNotNull)
+      .select(col("id_a"), col("id_b"), col("cell").cast("long").as("cell"),
+        round(col("sim"), 6).as("sim"), col("pair_type"))
+  }
+
   /** Spread a (typically single-file) input across the session's
    * parallelism for CPU-bound pair scans. */
   private def repartitioned(df: DataFrame): DataFrame =

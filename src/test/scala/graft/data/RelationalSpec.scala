@@ -126,6 +126,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("skewReport: heavy keys first, exact ppm shares, cumulative adds up") {
+    val rows = (1 to 60).map(i => Tuple1(
+      if (i <= 30) "hot" else if (i <= 45) "warm" else s"cold$i")).toDF("k")
+    val got = Relational.skewReport(rows, $"k", topK = 2)
+      .select($"key", $"cnt", $"share_ppm", $"cum_ppm")
+      .as[(String, Long, Long, Long)].collect().toList
+    // hot 30/60 = 500000 ppm, warm 15/60 = 250000; cumulative 750000
+    assert(got === List(("hot", 30L, 500000L, 500000L),
+      ("warm", 15L, 250000L, 750000L)))
+  }
+
+  test("skewReport: count ties break by key; ppm is floor division") {
+    val rows = Seq("a", "a", "b", "b", "c", "c", "d").toDF("k")
+    val got = Relational.skewReport(rows, $"k", topK = 3)
+      .select($"key", $"share_ppm").as[(String, Long)].collect().toList
+    // 2/7 = 285714.28... floors to 285714; tie order a < b < c
+    assert(got === List(("a", 285714L), ("b", 285714L), ("c", 285714L)))
+  }
+
   test("intervalOverlapJoin: inclusive touch counts; keys separate series") {
     val l = Seq(("u1", 0L, 10L), ("u2", 0L, 10L)).toDF("user", "a_start", "a_end")
     val r = Seq(("u1", 10L, 20L), ("u1", 11L, 20L), ("u2", 50L, 60L))
