@@ -1051,6 +1051,35 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // unigram-LM tokenizer seeding: substring-candidate counts over the
+    // word-type table (the SQL-expressible surface of the Kudo trainer)
+    "q111_unigram_seed" -> ((s, dir) => {
+      import graft.data.{Bpe, Unigram}
+      Unigram.seedCounts(Bpe.wordTypes(t(s, dir, "documents"), "text"),
+          maxPieceLen = 4)
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(40)
+    }),
+    // unigram-LM trained vocabulary (EM + prune; golden — the
+    // forward-backward recurrence is not ANSI-expressible)
+    "q112_unigram_train" -> ((s, dir) => {
+      import graft.data.Unigram
+      import s.implicits._
+      Unigram.train(t(s, dir, "documents"), "text", vocabSize = 60,
+          maxPieceLen = 4)
+        .toSeq.toDF("piece", "score_micro")
+        .orderBy(col("score_micro").desc, col("piece"))
+    }),
+    // Viterbi corpus encode under the trained unigram model (golden)
+    "q113_unigram_encode" -> ((s, dir) => {
+      import graft.data.Unigram
+      val docs = t(s, dir, "documents")
+      val model = Unigram.train(docs, "text", vocabSize = 60, maxPieceLen = 4)
+      Unigram.encode(docs, "doc_id", "text", model)
+        .select(explode(col("pieces")).as("piece"))
+        .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("piece")).limit(30)
+    }),
     // contrastive pair mining: pos (near-dup) + hard-neg (same cell,
     // mid-similarity) pairs for embedding-model training data
     "q109_mine_pairs" -> ((s, dir) => {
@@ -3095,6 +3124,16 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q111_unigram_seed" ->
+      s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
+         |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS word FROM documents),
+         |ty AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+         |p AS (SELECT substr(word, i, j) AS piece, n
+         |  FROM (SELECT word, n, unnest(range(1, length(word) + 1)) AS i FROM ty),
+         |       range(1, 5) l(j)
+         |  WHERE i + j <= length(word) + 1)
+         |SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM p GROUP BY piece
+         |ORDER BY cnt DESC, piece LIMIT 40""".stripMargin,
     "q109_mine_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |planes AS (SELECT * FROM (VALUES $planesSql) pl(p, coef)),
