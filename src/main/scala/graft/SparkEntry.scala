@@ -1051,6 +1051,43 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // leakage-safe split: hash on the near-dup CLUSTER id so paraphrase
+    // sets never straddle train/test (per-split audit counts)
+    "q114_cluster_split" -> ((s, dir) => {
+      import graft.data.Sampling
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+      Sampling.clusterSafeSplit(docs, "doc_id", pairs,
+          Seq("train" -> 0.8, "test" -> 0.2), salt = "cs")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cluster").isNotNull, 1L).otherwise(0L))
+            .as("n_clustered"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))
+    }),
+    // subword-regularization sampled encode (Kudo 2018 FFBS, alpha=.5;
+    // golden — lattice sampling is not ANSI-expressible)
+    "q115_sampled_encode" -> ((s, dir) => {
+      import graft.data.Unigram
+      val docs = t(s, dir, "documents")
+      val model = Unigram.train(docs, "text", vocabSize = 60, maxPieceLen = 4)
+      Unigram.sampleEncode(docs, "doc_id", "text", model, alpha = 0.5,
+          salt = "sr")
+        .select(explode(col("pieces")).as("piece"))
+        .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("piece")).limit(30)
+    }),
+    // per-source corpus card: the release table's breakdown rows with an
+    // exact integer-ppm duplicate rate
+    "q116_source_card" -> ((s, dir) => {
+      import graft.data.Corpus
+      Corpus.cardBySource(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))
+    }),
     // unigram-LM tokenizer seeding: substring-candidate counts over the
     // word-type table (the SQL-expressible surface of the Kudo trainer)
     "q111_unigram_seed" -> ((s, dir) => {
@@ -3124,6 +3161,41 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q114_cluster_split" ->
+      s"""WITH RECURSIVE t AS ($minhashSigTableSql),
+         |prs AS (SELECT id_a, id_b FROM ($minhashCandidatesSql) WHERE jaccard >= 0.3),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM prs
+         |          UNION SELECT id_b, id_a FROM prs),
+         |reach(node, lab) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+         |comp AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node),
+         |d AS (SELECT doc_id, c.cluster FROM documents
+         |  LEFT JOIN comp c ON c.node = doc_id),
+         |sp AS (SELECT doc_id, cluster,
+         |  CASE WHEN ${h60Sql(
+                 "concat(CAST(coalesce(cluster, doc_id) AS VARCHAR), 'cs')")}
+         |    % 10000 < 8000 THEN 'train' ELSE 'test' END AS split FROM d)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN cluster IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clustered,
+         |  count(DISTINCT cluster) AS n_clusters,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+    "q116_source_card" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(coalesce(sum(len($tokSql)), 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars,
+         |  CAST(coalesce(sum(CASE WHEN length(trim(text)) = 0
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_empty_docs,
+         |  count(DISTINCT ${h60Sql(
+             "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")})
+         |    AS n_distinct_fingerprints,
+         |  CAST((count(*) - count(DISTINCT ${h60Sql(
+             "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")}))
+         |    * 1000000 // count(*) AS BIGINT) AS dup_ppm
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q111_unigram_seed" ->
       s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
          |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS word FROM documents),

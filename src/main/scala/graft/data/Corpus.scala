@@ -361,6 +361,32 @@ object Corpus {
         col("n_distinct_fingerprints").cast("long").as("value")))
   }
 
+  /**
+   * Per-SOURCE corpus card — the release table's breakdown rows: doc /
+   * token / char / empty counts, distinct exact-dup fingerprints, and an
+   * exact integer-ppm duplicate rate per source. One grouped aggregation
+   * (map-side combinable except the exact `count_distinct`, whose
+   * expand is bounded by the fingerprint cardinality — substitute the
+   * HLL sketch ([[Sketches]]) when an estimate suffices at whole-corpus
+   * scale, the same trade [[corpusCard]]'s scaladoc documents for
+   * vocabulary counts).
+   */
+  def cardBySource(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(TextFunctions.wordCount(t)), lit(0L)).cast("long")
+          .as("n_tokens"),
+        coalesce(sum(length(t)), lit(0L)).cast("long").as("n_chars"),
+        coalesce(sum(when(length(trim(t)) === 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_empty_docs"),
+        count_distinct(TextFunctions.fingerprint(t))
+          .as("n_distinct_fingerprints"))
+      .withColumn("dup_ppm",
+        expr("(n_docs - n_distinct_fingerprints) * 1000000 div n_docs"))
+  }
+
   /** The SUM-DECOMPOSABLE subset of [[corpusCard]] — `n_docs, n_tokens,
    * n_chars, n_empty_docs` as a `(metric, value)` frame. These four admit
    * exact INCREMENTAL maintenance ([[cardUpdate]]); the card's distinct

@@ -57,6 +57,32 @@ object Sampling {
   }
 
   /**
+   * LEAKAGE-SAFE train/eval split: hash on the NEAR-DUP CLUSTER id, not
+   * the document id, so a document and its near-duplicates can never
+   * straddle the split boundary — the standard eval-contamination bug a
+   * plain [[hashSplit]] has on any corpus with near-dups (the test set
+   * "generalization" is then just memorized training paraphrases).
+   * `pairs` is any near-dup pair table (MinHash [[Dedup.minhashNearDups]],
+   * SimHash, SemDeDup…); unpaired documents fall back to their own id as
+   * the split key. Output: the input columns + `cluster` (null when
+   * unpaired) + `split`.
+   *
+   * Scale shape: [[Dedup.connectedComponents]] over the PAIRS (sized by
+   * duplicates, not the corpus), one left join back on the id key, then
+   * the same map-only hash-slot split as [[hashSplit]]. Determinism is
+   * inherited from both parts: cluster labels are min-ids (order-free)
+   * and the slot hash is content-addressed.
+   */
+  def clusterSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      fractions: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("cluster"))
+    docs.join(comp, Seq(idCol), "left")
+      .withColumn("split",
+        hashSplit(coalesce(col("cluster"), col(idCol)), fractions, salt))
+  }
+
+  /**
    * Label each row with a split name by cumulative hash-slot ranges, e.g.
    * `fractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)`.
    * Fractions are scaled to 10000 slots (0.01% granularity); any slot

@@ -288,14 +288,131 @@ object Unigram {
 
   /** Map-only corpus encode: [[TextFunctions.bpeTokens]] pre-split (the
    * same pre-token contract as [[Bpe.encode]]), Viterbi per word, pieces
-   * concatenated per document. The model rides the closure. */
+   * concatenated per document. The model rides the closure; Viterbi
+   * results are memoized per WORD in a per-task cache (vocab-scale,
+   * like [[sampleEncode]]'s lattice cache — a corpus is mostly repeated
+   * types). */
   def encode(
       docs: DataFrame, idCol: String, textCol: String, model: Model,
       maxPieceLen: Int = 4): DataFrame = {
+    val cache = scala.collection.mutable.HashMap.empty[String, Seq[String]]
     val enc = udf((words: Seq[String]) =>
-      words.flatMap(w => viterbi(w, model, maxPieceLen)))
+      words.flatMap(w =>
+        cache.getOrElseUpdate(w, viterbi(w, model, maxPieceLen))))
     docs.select(col(idCol),
       enc(TextFunctions.bpeTokens(col(textCol))).as("pieces"))
+  }
+
+  /** Content-addressed uniform in [0, 1) — deterministic per (salt, doc,
+   * word, step), reproducible across partitionings and reruns.
+   * MurmurHash3 (a pure function of the characters, stable across JVMs),
+   * NOT MessageDigest — the draw sits on the per-step hot path and these
+   * queries are golden-pinned, so cryptographic portability buys
+   * nothing. */
+  private def hashUniform(s: String): Double =
+    (scala.util.hashing.MurmurHash3.stringHash(s) & 0x7fffffff) /
+      2147483648.0
+
+  /**
+   * SUBWORD REGULARIZATION sampling (the actual contribution of Kudo
+   * 2018): draw a segmentation from the lattice with probability
+   * ∝ P(seg)^α — forward-filtering backward-sampling. α → ∞ recovers
+   * Viterbi; α = 0 is uniform over segmentations; training-time values
+   * (~0.1–1) expose the model to alternative tilings of the same word.
+   * The uniform draws come from [[md5Uniform]] on (salt, step), so a
+   * given `u` function makes the draw pure and testable.
+   */
+  private def lpAt(
+      word: String, model: Model, j: Int, i: Int): Option[Double] = {
+    val p = word.substring(j, i)
+    model.get(p).map(_ / 1e6)
+      .orElse(if (i - j == 1) Some(UnkScoreMicro / 1e6) else None)
+  }
+
+  /** Forward α-tempered log-partition lattice — a pure function of the
+   * WORD (not the occurrence), so corpus encodes memoize it per task
+   * and repeated words (Zipf — most of a corpus) pay only the cheap
+   * backward draw. */
+  private def forwardAlphas(
+      word: String, model: Model, alpha: Double, maxPieceLen: Int)
+      : Array[Double] = {
+    val L = word.length
+    val neg = Double.NegativeInfinity
+    val a = Array.fill(L + 1)(neg); a(0) = 0.0
+    var i = 1
+    while (i <= L) {
+      val cands = for {
+        j <- math.max(0, i - maxPieceLen) until i
+        lp <- lpAt(word, model, j, i)
+        if a(j) != neg
+      } yield a(j) + alpha * lp
+      if (cands.nonEmpty) a(i) = logSumExp(cands)
+      i += 1
+    }
+    a
+  }
+
+  private def backwardSample(
+      word: String, a: Array[Double], model: Model, alpha: Double,
+      maxPieceLen: Int, u: Int => Double): Seq[String] = {
+    val buf = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = word.length
+    var step = 0
+    while (pos > 0) {
+      val cands = (math.max(0, pos - maxPieceLen) until pos).flatMap { j =>
+        lpAt(word, model, j, pos).collect {
+          case lp if a(j) != Double.NegativeInfinity =>
+            (j, math.exp(a(j) + alpha * lp - a(pos)))
+        }
+      }
+      val r = u(step) * cands.iterator.map(_._2).sum
+      var acc = 0.0
+      var pick = cands.last._1
+      val it = cands.iterator
+      var done = false
+      while (it.hasNext && !done) {
+        val (j, p) = it.next(); acc += p
+        if (r < acc) { pick = j; done = true }
+      }
+      val piece = word.substring(pick, pos)
+      buf.prepend(if (model.contains(piece)) piece else UnkPiece)
+      pos = pick
+      step += 1
+    }
+    buf.toList
+  }
+
+  private[data] def sampleSegmentation(
+      word: String, model: Model, alpha: Double, maxPieceLen: Int,
+      u: Int => Double): Seq[String] =
+    if (word.isEmpty) Nil
+    else backwardSample(word, forwardAlphas(word, model, alpha, maxPieceLen),
+      model, alpha, maxPieceLen, u)
+
+  /** Map-only SAMPLED corpus encode — one segmentation drawn per word at
+   * temperature `alpha`, deterministic per (salt, doc id, word index):
+   * re-running with a new salt is a fresh regularization epoch, same
+   * salt reproduces bit-identically. The forward lattice is memoized per
+   * WORD in a per-task cache (the captured map deserializes empty into
+   * each task) — bounded by the word-TYPE count, the same vocab-scale
+   * boundary as the trainer; only the backward draw is per-occurrence. */
+  def sampleEncode(
+      docs: DataFrame, idCol: String, textCol: String, model: Model,
+      alpha: Double, salt: String = "", maxPieceLen: Int = 4): DataFrame = {
+    val cache = scala.collection.mutable.HashMap.empty[String, Array[Double]]
+    val enc = udf((id: String, words: Seq[String]) =>
+      words.zipWithIndex.flatMap { case (w, wi) =>
+        if (w.isEmpty) Nil
+        else {
+          val a = cache.getOrElseUpdate(w,
+            forwardAlphas(w, model, alpha, maxPieceLen))
+          backwardSample(w, a, model, alpha, maxPieceLen,
+            step => hashUniform(s"$salt:$id:$wi:$step"))
+        }
+      })
+    docs.select(col(idCol),
+      enc(col(idCol).cast("string"),
+        TextFunctions.bpeTokens(col(textCol))).as("pieces"))
   }
 
   /** Train-once/encode-many persistence (parquet `(piece, score_micro)`),

@@ -51,6 +51,27 @@ class CardUpdateSpec extends SparkSpec {
       cardMap(Corpus.cardDecomposable(oldSnap, "text"))("n_tokens") - 4L)
   }
 
+  test("cardBySource: hand-checked per-source rows with exact dup ppm") {
+    val docs = Seq(
+      (1L, "srcA", "alpha beta"),
+      (2L, "srcA", "alpha  beta"),   // whitespace-normalized dup of 1
+      (3L, "srcA", "gamma"),
+      (4L, "srcB", ""),
+      (5L, "srcB", "delta epsilon zeta")).toDF("id", "source", "text")
+    val got = Corpus.cardBySource(docs, "source", "text")
+      .orderBy(col("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_empty_docs"), col("n_distinct_fingerprints"), col("dup_ppm"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got === List(
+      // srcA: 3 docs, 5 tokens, 10+11+5 chars, fp dup -> 2 distinct,
+      // dup_ppm = 1e6/3 floored
+      ("srcA", 3L, 5L, 26L, 0L, 2L, 333333L),
+      // the empty doc counts 1 "token" (split('') = ['']) — the shared
+      // token contract with the q102 card and the DuckDB mirror
+      ("srcB", 2L, 4L, 18L, 1L, 2L, 0L)))
+  }
+
   test("whitespace-only edits count as changed (exact hash, not the dedup fingerprint)") {
     // snapshotDiff's normalized fingerprint would call this 'unchanged',
     // but n_chars shifts — cardUpdate diffs on the exact hash, so the

@@ -200,4 +200,40 @@ class SketchesSamplingSpec extends SparkSpec {
     }
     assert(need === expected)
   }
+
+  test("clusterSafeSplit: a near-dup cluster never straddles the boundary") {
+    // 3 clusters of paraphrases + 4 singletons
+    val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val got = Sampling.clusterSafeSplit(docs, "id", pairs,
+        Seq("train" -> 0.5, "test" -> 0.5), salt = "x")
+      .select($"id", $"cluster", $"split")
+      .as[(Long, Option[Long], String)].collect()
+    // every clustered doc shares its cluster-mates' split
+    val byCluster = got.filter(_._2.isDefined).groupBy(_._2.get)
+    assert(byCluster.size === 3)
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length === 1, s"cluster $c straddles") }
+    // singletons (8, 9, 10) carry null cluster and still get a split
+    assert(got.filter(_._2.isEmpty).map(_._1).toSet === Set(8L, 9L, 10L))
+    assert(got.forall(r => r._3 == "train" || r._3 == "test"))
+  }
+
+  test("clusterSafeSplit: plain hashSplit DOES leak on the same data (the bug this fixes)") {
+    // find a pair whose ids hash to different splits, then show
+    // clusterSafeSplit sends both to one side
+    val docs = (1L to 40L).map(i => (i, s"d$i")).toDF("id", "text")
+    val naive = docs.withColumn("split",
+        Sampling.hashSplit($"id", Seq("train" -> 0.5, "test" -> 0.5), "x"))
+      .select($"id", $"split").as[(Long, String)].collect().toMap
+    val leaky = (1L to 39L).find(i => naive(i) != naive(i + 1))
+    assert(leaky.isDefined, "expected at least one adjacent-id split difference")
+    val (a, b) = (leaky.get, leaky.get + 1)
+    val fixed = Sampling.clusterSafeSplit(docs, "id",
+        Seq((a, b)).toDF("id_a", "id_b"),
+        Seq("train" -> 0.5, "test" -> 0.5), salt = "x")
+      .filter($"id".isin(a, b)).select($"split").as[String].collect()
+    assert(fixed.distinct.length === 1)
+  }
 }

@@ -101,6 +101,47 @@ class UnigramSpec extends SparkSpec {
     assert(Unigram.loadModel(spark, s"$dir/m") === model)
   }
 
+  test("sampled segmentation frequencies match lattice probabilities at alpha=1") {
+    // "ab" with p(a)=p(b)=.25, p(ab)=.5: P([ab]) = 8/9 (hand case above)
+    val model: Unigram.Model = Map(
+      "a" -> math.floor(math.log(0.25) * 1e6).toLong,
+      "b" -> math.floor(math.log(0.25) * 1e6).toLong,
+      "ab" -> math.floor(math.log(0.5) * 1e6).toLong)
+    val rng = new scala.util.Random(17)
+    val n = 4000
+    val whole = (1 to n).count { _ =>
+      val u = rng.nextDouble()
+      Unigram.sampleSegmentation("ab", model, alpha = 1.0, 2, _ => u) ===
+        Seq("ab")
+    }
+    assert(math.abs(whole.toDouble / n - 8.0 / 9) < 0.02, s"got $whole/$n")
+  }
+
+  test("sampling at large alpha collapses to Viterbi; deterministic per salt") {
+    val docs = Seq((1L, "spark row table row")).toDF("doc_id", "text")
+    val model = Unigram.train(docs, "text", vocabSize = 20, maxPieceLen = 4)
+    val vit = Unigram.encode(docs, "doc_id", "text", model, 4)
+      .select(col("pieces")).as[Seq[String]].head()
+    // alpha must dominate the micro-unit score resolution (1e-6 in log
+    // space) for near-ties to collapse — 1e6 · Δscore ≥ 1 for any
+    // non-tied pair of segmentations
+    val cold = Unigram.sampleEncode(docs, "doc_id", "text", model,
+        alpha = 1e6, salt = "s1", maxPieceLen = 4)
+      .select(col("pieces")).as[Seq[String]].head()
+    // at large alpha the sample is AN argmax segmentation — equal total
+    // score to Viterbi (tied argmaxes may differ in tiling, e.g. t+able
+    // vs ta+ble, so compare scores, not sequences)
+    def score(segs: Seq[String]) =
+      segs.map(p => model.getOrElse(p, Unigram.UnkScoreMicro)).sum
+    assert(score(cold) === score(vit))
+    assert(cold.mkString === vit.mkString)
+    def run(salt: String) = Unigram.sampleEncode(docs, "doc_id", "text",
+        model, alpha = 0.5, salt = salt, maxPieceLen = 4)
+      .select(col("pieces")).as[Seq[String]].head()
+    assert(run("s1") === run("s1")) // reproducible
+    assert(run("s1").mkString === run("s2").mkString) // same text, any salt
+  }
+
   test("encode is deterministic and concatenation-faithful on the corpus") {
     val docs = Seq((1L, "spark row table"), (2L, "row row spark"))
       .toDF("doc_id", "text")
