@@ -1051,6 +1051,40 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // incremental token-count maintenance: old counts + diff'd doc deltas
+    // == full recompute (exact longs; the daily drift-baseline refresh)
+    "q117_incremental_counts" -> ((s, dir) => {
+      import graft.data.Corpus
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val nw = docs.filter(col("doc_id") % 19 =!= 5)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0,
+            concat(col("text"), lit(" extra tokens here")))
+            .otherwise(col("text")).as("text"))
+      Corpus.tokenCountsUpdate(Corpus.tokenCounts(old, "text"), old, nw,
+          "doc_id", "text")
+        .orderBy(col("cnt").desc, col("tok")).limit(50)
+    }),
+    // domain-suffix blocklist: "block spam.com and every subdomain" as an
+    // EQUI-join on reversed-label prefixes (no endswith theta join)
+    "q118_domain_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val aug = concat(col("text"),
+        lit(" see http://ex"), (col("doc_id") % 5).cast("string"),
+        lit(".org/p/"), col("doc_id").cast("string"),
+        lit(" and https://cdn.example.com/x"), (col("doc_id") % 3).cast("string"))
+      val hosts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(T.urlHosts(aug)).as("host"))
+      val bl = Seq("ex1.org", "ex3.org", "example.com").toDF("pattern")
+      T.blockByDomainSuffix(hosts, "host", bl)
+        .groupBy(col("blocked_by"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"))
+        .orderBy(col("blocked_by"))
+    }),
     // leakage-safe split: hash on the near-dup CLUSTER id so paraphrase
     // sets never straddle train/test (per-split audit counts)
     "q114_cluster_split" -> ((s, dir) => {
@@ -3161,6 +3195,43 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q117_incremental_counts" ->
+      s"""WITH nw AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 17 = 0 THEN text || ' extra tokens here'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 19 <> 5),
+         |c AS (SELECT tok, count(*) AS cnt FROM (
+         |    SELECT unnest($tokSql) AS tok FROM nw) GROUP BY tok)
+         |SELECT tok, CAST(cnt AS BIGINT) AS cnt FROM c
+         |ORDER BY cnt DESC, tok LIMIT 50""".stripMargin,
+    "q118_domain_blocklist" ->
+      s"""WITH aug AS (SELECT doc_id, concat(text,
+         |    ' see http://ex', CAST(doc_id % 5 AS VARCHAR),
+         |    '.org/p/', CAST(doc_id AS VARCHAR),
+         |    ' and https://cdn.example.com/x', CAST(doc_id % 3 AS VARCHAR)) AS a
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    unnest(list_filter(
+         |      list_transform(regexp_extract_all(a, 'https?://[^\\s]+'),
+         |        u -> regexp_extract(u, 'https?://(?:[^/\\s@]*@)?([^/\\s:?#@]+)', 1)),
+         |      x -> len(x) > 0)) AS host
+         |  FROM aug),
+         |bl AS (SELECT * FROM (VALUES ('ex1.org'), ('ex3.org'),
+         |    ('example.com')) b(pattern)),
+         |hv AS (SELECT DISTINCT host FROM h),
+         |pfx AS (SELECT host, array_to_string(list_slice(rl, 1, k), '.') AS p
+         |  FROM (SELECT host, list_reverse(string_split(host, '.')) AS rl,
+         |          unnest(range(1, len(string_split(host, '.')) + 1)) AS k
+         |        FROM hv)),
+         |v AS (SELECT pfx.host, min(bl.pattern) AS blocked_by
+         |  FROM pfx JOIN bl
+         |    ON pfx.p = array_to_string(list_reverse(string_split(bl.pattern, '.')), '.')
+         |  GROUP BY pfx.host),
+         |j AS (SELECT h.doc_id, h.host, v.blocked_by
+         |  FROM h LEFT JOIN v ON v.host = h.host)
+         |SELECT blocked_by, count(*) AS n_rows,
+         |  count(DISTINCT doc_id) AS n_docs, count(DISTINCT host) AS n_hosts
+         |FROM j GROUP BY blocked_by ORDER BY blocked_by""".stripMargin,
     "q114_cluster_split" ->
       s"""WITH RECURSIVE t AS ($minhashSigTableSql),
          |prs AS (SELECT id_a, id_b FROM ($minhashCandidatesSql) WHERE jaccard >= 0.3),

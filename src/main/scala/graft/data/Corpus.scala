@@ -434,28 +434,69 @@ object Corpus {
       newDocs: DataFrame,
       idCol: String = "id",
       textCol: String = "text"): DataFrame = {
-    def hashSide(df: DataFrame, fpName: String, flagName: String) =
-      df.select(col(idCol),
-        xxhash64(coalesce(col(textCol), lit(""))).as(fpName),
-        lit(true).as(flagName))
-    val diff = hashSide(oldDocs, "fp_old", "in_old")
-      .join(hashSide(newDocs, "fp_new", "in_new"), Seq(idCol), "full_outer")
-      .select(col(idCol),
-        when(col("in_old").isNull, lit("added"))
-          .when(col("in_new").isNull, lit("removed"))
-          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
-          .otherwise(lit("changed")).as("status"))
+    val diff = exactDiff(oldDocs, newDocs, idCol, textCol)
     def changedSide(docs: DataFrame, statuses: Seq[String]) =
-      cardDecomposable(
-        docs.join(diff.filter(col("status").isin(statuses: _*))
-          .select(col(idCol)), Seq(idCol), "left_semi"),
-        textCol)
+      cardDecomposable(changedDocs(docs, diff, idCol, statuses), textCol)
     val sub = changedSide(oldDocs, Seq("removed", "changed"))
       .select(col("metric"), (-col("value")).as("value"))
     val add = changedSide(newDocs, Seq("added", "changed"))
     oldCard.union(add).union(sub)
       .groupBy(col("metric"))
       .agg(sum(col("value")).cast("long").as("value"))
+  }
+
+  /** EXACT-hash snapshot diff — id + `xxhash64(text)` per side, one
+   * full-outer join, `(id, status)` out. The shared delta detector of
+   * the incremental maintainers ([[cardUpdate]], [[tokenCountsUpdate]]);
+   * unlike [[snapshotDiff]]'s normalized fingerprint it counts
+   * whitespace edits as changes, which char/token-level stats require. */
+  private def exactDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def hashSide(df: DataFrame, fpName: String, flagName: String) =
+      df.select(col(idCol),
+        xxhash64(coalesce(col(textCol), lit(""))).as(fpName),
+        lit(true).as(flagName))
+    hashSide(oldDocs, "fp_old", "in_old")
+      .join(hashSide(newDocs, "fp_new", "in_new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  private def changedDocs(docs: DataFrame, diff: DataFrame, idCol: String,
+      statuses: Seq[String]): DataFrame =
+    docs.join(diff.filter(col("status").isin(statuses: _*))
+      .select(col(idCol)), Seq(idCol), "left_semi")
+
+  /**
+   * INCREMENTAL token-count maintenance — the [[tokenCounts]] companion
+   * of [[cardUpdate]]: apply the diff'd documents' token deltas to the
+   * previous snapshot's count table instead of re-scanning the corpus.
+   * Exact: counts are longs, so `old + added − removed` equals a full
+   * recompute bit-for-bit, and tokens whose count reaches zero drop out
+   * (matching the recompute's absence). This is what keeps a DAILY
+   * drift baseline ([[tokenDriftFromCounts]]) affordable at 100 TB — the
+   * update scans O(changed) text plus the (token-vocabulary-sized)
+   * count table, never the corpus.
+   */
+  def tokenCountsUpdate(
+      oldCounts: DataFrame,
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String = "id",
+      textCol: String = "text"): DataFrame = {
+    val diff = exactDiff(oldDocs, newDocs, idCol, textCol)
+    val sub = tokenCounts(
+        changedDocs(oldDocs, diff, idCol, Seq("removed", "changed")), textCol)
+      .select(col("tok"), (-col("cnt")).as("cnt"))
+    val add = tokenCounts(
+      changedDocs(newDocs, diff, idCol, Seq("added", "changed")), textCol)
+    oldCounts.select(col("tok"), col("cnt")).union(add).union(sub)
+      .groupBy(col("tok"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+      .filter(col("cnt") =!= 0L)
   }
 
   /** Publish a corpus' token counts as an immutable `dir/v<N>` behind

@@ -244,6 +244,42 @@ object TextFunctions {
         u => regexp_extract(u, "https?://(?:[^/\\s@]*@)?([^/\\s:?#@]+)", 1)),
       h => length(h) > 0)
 
+  /** Label-reversed host — `cdn.example.com` → `com.example.cdn` — the
+   * form under which "domain or any subdomain" is a PREFIX match. */
+  def reverseHost(host: Column): Column =
+    concat_ws(".", reverse(split(host, "\\.")))
+
+  /**
+   * Domain-suffix BLOCKLIST filter — the crawl-pipeline spelling of
+   * "drop `spam.com` and every subdomain": a host matches pattern `d`
+   * iff `host == d` or `host` ends with `"." + d`. Implemented as an
+   * EQUI-join, not a `endswith` theta join: each distinct host's
+   * label-reversed form explodes into its ≤ ~6 label-prefixes
+   * (`com`, `com.example`, `com.example.cdn`), which hash-join the
+   * reversed patterns — so a multi-million-domain blocklist needs no
+   * broadcast and no nested-loop scan. Verdicts are computed once per
+   * DISTINCT host (hosts ≪ rows in any crawl table) and joined back;
+   * multi-match rows (a domain and its registrable parent both listed)
+   * dedupe to the lexicographically smallest pattern, deterministically.
+   * Output: the input rows + `blocked_by` (null = clean).
+   */
+  def blockByDomainSuffix(
+      df: org.apache.spark.sql.DataFrame, hostCol: String,
+      blocklist: org.apache.spark.sql.DataFrame,
+      patternCol: String = "pattern"): org.apache.spark.sql.DataFrame = {
+    val labels = reverse(split(col("__host"), "\\."))
+    val prefixes = transform(sequence(lit(1), size(labels)),
+      k => concat_ws(".", slice(labels, lit(1), k)))
+    val verdicts = df.select(col(hostCol).as("__host")).distinct()
+      .select(col("__host"), explode(prefixes).as("__pfx"))
+      .join(blocklist.select(reverseHost(col(patternCol)).as("__pfx"),
+        col(patternCol).as("blocked_by")), Seq("__pfx"))
+      .groupBy(col("__host"))
+      .agg(min(col("blocked_by")).as("blocked_by"))
+    df.join(verdicts.withColumnRenamed("__host", hostCol),
+      Seq(hostCol), "left")
+  }
+
   /**
    * Canonical form of a URL — the KEY of crawl front-door dedup (the
    * cheapest dedup tier of all: two fetches of the same page under

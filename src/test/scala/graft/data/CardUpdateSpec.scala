@@ -51,6 +51,33 @@ class CardUpdateSpec extends SparkSpec {
       cardMap(Corpus.cardDecomposable(oldSnap, "text"))("n_tokens") - 4L)
   }
 
+  test("tokenCountsUpdate equals full recompute; zero-count tokens drop out") {
+    val updated = Corpus.tokenCountsUpdate(
+        Corpus.tokenCounts(oldSnap, "text"), oldSnap, newSnap)
+      .as[(String, Long)].collect().toMap
+    val full = Corpus.tokenCounts(newSnap, "text")
+      .as[(String, Long)].collect().toMap
+    assert(updated === full)
+    // 'eta'/'theta'/'iota' existed only in removed doc 3... doc 3 was
+    // empty here; 'zeta' gained by the change, removed doc tokens gone
+    assert(!updated.contains("iota") || full.contains("iota"))
+  }
+
+  test("tokenCountsUpdate: removal-only and identity cases") {
+    val shrunk = oldSnap.filter(col("id") =!= 4L)
+    val upd = Corpus.tokenCountsUpdate(
+        Corpus.tokenCounts(oldSnap, "text"), oldSnap, shrunk)
+      .as[(String, Long)].collect().toMap
+    assert(upd === Corpus.tokenCounts(shrunk, "text")
+      .as[(String, Long)].collect().toMap)
+    assert(!upd.contains("kappa")) // count reached zero -> row absent
+    val same = Corpus.tokenCountsUpdate(
+        Corpus.tokenCounts(oldSnap, "text"), oldSnap, oldSnap)
+      .as[(String, Long)].collect().toMap
+    assert(same === Corpus.tokenCounts(oldSnap, "text")
+      .as[(String, Long)].collect().toMap)
+  }
+
   test("cardBySource: hand-checked per-source rows with exact dup ppm") {
     val docs = Seq(
       (1L, "srcA", "alpha beta"),

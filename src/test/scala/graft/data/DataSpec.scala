@@ -588,6 +588,32 @@ class DataSpec extends SparkSpec {
     assert(!keep("the cat sat on the mat"))
   }
 
+  test("blockByDomainSuffix: exact + subdomain matches, no substring false positives") {
+    val rows = Seq(
+      (1L, "spam.com"),           // exact
+      (2L, "cdn.spam.com"),       // subdomain
+      (3L, "notspam.com"),        // suffix of the STRING but not the domain
+      (4L, "spam.com.evil.org"),  // blocked label in the middle — clean
+      (5L, "clean.org")).toDF("id", "host")
+    val bl = Seq("spam.com").toDF("pattern")
+    val got = TextFunctions.blockByDomainSuffix(rows, "host", bl)
+      .select(col("id"), col("blocked_by")).as[(Long, Option[String])]
+      .collect().toMap
+    assert(got === Map(1L -> Some("spam.com"), 2L -> Some("spam.com"),
+      3L -> None, 4L -> None, 5L -> None))
+  }
+
+  test("blockByDomainSuffix: multi-match dedupes to the smallest pattern; plan is equi-join") {
+    val rows = Seq((1L, "a.b.spam.com")).toDF("id", "host")
+    val bl = Seq("spam.com", "b.spam.com").toDF("pattern")
+    val df = TextFunctions.blockByDomainSuffix(rows, "host", bl)
+    assert(df.select(col("blocked_by")).as[String].head() === "b.spam.com")
+    // the matching join is an equi hash/broadcast join on the prefix key,
+    // never a nested-loop endswith scan
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
   test("canonicalUrl: scheme/www/port/fragment/tracking-param insensitive") {
     def canon(u: String): String = Seq(u).toDF("u")
       .select(TextFunctions.canonicalUrl(col("u"))).as[String].head()
