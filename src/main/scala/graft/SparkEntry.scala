@@ -1051,6 +1051,21 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // MMR diversity rerank (Carbonell 1998) over brute-force candidates:
+    // near-dup hits stop crowding the k serving slots (golden — greedy
+    // loop not ANSI-expressible)
+    "q119_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val topk = Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e,
+          "vec_id", "v", k = 8)
+        .select(col("query_id"), col("neighbor_id"), col("sim"))
+      val cands = topk.join(
+        e.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+      Similarity.mmrRerank(cands, "query_id", "neighbor_id", "sim", "v",
+          lambda = 0.7, k = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // incremental token-count maintenance: old counts + diff'd doc deltas
     // == full recompute (exact longs; the daily drift-baseline refresh)
     "q117_incremental_counts" -> ((s, dir) => {

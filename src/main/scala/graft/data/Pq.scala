@@ -271,6 +271,18 @@ object Pq {
       buildIndex(newCorpus, idCol, vecCol, index.coarse, index.cb,
         index.residual).rows))
 
+  /** Remove documents from an index by id — the GDPR-delete /
+   * recrawl-retire half of index maintenance, [[appendToIndex]]'s
+   * mirror: ONE anti join on the id key (sized by the delete list —
+   * AQE broadcasts it when small), no re-encode, frozen quantizers
+   * untouched. Searching the shrunk index is EXACTLY a rebuild without
+   * those documents (spec-pinned); publish through
+   * [[saveIndexVersioned]] so in-flight readers keep their snapshot. */
+  def removeFromIndex(index: Index, deleteIds: DataFrame,
+      idCol: String): Index =
+    index.copy(rows = index.rows.join(
+      deleteIds.select(col(idCol).as("c_id")), Seq("c_id"), "left_anti"))
+
   /** Persist an index: encoded rows as (cell-partitioned) parquet, the
    * coarse centroids and codebook as plain parquet tables — no bespoke
    * serialization, any engine can read the layout back.

@@ -564,6 +564,74 @@ object Similarity {
         round(col("sim"), 6).as("sim"), col("pair_type"))
   }
 
+  /**
+   * Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) — the
+   * DIVERSITY pass serving stacks run on a retrieved candidate list:
+   * greedily pick `argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`, so
+   * near-duplicate hits (which ANN over a deduplicated-imperfectly
+   * corpus returns in runs) don't crowd out the k slots. λ = 1 is pure
+   * relevance order; λ = 0 pure diversity.
+   *
+   * Input is a CANDIDATE table `(queryCol, idCol, simCol, vecCol)` from
+   * any retrieval tier (e.g. [[bruteForceTopK]]/[[lshTopK]] output
+   * joined back to vectors). Per query the candidates collect into one
+   * aggregation buffer (bounded by the candidate count N — a serving
+   * constant, ~10²) and the greedy loop runs in the finish step:
+   * O(N²·dim) per query, shuffled only on the query key. Deterministic:
+   * candidates sort by (sim DESC, id) before the loop and score ties
+   * break toward the lower id.
+   */
+  def mmrRerank(
+      cands: DataFrame, queryCol: String, idCol: String, simCol: String,
+      vecCol: String, lambda: Double, k: Int): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"lambda $lambda")
+    require(k >= 1, s"k $k")
+    val pick = udf((rows: Seq[org.apache.spark.sql.Row]) => {
+      val cs = rows.map { r =>
+        (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray)
+      }.sortBy { case (id, sim, _) => (-sim, id) }
+      val norms = cs.map { case (_, _, v) =>
+        math.sqrt(v.map(x => x * x).sum) }
+      def cos(i: Int, j: Int): Double = {
+        val (a, b) = (cs(i)._3, cs(j)._3)
+        var s = 0.0; var d = 0
+        while (d < a.length) { s += a(d) * b(d); d += 1 }
+        s / (norms(i) * norms(j))
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      val used = Array.fill(cs.length)(false)
+      while (selected.length < math.min(k, cs.length)) {
+        var bestI = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < cs.length) {
+          if (!used(i)) {
+            var maxSel = 0.0
+            selected.foreach { case (s, _) =>
+              val c = cos(i, s); if (c > maxSel) maxSel = c }
+            val score = lambda * cs(i)._2 -
+              (1 - lambda) * (if (selected.isEmpty) 0.0 else maxSel)
+            // strict > keeps the earliest (highest-sim, lowest-id) on ties
+            if (score > bestScore) { bestScore = score; bestI = i }
+          }
+          i += 1
+        }
+        used(bestI) = true
+        selected += ((bestI, bestScore))
+      }
+      selected.toSeq.zipWithIndex.map { case ((i, sc), rank) =>
+        (rank + 1, cs(i)._1, math.rint(sc * 1e6) / 1e6)
+      }
+    })
+    cands
+      .groupBy(col(queryCol))
+      .agg(collect_list(struct(col(idCol).cast("long"),
+        col(simCol).cast("double"), col(vecCol).cast("array<double>")))
+        .as("__c"))
+      .select(col(queryCol), explode(pick(col("__c"))).as("__r"))
+      .select(col(queryCol), col("__r")("_1").as("rank"),
+        col("__r")("_2").as(idCol), col("__r")("_3").as("mmr"))
+  }
+
   /** Spread a (typically single-file) input across the session's
    * parallelism for CPU-bound pair scans. */
   private def repartitioned(df: DataFrame): DataFrame =

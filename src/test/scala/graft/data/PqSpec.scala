@@ -231,6 +231,25 @@ class PqSpec extends SparkSpec {
     assert(search(Pq.loadIndexVersioned(spark, dir)._2) === search(rebuilt))
   }
 
+  test("removeFromIndex: tombstone delete == rebuild without the docs") {
+    val coarse = Similarity.planes(8, 64)
+    val full = Pq.buildIndex(emb, "vec_id", "v", coarse, seed)
+    val deletes = emb.filter($"vec_id" % 7 === 0).select($"vec_id")
+    val shrunk = Pq.removeFromIndex(full, deletes, "vec_id")
+    val rebuilt = Pq.buildIndex(emb.filter($"vec_id" % 7 =!= 0),
+      "vec_id", "v", coarse, seed)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 9))
+      .collect().map(_.toString).sorted.toSeq
+    def search(i: Pq.Index) =
+      canon(Pq.searchIndex(i, queries, "vec_id", "v", k = 3, nProbe = 3))
+    assert(search(shrunk) === search(rebuilt))
+    assert(shrunk.rows.count() === rebuilt.rows.count())
+    // deleted ids can never answer
+    assert(shrunk.rows.filter($"c_id" % 7 === 0).count() === 0L)
+  }
+
   test("Versioned.publish never clobbers an existing version (orphan skipped)") {
     val dir = java.nio.file.Files.createTempDirectory("pq_race").toString
     val idx = Pq.buildIndex(emb.filter($"vec_id" < 50), "vec_id", "v",
