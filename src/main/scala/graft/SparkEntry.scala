@@ -1051,6 +1051,19 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // perceptual image near-dups: real PNG decode -> 64-bit dHash ->
+    // pigeonhole Hamming join (golden — ImageIO decode + dHash are not
+    // ANSI-expressible); per-hamming pair histogram
+    "q120_image_neardups" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id, "img/png",
+          Multimodal.syntheticPng(id)))
+      Multimodal.imageNearDups(media, maxHamming = 6)
+        .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("hamming"))
+    }),
     // MMR diversity rerank (Carbonell 1998) over brute-force candidates:
     // near-dup hits stop crowding the k serving slots (golden — greedy
     // loop not ANSI-expressible)

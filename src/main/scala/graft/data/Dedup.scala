@@ -330,18 +330,37 @@ object Dedup {
       idCol: String,
       textCol: String,
       bits: Int = 28,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(
+      docs.select(col(idCol), simhashFor(col(textCol), bits).as("__sh")),
+      idCol, "__sh", bits, maxHamming)
+
+  /**
+   * Pigeonhole Hamming-ball pairs over ANY precomputed `bits`-wide hash
+   * column — the generic kernel behind [[simhashNearDups]] (text
+   * simhash) and [[Multimodal]]'s perceptual image dHash: `(chunk_idx,
+   * chunk_value)` keys, one keyed self-join, first-agreeing-chunk
+   * dedup, exact `bit_count(xor)` verify. Same scale contract as the
+   * simhash spelling: candidate volume ~`(maxHamming+1)·N²/2^w`, so
+   * prefer wide (64-bit) hashes for whole-corpus balls.
+   */
+  def hammingPairs(
+      items: DataFrame,
+      idCol: String,
+      hashCol: String,
+      bits: Int,
+      maxHamming: Int): DataFrame = {
     val (nChunks, w) = hammingChunks(bits, maxHamming)
-    def sides(src: DataFrame, idAs: String, shAs: String, withIdx: Boolean) = {
-      val base = repartitioned(src)
-        .select(col(idCol).as(idAs), simhashFor(col(textCol), bits).as(shAs))
+    def sides(idAs: String, shAs: String, withIdx: Boolean) = {
+      val base = repartitioned(items)
+        .select(col(idCol).as(idAs), col(hashCol).as(shAs))
       val keys = chunkKeys(col(shAs), nChunks, w, bits)
       if (withIdx) base.select(col(idAs), col(shAs),
         posexplode(keys).as(Seq("chunk_idx", "chunk")))
       else base.select(col(idAs), col(shAs), explode(keys).as("chunk"))
     }
-    val a = sides(docs, "id_a", "sh_a", withIdx = true)
-    val b = sides(docs, "id_b", "sh_b", withIdx = false)
+    val a = sides("id_a", "sh_a", withIdx = true)
+    val b = sides("id_b", "sh_b", withIdx = false)
     a.hint("shuffle_hash").join(b, Seq("chunk"))
       .filter(col("id_a") < col("id_b"))
       // a pair within the ball agrees on >= 1 chunk; keep only the FIRST

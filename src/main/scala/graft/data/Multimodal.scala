@@ -162,4 +162,127 @@ object Multimodal {
       col("doc_id").as("media_id"),
       concat(lit("img/"), col("source")).as("format"),
       asBinary(col("text")).as("content"))
+
+  /** Demo PNG source (the byte-level analogue of [[mediaFromDocuments]]):
+   * a deterministic 16×16 grayscale gradient per id — `id % 8` picks the
+   * base pattern, `id / 8` places a single-pixel luma spike — encoded by
+   * the JDK's own PNG writer, so payloads are genuine PNG streams and
+   * near-dup pairs exist by construction for the golden to pin. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // stripes of base-dependent period: distinct gradient-SIGN patterns
+    // per base (a brightness-only base difference would be invisible to
+    // dHash by design — that invariance is spec-pinned separately)
+    val period = 1 + (id % 8).toInt
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val l = math.min(255, math.max(0,
+          (if ((x / period) % 2 == 0) 60 else 190) + y * 3))
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    val p = ((id / 8) % 225).toInt
+    val (px, py) = (p % 15, (p / 15) % 15)
+    val l2 = math.min(255, (img.getRGB(px, py) & 0xff) + 90)
+    img.setRGB(px, py, (l2 << 16) | (l2 << 8) | l2)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual hash row: `decoded = false` (hash 0) marks payloads the
+   * codec could not read — filter on it, don't treat 0 as a hash. */
+  case class MediaHash(media_id: Long, decoded: Boolean, dhash: Long)
+
+  /**
+   * 64-bit difference hash (dHash) of a decoded image — the standard
+   * PERCEPTUAL near-dup key for image corpora (re-encodes, small crops,
+   * brightness shifts keep the hash within a small Hamming ball, unlike
+   * the byte checksum in [[mediaMetadata]] which any re-encode breaks).
+   * Luma block-averages onto a 9×8 grid (deterministic integer block
+   * bounds, no resampling library), then bit (y,x) = grid(y)(x) <
+   * grid(y)(x+1) — 64 horizontal gradient signs. Uniform brightness
+   * change leaves every gradient sign intact by construction.
+   */
+  private[data] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val grid = Array.ofDim[Double](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = gy * h / gh
+      val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw
+        val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        var s = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        grid(gy)(gx) = s / ((y1 - y0).toDouble * (x1 - x0))
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (grid(y)(x) < grid(y)(x + 1)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /**
+   * Batch perceptual hashing — the image analogue of
+   * [[graft.data.Dedup.simhashNearDups]]'s text tier: decode each
+   * payload (JDK ImageIO, same NonFatal guard as [[ImageIoCodec]]),
+   * dHash it, and feed the hashes to [[graft.data.Dedup.hammingPairs]]
+   * for the near-dup join. Map-only `mapPartitions` (one codec session
+   * per partition); corrupt rows come back `decoded = false` instead of
+   * failing the job.
+   */
+  def dHashes(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(r.content)))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+          MediaHash(r.media_id, decoded = false, 0L)
+        else MediaHash(r.media_id, decoded = true, dHash64(img))
+      }
+    }
+  }
+
+  /** Image near-dup pairs: [[dHashes]] → pigeonhole Hamming join over
+   * the 64-bit perceptual hashes. Undecodable rows are excluded before
+   * the join (hash 0 is not a neighborhood). */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int)(
+      implicit spark: SparkSession): DataFrame =
+    Dedup.hammingPairs(
+      dHashes(media).filter(col("decoded")).toDF(),
+      "media_id", "dhash", bits = 64, maxHamming = maxHamming)
 }

@@ -1,0 +1,87 @@
+package graft.data
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Perceptual image hashing ([[Multimodal.dHashes]] / [[Multimodal
+ * .imageNearDups]]) and the generic [[Dedup.hammingPairs]] kernel:
+ * brightness invariance (the reason dHash exists), identical-image and
+ * corrupt-payload behavior, and brute-force parity of the pigeonhole
+ * join on arbitrary hashes.
+ */
+class MultimodalHashSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit val sp: SparkSession = spark
+
+  private def png(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val l = math.min(255, math.max(0, f(x, y)))
+      img.setRGB(x, y, (l << 16) | (l << 8) | l)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def hashOf(bytes: Array[Byte]): (Boolean, Long) = {
+    val r = Multimodal.dHashes(
+      Seq(Multimodal.MediaRow(1L, "img/png", bytes)).toDS()).collect().head
+    (r.decoded, r.dhash)
+  }
+
+  test("dHash is invariant to uniform brightness shift") {
+    val base = hashOf(png((x, y) => 20 + x * 9 + y * 3))
+    val brighter = hashOf(png((x, y) => 60 + x * 9 + y * 3))
+    assert(base._1 && brighter._1)
+    assert(base._2 === brighter._2)
+  }
+
+  test("a local spike moves the hash only a few bits; reversal moves many") {
+    val a = hashOf(png((x, y) => 20 + x * 9 + y * 3))._2
+    val spiked = hashOf(png((x, y) =>
+      if (x == 7 && y == 7) 200 else 20 + x * 9 + y * 3))._2
+    val reversed = hashOf(png((x, y) => 200 - x * 9 - y * 3))._2
+    def ham(p: Long, q: Long) = java.lang.Long.bitCount(p ^ q)
+    assert(ham(a, spiked) > 0 && ham(a, spiked) <= 6, s"${ham(a, spiked)}")
+    assert(ham(a, reversed) > 30, s"${ham(a, reversed)}")
+  }
+
+  test("imageNearDups: identical images pair at hamming 0; corrupt rows excluded") {
+    val good = png((x, y) => 20 + x * 9)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "img/png", good),
+      Multimodal.MediaRow(2L, "img/png", good),
+      Multimodal.MediaRow(3L, "img/png", Array[Byte](1, 2, 3))).toDS()
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 2)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)]
+      .collect().toList
+    assert(pairs === List((1L, 2L, 0L)))
+    val hashes = Multimodal.dHashes(media).collect()
+    assert(hashes.count(!_.decoded) === 1)
+  }
+
+  test("hammingPairs equals brute force on random 64-bit hashes") {
+    val rng = new scala.util.Random(23)
+    // clustered hashes so the ball is non-trivially populated
+    val centers = Array.fill(5)(rng.nextLong())
+    val items = (1 to 80).map { i =>
+      val c = centers(i % 5)
+      var h = c
+      for (_ <- 0 until rng.nextInt(5)) h ^= 1L << rng.nextInt(64)
+      (i.toLong, h)
+    }
+    val brute = (for {
+      (ia, ha) <- items; (ib, hb) <- items
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 4
+    } yield (ia, ib)).toSet
+    val got = Dedup.hammingPairs(items.toDF("id", "h"), "id", "h",
+        bits = 64, maxHamming = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(got.length === got.distinct.length, "pair emitted twice")
+    assert(got.toSet === brute)
+  }
+}
