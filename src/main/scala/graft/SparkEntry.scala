@@ -1051,6 +1051,27 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // zlib compression-ratio quality signal (golden — deflate not
+    // ANSI-expressible): planted boilerplate docs flag via low ratio
+    "q121_compression_signal" -> ((s, dir) => {
+      import graft.data.Corpus
+      // % 7 spreads the planted boilerplate across sources (a % 10 plant
+      // would alias with the %-20 source assignment)
+      val docs = t(s, dir, "documents")
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat_ws(" ", array_repeat(lit("lorem spam lorem"), 40)))
+          .otherwise(col("text")))
+      Corpus.compressionSignal(docs, "doc_id", "text")
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("ratio_micro")).as("min_ratio"),
+          expr("sum(ratio_micro) div count(1)").as("avg_ratio"),
+          sum(when(col("ratio_micro") < 200000, 1L).otherwise(0L))
+            .as("n_flagged"))
+        .orderBy(col("source"))
+    }),
     // perceptual image near-dups: real PNG decode -> 64-bit dHash ->
     // pigeonhole Hamming join (golden — ImageIO decode + dHash are not
     // ANSI-expressible); per-hamming pair histogram

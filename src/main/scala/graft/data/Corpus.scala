@@ -362,6 +362,44 @@ object Corpus {
   }
 
   /**
+   * zlib COMPRESSION-RATIO quality signal — templated, boilerplate, or
+   * machine-generated text compresses far below natural prose, and the
+   * ratio catches repetition patterns the n-gram heuristics
+   * ([[TextFunctions]] `top_ngram_frac`, duplicate-line fraction) miss
+   * (long-period repeats, near-repeats with counters). Per doc:
+   * `byte_len`, `comp_len` (raw-deflate at `level`), and
+   * `ratio_micro = comp_len·1e6 div byte_len` (exact integers given the
+   * deflate output — deterministic for a fixed zlib, hence golden-pinned
+   * rather than oracle'd). Empty docs get ratio 1e6 (incompressible by
+   * convention, not a flag). Map-only: one deflate per doc inside the
+   * projection, no shuffle; a corpus scan at 100 TB is deflate-bound,
+   * which is also true of the production pipelines that use this signal.
+   */
+  def compressionSignal(docs: DataFrame, idCol: String, textCol: String,
+      level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9, s"deflate level $level")
+    val compLen = udf((s: String) => {
+      val bytes = Option(s).getOrElse("")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (bytes.isEmpty) 0L
+      else {
+        val d = new java.util.zip.Deflater(level, true)
+        d.setInput(bytes); d.finish()
+        val scratch = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(scratch)
+        d.end()
+        n
+      }
+    })
+    docs.select(col(idCol), octet_length(col(textCol)).cast("long")
+        .as("byte_len"), compLen(col(textCol)).as("comp_len"))
+      .withColumn("ratio_micro",
+        when(col("byte_len") === 0L, lit(1000000L))
+          .otherwise(expr("comp_len * 1000000 div byte_len")))
+  }
+
+  /**
    * Per-SOURCE corpus card — the release table's breakdown rows: doc /
    * token / char / empty counts, distinct exact-dup fingerprints, and an
    * exact integer-ppm duplicate rate per source. One grouped aggregation

@@ -404,6 +404,49 @@ object StreamingMarket {
   }
 
   /**
+   * Streaming corpus ENCODE under a periodically-retrained tokenizer —
+   * the hot-reload twin for the unigram-LM model, same recipe as
+   * [[lmScoreWithModelRefresh]]: an offline job retrains on corpus
+   * drift cadence and republishes with
+   * [[graft.data.Unigram.saveModelVersioned]]; each micro-batch reads
+   * the tiny `latest` pointer, reloads the (vocab-scale) model only on
+   * a version change, and encodes with the exact batch
+   * [[graft.data.Unigram.encode]] kernel — a tokenizer swap lands
+   * between batches, never inside one. Driver state is the version
+   * number + the KB-scale piece table. `pruneKeep` GCs superseded
+   * versions on reload, anchored on the loaded version. `sink` receives
+   * each batch's `(idCol, pieces)` frame.
+   *
+   * Returns the configured writer — call `.start()` (and set a trigger /
+   * checkpoint as needed).
+   */
+  def encodeWithModelRefresh(
+      docs: DataFrame,
+      modelDir: String,
+      idCol: String,
+      textCol: String,
+      maxPieceLen: Int = 4,
+      pruneKeep: Option[Int] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.data.Unigram
+    var loaded: Option[(Long, Unigram.Model)] = None
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      graft.data.Versioned.latestVersion(spark, modelDir).foreach { v =>
+        if (!loaded.exists(_._1 == v)) {
+          loaded = Some((v, Unigram.loadModel(spark, s"$modelDir/v$v")))
+          pruneKeep.foreach(keep =>
+            graft.data.Versioned.pruneVersions(spark, modelDir, keep, Some(v)))
+        }
+      }
+      val model = loaded.getOrElse(throw new IllegalStateException(
+        s"no tokenizer model published under $modelDir — write one with " +
+          "Unigram.saveModelVersioned"))._2
+      sink(Unigram.encode(batch, idCol, textCol, model, maxPieceLen), batchId)
+    }
+  }
+
+  /**
    * Streaming token-DRIFT monitor against a PERIODICALLY REPUBLISHED
    * baseline — the continuous form of [[graft.data.Corpus.tokenDrift]],
    * and the alarm wire of an ingest pipeline: each micro-batch's token

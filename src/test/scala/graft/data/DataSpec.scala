@@ -588,6 +588,25 @@ class DataSpec extends SparkSpec {
     assert(!keep("the cat sat on the mat"))
   }
 
+  test("compressionSignal: boilerplate compresses far below natural prose") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog while seventeen " +
+        "violet umbrellas quietly dissolve near probabilistic harbors"),
+      (2L, ("buy now click here " * 30).trim),
+      (3L, "")).toDF("id", "text")
+    val got = Corpus.compressionSignal(docs, "id", "text")
+      .select(col("id"), col("byte_len"), col("ratio_micro"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(3L)._3 === 1000000L)          // empty: 1.0 by convention
+    assert(got(2L)._3 < 200000L, got(2L))    // repeated phrase: < 0.2
+    assert(got(1L)._3 > got(2L)._3 * 2)      // prose much less compressible
+    // deterministic across runs
+    val again = Corpus.compressionSignal(docs, "id", "text")
+      .select(col("id"), col("byte_len"), col("ratio_micro"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again === got)
+  }
+
   test("blockByDomainSuffix: exact + subdomain matches, no substring false positives") {
     val rows = Seq(
       (1L, "spam.com"),           // exact

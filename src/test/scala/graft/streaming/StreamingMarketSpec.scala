@@ -421,6 +421,48 @@ class StreamingMarketSpec extends SparkSpec {
     assert(s2 > s1, s"expected refit to raise the score: $s1 -> $s2")
   }
 
+  test("encodeWithModelRefresh: a tokenizer retrain is picked up next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.data.Unigram
+    // v1 trains on a corpus with no 'o'/'w' chars -> "row" needs <unk>;
+    // the retrain corpus makes "row" a whole piece
+    val dir = java.nio.file.Files.createTempDirectory("tok_refresh").toString
+    val v1 = Unigram.train(Seq((1L, "spark spark table"))
+      .toDF("doc_id", "text"), "text", vocabSize = 12, maxPieceLen = 4)
+    assert(Unigram.saveModelVersioned(spark, v1, dir) === 1L)
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    val input = MemoryStream[(Long, String)]
+    val q = encodeWithModelRefresh(input.toDF().toDF("doc_id", "text"), dir,
+        "doc_id", "text") { (out, _) =>
+      results ++= out.select(col("doc_id"), col("pieces"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    }.start()
+
+    input.addData((9000L, "spark row"))
+    q.processAllAvailable()
+    val v2 = Unigram.train(Seq((1L, "row row row spark"))
+      .toDF("doc_id", "text"), "text", vocabSize = 12, maxPieceLen = 4)
+    assert(Unigram.saveModelVersioned(spark, v2, dir) === 2L)
+    input.addData((9001L, "spark row"))
+    q.processAllAvailable()
+    q.stop()
+
+    val p1 = results.collectFirst { case (9000L, p) => p }.get
+    val p2 = results.collectFirst { case (9001L, p) => p }.get
+    // each batch encodes bit-equal to the batch kernel under that version
+    def batchEnc(m: Unigram.Model): Seq[String] =
+      Unigram.encode(Seq((1L, "spark row")).toDF("doc_id", "text"),
+          "doc_id", "text", m)
+        .select(col("pieces")).as[Seq[String]].head()
+    assert(p1 === batchEnc(Unigram.loadModel(spark, s"$dir/v1")))
+    assert(p2 === batchEnc(Unigram.loadModel(spark, s"$dir/v2")))
+    // the swap is visible: v1 must <unk> the unseen chars, v2 knows "row"
+    assert(p1.contains(Unigram.UnkPiece))
+    assert(p2.contains("row") && !p2.contains(Unigram.UnkPiece))
+  }
+
   test("streamingSessions: gap-based event-time sessions emit once on watermark close") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
