@@ -1051,6 +1051,18 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // data-contract checks: all rules in ONE pass (conditional-sum +
+    // min-evidence cells, stack-unpivoted), exact ppm violation rates
+    "q122_data_contract" -> ((s, dir) => {
+      import graft.data.Contract
+      Contract.check(t(s, dir, "lineitem"), col("l_orderkey"), Seq(
+        "qty_in_range" -> col("l_quantity").between(1, 50),
+        "qty_small" -> (col("l_quantity") <= 25),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "discount_band" -> col("l_discount").between(0.0, 0.08),
+        "tax_lte_discount" -> (col("l_tax") <= col("l_discount"))))
+        .orderBy(col("rule"))
+    }),
     // zlib compression-ratio quality signal (golden — deflate not
     // ANSI-expressible): planted boilerplate docs flag via low ratio
     "q121_compression_signal" -> ((s, dir) => {
@@ -3244,6 +3256,40 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q122_data_contract" ->
+      s"""WITH s AS (SELECT count(*) AS n,
+         |  sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+         |    THEN 1 ELSE 0 END) AS v1,
+         |  CAST(min(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+         |    THEN l_orderkey END) AS VARCHAR) AS b1,
+         |  sum(CASE WHEN NOT coalesce(l_quantity <= 25, FALSE)
+         |    THEN 1 ELSE 0 END) AS v2,
+         |  CAST(min(CASE WHEN NOT coalesce(l_quantity <= 25, FALSE)
+         |    THEN l_orderkey END) AS VARCHAR) AS b2,
+         |  sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+         |    THEN 1 ELSE 0 END) AS v3,
+         |  CAST(min(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+         |    THEN l_orderkey END) AS VARCHAR) AS b3,
+         |  sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0.0 AND 0.08, FALSE)
+         |    THEN 1 ELSE 0 END) AS v4,
+         |  CAST(min(CASE WHEN NOT coalesce(l_discount BETWEEN 0.0 AND 0.08, FALSE)
+         |    THEN l_orderkey END) AS VARCHAR) AS b4,
+         |  sum(CASE WHEN NOT coalesce(l_tax <= l_discount, FALSE)
+         |    THEN 1 ELSE 0 END) AS v5,
+         |  CAST(min(CASE WHEN NOT coalesce(l_tax <= l_discount, FALSE)
+         |    THEN l_orderkey END) AS VARCHAR) AS b5
+         |  FROM lineitem)
+         |SELECT rule, n AS n_rows, CAST(v AS BIGINT) AS n_violations,
+         |  CAST(CASE WHEN n = 0 THEN 0 ELSE v * 1000000 // n END AS BIGINT)
+         |    AS violation_ppm,
+         |  b AS first_bad_id
+         |FROM (
+         |  SELECT 'qty_in_range' AS rule, n, v1 AS v, b1 AS b FROM s
+         |  UNION ALL SELECT 'qty_small', n, v2, b2 FROM s
+         |  UNION ALL SELECT 'price_positive', n, v3, b3 FROM s
+         |  UNION ALL SELECT 'discount_band', n, v4, b4 FROM s
+         |  UNION ALL SELECT 'tax_lte_discount', n, v5, b5 FROM s)
+         |ORDER BY rule""".stripMargin,
     "q117_incremental_counts" ->
       s"""WITH nw AS (SELECT doc_id,
          |    CASE WHEN doc_id % 17 = 0 THEN text || ' extra tokens here'
