@@ -1051,6 +1051,27 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // mergeable HLL register sketches: per-part sketches union by
+    // element-wise max, and union(parts) == sketch(whole) exactly —
+    // the add-only incremental-distinct maintenance path
+    "q123_hll_union" -> ((s, dir) => {
+      import graft.data.Sketches
+      val ev = events(s, dir)
+      val parts = Sketches.hllSketch(ev, Seq("event_type"), col("user_id"))
+      val union = Sketches.hllUnion(parts, Seq.empty, col("registers"))
+        .select(col("registers").as("u"))
+      val direct = Sketches.hllSketch(ev, Seq.empty, col("user_id"))
+        .select(col("registers").as("d"))
+      parts.agg(count(lit(1)).as("n_parts"))
+        .crossJoin(union).crossJoin(direct)
+        .select(col("n_parts"),
+          Sketches.hllStateOf(col("u"), 8).as("union_state"),
+          Sketches.hllStateOf(col("d"), 8).as("direct_state"),
+          (Sketches.hllStateOf(col("u"), 8) ===
+            Sketches.hllStateOf(col("d"), 8)).as("states_match"),
+          Sketches.hllEstimateFromRegisters(col("u"), 8)
+            .as("approx_distinct"))
+    }),
     // data-contract checks: all rules in ONE pass (conditional-sum +
     // min-evidence cells, stack-unpivoted), exact ppm violation rates
     "q122_data_contract" -> ((s, dir) => {
@@ -3256,6 +3277,34 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q123_hll_union" -> {
+      val c = graft.data.Sketches.rawConstant(8)
+      val rhoSql = s"""max(CASE WHEN hh % 4503599627370496 > 0
+         |             THEN 53 - length(format('{:b}', hh % 4503599627370496))
+         |             ELSE 53 END) AS rho""".stripMargin
+      val stateSql = s"""CAST(sum((1::BIGINT) << CAST(53 - rho AS INT))
+         |    + (256 - count(*)) * ((1::BIGINT) << 53) AS BIGINT)""".stripMargin
+      s"""WITH h AS (SELECT event_type,
+         |  ${h60Sql("CAST(user_id AS VARCHAR)")} AS hh
+         |  FROM events WHERE user_id IS NOT NULL),
+         |pb AS (SELECT event_type, hh // 4503599627370496 AS bucket, $rhoSql
+         |  FROM h GROUP BY event_type, bucket),
+         |un AS (SELECT bucket, max(rho) AS rho FROM pb GROUP BY bucket),
+         |db AS (SELECT hh // 4503599627370496 AS bucket, $rhoSql
+         |  FROM h GROUP BY bucket),
+         |us AS (SELECT $stateSql AS union_state,
+         |    CAST(count(*) AS BIGINT) AS nb FROM un),
+         |ds AS (SELECT $stateSql AS direct_state FROM db),
+         |np AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_parts
+         |  FROM h),
+         |est AS (SELECT *, $c / CAST(union_state AS DOUBLE) AS raw FROM us)
+         |SELECT n_parts, union_state, direct_state,
+         |  union_state = direct_state AS states_match,
+         |  round(CASE WHEN raw <= 640.0 AND (256 - nb) > 0
+         |             THEN 256.0 * ln(256.0 / (256 - nb))
+         |             ELSE raw END, 2) AS approx_distinct
+         |FROM np, est, ds""".stripMargin
+    },
     "q122_data_contract" ->
       s"""WITH s AS (SELECT count(*) AS n,
          |  sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)

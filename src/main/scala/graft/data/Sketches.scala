@@ -84,6 +84,76 @@ object Sketches {
         col("n_buckets"), m), 2))
   }
 
+  /**
+   * Per-group MERGEABLE HLL sketch — the m register maxima as an
+   * `array<int>`. [[hllDistinct]] pre-sums the harmonic numerator (one
+   * long, cheapest to ship) but pre-summing destroys mergeability;
+   * register arrays union by element-wise max — associative,
+   * commutative, IDEMPOTENT — which is what makes per-shard / per-day
+   * sketches maintainable under continuous adds: `union(parts)` is
+   * BIT-IDENTICAL to the sketch of the whole (q123 pins exactly that),
+   * re-unioning a part is a no-op, and the persisted sketch is m ints
+   * per group regardless of cardinality. Same portable MD5 hash / rho
+   * spelling as [[hllDistinct]], so the registers themselves are
+   * oracle-verifiable, not just the estimates.
+   */
+  def hllSketch(df: DataFrame, groupCols: Seq[String], value: Column,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, s"precision p must be in [4,14], got $p")
+    val m = 1 << p
+    val q = 60 - p
+    val withH = df.filter(value.isNotNull)
+      .withColumn("__graft_hll_h", TextFunctions.hash60(value.cast("string")))
+    val bucket = expr(s"__graft_hll_h div ${1L << q}L")
+    val w = expr(s"__graft_hll_h % ${1L << q}L")
+    val rho = when(w > 0, lit(q + 1) - length(bin(w))).otherwise(lit(q + 1))
+    withH
+      .groupBy((groupCols.map(col) :+ bucket.as("__graft_hll_b")): _*)
+      .agg(max(rho).as("__graft_hll_rho"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(
+        col("__graft_hll_b").cast("int").as("b"),
+        col("__graft_hll_rho").cast("int").as("r")))).as("__graft_hll_mp"))
+      .select(groupCols.map(col) :+
+        transform(sequence(lit(0), lit(m - 1)),
+          i => coalesce(element_at(col("__graft_hll_mp"), i), lit(0)))
+          .as("registers"): _*)
+  }
+
+  /** Union register sketches per group: element-wise max. Spelled as
+   * posexplode → (group, register) max → array rebuild, so the shuffle
+   * key space is `groups × m` ints (combines map-side) — never the
+   * underlying values. */
+  def hllUnion(df: DataFrame, groupCols: Seq[String],
+      registersCol: Column, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    df.select(groupCols.map(col) :+
+        posexplode(registersCol).as(Seq("__reg", "__rho")): _*)
+      .groupBy((groupCols.map(col) :+ col("__reg")): _*)
+      .agg(max(col("__rho")).as("__rho"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("__reg"), col("__rho"))))
+        .as("__graft_hll_mp"))
+      .select(groupCols.map(col) :+
+        transform(sequence(lit(0), lit(m - 1)),
+          i => coalesce(element_at(col("__graft_hll_mp"), i), lit(0)))
+          .as("registers"): _*)
+  }
+
+  /** The [[hllDistinct]]-compatible integer state of a register array
+   * (Σ 2^(scale − rho), empty registers at rho 0 contribute 2^scale) —
+   * the bridge from the mergeable form back to the estimate. */
+  def hllStateOf(registers: Column, p: Int): Column =
+    aggregate(registers, lit(0L), (acc, r) =>
+      acc + call_function("shiftleft", lit(1L),
+        (lit(stateScale(p)) - r).cast("int")))
+
+  /** Corrected estimate from a register array (same formula path as
+   * [[hllDistinct]], rounded to 2dp for cross-engine hash stability). */
+  def hllEstimateFromRegisters(registers: Column, p: Int): Column =
+    round(hllEstimate(hllStateOf(registers, p),
+      size(filter(registers, r => r > 0)).cast("long"), 1 << p), 2)
+
   /** Corrected HLL estimate from the integer state: raw harmonic-mean
    * estimate, switched to linear counting (m·ln(m/V)) in the small range
    * per Flajolet et al. §4. */

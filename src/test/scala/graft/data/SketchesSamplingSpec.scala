@@ -201,6 +201,35 @@ class SketchesSamplingSpec extends SparkSpec {
     assert(need === expected)
   }
 
+  test("hllSketch registers: union(parts) is bit-identical to sketch(whole); idempotent") {
+    val rows = (0 until 2000).map(i => (s"part${i % 4}", s"user_${i % 700}"))
+      .toDF("part", "v")
+    val parts = Sketches.hllSketch(rows, Seq("part"), $"v")
+    val whole = Sketches.hllSketch(rows, Seq.empty, $"v")
+      .select($"registers").as[Seq[Int]].head()
+    val union = Sketches.hllUnion(parts, Seq.empty, $"registers")
+      .select($"registers").as[Seq[Int]].head()
+    assert(union === whole)
+    // idempotent: unioning a part in twice changes nothing
+    val doubled = Sketches.hllUnion(
+        parts.union(parts.limit(1)), Seq.empty, $"registers")
+      .select($"registers").as[Seq[Int]].head()
+    assert(doubled === whole)
+    // the register-derived state matches hllDistinct's pre-summed state
+    val stateViaRegisters = Sketches.hllSketch(rows, Seq.empty, $"v")
+      .select(Sketches.hllStateOf($"registers", 8)).as[Long].head()
+    val stateDirect = Sketches.hllDistinct(rows, Seq.empty, $"v")
+      .select($"hll_state").as[Long].head()
+    assert(stateViaRegisters === stateDirect)
+    // and the estimate bridge agrees with hllDistinct's estimate
+    val estA = Sketches.hllSketch(rows, Seq.empty, $"v")
+      .select(Sketches.hllEstimateFromRegisters($"registers", 8))
+      .as[Double].head()
+    val estB = Sketches.hllDistinct(rows, Seq.empty, $"v")
+      .select($"approx_distinct").as[Double].head()
+    assert(estA === estB)
+  }
+
   test("clusterSafeSplit: a near-dup cluster never straddles the boundary") {
     // 3 clusters of paraphrases + 4 singletons
     val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("id", "text")
