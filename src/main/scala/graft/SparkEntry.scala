@@ -1051,6 +1051,24 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // per-dimension z-score standardization: one stats pass broadcast
+    // back, map-only apply; dead dims -> 0, not NaN
+    "q124_standardize" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.standardize(e, "vec_id", "v")
+        .select(col("vec_id"), posexplode(col("z")).as(Seq("dim", "z")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("z"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+    // LSH recall evaluation: exact truth vs bucketed candidates on the
+    // same input, exact integer-ppm recall (the config-tuning report)
+    "q125_lsh_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.lshRecallReport(e, "vec_id", "v", threshold = 0.4,
+        numPlanes = 8, dim = 64)
+    }),
     // mergeable HLL register sketches: per-part sketches union by
     // element-wise max, and union(parts) == sketch(whole) exactly —
     // the add-only incremental-distinct maintenance path
@@ -3277,6 +3295,42 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q124_standardize" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT i, sum(x) AS s, count(*) AS n, sum(x*x) AS s2
+         |  FROM (SELECT i, v[i+1] AS x FROM e CROSS JOIN range(64) t(i))
+         |  GROUP BY i),
+         |a AS (SELECT list(s / n ORDER BY i) AS mean,
+         |    list(sqrt(greatest((s2 - s*s/n) / (n - 1), 0)) ORDER BY i) AS sd
+         |  FROM s)
+         |SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         |  round(CASE WHEN sd[i+1] > 0 THEN (v[i+1] - mean[i+1]) / sd[i+1]
+         |             ELSE 0.0 END, 6) AS z
+         |FROM e CROSS JOIN range(64) t(i), a
+         |ORDER BY vec_id, dim""".stripMargin,
+    "q125_lsh_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |tr AS (SELECT count(*) AS n_true FROM (
+         |  SELECT 1 FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         |    >= 0.4)),
+         |planes AS (SELECT * FROM (VALUES $planesSql) pl(p, coef)),
+         |buck AS (SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(v, coef) >= 0
+         |    THEN 1<<p ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e CROSS JOIN planes GROUP BY vec_id),
+         |fo AS (SELECT count(*) AS n_found FROM (
+         |  SELECT 1 FROM e a JOIN buck ba ON ba.vec_id = a.vec_id
+         |  JOIN buck bc ON bc.bucket = ba.bucket AND bc.vec_id > a.vec_id
+         |  JOIN e c ON c.vec_id = bc.vec_id
+         |  WHERE list_dot_product(a.v, c.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))
+         |    >= 0.4))
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_found AS BIGINT) AS n_found,
+         |  CAST(CASE WHEN n_true = 0 THEN 1000000
+         |       ELSE n_found * 1000000 // n_true END AS BIGINT) AS recall_ppm
+         |FROM tr, fo""".stripMargin,
     "q123_hll_union" -> {
       val c = graft.data.Sketches.rawConstant(8)
       val rhoSql = s"""max(CASE WHEN hh % 4503599627370496 > 0

@@ -565,6 +565,68 @@ object Similarity {
   }
 
   /**
+   * STANDARDIZE an embedding column (per-dimension z-score) — the
+   * feature-preprocessing mate of [[dimensionStats]]: one stats pass
+   * (the same Summarizer shape — dim-length task buffers, map-side
+   * merge), the 1-row mean/std arrays broadcast back, and a MAP-ONLY
+   * `(x − μ)/σ` transform; a dead dimension (σ = 0) maps to 0 rather
+   * than NaN-poisoning downstream cosines. Values round to 6dp for
+   * cross-engine hash stability (q124's oracle derives μ/σ from the
+   * same plain sums).
+   */
+  def standardize(vectors: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    val v = col(vecCol).cast("array<double>")
+    val stats = vectors
+      .select(array_to_vector(v).as("vv"),
+        array_to_vector(transform(v, x => x * x)).as("vv2"))
+      .agg(Summarizer.metrics("sum", "count").summary(col("vv")).as("s"),
+        Summarizer.sum(col("vv2")).as("sq"))
+      .select(vector_to_array(col("s.sum")).as("__sums"),
+        col("s.count").as("__n"), vector_to_array(col("sq")).as("__sumsqs"))
+      .select(
+        transform(col("__sums"), s => s / col("__n")).as("__mean"),
+        zip_with(col("__sums"), col("__sumsqs"), (s, s2) =>
+          sqrt(greatest((s2 - s * s / col("__n")) / (col("__n") - 1),
+            lit(0.0)))).as("__sd"))
+    vectors.crossJoin(broadcast(stats))
+      .select(col(idCol),
+        transform(v, (x, i) => {
+          val m = element_at(col("__mean"), i + 1)
+          val sd = element_at(col("__sd"), i + 1)
+          round(when(sd > 0, (x - m) / sd).otherwise(lit(0.0)), 6)
+        }).as("z"))
+  }
+
+  /**
+   * Near-dup RECALL report — the offline evaluation that tunes an LSH
+   * configuration before trusting it at corpus scale: exact quadratic
+   * truth ([[cosineNearDupPairs]]) vs the bucketed candidate path
+   * ([[cosineNearDupPairsBucketed]]) on the SAME (sampled) input, one
+   * row of exact counts + integer-ppm recall. Precision is 1 by
+   * construction (the bucketed path verifies true cosine), so the one
+   * number that matters is recall — run per candidate `numPlanes` and
+   * pick the cheapest config above the recall bar. Quadratic truth is
+   * the point, not a scale bug: this runs on an eval SAMPLE.
+   */
+  def lshRecallReport(
+      vectors: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      numPlanes: Int, dim: Int): DataFrame = {
+    val truth = cosineNearDupPairs(vectors, idCol, vecCol, threshold)
+      .select(col("id_a"), col("id_b"))
+    val found = cosineNearDupPairsBucketed(vectors, idCol, vecCol, threshold,
+        numPlanes, dim)
+      .select(col("id_a"), col("id_b"))
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_true"), col("n_found"),
+        when(col("n_true") === 0, lit(1000000L))
+          .otherwise(expr("n_found * 1000000 div n_true")).as("recall_ppm"))
+  }
+
+  /**
    * Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) — the
    * DIVERSITY pass serving stacks run on a retrieved candidate list:
    * greedily pick `argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`, so

@@ -143,4 +143,26 @@ class RecallSpec extends SparkSpec {
     assert(single < 0.6, "q25b's single-table params sit below the gate " +
       "by design (bucket-parity oracle, not a recall configuration)")
   }
+
+  test("lshRecallReport agrees with the spec-computed recall; full recall at 0 planes") {
+    import org.apache.spark.sql.functions.col
+    val exact = pairs(
+      Similarity.cosineNearDupPairs(emb, "vec_id", "v", threshold = 0.4),
+      "id_a", "id_b")
+    val report = Similarity.lshRecallReport(emb, "vec_id", "v",
+        threshold = 0.4, numPlanes = 8, dim = 64)
+      .select(col("n_true"), col("n_found"), col("recall_ppm"))
+      .as[(Long, Long, Long)].head()
+    assert(report._1 === exact.size.toLong)
+    // the report's ppm equals the independently-computed set recall
+    val specRecall = recall(pairs(
+      Similarity.cosineNearDupPairsBucketed(emb, "vec_id", "v", 0.4, 8, 64),
+      "id_a", "id_b"), exact)
+    assert(report._3 === (report._2 * 1000000L) / report._1)
+    assert(math.abs(report._3 / 1e6 - specRecall) < 1e-6)
+    // a 1-plane config buckets coarsely (2 buckets) -> near-full recall
+    val loose = Similarity.lshRecallReport(emb, "vec_id", "v", 0.4, 1, 64)
+      .select(col("recall_ppm")).as[Long].head()
+    assert(loose > report._3)
+  }
 }

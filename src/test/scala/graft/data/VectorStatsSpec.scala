@@ -39,6 +39,30 @@ class VectorStatsSpec extends SparkSpec {
     assert(d0._2 > 400.0)
   }
 
+  test("standardize: hand-checked z-scores, dead dimension maps to 0") {
+    val got = Similarity.standardize(vecs, "id", "v")
+      .orderBy(col("id")).select(col("z")).as[Seq[Double]].collect()
+    // dim0 = {1,2,3}: mean 2, sd 1 -> z = -1, 0, 1; dim1 dead -> 0
+    assert(got(0) === Seq(-1.0, 0.0))
+    assert(got(1) === Seq(0.0, 0.0))
+    assert(got(2) === Seq(1.0, 0.0))
+  }
+
+  test("standardized output has per-dim mean 0 and sample sd 1 (live dims)") {
+    val rng = new scala.util.Random(3)
+    val data = (1L to 40L).map(i => (i, Array.fill(4)(rng.nextGaussian() * 5)))
+      .toDF("id", "v")
+    val zs = Similarity.standardize(data, "id", "v")
+      .select(col("z")).as[Seq[Double]].collect()
+    for (d <- 0 until 4) {
+      val xs = zs.map(_(d))
+      val m = xs.sum / xs.length
+      val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+      assert(math.abs(m) < 1e-5, s"dim $d mean $m")
+      assert(math.abs(sd - 1.0) < 1e-5, s"dim $d sd $sd")
+    }
+  }
+
   test("one aggregation pass: the generator unnests the 1-row aggregate, not the corpus") {
     val plan = Similarity.dimensionStats(vecs, "v")
       .queryExecution.optimizedPlan.toString
