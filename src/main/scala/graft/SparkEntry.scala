@@ -1051,6 +1051,39 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // tokenizer fertility panel: BPE vs unigram tokens/word and
+    // chars/token in exact ppm on the same corpus (golden — models)
+    "q126_tokenizer_eval" -> ((s, dir) => {
+      import graft.data.{Bpe, Unigram}
+      val docs = t(s, dir, "documents")
+      val wordStats = docs.select(explode(T.bpeTokens(col("text"))).as("w"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).cast("long").as("n_chars"))
+      def row(name: String, pieces: DataFrame, pieceCol: String) =
+        pieces.select(explode(col(pieceCol)).as("p"))
+          .agg(count(lit(1)).as("n_tokens"))
+          .crossJoin(wordStats)
+          .select(lit(name).as("tokenizer"), col("n_words"), col("n_chars"),
+            col("n_tokens"),
+            expr("n_tokens * 1000000 div n_words").as("tokens_per_word_ppm"),
+            expr("n_chars * 1000000 div n_tokens").as("chars_per_token_ppm"))
+      val merges = Bpe.trainMerges(docs, "text", nMerges = 20)
+      val uni = Unigram.train(docs, "text", vocabSize = 60, maxPieceLen = 4)
+      row("bpe_20merges", Bpe.encode(docs, "text", merges), "bpe_tokens")
+        .union(row("unigram_60",
+          Unigram.encode(docs, "doc_id", "text", uni), "pieces"))
+        .orderBy(col("tokenizer"))
+    }),
+    // histogram-ECDF score normalization: exact integer-ppm empirical
+    // rank via a bin table broadcast back (no corpus-wide rank window)
+    "q127_ecdf_normalize" -> ((s, dir) => {
+      import graft.data.Sketches
+      Sketches.ecdfNormalize(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          col("n_chars"), lo = 0.0, hi = 1000.0, nBins = 50)
+        .select(col("doc_id"), col("n_chars"), col("ecdf_ppm"))
+        .orderBy(col("doc_id"))
+    }),
     // per-dimension z-score standardization: one stats pass broadcast
     // back, map-only apply; dead dims -> 0, not NaN
     "q124_standardize" -> ((s, dir) => {
@@ -3295,6 +3328,19 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q127_ecdf_normalize" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |  CAST(least(greatest(floor((n_chars - 0.0) * 0.05), 0), 49) AS BIGINT)
+         |    AS bin
+         |  FROM documents),
+         |h AS (SELECT bin, count(*) AS c FROM d GROUP BY bin),
+         |cum AS (SELECT bin, CAST(sum(c) OVER (ORDER BY bin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+         |  FROM h),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM h)
+         |SELECT doc_id, n_chars,
+         |  CAST(cc * 1000000 // tot AS BIGINT) AS ecdf_ppm
+         |FROM d JOIN cum ON cum.bin = d.bin, t ORDER BY doc_id""".stripMargin,
     "q124_standardize" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |s AS (SELECT i, sum(x) AS s, count(*) AS n, sum(x*x) AS s2

@@ -226,6 +226,39 @@ object Sketches {
   }
 
   /**
+   * Histogram-ECDF score NORMALIZATION — map a raw score column to its
+   * empirical-CDF rank in exact integer ppm, the calibration step
+   * before COMBINING heterogeneous quality signals (LM logscore, probe
+   * score, compression ratio live on incomparable scales; their ECDFs
+   * all live on [0, 1e6]). Rank-window-free by design: a
+   * `percent_rank()` over an unpartitioned window single-threads the
+   * corpus, while this is one [[fixedHistogram]] aggregation (nBins
+   * cells), a cumulative sum over the TINY bin table, and a broadcast
+   * join back — resolution is 1/nBins of the range, the honest trade at
+   * 100 TB. `ecdf_ppm` = fraction of rows in bins ≤ the row's bin
+   * (`cum·1e6 div total`), so ties in a bin share a rank and the top
+   * bin maps to exactly 1e6.
+   */
+  def ecdfNormalize(df: DataFrame, value: Column, lo: Double, hi: Double,
+      nBins: Int): DataFrame = {
+    val raw = floor((value.cast("double") - lit(lo)) * lit(nBins / (hi - lo)))
+    val bin = least(greatest(raw, lit(0.0)), lit((nBins - 1).toDouble))
+      .cast("long")
+    val hist = fixedHistogram(df, Seq.empty, value, lo, hi, nBins)
+    val cum = hist
+      .withColumn("__cum", sum(col("bin_n")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .crossJoin(hist.agg(sum(col("bin_n")).as("__tot")))
+      .select(col("bin").as("__bin"),
+        expr("__cum * 1000000 div __tot").as("ecdf_ppm"))
+    df.withColumn("__bin", bin)
+      .join(broadcast(cum), Seq("__bin"))
+      .drop("__bin")
+  }
+
+  /**
    * Quantile estimated from a [[fixedHistogram]] result by linear
    * interpolation inside the covering bin (one more tiny shuffle on the
    * group key). Error ≤ one bin width. `p` in (0,1).

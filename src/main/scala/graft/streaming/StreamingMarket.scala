@@ -447,6 +447,44 @@ object StreamingMarket {
   }
 
   /**
+   * Streaming DATA-CONTRACT gate — [[graft.data.Contract.check]] run per
+   * micro-batch: each batch produces the one-pass rule report (exact
+   * counts, integer-ppm rates, min-id evidence), `sink` receives it,
+   * and any rule whose `violation_ppm` exceeds its entry in
+   * `failPpm` STOPS the query with the offending report in the
+   * exception — the ingest-gate semantics ("quarantine the feed, don't
+   * keep pouring bad rows into the lake"). Rules absent from `failPpm`
+   * only report. The check itself is the batch kernel, so thresholds
+   * and report shapes never drift between offline audits and the live
+   * gate.
+   */
+  def contractMonitor(
+      docs: DataFrame,
+      idCol: String,
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      failPpm: Map[String, Long] = Map.empty)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(failPpm.keySet.subsetOf(rules.map(_._1).toSet),
+      s"failPpm names unknown rules: ${failPpm.keySet -- rules.map(_._1)}")
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val report = graft.data.Contract.check(batch, col(idCol), rules)
+      // the report is rules.size rows — bounded collect by construction
+      val rows = report.collect()
+      sink(batch.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), report.schema), batchId)
+      rows.foreach { r =>
+        val rule = r.getString(0)
+        failPpm.get(rule).foreach { cap =>
+          val ppm = r.getLong(3)
+          if (ppm > cap) throw new IllegalStateException(
+            s"contract rule '$rule' at $ppm ppm exceeds $cap ppm in batch " +
+              s"$batchId (first bad id: ${r.get(4)})")
+        }
+      }
+    }
+  }
+
+  /**
    * Streaming token-DRIFT monitor against a PERIODICALLY REPUBLISHED
    * baseline — the continuous form of [[graft.data.Corpus.tokenDrift]],
    * and the alarm wire of an ingest pipeline: each micro-batch's token

@@ -201,6 +201,26 @@ class SketchesSamplingSpec extends SparkSpec {
     assert(need === expected)
   }
 
+  test("ecdfNormalize: exact ppm ranks, in-bin ties share a rank, top bin hits 1e6") {
+    val df = Seq(1.0, 2.0, 2.2, 5.0, 9.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "score")
+    val got = Sketches.ecdfNormalize(df, $"score", lo = 0.0, hi = 10.0,
+        nBins = 10)
+      .select($"id", $"ecdf_ppm").as[(Long, Long)].collect().toMap
+    // bins of width 1: score 1.0->bin1 (cum 1/5), 2.0 & 2.2 ->bin2 (cum 3/5,
+    // tie shares the rank), 5.0->bin5 (4/5), 9.0->bin9 (5/5)
+    assert(got === Map(0L -> 200000L, 1L -> 600000L, 2L -> 600000L,
+      3L -> 800000L, 4L -> 1000000L))
+  }
+
+  test("ecdfNormalize clamps out-of-range values into the edge bins") {
+    val df = Seq((1L, -5.0), (2L, 50.0), (3L, 5.0)).toDF("id", "score")
+    val got = Sketches.ecdfNormalize(df, $"score", 0.0, 10.0, 10)
+      .select($"id", $"ecdf_ppm").as[(Long, Long)].collect().toMap
+    assert(got(1L) === 333333L) // below lo -> bin 0, rank 1/3
+    assert(got(2L) === 1000000L) // above hi -> top bin
+  }
+
   test("hllSketch registers: union(parts) is bit-identical to sketch(whole); idempotent") {
     val rows = (0 until 2000).map(i => (s"part${i % 4}", s"user_${i % 700}"))
       .toDF("part", "v")

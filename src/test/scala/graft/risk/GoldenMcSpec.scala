@@ -35,7 +35,8 @@ class GoldenMcSpec extends SparkSpec {
     "q54_pca", "q54b_pca_ann", "q54c_pca_sampled", "q87_bpe_merges",
     "q87b_bpe_encode", "q87c_bpe_token_ids", "q91b_simhash_hamming64",
     "q112_unigram_train", "q113_unigram_encode", "q115_sampled_encode",
-    "q119_mmr_rerank", "q120_image_neardups", "q121_compression_signal")
+    "q119_mmr_rerank", "q120_image_neardups", "q121_compression_signal",
+    "q126_tokenizer_eval")
 
   /** Canonical text form: columns sorted by name, one CSV line per row,
    * rows sorted lexicographically, doubles to 6 significant digits. */

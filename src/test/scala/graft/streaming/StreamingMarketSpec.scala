@@ -421,6 +421,30 @@ class StreamingMarketSpec extends SparkSpec {
     assert(s2 > s1, s"expected refit to raise the score: $s1 -> $s2")
   }
 
+  test("contractMonitor: per-batch reports match the batch kernel; breach stops the query") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val rules = Seq("qty_positive" -> (col("qty") > 0))
+    val reports = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[(Long, Int)]
+    val q = contractMonitor(input.toDF().toDF("id", "qty"), "id", rules,
+        failPpm = Map("qty_positive" -> 400000L)) { (rep, bid) =>
+      reports ++= rep.select(col("n_rows"), col("n_violations"))
+        .collect().map(r => (bid, r.getLong(0), r.getLong(1)))
+    }.start()
+    input.addData((1L, 5), (2L, -1), (3L, 7)) // 1/3 bad = 333333 ppm: passes
+    q.processAllAvailable()
+    assert(reports.map(r => (r._2, r._3)).toList === List((3L, 1L)))
+    input.addData((4L, -2), (5L, -3), (6L, 9)) // 2/3 bad = 666666 ppm: breach
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(err.getMessage.contains("qty_positive") ||
+      Option(err.getCause).exists(_.getMessage.contains("qty_positive")))
+    // the breaching batch still reported before failing
+    assert(reports.size === 2 && reports.last._3 === 2L)
+  }
+
   test("encodeWithModelRefresh: a tokenizer retrain is picked up next batch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
