@@ -1051,6 +1051,25 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // quality ENSEMBLE capstone: three incomparable signals (rule
+    // quality, type-token ratio, length) ECDF-calibrated to ppm and
+    // blended with exact integer weights; top-30 keep list
+    "q128_quality_ensemble" -> ((s, dir) => {
+      import graft.data.Sketches
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        T.qualityScore(col("text")).as("sq"),
+        T.typeTokenRatio(col("text")).as("st"),
+        T.wordCount(col("text")).cast("double").as("sw"))
+      val e1 = Sketches.ecdfNormalize(base, col("sq"), 0.0, 1.0, 100)
+        .withColumnRenamed("ecdf_ppm", "e_quality")
+      val e2 = Sketches.ecdfNormalize(e1, col("st"), 0.0, 1.0, 100)
+        .withColumnRenamed("ecdf_ppm", "e_ttr")
+      val e3 = Sketches.ecdfNormalize(e2, col("sw"), 0.0, 1000.0, 50)
+        .withColumnRenamed("ecdf_ppm", "e_len")
+      e3.select(col("doc_id"), col("e_quality"), col("e_ttr"), col("e_len"),
+          expr("(3 * e_quality + 2 * e_ttr + e_len) div 6").as("ensemble_ppm"))
+        .orderBy(col("ensemble_ppm").desc, col("doc_id")).limit(30)
+    }),
     // tokenizer fertility panel: BPE vs unigram tokens/word and
     // chars/token in exact ppm on the same corpus (golden — models)
     "q126_tokenizer_eval" -> ((s, dir) => {
@@ -3328,6 +3347,39 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q128_quality_ensemble" ->
+      s"""WITH base AS (SELECT doc_id, ($qualitySql) AS sq,
+         |  len(list_distinct(ltoks)) / CAST(greatest(len(ltoks), 1) AS DOUBLE)
+         |    AS st,
+         |  CAST(words AS DOUBLE) AS sw
+         |  FROM (SELECT doc_id, text, $ltokSql AS ltoks, len($tokSql) AS words,
+         |        $punctSql AS punct, ${stopSql(T.StopEn)} AS stop_en
+         |        FROM documents)),
+         |b1 AS (SELECT *, CAST(least(greatest(floor(sq * 100), 0), 99) AS BIGINT)
+         |  AS bq FROM base),
+         |h1 AS (SELECT bq, count(*) AS c FROM b1 GROUP BY bq),
+         |c1 AS (SELECT bq, CAST(sum(c) OVER (ORDER BY bq ROWS BETWEEN
+         |    UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+         |    // (SELECT sum(c) FROM h1) AS BIGINT) AS e_quality FROM h1),
+         |b2 AS (SELECT b1.*, c1.e_quality,
+         |  CAST(least(greatest(floor(st * 100), 0), 99) AS BIGINT) AS bt
+         |  FROM b1 JOIN c1 ON c1.bq = b1.bq),
+         |h2 AS (SELECT bt, count(*) AS c FROM b2 GROUP BY bt),
+         |c2 AS (SELECT bt, CAST(sum(c) OVER (ORDER BY bt ROWS BETWEEN
+         |    UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+         |    // (SELECT sum(c) FROM h2) AS BIGINT) AS e_ttr FROM h2),
+         |b3 AS (SELECT b2.*, c2.e_ttr,
+         |  CAST(least(greatest(floor(sw * 0.05), 0), 49) AS BIGINT) AS bw
+         |  FROM b2 JOIN c2 ON c2.bt = b2.bt),
+         |h3 AS (SELECT bw, count(*) AS c FROM b3 GROUP BY bw),
+         |c3 AS (SELECT bw, CAST(sum(c) OVER (ORDER BY bw ROWS BETWEEN
+         |    UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+         |    // (SELECT sum(c) FROM h3) AS BIGINT) AS e_len FROM h3)
+         |SELECT doc_id, e_quality, e_ttr, e_len,
+         |  CAST((3 * e_quality + 2 * e_ttr + e_len) // 6 AS BIGINT)
+         |    AS ensemble_ppm
+         |FROM b3 JOIN c3 ON c3.bw = b3.bw
+         |ORDER BY ensemble_ppm DESC, doc_id LIMIT 30""".stripMargin,
     "q127_ecdf_normalize" ->
       s"""WITH d AS (SELECT doc_id, n_chars,
          |  CAST(least(greatest(floor((n_chars - 0.0) * 0.05), 0), 49) AS BIGINT)

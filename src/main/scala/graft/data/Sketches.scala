@@ -154,6 +154,23 @@ object Sketches {
     round(hllEstimate(hllStateOf(registers, p),
       size(filter(registers, r => r > 0)).cast("long"), 1 << p), 2)
 
+  /** Driver-side twin of the estimate chain for a register array held
+   * in memory (the streaming monitor's bounded state) — same raw /
+   * linear-counting switch, same 2dp rounding, value-identical to
+   * [[hllEstimateFromRegisters]] on the same registers. */
+  def estimateFromRegisters(regs: Array[Int], p: Int): Double = {
+    val m = 1 << p
+    val sc = stateScale(p)
+    require(regs.length == m, s"expected $m registers, got ${regs.length}")
+    val state = regs.map(r => 1L << (sc - r)).sum
+    val raw = rawConstant(p) / state.toDouble
+    val empty = regs.count(_ == 0)
+    val est =
+      if (raw <= 2.5 * m && empty > 0) m * math.log(m.toDouble / empty)
+      else raw
+    math.rint(est * 100) / 100
+  }
+
   /** Corrected HLL estimate from the integer state: raw harmonic-mean
    * estimate, switched to linear counting (m·ln(m/V)) in the small range
    * per Flajolet et al. §4. */
@@ -244,18 +261,24 @@ object Sketches {
     val raw = floor((value.cast("double") - lit(lo)) * lit(nBins / (hi - lo)))
     val bin = least(greatest(raw, lit(0.0)), lit((nBins - 1).toDouble))
       .cast("long")
-    val hist = fixedHistogram(df, Seq.empty, value, lo, hi, nBins)
-    val cum = hist
-      .withColumn("__cum", sum(col("bin_n")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, 0)))
-      .crossJoin(hist.agg(sum(col("bin_n")).as("__tot")))
-      .select(col("bin").as("__bin"),
-        expr("__cum * 1000000 div __tot").as("ecdf_ppm"))
-    df.withColumn("__bin", bin)
-      .join(broadcast(cum), Seq("__bin"))
-      .drop("__bin")
+    // the bin-count table is ≤ nBins rows — BOUNDED collect (the
+    // broadcast-literal boundary, like codebooks/centroids), so the
+    // apply is a pure MAP over a literal lookup array: no join, and
+    // chained normalizations (the ensemble shape) don't multiply the
+    // input lineage through self-join fan-out
+    val counts = fixedHistogram(df, Seq.empty, value, lo, hi, nBins)
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val total = math.max(1L, counts.valuesIterator.sum)
+    val ppm = new Array[Long](nBins)
+    var cumN = 0L
+    var i = 0
+    while (i < nBins) {
+      cumN += counts.getOrElse(i, 0L)
+      ppm(i) = cumN * 1000000L / total
+      i += 1
+    }
+    df.withColumn("ecdf_ppm",
+      element_at(array(ppm.toIndexedSeq.map(lit): _*), bin.cast("int") + 1))
   }
 
   /**

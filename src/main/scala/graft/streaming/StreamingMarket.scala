@@ -447,6 +447,41 @@ object StreamingMarket {
   }
 
   /**
+   * Streaming RUNNING-DISTINCT monitor with BOUNDED driver state — the
+   * live "unique users/URLs so far" counter: each micro-batch computes
+   * its mergeable HLL register sketch ([[graft.data.Sketches.hllSketch]],
+   * one aggregation, m ints collected), element-wise-maxes it into the
+   * driver-held registers, and emits `(batch_distinct, running_distinct)`
+   * estimates. State is exactly `m = 2^p` ints REGARDLESS of stream
+   * cardinality — the property an exact `dropDuplicates` state store
+   * cannot have — and because register union is the sketch algebra, the
+   * running registers after N batches are BIT-IDENTICAL to a batch
+   * sketch over all N batches' rows (spec-pinned). `sink` receives
+   * `(batchId, batchDistinct, runningDistinct)`.
+   */
+  def streamingDistinct(
+      docs: DataFrame,
+      value: org.apache.spark.sql.Column,
+      p: Int = 8)(
+      sink: (Long, Double, Double) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.data.Sketches
+    val running = new Array[Int](1 << p)
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val regs = Sketches.hllSketch(batch, Seq.empty, value, p)
+        .collect() // 0 or 1 row of m ints — bounded by construction
+        .headOption.map(_.getSeq[Int](0).toArray)
+        .getOrElse(new Array[Int](1 << p))
+      var i = 0
+      while (i < running.length) {
+        if (regs(i) > running(i)) running(i) = regs(i)
+        i += 1
+      }
+      sink(batchId, Sketches.estimateFromRegisters(regs, p),
+        Sketches.estimateFromRegisters(running, p))
+    }
+  }
+
+  /**
    * Streaming DATA-CONTRACT gate — [[graft.data.Contract.check]] run per
    * micro-batch: each batch produces the one-pass rule report (exact
    * counts, integer-ppm rates, min-id evidence), `sink` receives it,

@@ -421,6 +421,31 @@ class StreamingMarketSpec extends SparkSpec {
     assert(s2 > s1, s"expected refit to raise the score: $s1 -> $s2")
   }
 
+  test("streamingDistinct: running estimate equals the batch sketch over all rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.data.Sketches
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val input = MemoryStream[String]
+    val q = streamingDistinct(input.toDF().toDF("v"), col("v")) {
+      (bid, batchEst, runEst) => results += ((bid, batchEst, runEst))
+    }.start()
+    val b1 = (0 until 400).map(i => s"u$i")
+    val b2 = (200 until 700).map(i => s"u$i") // overlaps b1 by 200
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // the running estimate after batch 2 equals the batch-mode estimate
+    // over the union of all rows — register union IS the sketch algebra
+    val batchAll = Sketches.hllDistinct(
+        (b1 ++ b2).toDF("v"), Seq.empty, col("v"))
+      .select(col("approx_distinct")).as[Double].head()
+    assert(results.size === 2)
+    assert(results.last._3 === batchAll)
+    // overlap is absorbed: running estimate grows sub-additively
+    assert(results.last._3 < results.head._2 + results.last._2)
+  }
+
   test("contractMonitor: per-batch reports match the batch kernel; breach stops the query") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
