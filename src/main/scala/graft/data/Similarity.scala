@@ -439,10 +439,12 @@ object Similarity {
         round(col("sum_v") / col("n"), 6).as("mean"),
         round(element_at(col("mins"), col("dim") + 1), 6).as("min_v"),
         round(element_at(col("maxs"), col("dim") + 1), 6).as("max_v"),
-        round(sqrt(greatest(
+        // n = 1 guard: the numerator is exactly 0 there, so the naive
+        // spelling is 0/0 = NaN, not a sample std of 0
+        round(when(col("n") > 1, sqrt(greatest(
           (element_at(col("sumsqs"), col("dim") + 1) -
             col("sum_v") * col("sum_v") / col("n")) / (col("n") - 1),
-          lit(0.0))), 6).as("std"))
+          lit(0.0)))).otherwise(lit(0.0)), 6).as("std"))
   }
 
   /**
@@ -589,8 +591,9 @@ object Similarity {
       .select(
         transform(col("__sums"), s => s / col("__n")).as("__mean"),
         zip_with(col("__sums"), col("__sumsqs"), (s, s2) =>
-          sqrt(greatest((s2 - s * s / col("__n")) / (col("__n") - 1),
-            lit(0.0)))).as("__sd"))
+          when(col("__n") > 1, sqrt(greatest(
+            (s2 - s * s / col("__n")) / (col("__n") - 1), lit(0.0))))
+            .otherwise(lit(0.0))).as("__sd"))
     vectors.crossJoin(broadcast(stats))
       .select(col(idCol),
         transform(v, (x, i) => {

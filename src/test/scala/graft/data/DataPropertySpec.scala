@@ -206,4 +206,97 @@ class DataPropertySpec extends SparkSpec {
         assert(spans(id).toSeq === Seq((id, 1L, t.length.toLong)))
     }
   }
+
+  test("property: cardUpdate and tokenCountsUpdate equal full recomputes on random diffs") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "")
+    val genSnap = for {
+      n <- Gen.choose(0, 12)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(1L, 15L)
+        nw <- Gen.choose(0, 6)
+        ws <- Gen.listOfN(nw, Gen.oneOf(words))
+      } yield (id, ws.mkString(" ")))
+    } yield rows.groupBy(_._1).map { case (id, g) => (id, g.head._2) }.toSeq
+    forAll(Gen.zip(genSnap, genSnap), n = 25) { case (oldRows, newRows) =>
+      val o = oldRows.toDF("id", "text")
+      val nw = newRows.toDF("id", "text")
+      val card = Corpus.cardUpdate(Corpus.cardDecomposable(o, "text"), o, nw)
+        .as[(String, Long)].collect().toMap
+      assert(card === Corpus.cardDecomposable(nw, "text")
+        .as[(String, Long)].collect().toMap)
+      val counts = Corpus.tokenCountsUpdate(Corpus.tokenCounts(o, "text"),
+          o, nw)
+        .as[(String, Long)].collect().toMap
+      assert(counts === Corpus.tokenCounts(nw, "text")
+        .as[(String, Long)].collect().toMap)
+    }
+  }
+
+  test("property: clusterSafeSplit never splits a component, any random pair graph") {
+    val genPairs = for {
+      n <- Gen.choose(0, 15)
+      es <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 20L), Gen.choose(1L, 20L)))
+    } yield es.filter { case (a, b) => a != b }
+    forAll(genPairs, n = 20) { es =>
+      val docs = (1L to 20L).map(i => (i, s"d$i")).toDF("id", "text")
+      val got = Sampling.clusterSafeSplit(docs, "id",
+          es.toDF("id_a", "id_b"), Seq("a" -> 0.5, "b" -> 0.5), "ps")
+        .select($"id", $"split").as[(Long, String)].collect().toMap
+      // reference components via union-find
+      val parent = scala.collection.mutable.Map((1L to 20L).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      es.foreach { case (a, b) => parent(find(a)) = find(b) }
+      (1L to 20L).groupBy(find).values.foreach { comp =>
+        assert(comp.map(got).toSet.size === 1,
+          s"component $comp straddles under edges $es")
+      }
+    }
+  }
+
+  test("property: hllUnion is invariant to how the rows are partitioned into parts") {
+    val genVals = Gen.listOfN(120, Gen.choose(0, 400))
+    forAll(Gen.zip(genVals, Gen.choose(1, 6)), n = 15) { case (vs, nParts) =>
+      val whole = Sketches.hllSketch(vs.map(v => Tuple1(s"v$v")).toDF("v"),
+          Seq.empty, $"v")
+        .select($"registers").as[Seq[Int]].head()
+      val parts = vs.zipWithIndex
+        .map { case (v, i) => (s"p${i % nParts}", s"v$v") }.toDF("g", "v")
+      val union = Sketches.hllUnion(
+          Sketches.hllSketch(parts, Seq("g"), $"v"), Seq.empty, $"registers")
+        .select($"registers").as[Seq[Int]].head()
+      assert(union === whole, s"nParts=$nParts")
+    }
+  }
+
+  test("property: ecdfNormalize is monotone in the score") {
+    val genScores = Gen.listOfN(60, Gen.choose(0.0, 10.0))
+    forAll(genScores, n = 15) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "s")
+      val got = Sketches.ecdfNormalize(df, $"s", 0.0, 10.0, 20)
+        .select($"s", $"ecdf_ppm").as[(Double, Long)].collect().sortBy(_._1)
+      got.sliding(2).foreach {
+        case Array((s1, p1), (s2, p2)) =>
+          assert(p1 <= p2, s"ecdf not monotone: $s1->$p1 vs $s2->$p2")
+        case _ =>
+      }
+    }
+  }
+
+  test("property: mmrRerank at lambda=1 is exactly relevance order") {
+    val genCands = for {
+      n <- Gen.choose(1, 12)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)))
+    } yield rows.zipWithIndex.map { case ((sim, x), i) =>
+      (1L, i.toLong, sim, Array(x, 1.0 - x)) }
+    forAll(genCands, n = 15) { rows =>
+      val got = Similarity.mmrRerank(rows.toDF("q", "id", "sim", "v"),
+          "q", "id", "sim", "v", lambda = 1.0, k = rows.size)
+        .orderBy($"rank").select($"id").as[Long].collect().toList
+      val expect = rows.sortBy { case (_, id, sim, _) => (-sim, id) }
+        .map(_._2).toList
+      assert(got === expect)
+    }
+  }
 }

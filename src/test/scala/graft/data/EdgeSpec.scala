@@ -150,4 +150,45 @@ class EdgeSpec extends SparkSpec {
       .as[(Double, Double)].head()
     assert(r._1 === 0.0 && r._2 === 0.0)
   }
+
+  test("dimensionStats / standardize on a single vector: sample std guarded to 0") {
+    val one = Seq((1L, Array(3.0, 7.0))).toDF("id", "v")
+    val stats = Similarity.dimensionStats(one, "v")
+      .orderBy(col("dim")).select(col("n"), col("std"), col("mean"))
+      .as[(Long, Double, Double)].collect()
+    assert(stats.forall(r => r._1 == 1L && r._2 == 0.0)) // not NaN
+    assert(stats.map(_._3).toSeq === Seq(3.0, 7.0))
+    val z = Similarity.standardize(one, "id", "v")
+      .select(col("z")).as[Seq[Double]].head()
+    assert(z === Seq(0.0, 0.0)) // dead-by-singleton dims map to 0
+  }
+
+  test("empty inputs: editNearDups, minePairs, contamination, skewReport, ecdf") {
+    assert(Dedup.editNearDups(noDocs, "doc_id", "text", maxDist = 5)
+      .count() === 0L)
+    assert(Similarity.minePairs(noVecs, "vec_id", "v",
+      Array(Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      0.9, 0.1, 0.5).count() === 0L)
+    // empty BENCH side: nothing can be contaminated
+    assert(Similarity.contaminationReport(someVecs, noVecs, "vec_id", "v",
+      0.1).count() === 0L)
+    assert(Relational.skewReport(noDocs, col("doc_id")).count() === 0L)
+    val e = Sketches.ecdfNormalize(noDocs, col("doc_id"), 0.0, 10.0, 4)
+    assert(e.columns.contains("ecdf_ppm") && e.count() === 0L)
+  }
+
+  test("single-member and self-pair corners: prototypePrune, mmrRerank") {
+    val solo = Seq((1L, Array(1.0, 0.0))).toDF("id", "v")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // one member, dropFrac .5 -> ceil(.5)=1 dropped: the lone member goes
+    val pruned = Similarity.prototypePrune(solo, "id", "v", cents, 0.5)
+      .select(col("kept")).as[Boolean].head()
+    assert(!pruned)
+    // a single candidate reranks to rank 1 regardless of lambda
+    val mmr = Similarity.mmrRerank(
+        Seq((7L, 1L, 0.9, Array(1.0, 0.0))).toDF("q", "id", "sim", "v"),
+        "q", "id", "sim", "v", 0.0, k = 5)
+      .select(col("rank"), col("id")).as[(Int, Long)].collect().toList
+    assert(mmr === List((1, 1L)))
+  }
 }
