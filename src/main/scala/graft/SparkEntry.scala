@@ -1051,6 +1051,18 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // fill-in-the-middle transform (Bavarian 2022): content-addressed
+    // apply decision + split points, PSM rearrangement, map-only
+    "q129_fim_transform" -> ((s, dir) => {
+      import graft.data.Corpus
+      Corpus.fimTransform(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", fimRate = 0.5, salt = "fim")
+        .select(col("doc_id"), col("fim_applied"),
+          length(col("text")).cast("long").as("out_len"),
+          T.hash60(col("text")).as("out_fp"))
+        .orderBy(col("doc_id"))
+    }),
     // quality ENSEMBLE capstone: three incomparable signals (rule
     // quality, type-token ratio, length) ECDF-calibrated to ppm and
     // blended with exact integer weights; top-30 keep list
@@ -3347,6 +3359,27 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q129_fim_transform" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS len,
+         |  ${h60Sql("concat(CAST(doc_id AS VARCHAR), ':fim:1')")} % 10000 AS u1,
+         |  ${h60Sql("concat(CAST(doc_id AS VARCHAR), ':fim:2')")} % 10000 AS u2,
+         |  ${h60Sql("concat(CAST(doc_id AS VARCHAR), ':fim:3')")} % 10000 AS u3
+         |  FROM documents),
+         |c AS (SELECT *,
+         |  least(CAST(floor(u2 * len / 10000.0) AS INT),
+         |        CAST(floor(u3 * len / 10000.0) AS INT)) AS i,
+         |  greatest(CAST(floor(u2 * len / 10000.0) AS INT),
+         |           CAST(floor(u3 * len / 10000.0) AS INT)) AS j
+         |  FROM d),
+         |f AS (SELECT doc_id, (u1 < 5000 AND len > 0) AS fim_applied,
+         |  CASE WHEN u1 < 5000 AND len > 0 THEN
+         |    '<PRE>' || substr(text, 1, i) || '<SUF>' ||
+         |    substr(text, j + 1, len - j) || '<MID>' ||
+         |    substr(text, i + 1, j - i)
+         |  ELSE text END AS out FROM c)
+         |SELECT doc_id, fim_applied, CAST(length(out) AS BIGINT) AS out_len,
+         |  ${h60Sql("out")} AS out_fp
+         |FROM f ORDER BY doc_id""".stripMargin,
     "q128_quality_ensemble" ->
       s"""WITH base AS (SELECT doc_id, ($qualitySql) AS sq,
          |  len(list_distinct(ltoks)) / CAST(greatest(len(ltoks), 1) AS DOUBLE)

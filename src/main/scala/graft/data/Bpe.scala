@@ -379,6 +379,22 @@ object Bpe {
     docs.withColumn(outCol, segAll(TextFunctions.bpeTokens(col(textCol))))
   }
 
+  /** Inverse of [[encodeIds]] under the same vocabulary: ids map back to
+   * their spellings (`unkId` and unknown ids become `unkToken`) and
+   * concatenate. Because merges never cross pre-token boundaries,
+   * `decodeIds(encodeIds(text))` reproduces the concatenated pre-token
+   * stream exactly whenever every piece is in-vocabulary (spec-pinned)
+   * — the round-trip a tokenizer release is validated with. Map-only;
+   * the id→token table rides the closure (vocab-scale). */
+  def decodeIds(
+      docs: DataFrame, idsCol: String, vocab: Seq[(Int, String)],
+      unkToken: String = "<unk>", outCol: String = "decoded"): DataFrame = {
+    val byId: Map[Int, String] = vocab.toMap
+    val dec = udf((ids: Seq[Int]) =>
+      ids.map(i => byId.getOrElse(i, unkToken)).mkString)
+    docs.withColumn(outCol, dec(col(idsCol)))
+  }
+
   /** Persist the ranked merge list (train-once/encode-many, like
    * [[NgramLm.saveModel]] / [[Bm25.saveModel]]). */
   def saveMerges(

@@ -362,6 +362,45 @@ object Corpus {
   }
 
   /**
+   * FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022, "Efficient
+   * Training of Language Models to Fill in the Middle") — the document
+   * rewrite code-model training runs at scale: a `fimRate` fraction of
+   * documents re-arranges into PSM order
+   * `<PRE>prefix<SUF>suffix<MID>middle`, teaching infilling while the
+   * remainder stays autoregressive. Everything is CONTENT-ADDRESSED
+   * (the apply decision and both split points derive from
+   * `hash60(id:salt:k)`), so the transform is deterministic per (doc,
+   * salt), reproducible across partitionings/engines, and a new salt is
+   * a fresh epoch of splits — the same contract as the hash samplers.
+   * Map-only: three hash projections and substring arithmetic, no
+   * shuffle at any scale. Split points are CHARACTER offsets here;
+   * production FIM splits post-tokenization — same shape, swap the
+   * offset domain.
+   */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+      fimRate: Double, salt: String = ""): DataFrame = {
+    require(fimRate >= 0 && fimRate <= 1, s"fimRate $fimRate")
+    def u(k: Int) = Sampling.hashSlot(
+      concat(col(idCol).cast("string"), lit(s":$salt:$k")), 10000)
+    val len = length(col(textCol))
+    val apply = u(1) < math.round(fimRate * 10000).toInt
+    // two independent cut points; i <= j by min/max (uniform over pairs).
+    // floor on exact-in-double products (slot < 1e4, len < ~1e5) — the
+    // one spelling whose int conversion floors in BOTH engines (a
+    // CAST(double AS INT) truncates in Spark but ROUNDS in DuckDB)
+    val c1 = floor(u(2).cast("double") * len / 10000.0).cast("int")
+    val c2 = floor(u(3).cast("double") * len / 10000.0).cast("int")
+    val i = least(c1, c2)
+    val j = greatest(c1, c2)
+    val fim = concat(lit("<PRE>"), col(textCol).substr(lit(1), i),
+      lit("<SUF>"), col(textCol).substr(j + 1, len - j),
+      lit("<MID>"), col(textCol).substr(i + 1, j - i))
+    docs.withColumn("fim_applied", apply && len > 0)
+      .withColumn(textCol,
+        when(col("fim_applied"), fim).otherwise(col(textCol)))
+  }
+
+  /**
    * zlib COMPRESSION-RATIO quality signal — templated, boilerplate, or
    * machine-generated text compresses far below natural prose, and the
    * ratio catches repetition patterns the n-gram heuristics

@@ -202,4 +202,22 @@ class BpeSpec extends SparkSpec {
       .select(col("bpe_tokens")).as[Seq[String]].collect().toSeq
     assert(viaRank === viaFull)
   }
+
+  test("decodeIds inverts encodeIds: the concatenated pre-token stream round-trips") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "spark spark row table 42!")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", nMerges = 8)
+    val vocab = Bpe.vocabulary(docs, "text", merges)
+    val enc = Bpe.encodeIds(docs, "text", merges, vocab)
+    val dec = Bpe.decodeIds(enc, "token_ids", vocab)
+      .select(col("decoded")).as[String].head()
+    val stream = docs.select(
+        concat_ws("", TextFunctions.bpeTokens(col("text"))))
+      .as[String].head()
+    assert(dec === stream)
+    // an unknown id decodes to the unk token, loudly visible
+    val weird = Seq((1L, Seq(999999))).toDF("doc_id", "token_ids")
+    assert(Bpe.decodeIds(weird, "token_ids", vocab)
+      .select(col("decoded")).as[String].head() === "<unk>")
+  }
 }

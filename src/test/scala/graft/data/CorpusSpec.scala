@@ -167,4 +167,40 @@ class CorpusSpec extends SparkSpec {
     assert(card("n_distinct_fingerprints") === 3L)
     assert(card.size === 7)
   }
+
+  test("fimTransform: segments reassemble to the original; deterministic; rate edges") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 40L).map(i => (i, s"doc $i body ${"x" * (i % 7).toInt}"))
+      .toDF("doc_id", "text")
+    val out = Corpus.fimTransform(docs, "doc_id", "text", fimRate = 0.5, "s1")
+      .select(col("doc_id"), col("fim_applied"), col("text"))
+      .as[(Long, Boolean, String)].collect()
+    val orig = docs.as[(Long, String)].collect().toMap
+    val re = "(?s)<PRE>(.*)<SUF>(.*)<MID>(.*)".r
+    out.foreach { case (id, applied, t) =>
+      if (applied) t match {
+        case re(pre, suf, mid) => assert(pre + mid + suf === orig(id), s"doc $id")
+        case _ => fail(s"doc $id flagged applied but not PSM-shaped: $t")
+      } else assert(t === orig(id))
+    }
+    // roughly half transformed; deterministic rerun; rate 0/1 edges
+    val nApplied = out.count(_._2)
+    assert(nApplied > 10 && nApplied < 30, s"$nApplied of 40")
+    val again = Corpus.fimTransform(docs, "doc_id", "text", 0.5, "s1")
+      .select(col("text")).as[String].collect().toSeq
+    assert(again === out.map(_._3).toSeq)
+    assert(Corpus.fimTransform(docs, "doc_id", "text", 0.0, "s1")
+      .filter(col("fim_applied")).count() === 0L)
+    assert(Corpus.fimTransform(docs, "doc_id", "text", 1.0, "s1")
+      .filter(!col("fim_applied")).count() === 0L)
+  }
+
+  test("fimTransform: a different salt is a different epoch of splits") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 30L).map(i => (i, s"some longer document body number $i"))
+      .toDF("doc_id", "text")
+    def run(salt: String) = Corpus.fimTransform(docs, "doc_id", "text", 1.0, salt)
+      .select(col("text")).as[String].collect().toSeq
+    assert(run("e1") !== run("e2"))
+  }
 }
