@@ -446,6 +446,51 @@ object StreamingMarket {
     }
   }
 
+  /** Input row of the streaming weighted sampler. */
+  case class SampleRow(group: String, id: Long, w: Double)
+
+  /**
+   * Streaming exact-size WEIGHTED sampling per group — the continuous
+   * form of [[graft.data.Sampling.weightedSampleByGroup]] (A-ES,
+   * Efraimidis & Spirakis): each group's state is its current top-`k`
+   * `(rank, id)` pairs — BOUNDED at k entries per group no matter how
+   * many rows stream past — and because the A-ES rank is a pure
+   * content-addressed function (`ln((hash60(id·salt)+1)/2^60) / w`, the
+   * EXACT batch spelling replicated in the JVM), the maintained sample
+   * after any prefix of the stream is IDENTICAL to the batch sampler
+   * over the same rows (spec-pinned). Top-k-of-union = top-k-of-tops
+   * makes the merge associative; re-delivered rows dedupe by id
+   * (same id ⇒ same rank). Emits each group's CURRENT sample per batch
+   * (Update mode).
+   */
+  def streamingWeightedSample(
+      rows: Dataset[SampleRow], k: Int, salt: String = "wsample"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    def rank(id: Long, w: Double): Double = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id$salt".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = md5.take(8).map(b => f"$b%02x").mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      math.log((h + 1.0) / 1152921504606846977.0) / w
+    }
+    rows.groupByKey(_.group)
+      .flatMapGroupsWithState[List[(Double, Long)], (String, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[SampleRow],
+         state: GroupState[List[(Double, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Nil) ++
+              it.filter(_.w > 0).map(r => (rank(r.id, r.w), r.id)))
+            .distinctBy(_._2)
+            .sortBy { case (s, id) => (-s, id) }
+            .take(k)
+          state.update(merged)
+          merged.iterator.map { case (_, id) => (g, id) }
+      }
+      .toDF("group", "id")
+  }
+
   /**
    * Streaming RUNNING-DISTINCT monitor with BOUNDED driver state — the
    * live "unique users/URLs so far" counter: each micro-batch computes

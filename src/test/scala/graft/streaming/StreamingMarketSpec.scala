@@ -421,6 +421,41 @@ class StreamingMarketSpec extends SparkSpec {
     assert(s2 > s1, s"expected refit to raise the score: $s1 -> $s2")
   }
 
+  test("streamingWeightedSample: maintained sample equals the batch A-ES sampler") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.data.Sampling
+    val b1 = (1L to 60L).map(i => SampleRow(s"g${i % 2}", i, (i % 9) + 1.0))
+    val b2 = (61L to 140L).map(i => SampleRow(s"g${i % 2}", i, (i % 9) + 1.0))
+    val input = MemoryStream[SampleRow]
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[String, Set[Long]])]
+    val q = streamingWeightedSample(input.toDS(), k = 7)
+      .writeStream.outputMode("update")
+      .foreachBatch { (out: org.apache.spark.sql.DataFrame, bid: Long) =>
+        perBatch += ((bid, out.collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }))
+        ()
+      }.start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    def batchSample(rows: Seq[SampleRow]): Map[String, Set[Long]] =
+      Sampling.weightedSampleByGroup(
+          rows.toDF("group", "id", "w"), Seq("group"), col("id"), col("w"),
+          k = 7)
+        .select(col("group"), col("id")).as[(String, Long)]
+        .collect().groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    // after batch 1 the stream sample == batch sampler on b1; after
+    // batch 2 == batch sampler on b1 ++ b2 (any prefix, same answer)
+    assert(perBatch(0)._2 === batchSample(b1))
+    assert(perBatch(1)._2 === batchSample(b1 ++ b2))
+    // bounded state: exactly k per group
+    assert(perBatch(1)._2.values.forall(_.size == 7))
+  }
+
   test("streamingDistinct: running estimate equals the batch sketch over all rows") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
