@@ -1051,6 +1051,39 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // exact heavy hitters without shuffling the key domain: one
+    // Misra-Gries pass (bounded state, guaranteed-superset candidates)
+    // + an exact recount of <= 2k candidate keys; skew planted so the
+    // threshold bites
+    "q132_heavy_hitters" -> ((s, dir) => {
+      import graft.data.Sketches
+      val keyed = events(s, dir).withColumn("k",
+        when(col("event_id") % 3 < 2,
+          concat(lit("hot"), (col("event_id") % 2).cast("string")))
+          .otherwise(col("user_id").cast("string")))
+      Sketches.heavyHitters(keyed, col("k"), k = 10)
+        .orderBy(col("key"))
+    }),
+    // 1-bit sign-quantized ANN: Hamming scan over packed sign words
+    // (32x less scan traffic than float32) -> exact-cosine rerank of
+    // refine*k candidates only; floats never ride the scan
+    "q131_binary_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Pq.binaryTopK(e.filter(col("vec_id") < 8), e, "vec_id", "v",
+          k = 5, refine = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("hamming"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // exact Jaccard-threshold near-dup pairs via PREFIX FILTERING
+    // (SSJoin/PPJoin): deterministic 100% recall — no LSH band luck —
+    // with candidates keyed on globally-RARE shingles only
+    "q130_ppjoin_pairs" -> ((s, dir) => {
+      Dedup.jaccardThresholdPairs(t(s, dir, "documents"), "doc_id", "text",
+          thresholdPpm = 500000L, shingleN = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // fill-in-the-middle transform (Bavarian 2022): content-addressed
     // apply decision + split points, PSM rearrangement, map-only
     "q129_fim_transform" -> ((s, dir) => {
@@ -3359,6 +3392,49 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q132_heavy_hitters" ->
+      s"""WITH keyed AS (SELECT CASE WHEN event_id % 3 < 2
+         |    THEN 'hot' || CAST(event_id % 2 AS VARCHAR)
+         |    ELSE CAST(user_id AS VARCHAR) END AS key FROM events),
+         |tot AS (SELECT count(*) AS total FROM keyed)
+         |SELECT key, count(*) AS cnt, count(*) * 1000000 // total AS share_ppm
+         |FROM keyed, tot GROUP BY key, total
+         |HAVING count(*) * 10 > total ORDER BY key""".stripMargin,
+    "q131_binary_ann" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 8),
+         |ham AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(len(list_filter(range(1, 65),
+         |      i -> (q.v[i] > 0) <> (c.v[i] > 0))) AS BIGINT) AS hamming
+         |  FROM q JOIN e c ON q.vec_id <> c.vec_id),
+         |cand AS (SELECT query_id, neighbor_id, hamming,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY hamming, neighbor_id) AS hrank
+         |  FROM ham),
+         |rr AS (SELECT cand.query_id, cand.neighbor_id, cand.hamming,
+         |    list_dot_product(qv.v, cv.v) / (sqrt(list_dot_product(qv.v, qv.v))
+         |      * sqrt(list_dot_product(cv.v, cv.v))) AS sim
+         |  FROM cand JOIN e qv ON qv.vec_id = cand.query_id
+         |  JOIN e cv ON cv.vec_id = cand.neighbor_id
+         |  WHERE hrank <= 20)
+         |SELECT query_id, rank, neighbor_id, hamming, round(sim, 6) AS sim
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rank FROM rr)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q130_ppjoin_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id AS id, unnest(list_distinct(
+         |      list_transform(range(1, len(toks)-1),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS tok
+         |  FROM (SELECT doc_id, $tokSql AS toks FROM documents)
+         |  WHERE len(toks) >= 3),
+         |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
+         |SELECT id_a, id_b, i * 1000000 // (sa.n + sb.n - i) AS jaccard_ppm
+         |FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+         |WHERE i * 1000000 // (sa.n + sb.n - i) >= 500000
+         |ORDER BY id_a, id_b""".stripMargin,
     "q129_fim_transform" ->
       s"""WITH d AS (SELECT doc_id, text, length(text) AS len,
          |  ${h60Sql("concat(CAST(doc_id AS VARCHAR), ':fim:1')")} % 10000 AS u1,

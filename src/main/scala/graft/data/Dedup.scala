@@ -416,6 +416,94 @@ object Dedup {
   }
 
   /**
+   * EXACT all-pairs token-set Jaccard ≥ t via PREFIX FILTERING — the
+   * set-similarity join of Chaudhuri et al. (SSJoin, ICDE 2006) and Xiao
+   * et al. (PPJoin, WWW 2008): deterministic 100% recall, unlike
+   * [[minhashNearDups]] (probabilistic banding) and without
+   * [[ngramJaccardPairs]]'s need for a natural blocking key.
+   *
+   * Construction: order every document's DISTINCT tokens by ascending
+   * global document frequency (ties by token — one total order shared by
+   * all docs), keep each doc's first `n − ⌈t·n⌉ + 1` tokens as its
+   * prefix, and join docs on shared PREFIX tokens only. Guarantee: a
+   * pair with Jaccard ≥ t has overlap i ≥ ⌈t·max(n_a,n_b)⌉, so if all
+   * shared tokens sat outside a's prefix they'd fit in a's suffix of
+   * length ⌈t·n_a⌉ − 1 < i — contradiction; every qualifying pair
+   * surfaces. Candidates then verify with an exact integer intersection
+   * count.
+   *
+   * Scale shape: (1) the token-frequency table is one map-combinable
+   * count agg; (2) the candidate join keys on RARE tokens by
+   * construction — frequency-ascending ordering puts stopwords at the
+   * END of each doc, so they enter prefixes only degenerately, which is
+   * the built-in skew mitigation that makes this viable where a plain
+   * token-inverted-index join hot-spots; (3) the length filter
+   * `min·10⁶ ≥ t_ppm·max` prunes before the pair materializes; (4)
+   * verify joins token sets back by id — work sized by the candidate
+   * set, not N². All thresholds are integer parts-per-million with
+   * floor division, so results are bit-identical across engines.
+   *
+   * Output: `(id_a, id_b, jaccard_ppm)` with `id_a < id_b`,
+   * `jaccard_ppm = i·10⁶ div (n_a + n_b − i)` ≥ `thresholdPpm`.
+   * `shingleN = 1` compares distinct word sets; `n ≥ 2` distinct word
+   * n-gram shingle sets (the near-dup-discriminative choice — unigram
+   * sets of same-domain documents overlap heavily regardless of
+   * duplication).
+   */
+  def jaccardThresholdPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdPpm: Long,
+      shingleN: Int = 3): DataFrame = {
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be in (0, 1000000], got $thresholdPpm")
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    val units =
+      if (shingleN <= 1) tokens(col(textCol))
+      else wordShingles(tokens(col(textCol)), shingleN)
+    val toks0 = repartitioned(docs)
+      .select(col(idCol).as("id"), array_distinct(units).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val dfreq = toks0.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // rarest-first order per doc: sort (df, tok) structs, strip to tokens
+    val ordered = toks0.select(col("id"), explode(col("toks")).as("tok"))
+      .join(dfreq, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
+          s => s.getField("tok")).as("toks"),
+        count(lit(1)).as("n"))
+    // prefix length n − ⌈t·n⌉ + 1 (⌈·⌉ in exact integer ppm; ≥ 1 always)
+    val prefixed = ordered
+      .withColumn("plen",
+        col("n") - expr(s"($thresholdPpm * n + 999999) div 1000000") + 1)
+      .select(col("id"), col("n"),
+        explode(expr("slice(toks, 1, plen)")).as("ptok"))
+    val candA = prefixed
+      .select(col("ptok"), col("id").as("id_a"), col("n").as("n_a"))
+    val candB = prefixed
+      .select(col("ptok"), col("id").as("id_b"), col("n").as("n_b"))
+    val cand = candA.join(candB, Seq("ptok"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("n_a"), col("n_b")) * lit(1000000L) >=
+        lit(thresholdPpm) * greatest(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // exact verify: token sets come BACK by id (cheap map-side re-tokenize,
+    // no second pass through the frequency join)
+    val setsA = toks0.select(col("id").as("id_a"), col("toks").as("t_a"),
+      size(col("toks")).cast("long").as("n_a"))
+    val setsB = toks0.select(col("id").as("id_b"), col("toks").as("t_b"),
+      size(col("toks")).cast("long").as("n_b"))
+    cand.join(setsA, Seq("id_a")).join(setsB, Seq("id_b"))
+      .withColumn("icnt", size(array_intersect(col("t_a"), col("t_b"))).cast("long"))
+      .select(col("id_a"), col("id_b"),
+        expr("icnt * 1000000 div (n_a + n_b - icnt)").as("jaccard_ppm"))
+      .filter(col("jaccard_ppm") >= thresholdPpm)
+  }
+
+  /**
    * Connected components over near-dup pairs → duplicate clusters, the
    * survivor-selection step of a dedup pipeline: every doc in a component
    * gets the component's min id as its cluster label.

@@ -498,6 +498,72 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  // ------------------------------------- binary (1-bit sign) quantization
+
+  /** Sign-bit binary code (Charikar hyperplane hashing degenerated to the
+   * coordinate axes — the "binary quantization" tier of modern vector
+   * stores): bit `d mod 64` of word `d div 64` is set iff `v[d] > 0`,
+   * packing `dim` floats into `ceil(dim/64)` longs — 32× smaller than
+   * float32, and Hamming distance over the words approximates angular
+   * distance. Integer-exact by construction: any engine with a
+   * `>` comparison reproduces the codes bit-for-bit. */
+  def signBits(v: Column): Column =
+    transform(sequence(lit(0), shiftright(size(v) - lit(1), 6)), w =>
+      aggregate(sequence(w * 64, least(w * 64 + 63, size(v) - 1)),
+        lit(0L), (acc, d) => acc +
+          when(element_at(v, d.cast("int") + 1) > 0,
+            call_function("shiftleft", lit(1L), (d - w * 64).cast("int")))
+            .otherwise(lit(0L))))
+
+  /** Exact Hamming distance between two [[signBits]] codes (same dim):
+   * Σ popcount(xor) over the words. */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
+
+  /**
+   * Two-stage binary ANN — the cheapest retrieval tier: scan the corpus
+   * as sign-bit words only (8 bytes per 64 dims — memory-bandwidth-bound
+   * at ~1/32 the float traffic, and XOR+popcount beats FMA per element),
+   * keep the `refine·k` Hamming-nearest candidates per query, then
+   * re-rank ONLY those by exact cosine. The wide float vectors never
+   * ride the scan: they come back by id for `refine·k` rows per query
+   * ([[Pq.pqTopK]]'s refine shape). Ties break on `neighbor_id` both
+   * stages, so results are deterministic and engine-portable.
+   *
+   * `broadcastQueries = false` for corpus-sized query batches (see
+   * [[joinQueries]]).
+   */
+  def binaryTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      refine: Int = 4,
+      broadcastQueries: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val q = queries.select(col(idCol).as("q_id"), signBits(col(vecCol)).as("q_code"))
+    val c = spread(corpus.select(col(idCol).as("c_id"), signBits(col(vecCol)).as("c_code")))
+    val cand = crossQueries(q, c, broadcastQueries)
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        hammingDist(col("q_code"), col("c_code")).as("hamming"))
+      .withColumn("hrank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming"), col("neighbor_id"))))
+      .filter(col("hrank") <= k.toLong * refine)
+    cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v")),
+        Seq("neighbor_id"))
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v")),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        Similarity.cosine(col("q_v"), col("c_v")).as("sim"))
+      .withColumn("rank", rankCol(col("sim")))
+      .filter(col("rank") <= k)
+  }
+
   /** Residual view of a vector table: `vecCol` ↦ v − centroid(best
    * coarse cell) — the training input for an IVFADC codebook
    * ([[trainCodebook]] on this frame, then `ivfPqTopK(residual = true)`

@@ -312,4 +312,95 @@ object Sketches {
         },
         acc => acc.getField("q")).as("q_approx")): _*)
   }
+
+  // --------------------------------- heavy hitters (Misra-Gries summary)
+
+  /**
+   * Mergeable MISRA-GRIES summary over string keys: at most `c` (key,
+   * residual) counters. The reduce step is the classic stream update
+   * (hit → +1; miss with room → insert; miss when full → decrement all,
+   * drop zeros); the merge step sums two summaries and subtracts the
+   * (c+1)-th largest residual (Agarwal et al., "Mergeable Summaries",
+   * PODS 2012) — so the summary survives arbitrary partitioning/merge
+   * trees with total error ≤ N/(c+1): **every key with true frequency
+   * > N/(c+1) is guaranteed present** in the final map. Residuals (and
+   * hence the map) are order-dependent; [[heavyHitters]] makes the final
+   * answer deterministic with an exact recount.
+   */
+  class MisraGries(c: Int) extends org.apache.spark.sql.expressions.Aggregator[
+      String, scala.collection.mutable.HashMap[String, Long], Map[String, Long]] {
+    type Buf = scala.collection.mutable.HashMap[String, Long]
+    override def zero: Buf = scala.collection.mutable.HashMap.empty
+    override def reduce(b: Buf, k: String): Buf = {
+      if (k != null) {
+        b.get(k) match {
+          case Some(v) => b.update(k, v + 1)
+          case None if b.size < c => b.update(k, 1L)
+          case None =>
+            // decrement-all: amortized O(1) per input (each decrement
+            // cancels one prior increment), worst-case O(c) per miss
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            b.keysIterator.foreach { key =>
+              val v = b(key) - 1
+              if (v <= 0) dead += key else b.update(key, v)
+            }
+            dead.foreach(b.remove)
+        }
+      }
+      b
+    }
+    override def merge(a: Buf, b: Buf): Buf = {
+      b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
+      if (a.size > c) {
+        // subtract the (c+1)-th largest residual; everything ≤ it drops,
+        // leaving ≤ c survivors (deterministic given the merged map)
+        val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(c)
+        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+        a.keysIterator.foreach { key =>
+          val v = a(key) - cut
+          if (v <= 0) dead += key else a.update(key, v)
+        }
+        dead.foreach(a.remove)
+      }
+      a
+    }
+    override def finish(b: Buf): Map[String, Long] = b.toMap
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /**
+   * EXACT heavy hitters over an unbounded key domain in two passes —
+   * every key whose frequency strictly exceeds `N/k`, with its exact
+   * count and integer ppm share. Pass 1 is ONE Misra-Gries aggregation
+   * (bounded `counters`-entry state per task, merged pairwise — the row
+   * count rides the same pass) whose map is a GUARANTEED superset of the
+   * qualifying keys (requires `counters ≥ k − 1`; default `2k` for
+   * margin). Pass 2 recounts ONLY the ≤ `counters` candidate keys: the
+   * candidate set broadcasts, the count aggregation map-side-combines,
+   * and the full key domain never shuffles — the point at 100 TB, where
+   * a plain `groupBy(key)` would shuffle billions of distinct keys to
+   * answer a question about the top handful. Deterministic despite MG's
+   * order-dependent residuals: the recount is exact, so the output is
+   * exactly "keys with cnt·k > N" regardless of partitioning.
+   */
+  def heavyHitters(df: DataFrame, key: Column, k: Int,
+      counters: Int = 0): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val c = if (counters > 0) counters else 2 * k
+    require(c >= k - 1, s"counters must be >= k-1 for the superset " +
+      s"guarantee, got $c vs k=$k")
+    val keyed = df.select(key.cast("string").as("key"))
+    val mg = udaf(new MisraGries(c))
+    val cand = keyed.agg(mg(col("key")).as("m"), count(lit(1)).as("total"))
+      .select(explode(map_keys(col("m"))).as("key"), col("total"))
+    keyed.join(broadcast(cand), Seq("key"))
+      .groupBy(col("key"), col("total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(k.toLong) > col("total"))
+      .select(col("key"), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_ppm"))
+  }
 }
