@@ -1051,6 +1051,29 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // engine-portable Bloom bitset (32-bit words, MD5 positions): the
+    // sparse word table a benchmark fingerprint set ORs into — bit-exact
+    // cross-engine, mergeable by bit_or per word
+    "q133_bloom_sketch" -> ((s, dir) => {
+      import graft.data.Sketches
+      val fp = t(s, dir, "documents").filter(col("doc_id") % 17 === 3)
+        .select(T.fingerprint(col("text")).as("fp")).distinct()
+      Sketches.bloomSketch(fp, col("fp"), mBits = 8192, kHashes = 4)
+        .orderBy(col("word_idx"))
+    }),
+    // bloom-GUARDED exact decontamination: broadcast 8KB bitset screens
+    // the corpus map-side, only bloom hits enter the verify join; output
+    // identical to the plain semi-join by construction
+    "q134_bloom_decon" -> ((s, dir) => {
+      import graft.data.Corpus
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 17 === 3).select(col("text"))
+      Corpus.decontaminateExact(docs, "doc_id", "text", bench)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("contaminated").cast("long")).as("n_contaminated"))
+        .orderBy(col("source"))
+    }),
     // exact heavy hitters without shuffling the key domain: one
     // Misra-Gries pass (bounded state, guaranteed-superset candidates)
     // + an exact recount of <= 2k candidate keys; skew planted so the
@@ -3392,6 +3415,26 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q133_bloom_sketch" ->
+      s"""WITH fp AS (SELECT DISTINCT
+         |    ${h60Sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS fp
+         |  FROM documents WHERE doc_id % 17 = 3),
+         |pos AS (SELECT
+         |    ${h60Sql("concat('bloom:', CAST(i AS VARCHAR), ':', CAST(fp AS VARCHAR))")} % 8192 AS pos
+         |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS i))
+         |SELECT pos // 32 AS word_idx,
+         |  bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+         |FROM pos GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q134_bloom_decon" ->
+      s"""WITH bfp AS (SELECT DISTINCT
+         |    ${h60Sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS fp
+         |  FROM documents WHERE doc_id % 17 = 3)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN
+         |    ${h60Sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")}
+         |    IN (SELECT fp FROM bfp) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q132_heavy_hitters" ->
       s"""WITH keyed AS (SELECT CASE WHEN event_id % 3 < 2
          |    THEN 'hot' || CAST(event_id % 2 AS VARCHAR)

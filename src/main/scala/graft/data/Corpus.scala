@@ -166,6 +166,56 @@ object Corpus {
   }
 
   /**
+   * BLOOM-GUARDED exact-fingerprint decontamination: flag every corpus
+   * document whose normalized-text fingerprint appears in the benchmark
+   * set, with a broadcast Bloom bitset in front of the verify join.
+   * Semantics are IDENTICAL to the plain semi-join (Bloom filters never
+   * false-negative, and every bloom hit still verifies against the real
+   * fingerprint table — false positives die there), so an external
+   * oracle checks this as a plain anti/semi-join.
+   *
+   * Why the guard matters at 100 TB: the benchmark fingerprint TABLE
+   * (every eval suite ever ingested — easily 10⁷⁻⁸ rows) is too big to
+   * broadcast, so the naive spelling shuffles the whole corpus into a
+   * join whose hit rate is ~0. With the guard, the corpus-side scan
+   * probes a FIXED-size bitset ([[Sketches.bloomDense]], `mBits/8`
+   * bytes regardless of benchmark size) map-side; only the ~fp-rate
+   * fraction of rows enters the verify join, and the clean stream
+   * passes through with NO shuffle at all. Output: the corpus plus a
+   * `contaminated` flag.
+   */
+  def decontaminateExact(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String = "text",
+      mBits: Int = 65536,
+      kHashes: Int = 4): DataFrame = {
+    val benchFp = benchmark
+      .select(TextFunctions.fingerprint(col(benchTextCol)).as("__fp"))
+      .distinct()
+    val dense = Sketches.bloomDense(
+      Sketches.bloomSketch(benchFp, col("__fp"), mBits, kHashes), mBits)
+    val base = corpus
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .crossJoin(broadcast(dense))
+      .withColumn("__might",
+        Sketches.bloomMightContain(col("words"), col("__fp"), mBits, kHashes))
+      .drop("words")
+    val outCols = corpus.columns.map(col).toSeq :+ col("contaminated")
+    // misses are definitively clean — map-only, never shuffled
+    val clean = base.filter(!col("__might"))
+      .withColumn("contaminated", lit(false))
+    // bloom hits verify against the true fingerprint table (kills the
+    // ~(1-e^(-kN/m))^k false positives); join sized by the hit set
+    val verified = base.filter(col("__might"))
+      .join(benchFp.withColumn("__hit", lit(1)), Seq("__fp"), "left")
+      .withColumn("contaminated", col("__hit").isNotNull)
+    clean.select(outCols: _*).unionByName(verified.select(outCols: _*))
+  }
+
+  /**
    * Length-bucketed BATCH ASSIGNMENT — dynamic batching for training:
    * group documents of similar token count so per-batch padding (to the
    * longest member) stays bounded by the bucket granularity, instead of

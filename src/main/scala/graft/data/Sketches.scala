@@ -313,6 +313,64 @@ object Sketches {
         acc => acc.getField("q")).as("q_approx")): _*)
   }
 
+  // --------------------------------------- Bloom filter (portable bitset)
+
+  /** The `kHashes` MD5-derived bit positions of one value in an
+   * `mBits`-bit Bloom filter — independent salted [[TextFunctions.hash60]]
+   * draws mod m, so any engine with `md5()` reproduces the filter
+   * bit-for-bit. */
+  private def bloomPositions(value: Column, mBits: Int, kHashes: Int): Seq[Column] =
+    (0 until kHashes).map(i =>
+      pmod(TextFunctions.hash60(concat(lit(s"bloom:$i:"), value)),
+        lit(mBits.toLong)))
+
+  /**
+   * Engine-portable BLOOM bitset over `value`: each element sets
+   * `kHashes` positions in an `mBits`-bit filter stored as 32-BIT words
+   * (`word = bit_or(1 << (pos mod 32))` — word values stay < 2³¹, so a
+   * BIGINT-only engine reproduces them with no shift-overflow edge; a
+   * 64-bit spelling would need `1 << 63`, which signed-overflows
+   * differently across engines). Output is the SPARSE non-zero word
+   * table `(word_idx, word)`; two sketches union by `bit_or` per
+   * `word_idx` — add-only mergeable, same contract as the HLL
+   * registers. Shape: one map-combinable aggregation over k·N position
+   * rows; filter size is fixed (`mBits/32` words max) regardless of N.
+   */
+  def bloomSketch(df: DataFrame, value: Column, mBits: Int = 8192,
+      kHashes: Int = 4): DataFrame = {
+    require(mBits > 0 && mBits % 32 == 0,
+      s"mBits must be a positive multiple of 32, got $mBits")
+    require(kHashes >= 1, s"kHashes must be >= 1, got $kHashes")
+    df.select(explode(array(bloomPositions(value, mBits, kHashes): _*)).as("pos"))
+      .select(expr("pos div 32").as("word_idx"),
+        call_function("shiftleft", lit(1L),
+          pmod(col("pos"), lit(32L)).cast("int")).as("mask"))
+      .groupBy(col("word_idx"))
+      .agg(call_function("bit_or", col("mask")).as("word"))
+  }
+
+  /** Densify a sparse [[bloomSketch]] into ONE row `(words
+   * array<long>)` of length `mBits/32` — the broadcastable form a scan
+   * filter probes (8 KB at mBits = 2¹⁶; fixed size at any corpus). */
+  def bloomDense(sketch: DataFrame, mBits: Int): DataFrame =
+    sketch
+      .agg(map_from_entries(collect_list(
+        struct(col("word_idx"), col("word")))).as("m"))
+      .select(transform(sequence(lit(0L), lit(mBits / 32L - 1L)),
+        i => coalesce(element_at(col("m"), i), lit(0L))).as("words"))
+
+  /** Membership probe against a DENSE word array: true iff all `kHashes`
+   * bits are set. No false negatives ever; false-positive rate ≈
+   * `(1 − e^(−kN/m))^k`. */
+  def bloomMightContain(words: Column, value: Column, mBits: Int,
+      kHashes: Int): Column =
+    bloomPositions(value, mBits, kHashes).map { pos =>
+      val word = element_at(words, (shiftright(pos, 5) + 1L).cast("int"))
+      val mask = call_function("shiftleft", lit(1L),
+        pmod(pos, lit(32L)).cast("int"))
+      word.bitwiseAND(mask) =!= 0L
+    }.reduce(_ && _)
+
   // --------------------------------- heavy hitters (Misra-Gries summary)
 
   /**
