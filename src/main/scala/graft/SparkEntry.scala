@@ -1051,6 +1051,33 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // SFT ingest: chat-template render (map-only) + loss-masked sequence
+    // packing — the response token interval [loss_start, loss_end) rides
+    // the same distributed prefix-sum layout as q71
+    "q136_sft_pack" -> ((s, dir) => {
+      import graft.data.Corpus
+      val sft = t(s, dir, "documents").select(col("doc_id"),
+        Corpus.chatPromptText(lit("you are a careful assistant"),
+          concat(lit("summarize: "), substring(col("text"), 1, 80))).as("p"),
+        Corpus.chatResponseText(col("text")).as("r"))
+      Corpus.packWithLossMask(
+          sft.withColumn("pt", Corpus.chatTokenCount(col("p")))
+            .withColumn("rt", Corpus.chatTokenCount(col("r"))),
+          "doc_id", col("pt"), col("rt"), contextLen = 1024)
+        .orderBy(col("doc_id"))
+    }),
+    // SCD-2 dimension history from a change log: no-op updates dropped,
+    // [valid_from, valid_to) intervals per key version, one keyed shuffle
+    "q135_scd2" -> ((s, dir) => {
+      import graft.data.Relational
+      Relational.scd2(
+          events(s, dir).select(col("user_id"), col("event_id"), col("event_type")),
+          keyCols = Seq("user_id"), orderCol = "event_id",
+          attrCols = Seq("event_type"))
+        .select(col("user_id"), col("valid_from"), col("valid_to"),
+          col("event_type"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
     // engine-portable Bloom bitset (32-bit words, MD5 positions): the
     // sparse word table a benchmark fingerprint set ORs into — bit-exact
     // cross-engine, mergeable by bit_or per word
@@ -3415,6 +3442,49 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q136_sft_pack" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    concat('<|system|>', chr(10), 'you are a careful assistant',
+         |      chr(10), '<|user|>', chr(10), 'summarize: ',
+         |      substr(text, 1, 80), chr(10), '<|assistant|>', chr(10)) AS p,
+         |    concat(text, chr(10), '<|end|>') AS r
+         |  FROM documents),
+         |t AS (SELECT doc_id,
+         |    CAST(len(list_filter(regexp_split_to_array(p, '\\s+'),
+         |      t -> t <> '')) AS BIGINT) AS prompt_tokens,
+         |    CAST(len(list_filter(regexp_split_to_array(r, '\\s+'),
+         |      t -> t <> '')) AS BIGINT) AS resp_tokens
+         |  FROM s),
+         |p2 AS (SELECT doc_id, prompt_tokens, resp_tokens,
+         |    prompt_tokens + resp_tokens AS n_tokens,
+         |    CAST(coalesce(sum(prompt_tokens + resp_tokens) OVER
+         |      (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |        1 PRECEDING), 0) AS BIGINT) AS tok_start
+         |  FROM t)
+         |SELECT doc_id, prompt_tokens, resp_tokens, n_tokens, tok_start,
+         |  tok_start + n_tokens AS tok_end,
+         |  tok_start + prompt_tokens AS loss_start,
+         |  tok_start + n_tokens AS loss_end,
+         |  tok_start // 1024 AS pack_first,
+         |  CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 1024
+         |       ELSE tok_start // 1024 - 1 END AS pack_last,
+         |  CASE WHEN n_tokens > 0
+         |       THEN (tok_start + n_tokens - 1) // 1024 - tok_start // 1024 + 1
+         |       ELSE 0 END AS n_packs
+         |FROM p2 ORDER BY doc_id""".stripMargin,
+    "q135_scd2" ->
+      s"""WITH chg AS (SELECT user_id, event_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+         |      AS prev
+         |  FROM events)
+         |SELECT user_id, event_id AS valid_from,
+         |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+         |    AS valid_to,
+         |  event_type,
+         |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+         |    IS NULL AS is_current
+         |FROM chg WHERE prev IS NULL OR prev <> event_type
+         |ORDER BY user_id, valid_from""".stripMargin,
     "q133_bloom_sketch" ->
       s"""WITH fp AS (SELECT DISTINCT
          |    ${h60Sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS fp

@@ -109,6 +109,77 @@ object Corpus {
   }
 
   /**
+   * Minimal chat TEMPLATE — the SFT-ingest front door: assemble
+   * (system, user, assistant) turns into the model's training string.
+   * Split into the PROMPT region (role markers + system + user + the
+   * assistant header — everything the loss is masked on) and the
+   * RESPONSE region (assistant text + end marker — the tokens trained
+   * on), so [[packWithLossMask]] gets its two token counts from the
+   * same strings the model will see. Pure string concat: map-only at
+   * any scale, and mirrorable in ANSI SQL. The prompt part ends in a
+   * newline, so whitespace tokenization of prompt ⊕ response equals
+   * tokenization of [[renderChat]] — counts add up exactly.
+   */
+  def chatPromptText(system: org.apache.spark.sql.Column,
+      user: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("<|system|>\n"), system, lit("\n<|user|>\n"), user,
+      lit("\n<|assistant|>\n"))
+
+  /** Response region of the chat template: assistant turn + end marker. */
+  def chatResponseText(
+      assistant: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(assistant, lit("\n<|end|>"))
+
+  /** Full rendered chat example = prompt region ⊕ response region. */
+  def renderChat(system: org.apache.spark.sql.Column,
+      user: org.apache.spark.sql.Column,
+      assistant: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(chatPromptText(system, user), chatResponseText(assistant))
+
+  /** Whitespace token count for chat regions, EMPTY-TOKEN-DROPPING:
+   * `trim` (here and in every ANSI mirror) strips only spaces, so a
+   * region ending in the template's structural newline would otherwise
+   * count a phantom empty token at the split boundary — and
+   * `chatTokenCount(prompt) + chatTokenCount(response)` would not equal
+   * `chatTokenCount(rendered)`. Dropping empties restores exact
+   * additivity for any edge whitespace. */
+  def chatTokenCount(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0)).cast("long")
+
+  /**
+   * [[packSequences]] with an SFT LOSS MASK: each example contributes
+   * `prompt + resp` tokens to the global token axis, and the packed
+   * layout additionally carries the `[loss_start, loss_end)` interval —
+   * the response region, the only tokens the trainer computes loss on
+   * (prompt tokens are context, masked out). Same two-pass
+   * partition-offset prefix sum, same non-negative-count and zero-token
+   * contracts as [[packSequences]]; a zero-token RESPONSE yields an
+   * empty loss interval at the document's end (`loss_start ==
+   * loss_end`), which the loader skips naturally.
+   */
+  def packWithLossMask(docs: DataFrame, idCol: String,
+      promptTokens: org.apache.spark.sql.Column,
+      respTokens: org.apache.spark.sql.Column,
+      contextLen: Int): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive, got $contextLen")
+    val base = docs.select(col(idCol),
+        promptTokens.cast("long").as("prompt_tokens"),
+        respTokens.cast("long").as("resp_tokens"))
+      .withColumn("n_tokens", col("prompt_tokens") + col("resp_tokens"))
+    Relational.prefixSum(base, idCol, col("n_tokens"), "tok_start")
+      .withColumn("tok_end", col("tok_start") + col("n_tokens"))
+      .withColumn("loss_start", col("tok_start") + col("prompt_tokens"))
+      .withColumn("loss_end", col("tok_end"))
+      .withColumn("pack_first", expr(s"tok_start div $contextLen"))
+      .withColumn("pack_last",
+        when(col("n_tokens") > 0, expr(s"(tok_end - 1) div $contextLen"))
+          .otherwise(col("pack_first") - 1))
+      .withColumn("n_packs",
+        when(col("n_tokens") > 0,
+          col("pack_last") - col("pack_first") + 1).otherwise(lit(0L)))
+  }
+
+  /**
    * Token-window CHUNKING — the RAG-ingest twin of [[packSequences]]:
    * instead of packing documents head-to-tail into fixed batches, each
    * document is cut into overlapping `chunkTokens`-token windows

@@ -245,6 +245,44 @@ object Relational {
         .cast("long"))
   }
 
+  /**
+   * SCD TYPE-2 history build: collapse a change log `(key, order,
+   * attrs…)` into versioned rows with `[valid_from, valid_to)` intervals
+   * — the dimension-table twin of `Warehouse.mergeUpsert` (which keeps
+   * only the latest version, SCD-1). Consecutive log rows whose tracked
+   * attributes are unchanged are dropped (no-op updates don't open a new
+   * version); each surviving row is valid from its own `orderCol` until
+   * the NEXT change of the same key (`valid_to` null = current,
+   * `is_current` true).
+   *
+   * Change detection compares an attribute fingerprint via `lag` —
+   * null-safe through a `\u0000` sentinel (null ≠ any value, null = null
+   * — SQL `IS DISTINCT FROM` semantics). `orderCol` must be unique per
+   * key (a change log with two states at the same instant has no
+   * well-defined history — same contract every SCD2 builder imposes).
+   *
+   * Scale shape: ONE shuffle on the key; both windows (lag fingerprint,
+   * lead valid_to) sort per key-partition and spill locally — no global
+   * window, no self-join, no collect. 100 TB of change log with a sane
+   * key cardinality parallelizes on the key hash.
+   */
+  def scd2(log: DataFrame, keyCols: Seq[String], orderCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty,
+      "scd2 needs at least one key column and one tracked attribute")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val fpr = concat_ws("\u0001",
+      attrCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    log
+      .withColumn("__fpr", fpr)
+      .withColumn("__prev", lag(col("__fpr"), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("__fpr"))
+      .withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__fpr", "__prev")
+  }
+
   def prefixSum(df: DataFrame, orderCol: String, valueCol: Column,
       outCol: String): DataFrame = {
     val pid = "__prefix_pid"
