@@ -268,9 +268,25 @@ object Corpus {
       .distinct()
     val dense = Sketches.bloomDense(
       Sketches.bloomSketch(benchFp, col("__fp"), mBits, kHashes), mBits)
+    decontaminateExactGuarded(corpus, idCol, textCol, benchFp, dense,
+      mBits, kHashes)
+  }
+
+  /** [[decontaminateExact]] against a PRE-BUILT benchmark — `benchFp`
+   * (one `__fp` long column) and its dense bloom word row — the form the
+   * streaming hot-reload twin probes
+   * ([[saveBenchmarkVersioned]] publishes both). */
+  def decontaminateExactGuarded(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchFp: DataFrame,
+      dense: DataFrame,
+      mBits: Int,
+      kHashes: Int): DataFrame = {
     val base = corpus
       .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
-      .crossJoin(broadcast(dense))
+      .crossJoin(broadcast(dense.select(col("words"))))
       .withColumn("__might",
         Sketches.bloomMightContain(col("words"), col("__fp"), mBits, kHashes))
       .drop("words")
@@ -284,6 +300,34 @@ object Corpus {
       .join(benchFp.withColumn("__hit", lit(1)), Seq("__fp"), "left")
       .withColumn("contaminated", col("__hit").isNotNull)
     clean.select(outCols: _*).unionByName(verified.select(outCols: _*))
+  }
+
+  /**
+   * Publish a decontamination BENCHMARK as an immutable version behind
+   * `dir/latest` ([[Versioned.publish]]): the distinct fingerprint table
+   * (`fp/`) plus its dense bloom word row (`bloom/`, stamped with
+   * `m_bits`/`k_hashes` so readers self-configure — parameter drift
+   * between publisher and prober is impossible). The bloom is built from
+   * the WRITTEN fingerprints (read back), so the two artifacts of a
+   * version are consistent by construction. The streaming twin
+   * (`StreamingMarket.deconWithBenchmarkRefresh`) polls `latest` and
+   * hot-reloads.
+   */
+  def saveBenchmarkVersioned(benchmark: DataFrame, benchTextCol: String,
+      dir: String, mBits: Int = 65536, kHashes: Int = 4): Long = {
+    val spark = benchmark.sparkSession
+    Versioned.publish(spark, dir) { path =>
+      benchmark
+        .select(TextFunctions.fingerprint(col(benchTextCol)).as("__fp"))
+        .distinct()
+        .write.parquet(s"$path/fp")
+      val fp = spark.read.parquet(s"$path/fp")
+      Sketches.bloomDense(
+          Sketches.bloomSketch(fp, col("__fp"), mBits, kHashes), mBits)
+        .withColumn("m_bits", lit(mBits))
+        .withColumn("k_hashes", lit(kHashes))
+        .write.parquet(s"$path/bloom")
+    }
   }
 
   /**

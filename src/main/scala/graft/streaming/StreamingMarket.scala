@@ -199,6 +199,52 @@ object StreamingMarket {
   }
 
   /**
+   * Streaming DECONTAMINATION with a versioned benchmark hot-reload —
+   * the streaming face of [[graft.data.Corpus.decontaminateExact]]: each
+   * micro-batch is bloom-guard-screened map-side (the 8 KB dense word
+   * row re-broadcasts per batch) and only bloom hits enter the exact
+   * fingerprint verify, while the eval team republishes the benchmark
+   * ([[graft.data.Corpus.saveBenchmarkVersioned]]) on its own cadence —
+   * picked up between micro-batches with NO restart, same
+   * version-pointer poll as [[dedupWithStoreRefresh]].
+   *
+   * The bloom's `m_bits`/`k_hashes` are read from the published
+   * artifact's metadata columns (one 1-row driver read per RELOAD, not
+   * per batch), so the prober always matches the publisher's geometry.
+   * `pruneKeep` GCs superseded versions after a switch, anchored on the
+   * loaded version ([[graft.data.Versioned.pruneVersions]]).
+   */
+  def deconWithBenchmarkRefresh(
+      docs: DataFrame,
+      benchDir: String,
+      idCol: String,
+      textCol: String,
+      pruneKeep: Option[Int] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // driver closure state: (version, fp table, dense bloom, m, k)
+    var loaded: Option[(Long, DataFrame, DataFrame, Int, Int)] = None
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      graft.data.Versioned.latestVersion(spark, benchDir).foreach { v =>
+        if (!loaded.exists(_._1 == v)) {
+          val fp = spark.read.parquet(s"$benchDir/v$v/fp")
+          val bloom = spark.read.parquet(s"$benchDir/v$v/bloom")
+          val meta = bloom.select(col("m_bits"), col("k_hashes")).head()
+          loaded = Some((v, fp, bloom, meta.getInt(0), meta.getInt(1)))
+          pruneKeep.foreach(keep =>
+            graft.data.Versioned.pruneVersions(spark, benchDir, keep, Some(v)))
+        }
+      }
+      val (_, fp, bloom, m, k) = loaded.getOrElse(
+        throw new IllegalStateException(
+          s"no benchmark published under $benchDir — publish one with " +
+            "Corpus.saveBenchmarkVersioned"))
+      sink(graft.data.Corpus.decontaminateExactGuarded(batch, idCol,
+        textCol, fp, bloom, m, k), batchId)
+    }
+  }
+
+  /**
    * Streaming twin of [[graft.data.Corpus.prepare]]: the stateless stages
    * (C4 filter/clean, PII redaction, language/quality tagging, split
    * labels) run unchanged on a stream — they are narrow projections —

@@ -754,4 +754,45 @@ class StreamingMarketSpec extends SparkSpec {
     assert(a.length == b.length && a.length > 40)
     assert(a.sameElements(b))
   }
+
+  test("deconWithBenchmarkRefresh: bloom-guarded exact flags; republish applies next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.data.{Corpus, Versioned}
+    val dir = java.nio.file.Files.createTempDirectory("bench_bloom").toString
+    // benchmark v1 holds question A (small bloom to prove geometry rides
+    // the artifact metadata, not the prober's defaults)
+    assert(Corpus.saveBenchmarkVersioned(
+      Seq("held out question alpha").toDF("text"), "text", dir,
+      mBits = 2048, kHashes = 3) === 1L)
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val input = MemoryStream[(Long, String)]
+    val q = deconWithBenchmarkRefresh(input.toDF().toDF("doc_id", "text"),
+        dir, "doc_id", "text", pruneKeep = Some(0)) { (out, batchId) =>
+      results ++= out.select(col("doc_id"), col("contaminated")).collect()
+        .map(r => (batchId, r.getLong(0), r.getBoolean(1)))
+    }.start()
+
+    // batch 0: A contaminated (case/ws-insensitive), B clean
+    input.addData((1L, "HELD  OUT question ALPHA"), (2L, "held out question beta"))
+    q.processAllAvailable()
+    assert(results.collect { case (0L, id, c) => (id, c) }.toSet ===
+      Set((1L, true), (2L, false)))
+
+    // offline republish with question B added; picked up next batch
+    assert(Corpus.saveBenchmarkVersioned(
+      Seq("held out question alpha", "held out question beta").toDF("text"),
+      "text", dir, mBits = 2048, kHashes = 3) === 2L)
+    input.addData((3L, "held out question beta"), (4L, "still clean text"))
+    q.processAllAvailable()
+    q.stop()
+    assert(results.collect { case (1L, id, c) => (id, c) }.toSet ===
+      Set((3L, true), (4L, false)))
+    // pruneKeep = 0: v1 GC'd after the swap
+    val onDisk = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v")).toSet
+    assert(onDisk === Set("v2"), onDisk.toString)
+    assert(Versioned.latestVersion(spark, dir) === Some(2L))
+  }
 }
