@@ -3538,7 +3538,7 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
       s"""WITH sh AS (
          |  SELECT doc_id AS id, unnest(list_distinct(
          |      list_transform(range(1, len(toks)-1),
-         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS tok
+         |        i -> ${h28Sql("concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])")}))) AS tok
          |  FROM (SELECT doc_id, $tokSql AS toks FROM documents)
          |  WHERE len(toks) >= 3),
          |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),

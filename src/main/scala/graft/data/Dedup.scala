@@ -445,10 +445,12 @@ object Dedup {
    *
    * Output: `(id_a, id_b, jaccard_ppm)` with `id_a < id_b`,
    * `jaccard_ppm = i·10⁶ div (n_a + n_b − i)` ≥ `thresholdPpm`.
-   * `shingleN = 1` compares distinct word sets; `n ≥ 2` distinct word
-   * n-gram shingle sets (the near-dup-discriminative choice — unigram
-   * sets of same-domain documents overlap heavily regardless of
-   * duplication).
+   * `shingleN = 1` compares distinct (hashed) word sets; `n ≥ 2`
+   * distinct word n-gram shingle sets (the near-dup-discriminative
+   * choice — unigram sets of same-domain documents overlap heavily
+   * regardless of duplication). Units are 28-bit MD5 hashes
+   * ([[TextFunctions.hash28]]) — see the in-body note; the global
+   * prefix order is (document frequency asc, hash asc).
    */
   def jaccardThresholdPairs(
       docs: DataFrame,
@@ -459,37 +461,59 @@ object Dedup {
     require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
       s"thresholdPpm must be in (0, 1000000], got $thresholdPpm")
     require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    // work on 28-BIT SHINGLE HASHES (the native shingle_hashes kernel),
+    // not shingle strings: every downstream step — the frequency agg,
+    // the rank window, the prefix self-join, the verify intersection —
+    // moves longs through codegen'd operators instead of dragging
+    // ~25-char UTF8 strings through interpreted HOFs (the string
+    // spelling measured ~10× slower end-to-end at sf0.1). Same
+    // set-semantics contract as [[minhashNearDups]]'s exact-Jaccard
+    // verify: similarity is over the distinct HASHED unit set, and any
+    // md5-capable engine reproduces it bit-for-bit.
     val units =
-      if (shingleN <= 1) tokens(col(textCol))
-      else wordShingles(tokens(col(textCol)), shingleN)
+      if (shingleN <= 1)
+        sort_array(array_distinct(transform(tokens(col(textCol)), t => hash28(t))))
+      else shingleHashes(col(textCol), shingleN)
     val toks0 = repartitioned(docs)
-      .select(col(idCol).as("id"), array_distinct(units).as("toks"))
+      .select(col(idCol).as("id"), units.as("toks"))
       .filter(size(col("toks")) > 0)
     val dfreq = toks0.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // rarest-first order per doc: sort (df, tok) structs, strip to tokens
-    val ordered = toks0.select(col("id"), explode(col("toks")).as("tok"))
+    // rarest-first rank per doc via a keyed WINDOW (row_number over
+    // (df, tok)) — stays in whole-stage codegen, no array agg / sort_array
+    // materialization; n rides the same window partition
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("tok"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    // prefix = ranks 1 .. n − ⌈t·n⌉ + 1 (⌈·⌉ in exact integer ppm; ≥ 1).
+    // localCheckpoint: BOTH self-join sides and nothing else read this —
+    // without the cut, the tokenize→freq-join→window chain (and the
+    // freq aggregation under it) executes once per side.
+    val prefixed = toks0.select(col("id"), explode(col("toks")).as("tok"))
       .join(dfreq, Seq("tok"))
-      .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
-          s => s.getField("tok")).as("toks"),
-        count(lit(1)).as("n"))
-    // prefix length n − ⌈t·n⌉ + 1 (⌈·⌉ in exact integer ppm; ≥ 1 always)
-    val prefixed = ordered
-      .withColumn("plen",
+      .select(col("id"), col("tok"),
+        row_number().over(w).as("__rank"),
+        count(lit(1)).over(wn).as("n"))
+      .filter(col("__rank") <=
         col("n") - expr(s"($thresholdPpm * n + 999999) div 1000000") + 1)
-      .select(col("id"), col("n"),
-        explode(expr("slice(toks, 1, plen)")).as("ptok"))
+      .select(col("id"), col("n"), col("tok").as("ptok"))
+      .localCheckpoint(false)
     val candA = prefixed
       .select(col("ptok"), col("id").as("id_a"), col("n").as("n_a"))
     val candB = prefixed
       .select(col("ptok"), col("id").as("id_b"), col("n").as("n_b"))
-    val cand = candA.join(candB, Seq("ptok"))
+    // shuffle-hash on the (rare-by-construction) prefix token — never
+    // broadcast: each side is a corpus-sized projection
+    val cand = candA.hint("shuffle_hash").join(candB, Seq("ptok"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("n_a"), col("n_b")) * lit(1000000L) >=
         lit(thresholdPpm) * greatest(col("n_a"), col("n_b")))
       .select(col("id_a"), col("id_b"))
       .distinct()
+      // candidate rows are BYTE-small (two longs) but WORK-heavy (a set
+      // intersection each): AQE's size-based coalesce would funnel them
+      // onto one task — spread the verify explicitly (measured 3×)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     // exact verify: token sets come BACK by id (cheap map-side re-tokenize,
     // no second pass through the frequency join)
     val setsA = toks0.select(col("id").as("id_a"), col("toks").as("t_a"),

@@ -30,12 +30,16 @@ class PpjoinSpec extends SparkSpec {
     (bases ++ dups ++ edge).toDF("doc_id", "text")
   }
 
-  /** Quadratic ground truth with the same unit/threshold arithmetic. */
+  /** Quadratic ground truth with the same (hashed) units and threshold
+   * arithmetic — spelled via the COMPOSABLE hash twins, so this also
+   * pins native-kernel/composable equivalence. */
   private def brute(thresholdPpm: Long, shingleN: Int): Set[(Long, Long, Long)] = {
     val units =
-      if (shingleN <= 1) TextFunctions.tokens(col("text"))
-      else Dedup.wordShingles(TextFunctions.tokens(col("text")), shingleN)
-    val sets = docs.select(col("doc_id").as("id"), array_distinct(units).as("t"))
+      if (shingleN <= 1)
+        array_distinct(transform(TextFunctions.tokens(col("text")),
+          t => TextFunctions.hash28(t)))
+      else Dedup.shingleHashesComposable(col("text"), shingleN)
+    val sets = docs.select(col("doc_id").as("id"), units.as("t"))
       .filter(size(col("t")) > 0)
     val a = sets.select(col("id").as("id_a"), col("t").as("t_a"))
     val b = sets.select(col("id").as("id_b"), col("t").as("t_b"))
