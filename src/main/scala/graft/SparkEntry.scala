@@ -1051,6 +1051,36 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // quality-aware survivor selection: keep the BEST cluster member
+    // (here: longest text, then max id), not the min id — dups planted
+    // by copying every %7==0 doc's text onto its %7==3 neighbor
+    "q138_best_survivor" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val donors = base.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("donor_id"), col("text").as("donor_text"))
+      val planted = base
+        .join(donors,
+          col("doc_id") % 7 === 3 && col("doc_id") - 3 === col("donor_id"),
+          "left")
+        .select(col("doc_id"),
+          coalesce(col("donor_text"), col("text")).as("text"))
+      val clusters = planted.select(col("doc_id").as("id"),
+        T.fingerprint(col("text")).as("cluster"))
+      Dedup.deduplicateBest(planted, "doc_id", clusters,
+          Seq(length(col("text")).desc, col("doc_id").desc))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+    // collocation mining (word2vec-phrases score): discounted bigram
+    // lift in overflow-safe exact integer ppm; two count aggs + two
+    // word-keyed joins, nothing quadratic
+    "q137_collocations" -> ((s, dir) => {
+      import graft.data.Corpus
+      Corpus.collocations(t(s, dir, "documents"), "text",
+          minCount = 20L, minScorePpm = 0L, discount = 5L)
+        .orderBy(col("score_ppm").desc, col("w1"), col("w2"))
+        .limit(30)
+    }),
     // SFT ingest: chat-template render (map-only) + loss-masked sequence
     // packing — the response token interval [loss_start, loss_end) rides
     // the same distributed prefix-sum layout as q71
@@ -3442,6 +3472,33 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q138_best_survivor" ->
+      s"""WITH planted AS (
+         |  SELECT d1.doc_id, coalesce(d2.text, d1.text) AS text
+         |  FROM documents d1 LEFT JOIN documents d2
+         |    ON d1.doc_id % 7 = 3 AND d2.doc_id = d1.doc_id - 3),
+         |fp AS (SELECT doc_id, text,
+         |    ${h60Sql("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS f
+         |  FROM planted),
+         |rk AS (SELECT doc_id, row_number() OVER (PARTITION BY f
+         |    ORDER BY length(text) DESC, doc_id DESC) AS r FROM fp)
+         |SELECT doc_id FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin,
+    "q137_collocations" ->
+      s"""WITH t AS (SELECT $tokSql AS toks FROM documents),
+         |uni AS (SELECT unnest(toks) AS w FROM t),
+         |uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM uni),
+         |bi0 AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || chr(1) || toks[i+1])) AS bg
+         |  FROM t WHERE len(toks) >= 2),
+         |bc AS (SELECT split_part(bg, chr(1), 1) AS w1,
+         |    split_part(bg, chr(1), 2) AS w2, count(*) AS c_pair
+         |  FROM bi0 GROUP BY bg HAVING count(*) >= 20)
+         |SELECT w1, w2, c_pair,
+         |  ((c_pair - 5) * 1000000 // c1.c_w) * n_total // c2.c_w AS score_ppm
+         |FROM bc JOIN uc c1 ON c1.w = w1 JOIN uc c2 ON c2.w = w2, tot
+         |WHERE c_pair > 5
+         |ORDER BY score_ppm DESC, w1, w2 LIMIT 30""".stripMargin,
     "q136_sft_pack" ->
       s"""WITH s AS (SELECT doc_id,
          |    concat('<|system|>', chr(10), 'you are a careful assistant',

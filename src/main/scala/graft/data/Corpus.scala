@@ -303,6 +303,57 @@ object Corpus {
   }
 
   /**
+   * COLLOCATION / phrase mining (the word2vec-phrases construction,
+   * Mikolov et al. 2013 §4): adjacent token pairs scored by discounted
+   * lift `(c_ab − δ) · N / (c_a · c_b)` — a bigram far above its
+   * unigram-independence expectation is a phrase ("new york"), and the
+   * top phrases become merge candidates for a phrase vocabulary.
+   *
+   * All integer, engine-exact, and OVERFLOW-SAFE by spelling: the score
+   * is computed as `((c_ab − δ) · 10⁶ div c_a) · N div c_b` — the first
+   * factor is ≤ 10⁶ (c_ab ≤ c_a), so the second product stays in range
+   * for any corpus with N < 2⁶³/10⁶ ≈ 9·10¹² tokens; the naive
+   * `c_ab·N·10⁶` spelling overflows at ~10¹³-token corpora. The two-step
+   * floor division is part of the contract (documented, mirrored by the
+   * oracle), not an approximation of some other number.
+   *
+   * Scale shape: one map-combinable bigram count, one unigram count,
+   * two small joins keyed on the words, a 1-row total cross-joined
+   * back. No window, nothing quadratic.
+   *
+   * Output: `(w1, w2, c_pair, score_ppm)` for pairs with `c_pair ≥
+   * minCount` and score ≥ `minScorePpm`.
+   */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 5L,
+      minScorePpm: Long = 0L, discount: Long = 0L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = docs.select(TextFunctions.tokens(col(textCol)).as("__t"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val uni = toks.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val total = uni.agg(sum(col("c_w")).as("n_total"))
+    val bi = toks
+      .select(explode(when(size(col("__t")) >= 2,
+        transform(sequence(lit(0), size(col("__t")) - 2), i =>
+          struct(element_at(col("__t"), i.cast("int") + 1).as("w1"),
+            element_at(col("__t"), i.cast("int") + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minCount)
+    bi
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .filter(col("c_pair") > lit(discount))
+      .select(col("w1"), col("w2"), col("c_pair"),
+        expr(s"((c_pair - $discount) * 1000000 div c_1) * n_total div c_2")
+          .as("score_ppm"))
+      .filter(col("score_ppm") >= minScorePpm)
+  }
+
+  /**
    * Publish a decontamination BENCHMARK as an immutable version behind
    * `dir/latest` ([[Versioned.publish]]): the distinct fingerprint table
    * (`fp/`) plus its dense bloom word row (`bloom/`, stamped with

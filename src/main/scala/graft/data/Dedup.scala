@@ -619,6 +619,33 @@ object Dedup {
   }
 
   /**
+   * Survivor selection with an explicit QUALITY PREFERENCE: keep the
+   * best member of each duplicate cluster by `order` (append an id
+   * tie-breaker for determinism), not the min id — the production
+   * policy when near-dups differ in cleanliness (same article, one copy
+   * with boilerplate) and "first crawled" is the wrong winner.
+   *
+   * `clusters` is any `(id, cluster)` assignment — [[connectedComponents]]
+   * over near-dup pairs, or a fingerprint groupBy for exact dups. Docs
+   * without a cluster row are unpaired and always survive. Plan shape:
+   * one join docs→clusters sized by the CLUSTERED docs (left join keyed
+   * on id), a per-cluster `row_number` window over cluster members only,
+   * and the anti-join drop list sized by the duplicates.
+   */
+  def deduplicateBest(docs: DataFrame, idCol: String, clusters: DataFrame,
+      order: Seq[Column]): DataFrame = {
+    require(order.nonEmpty, "pass at least one preference column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(order: _*)
+    val drop = docs
+      .join(clusters.select(col("id").as(idCol), col("cluster")), Seq(idCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .select(col(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /**
    * One-call corpus shrink: exact-duplicate removal (normalized
    * fingerprint, keeps min id per fingerprint) followed by MinHash-LSH
    * near-dup clustering and survivor selection. With `maxHamming ≥ 0`

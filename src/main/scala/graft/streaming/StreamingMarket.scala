@@ -199,6 +199,43 @@ object StreamingMarket {
   }
 
   /**
+   * Streaming HEAVY-HITTER monitor — the live "which keys dominate the
+   * stream" panel with BOUNDED state at every level: each micro-batch
+   * reduces to its own `counters`-entry Misra-Gries summary via the
+   * distributed aggregator (partial summaries merge inside the batch
+   * job; ONE small row reaches the driver), and the driver folds batch
+   * summaries into a running summary with the mergeable-summaries merge
+   * — MG's guarantee composes over the merge tree, so after ANY stream
+   * prefix every key with true frequency > N/(counters+1) is present.
+   * Driver state: one `counters`-entry map + a long, forever.
+   *
+   * `sink` receives the candidate (key, residual) list (residuals
+   * UNDERESTIMATE true counts by ≤ N/(counters+1)), the total row count,
+   * and the batch id. Residuals are order-dependent (inherent to MG);
+   * for exact published numbers run the batch [[graft.data.Sketches.heavyHitters]]
+   * recount over the archived stream — same summary, exact second pass.
+   */
+  def heavyHitterMonitor(
+      events: DataFrame,
+      key: org.apache.spark.sql.Column,
+      counters: Int)(
+      sink: (Seq[(String, Long)], Long, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val merger = new graft.data.Sketches.MisraGries(counters)
+    var state = merger.zero
+    var total = 0L
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val mg = udaf(new graft.data.Sketches.MisraGries(counters))
+      val row = batch.select(key.cast("string").as("k"))
+        .agg(mg(col("k")).as("m"), count(lit(1)).as("n")).head()
+      val batchSummary = scala.collection.mutable.HashMap(
+        row.getMap[String, Long](0).toSeq: _*)
+      total += row.getLong(1)
+      state = merger.merge(state, batchSummary)
+      sink(state.toSeq.sortBy { case (k, v) => (-v, k) }, total, batchId)
+    }
+  }
+
+  /**
    * Streaming DECONTAMINATION with a versioned benchmark hot-reload —
    * the streaming face of [[graft.data.Corpus.decontaminateExact]]: each
    * micro-batch is bloom-guard-screened map-side (the 8 KB dense word

@@ -795,4 +795,36 @@ class StreamingMarketSpec extends SparkSpec {
     assert(onDisk === Set("v2"), onDisk.toString)
     assert(Versioned.latestVersion(spark, dir) === Some(2L))
   }
+
+  test("heavyHitterMonitor: bounded state, hot keys surface, totals exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(String, Long)], Long)]
+    val input = MemoryStream[String]
+    val q = heavyHitterMonitor(input.toDF().toDF("k"), col("k"),
+        counters = 6) { (cands, total, batchId) =>
+      snaps += ((batchId, cands, total))
+    }.start()
+
+    val b1 = Seq.fill(40)("hot") ++ (1 to 20).map(i => s"cold$i")
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    val b2 = Seq.fill(30)("hot") ++ Seq.fill(25)("warm") ++
+      (21 to 35).map(i => s"cold$i")
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // totals are exact rows-seen counts
+    assert(snaps.map(x => (x._1, x._3)).toList === List((0L, 60L), (1L, 130L)))
+    // bounded state: never more than `counters` candidates
+    assert(snaps.forall(_._2.size <= 6))
+    // MG guarantee over the whole prefix: any key with freq > N/(c+1)
+    // is present — hot (70 > 130/7) after batch 2; warm (25 > 18.6) too
+    val after2 = snaps.last._2.map(_._1).toSet
+    assert(after2.contains("hot") && after2.contains("warm"), after2.toString)
+    // residuals underestimate true counts by <= N/(c+1)
+    val res = snaps.last._2.toMap
+    assert(res("hot") <= 70L && res("hot") >= 70L - 130L / 7)
+  }
 }
