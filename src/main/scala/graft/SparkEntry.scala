@@ -1051,6 +1051,42 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // batch gap-sessionization (streaming session_window's exact twin):
+    // lag-boundary + per-key running sum, one keyed shuffle; per-session
+    // rollup with exact integer durations
+    "q139_sessionize" -> ((s, dir) => {
+      import graft.data.Events
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("ts_s"))
+      Events.sessionStats(
+          Events.sessionize(e, Seq("user_id"), "ts_s", gapSeconds = 1800L,
+            tieBreak = Seq(col("event_id"))),
+          Seq("user_id"), "ts_s")
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+    // ordered funnel: earliest signup -> click AFTER it -> purchase
+    // after that; per-step exact conversion ppm vs step 1
+    "q140_funnel" -> ((s, dir) => {
+      import graft.data.Events
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        col("ts").cast("long").as("ts_s"))
+      Events.funnelReport(
+          Events.funnel(e, Seq("user_id"), "ts_s", Seq(
+            "signup" -> (col("event_type") === "signup"),
+            "click" -> (col("event_type") === "click"),
+            "purchase" -> (col("event_type") === "purchase"))),
+          Seq("signup", "click", "purchase"))
+        .orderBy(col("step"))
+    }),
+    // retention cohorts: first-activity epoch-day buckets x age-days
+    // distinct-active matrix, all integer-exact day arithmetic
+    "q141_cohorts" -> ((s, dir) => {
+      import graft.data.Events
+      val e = events(s, dir).select(col("user_id"),
+        col("ts").cast("long").as("ts_s"))
+      Events.retentionCohorts(e, Seq("user_id"), "ts_s")
+        .orderBy(col("cohort_day"), col("age_days"))
+    }),
     // quality-aware survivor selection: keep the BEST cluster member
     // (here: longest text, then max id), not the min id — dups planted
     // by copying every %7==0 doc's text onto its %7==3 neighbor
@@ -3472,6 +3508,47 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q139_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+         |b AS (SELECT user_id, ts_s, event_id_order, CASE WHEN p IS NULL
+         |      OR ts_s - p > 1800 THEN 1 ELSE 0 END AS nb
+         |  FROM (SELECT user_id, ts_s, lag(ts_s) OVER
+         |      (PARTITION BY user_id ORDER BY ts_s, event_id) AS p,
+         |      event_id AS event_id_order FROM e) q),
+         |sess AS (SELECT user_id, ts_s, CAST(sum(nb) OVER (
+         |    PARTITION BY user_id ORDER BY ts_s, event_id_order
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS session_seq FROM b)
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |  min(ts_s) AS t_start, max(ts_s) AS t_end,
+         |  max(ts_s) - min(ts_s) AS duration_s
+         |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+    "q140_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+         |s1 AS (SELECT user_id, min(s) AS t1 FROM e
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(s) AS t2 FROM e JOIN s1 USING (user_id)
+         |  WHERE event_type = 'click' AND s > t1 GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(s) AS t3 FROM e JOIN s2 USING (user_id)
+         |  WHERE event_type = 'purchase' AND s > t2 GROUP BY 1),
+         |c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+         |  (SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3)
+         |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+         |  n1 AS n_converted, CAST(1000000 AS BIGINT) AS conversion_ppm FROM c
+         |UNION ALL SELECT 2, 'click', n2, n2 * 1000000 // n1 FROM c
+         |UNION ALL SELECT 3, 'purchase', n3, n3 * 1000000 // n1 FROM c
+         |ORDER BY step""".stripMargin,
+    "q141_cohorts" ->
+      s"""WITH e AS (SELECT user_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d FROM events),
+         |f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1),
+         |a AS (SELECT DISTINCT user_id, d FROM e)
+         |SELECT cohort_day, d - cohort_day AS age_days,
+         |  count(DISTINCT a.user_id) AS n_active
+         |FROM a JOIN f USING (user_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q138_best_survivor" ->
       s"""WITH planted AS (
          |  SELECT d1.doc_id, coalesce(d2.text, d1.text) AS text
