@@ -1051,6 +1051,20 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // audio tier: deterministic PCM16 RIFF/WAV payloads parsed by a real
+    // chunk walk -> exact integer features; one corrupt payload pins the
+    // sentinel contract (golden - WAV bytes are not ANSI-expressible)
+    "q142_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 64L)
+        .map(id =>
+          if (id == 13L) Multimodal.MediaRow(id, "audio/wav",
+            Array[Byte](1, 2, 3))
+          else Multimodal.MediaRow(id, "audio/wav", Multimodal.syntheticWav(id)))
+      Multimodal.audioFeatures(media).toDF().orderBy(col("media_id"))
+    }),
     // batch gap-sessionization (streaming session_window's exact twin):
     // lag-boundary + per-key running sum, one keyed shuffle; per-session
     // rollup with exact integer durations

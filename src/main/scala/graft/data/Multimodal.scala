@@ -285,4 +285,125 @@ object Multimodal {
     Dedup.hammingPairs(
       dHashes(media).filter(col("decoded")).toDF(),
       "media_id", "dhash", bits = 64, maxHamming = maxHamming)
+
+  // ------------------------------------------------ audio (16-bit PCM WAV)
+
+  case class AudioFeatures(media_id: Long, sample_rate: Int, n_samples: Long,
+    duration_ms: Long, peak_abs: Long, rms_milli: Long, zero_crossings: Long)
+
+  /** Deterministic 16-bit PCM mono RIFF/WAV per id — a REAL WAV stream
+   * (canonical 44-byte header + s16le samples), so [[audioFeatures]]
+   * exercises a genuine parser, not a toy: sine at `220 + (id%16)·55` Hz,
+   * amplitude scaled by `(id%4+1)/4`, 8 kHz, `800 + (id%5)·400` samples.
+   * Every byte is a pure function of `id` — golden-pinnable. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val sampleRate = 8000
+    val n = (800 + (id % 5) * 400).toInt
+    val freq = 220.0 + (id % 16) * 55.0
+    val amp = ((id % 4) + 1) * (32767.0 / 4.0)
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)            // PCM
+      .putShort(1.toShort)            // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)         // byte rate
+      .putShort(2.toShort)            // block align
+      .putShort(16.toShort)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val v = math.rint(amp * math.sin(2.0 * math.Pi * freq * i / sampleRate))
+      buf.putShort(math.max(-32768.0, math.min(32767.0, v)).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Parse a 16-bit PCM mono WAV payload and return exact-integer audio
+   * features — the audio face of [[decodeFeatures]]: `mapPartitions`
+   * over the typed rows (one parser per partition, map-only at any
+   * scale), returning `(sample_rate, n_samples, duration_ms, peak_abs,
+   * zero_crossings)` as EXACT integers and `rms_milli` =
+   * `floor(sqrt(Σs²/n)·1000)` (integer except one deterministic IEEE-754
+   * sqrt). Chunk-walks the RIFF structure (fmt before data, extra chunks
+   * skipped); malformed/non-PCM16 payloads yield a sentinel row with
+   * `sample_rate = -1` rather than failing the job — the same
+   * corrupt-tolerant contract as [[dHashes]]. */
+  def audioFeatures(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        parseWavPcm16(r.content) match {
+          case Some((rate, samples)) =>
+            var peak = 0L
+            var sumSq = 0.0
+            var zc = 0L
+            var i = 0
+            var prevSign = 0
+            while (i < samples.length) {
+              val s = samples(i).toLong
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              sumSq += (s * s).toDouble
+              val sign = java.lang.Long.signum(s).toInt
+              if (sign != 0) {
+                if (prevSign != 0 && sign != prevSign) zc += 1
+                prevSign = sign
+              }
+              i += 1
+            }
+            val n = samples.length.toLong
+            val rmsMilli =
+              if (n == 0) 0L
+              else math.floor(math.sqrt(sumSq / n) * 1000.0).toLong
+            AudioFeatures(r.media_id, rate, n, n * 1000L / rate, peak,
+              rmsMilli, zc)
+          case None =>
+            AudioFeatures(r.media_id, -1, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+    }
+  }
+
+  /** RIFF walk: returns (sampleRate, s16le samples) for PCM16 mono/stereo
+   * (channels interleaved — features treat the stream as one signal). */
+  private[data] def parseWavPcm16(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (bytes.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(off: Int, len: Int) = new String(bytes, off, len, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    var off = 12
+    var rate = -1
+    var fmtOk = false
+    var data: Option[(Int, Int)] = None
+    while (off + 8 <= bytes.length && (data.isEmpty || !fmtOk)) {
+      val cid = ascii(off, 4)
+      val clen = bb.getInt(off + 4)
+      if (clen < 0 || off + 8 + clen > bytes.length) return None
+      if (cid == "fmt " && clen >= 16) {
+        val audioFormat = bb.getShort(off + 8).toInt
+        val bits = bb.getShort(off + 22).toInt
+        rate = bb.getInt(off + 12)
+        fmtOk = audioFormat == 1 && bits == 16 && rate > 0
+        if (!fmtOk) return None
+      } else if (cid == "data") {
+        data = Some((off + 8, clen))
+      }
+      off += 8 + clen + (clen & 1) // RIFF chunks pad to even
+    }
+    (data, fmtOk) match {
+      case (Some((dOff, dLen)), true) =>
+        val n = dLen / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = bb.getShort(dOff + 2 * i); i += 1 }
+        Some((rate, out))
+      case _ => None
+    }
+  }
 }
