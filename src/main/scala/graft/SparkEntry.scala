@@ -1051,6 +1051,21 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // incremental SCD-2 maintenance: later change batch applied to an
+    // existing history (closed past untouched) == full recompute; the
+    // oracle IS the full-log recompute
+    "q143_scd2_apply" -> ((s, dir) => {
+      import graft.data.Relational
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      val history = Relational.scd2(e.filter(col("event_id") < 7000),
+        Seq("user_id"), "event_id", Seq("event_type"))
+      Relational.scd2Apply(history, e.filter(col("event_id") >= 7000),
+          Seq("user_id"), "event_id", Seq("event_type"))
+        .select(col("user_id"), col("valid_from"), col("valid_to"),
+          col("event_type"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
     // audio tier: deterministic PCM16 RIFF/WAV payloads parsed by a real
     // chunk walk -> exact integer features; one corrupt payload pins the
     // sentinel contract (golden - WAV bytes are not ANSI-expressible)
@@ -3522,6 +3537,19 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q143_scd2_apply" ->
+      s"""WITH chg AS (SELECT user_id, event_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+         |      AS prev
+         |  FROM events)
+         |SELECT user_id, event_id AS valid_from,
+         |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+         |    AS valid_to,
+         |  event_type,
+         |  lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+         |    IS NULL AS is_current
+         |FROM chg WHERE prev IS NULL OR prev <> event_type
+         |ORDER BY user_id, valid_from""".stripMargin,
     "q139_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id,
          |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),

@@ -283,6 +283,42 @@ object Relational {
       .drop("__fpr", "__prev")
   }
 
+  /**
+   * INCREMENTAL [[scd2]] maintenance — apply a LATER batch of change-log
+   * rows to an existing history without re-reading the closed past: the
+   * closed versions pass through untouched; each key's CURRENT row
+   * re-enters the builder as a pseudo log row at its own `valid_from`
+   * alongside the new changes, and [[scd2]] over that union re-derives
+   * the key's open tail (closing the current row if the first real
+   * change differs, dropping no-op changes against it exactly like the
+   * batch builder). **Provably equal to `scd2(fullLog)`** whenever every
+   * change is strictly later than its key's current `valid_from` — the
+   * append-only contract of a CDC feed; LATE data violates it and needs
+   * the batch rebuild (same restriction every incremental SCD2 merge
+   * imposes).
+   *
+   * Work is sized by |changes| + |live keys|, not |history| — the point
+   * at a 100 TB dimension: the closed past is never shuffled, only
+   * unioned into the output. Output schema is normalized to
+   * `keys ++ orderCol ++ attrs ++ (valid_from, valid_to, is_current)`;
+   * passthrough columns beyond the tracked set don't survive (they
+   * couldn't be maintained incrementally anyway).
+   */
+  def scd2Apply(history: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], orderCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    val core = (keyCols :+ orderCol) ++ attrCols
+    val outCols =
+      (core ++ Seq("valid_from", "valid_to", "is_current")).map(col)
+    val closed = history.filter(!col("is_current")).select(outCols: _*)
+    val relog = history.filter(col("is_current"))
+      .select(core.map(col): _*)
+    val updated = scd2(
+      relog.unionByName(changes.select(core.map(col): _*)),
+      keyCols, orderCol, attrCols)
+    closed.unionByName(updated.select(outCols: _*))
+  }
+
   def prefixSum(df: DataFrame, orderCol: String, valueCol: Column,
       outCol: String): DataFrame = {
     val pid = "__prefix_pid"

@@ -60,4 +60,35 @@ class Scd2Spec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("scd2Apply == full recompute on an append-only feed") {
+    val full = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "b"), (1L, 40L, "c"),
+      (2L, 15L, "x"), (2L, 45L, "y"), (3L, 50L, "q"))
+      .toDF("k", "ts", "s")
+    for (cut <- Seq(5L, 25L, 35L, 60L)) {
+      val history = Relational.scd2(full.filter(col("ts") < cut),
+        Seq("k"), "ts", Seq("s"))
+      val got = Relational.scd2Apply(history, full.filter(col("ts") >= cut),
+          Seq("k"), "ts", Seq("s"))
+        .select(col("k"), col("valid_from"), col("valid_to"), col("s"),
+          col("is_current"))
+        .as[(Long, Long, Option[Long], String, Boolean)].collect().toSet
+      val want = Relational.scd2(full, Seq("k"), "ts", Seq("s"))
+        .select(col("k"), col("valid_from"), col("valid_to"), col("s"),
+          col("is_current"))
+        .as[(Long, Long, Option[Long], String, Boolean)].collect().toSet
+      assert(got === want, s"cut=$cut")
+    }
+  }
+
+  test("scd2Apply: a no-op change batch leaves the history unchanged") {
+    val log = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "ts", "s")
+    val history = Relational.scd2(log, Seq("k"), "ts", Seq("s"))
+    val noop = Seq((1L, 30L, "b")).toDF("k", "ts", "s")
+    val got = Relational.scd2Apply(history, noop, Seq("k"), "ts", Seq("s"))
+      .select(col("valid_from"), col("valid_to"), col("is_current"))
+      .as[(Long, Option[Long], Boolean)].collect().toSet
+    assert(got === Set((10L, Some(20L), false), (20L, None, true)))
+  }
 }
