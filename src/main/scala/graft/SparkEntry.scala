@@ -1051,6 +1051,17 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // per-group exact heavy hitters: one bounded MG summary per group +
+    // exact recount; the within-group key domain never shuffles
+    "q144_group_hitters" -> ((s, dir) => {
+      import graft.data.Sketches
+      val keyed = events(s, dir)
+        .withColumn("grp", col("event_type"))
+        .withColumn("k", when(col("event_id") % 4 < 2, lit("hotkey"))
+          .otherwise(col("user_id").cast("string")))
+      Sketches.heavyHittersByGroup(keyed, Seq("grp"), col("k"), k = 5)
+        .orderBy(col("grp"), col("key"))
+    }),
     // incremental SCD-2 maintenance: later change batch applied to an
     // existing history (closed past untouched) == full recompute; the
     // oracle IS the full-log recompute
@@ -3537,6 +3548,16 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q144_group_hitters" ->
+      s"""WITH keyed AS (SELECT event_type AS grp,
+         |    CASE WHEN event_id % 4 < 2 THEN 'hotkey'
+         |    ELSE CAST(user_id AS VARCHAR) END AS key FROM events),
+         |tot AS (SELECT grp, count(*) AS total FROM keyed GROUP BY 1)
+         |SELECT grp, key, count(*) AS cnt,
+         |  count(*) * 1000000 // total AS share_ppm
+         |FROM keyed JOIN tot USING (grp)
+         |GROUP BY grp, key, total HAVING count(*) * 5 > total
+         |ORDER BY grp, key""".stripMargin,
     "q143_scd2_apply" ->
       s"""WITH chg AS (SELECT user_id, event_id, event_type,
          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)

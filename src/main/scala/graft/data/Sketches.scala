@@ -461,4 +461,37 @@ object Sketches {
       .select(col("key"), col("cnt"),
         expr("cnt * 1000000 div total").as("share_ppm"))
   }
+
+  /**
+   * Per-GROUP exact heavy hitters — [[heavyHitters]] stratified by
+   * `groupCols`: every key whose frequency within its group strictly
+   * exceeds `group_N/k`. One Misra-Gries summary PER GROUP in pass 1
+   * (c-entry state per group inside the aggregation, merged pairwise;
+   * the group's row count rides along), then an exact recount of the
+   * ≤ c·|groups| candidate (group, key) rows. The within-group key
+   * domain never shuffles — the per-source "what dominates each slice"
+   * panel at corpus scale. Same strict-threshold, guaranteed-superset,
+   * deterministic-output contract as the global pass.
+   */
+  def heavyHittersByGroup(df: DataFrame, groupCols: Seq[String],
+      key: Column, k: Int, counters: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "pass at least one group column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val c = if (counters > 0) counters else 2 * k
+    require(c >= k - 1, s"counters must be >= k-1 for the superset " +
+      s"guarantee, got $c vs k=$k")
+    val gcols = groupCols.map(col)
+    val keyed = df.select(gcols :+ key.cast("string").as("key"): _*)
+    val mg = udaf(new MisraGries(c))
+    val cand = keyed.groupBy(gcols: _*)
+      .agg(mg(col("key")).as("m"), count(lit(1)).as("total"))
+      .select(gcols ++ Seq(explode(map_keys(col("m"))).as("key"),
+        col("total")): _*)
+    keyed.join(broadcast(cand), groupCols :+ "key")
+      .groupBy(gcols ++ Seq(col("key"), col("total")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(k.toLong) > col("total"))
+      .select(gcols ++ Seq(col("key"), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_ppm")): _*)
+  }
 }

@@ -198,6 +198,46 @@ object StreamingMarket {
     }
   }
 
+  case class FunnelEvent(key: Long, step: String, ts: Long)
+  case class FunnelState(stage: Int, stageTimes: List[Long])
+  case class FunnelProgress(key: Long, stage: Int, t_first: Long, t_last: Long)
+
+  /**
+   * Streaming ORDERED FUNNEL — the live face of
+   * [[graft.data.Events.funnel]]: per-key state is the stage reached
+   * plus one timestamp per completed stage (≤ `steps.size` longs,
+   * bounded regardless of stream length). Each micro-batch's events are
+   * sorted by time inside the handler (a batch may deliver unordered)
+   * and folded greedily: an event advances the funnel iff it matches
+   * the NEXT step strictly after the previous stage's time — the same
+   * greedy minimal chain the batch operator computes, so after ANY
+   * stream prefix the per-key progress equals `Events.funnel` over the
+   * same rows (spec-pinned). Cross-batch LATE data is unsupported — the
+   * CDC append contract, same as `Relational.scd2Apply`.
+   *
+   * Emits one [[FunnelProgress]] row per active key per batch
+   * (`t_first`/`t_last` = step-1 / latest-stage times, −1 before any
+   * progress); aggregate downstream for the conversion panel.
+   */
+  def streamingFunnel(events: Dataset[FunnelEvent], steps: Seq[String])(
+      implicit spark: SparkSession): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    require(steps.nonEmpty, "a funnel needs at least one step")
+    events.groupByKey(_.key).mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+      (key: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+        var st = state.getOption.getOrElse(FunnelState(0, Nil))
+        it.toArray.sortBy(e => (e.ts, e.step)).foreach { e =>
+          if (st.stage < steps.size && e.step == steps(st.stage) &&
+              (st.stage == 0 || e.ts > st.stageTimes.head))
+            st = FunnelState(st.stage + 1, e.ts :: st.stageTimes)
+        }
+        state.update(st)
+        FunnelProgress(key, st.stage,
+          if (st.stageTimes.isEmpty) -1L else st.stageTimes.last,
+          if (st.stageTimes.isEmpty) -1L else st.stageTimes.head)
+    }
+  }
+
   /**
    * Streaming HEAVY-HITTER monitor — the live "which keys dominate the
    * stream" panel with BOUNDED state at every level: each micro-batch

@@ -88,4 +88,23 @@ class HeavyHittersSpec extends SparkSpec {
     // so force a clearer case
     assert(!got.exists(_._1 == null))
   }
+
+  test("per-group output equals the exact per-group answer") {
+    val rows = (skewed(2000, seed = 3).map(("g1", _)) ++
+      skewed(1500, seed = 8).map(("g2", _)) ++
+      Seq.fill(200)(("g3", "solo")))
+    val df = rows.toDF("grp", "key").repartition(5)
+    val got = Sketches.heavyHittersByGroup(df, Seq("grp"), col("key"), k = 8)
+      .select(col("grp"), col("key"), col("cnt"))
+      .as[(String, String, Long)].collect().toSet
+    val want = rows.groupBy(_._1).flatMap { case (g, members) =>
+      val n = members.size
+      members.groupBy(_._2).collect {
+        case (key, occ) if occ.size.toLong * 8 > n =>
+          (g, key, occ.size.toLong)
+      }
+    }.toSet
+    assert(got === want)
+    assert(got.exists(_._1 == "g3")) // a whole-group key qualifies
+  }
 }

@@ -827,4 +827,46 @@ class StreamingMarketSpec extends SparkSpec {
     val res = snaps.last._2.toMap
     assert(res("hot") <= 70L && res("hot") >= 70L - 130L / 7)
   }
+
+  test("streamingFunnel: prefix-equal to the batch funnel, bounded state") {
+    implicit val s2 = spark
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.data.Events
+    val steps = Seq("signup", "click", "buy")
+    val b1 = Seq(FunnelEvent(1L, "signup", 10L), FunnelEvent(1L, "click", 20L),
+      FunnelEvent(2L, "click", 5L), FunnelEvent(2L, "signup", 10L),
+      FunnelEvent(3L, "buy", 7L))
+    val b2 = Seq(FunnelEvent(1L, "buy", 30L), FunnelEvent(2L, "click", 12L),
+      FunnelEvent(2L, "buy", 9L)) // buy BEFORE its click: must not advance
+    val input = MemoryStream[FunnelEvent]
+    val q = streamingFunnel(input.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_prog")
+      .outputMode(OutputMode.Update()).start()
+    def progress(): Map[Long, Int] =
+      spark.sql("SELECT key, stage FROM funnel_prog")
+        .collect().groupBy(_.getLong(0))
+        .map { case (k, rows) => k -> rows.map(_.getInt(1)).max }
+    def batchFunnel(evs: Seq[FunnelEvent]): Map[Long, Int] = {
+      val df = evs.map(e => (e.key, e.step, e.ts)).toDF("key", "et", "ts")
+      Events.funnel(df, Seq("key"), "ts", Seq(
+          "signup" -> (col("et") === "signup"),
+          "click" -> (col("et") === "click"),
+          "buy" -> (col("et") === "buy")))
+        .collect().map(r => r.getLong(0) ->
+          Seq(1, 2, 3).takeWhile(i => !r.isNullAt(r.fieldIndex(s"t_$i"))).size)
+        .toMap
+    }
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    val p1 = progress()
+    // key 3 never signed up: batch funnel has no row, streaming reports 0
+    assert(p1 === batchFunnel(b1) + (3L -> 0))
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val p2 = progress()
+    assert(p2 === batchFunnel(b1 ++ b2) + (3L -> 0))
+    assert(p2(1L) === 3 && p2(2L) === 2) // key 2's early buy rejected
+  }
 }
