@@ -1051,6 +1051,18 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // edge-WEIGHTED PageRank: per-edge mass (r*w) div sum_w(src) in the
+    // same integer micro-units - bit-identical to the unrolled oracle
+    "q145_weighted_pagerank" -> ((s, dir) => {
+      import graft.data.Graph
+      val e = t(s, dir, "documents").select((col("doc_id") % 23).as("src"),
+          (col("doc_id") % 31).as("dst"), (col("doc_id") % 7 + 1).as("w"))
+        .filter(col("src") =!= col("dst"))
+      Graph.pageRank(e, "src", "dst", iters = 3, weightCol = Some("w"))
+        .select(col("node"), col("rank_micro").as("pr_micro"),
+          col("rank").as("pr"))
+        .orderBy(col("node"))
+    }),
     // per-group exact heavy hitters: one bounded MG summary per group +
     // exact recount; the within-group key domain never shuffles
     "q144_group_hitters" -> ((s, dir) => {
@@ -3548,6 +3560,40 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q145_weighted_pagerank" ->
+      s"""WITH e0 AS (SELECT doc_id % 23 AS src, doc_id % 31 AS dst,
+         |    doc_id % 7 + 1 AS w
+         |  FROM documents WHERE doc_id % 23 <> doc_id % 31),
+         |e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w
+         |  FROM e0 GROUP BY 1, 2),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |sw AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM e GROUP BY 1),
+         |r0 AS (SELECT node, 1000000000 // (SELECT n FROM nn) AS r FROM nodes),
+         |c1 AS (SELECT e.dst AS node,
+         |    CAST(sum((r0.r * e.w) // sw.sw) AS BIGINT) AS c
+         |  FROM e JOIN r0 ON e.src = r0.node JOIN sw ON e.src = sw.src
+         |  GROUP BY 1),
+         |r1 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
+         |    + (17 * coalesce(c1.c, 0)) // 20 AS r
+         |  FROM nodes nd LEFT JOIN c1 ON nd.node = c1.node),
+         |c2 AS (SELECT e.dst AS node,
+         |    CAST(sum((r1.r * e.w) // sw.sw) AS BIGINT) AS c
+         |  FROM e JOIN r1 ON e.src = r1.node JOIN sw ON e.src = sw.src
+         |  GROUP BY 1),
+         |r2 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
+         |    + (17 * coalesce(c2.c, 0)) // 20 AS r
+         |  FROM nodes nd LEFT JOIN c2 ON nd.node = c2.node),
+         |c3 AS (SELECT e.dst AS node,
+         |    CAST(sum((r2.r * e.w) // sw.sw) AS BIGINT) AS c
+         |  FROM e JOIN r2 ON e.src = r2.node JOIN sw ON e.src = sw.src
+         |  GROUP BY 1),
+         |r3 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
+         |    + (17 * coalesce(c3.c, 0)) // 20 AS r
+         |  FROM nodes nd LEFT JOIN c3 ON nd.node = c3.node)
+         |SELECT node, CAST(r AS BIGINT) AS pr_micro,
+         |  CAST(r AS DOUBLE) / 1e9 AS pr
+         |FROM r3 ORDER BY node""".stripMargin,
     "q144_group_hitters" ->
       s"""WITH keyed AS (SELECT event_type AS grp,
          |    CASE WHEN event_id % 4 < 2 THEN 'hotkey'

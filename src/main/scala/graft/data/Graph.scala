@@ -62,16 +62,34 @@ object Graph {
    */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3, redistributeDangling: Boolean = false): DataFrame = {
+      iters: Int = 3, redistributeDangling: Boolean = false,
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().cache()
+    // WEIGHTED variant (`weightCol`): per-edge contribution is
+    // `(r · w) div Σw(src)` — the unweighted path is the SAME spelling
+    // with w = 1, Σw = out-degree, so `r · 1 div deg == r div deg`
+    // bit-for-bit and the unweighted oracles are untouched. Parallel
+    // (src, dst) weighted edges pre-sum. Long headroom: r ≤ ~1.7e9
+    // micro-units, so weights up to ~1e9 can't overflow `r · w`.
+    val e = (weightCol match {
+      case None =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .distinct().withColumn("w", lit(1L))
+      case Some(wc) =>
+        // non-positive weights dropped (a zero-total src would divide
+        // by zero; negative mass has no random-walk meaning)
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+            col(wc).cast("long").as("__w"))
+          .filter(col("__w") > 0)
+          .groupBy(col("src"), col("dst"))
+          .agg(sum(col("__w")).as("w"))
+    }).cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     try {
       val n = nodes.count()
       require(n > 0, "pageRank on an empty edge list")
-      val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val outDeg = e.groupBy(col("src")).agg(sum(col("w")).as("sw"))
       val init = 1000000000L / n     // floor, same as the oracle's `//`
       val base = 150000000L / n      // (1 - d)/N with d = 0.85, in micros
       var r = nodes.withColumn("r", lit(init))
@@ -79,7 +97,7 @@ object Graph {
         val contrib = e
           .join(r.withColumnRenamed("node", "src"), Seq("src"))
           .join(outDeg, Seq("src"))
-          .select(col("dst").as("node"), expr("r div deg").as("t"))
+          .select(col("dst").as("node"), expr("(r * w) div sw").as("t"))
           .groupBy(col("node")).agg(sum(col("t")).as("c"))
         r =
           if (!redistributeDangling)

@@ -206,4 +206,47 @@ class GraphSpec extends SparkSpec {
     assert(sa > 1000000000L - n && sa <= 1000000000L, s"auth sum $sa")
     assert(sh > 1000000000L - n && sh <= 1000000000L, s"hub sum $sh")
   }
+
+  test("weighted pageRank: uniform weights == unweighted, bit for bit") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val ew = e.withColumn("w", lit(7L))
+    val plain = Graph.pageRank(e, "src", "dst", iters = 3)
+      .select(col("node"), col("rank_micro")).as[(Long, Long)].collect().toSet
+    val weighted = Graph.pageRank(ew, "src", "dst", iters = 3,
+        weightCol = Some("w"))
+      .select(col("node"), col("rank_micro")).as[(Long, Long)].collect().toSet
+    assert(weighted === plain)
+  }
+
+  test("weighted pageRank: mass splits by weight; scalar reference") {
+    // 1 -> 2 (w3), 1 -> 3 (w1); 2 -> 1, 3 -> 1 (w1 each)
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.pageRank(e, "src", "dst", iters = 2,
+        weightCol = Some("w"))
+      .select(col("node"), col("rank_micro")).as[(Long, Long)].collect().toMap
+    // scalar replay of the integer recurrence
+    val n = 3L
+    val init = 1000000000L / n; val base = 150000000L / n
+    var r = Map(1L -> init, 2L -> init, 3L -> init)
+    for (_ <- 1 to 2) {
+      val c = Map(
+        2L -> (r(1L) * 3L) / 4L,
+        3L -> (r(1L) * 1L) / 4L,
+        1L -> ((r(2L) * 1L) / 1L + (r(3L) * 1L) / 1L))
+      r = Seq(1L, 2L, 3L).map(k =>
+        k -> (base + (17L * c.getOrElse(k, 0L)) / 20L)).toMap
+    }
+    assert(got === r)
+  }
+
+  test("weighted pageRank: parallel edges pre-sum; non-positive drop") {
+    val a = Seq((1L, 2L, 2L), (1L, 2L, 1L), (2L, 1L, 1L), (1L, 3L, 0L))
+      .toDF("src", "dst", "w")
+    val b = Seq((1L, 2L, 3L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.pageRank(df, "src", "dst", iters = 2, weightCol = Some("w"))
+        .select(col("node"), col("rank_micro")).as[(Long, Long)].collect().toSet
+    assert(run(a) === run(b))
+  }
 }
