@@ -1051,6 +1051,28 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // mixed-script / homoglyph signal: per-script char counts (exact,
+    // two regex passes per class, map-only) with planted Cyrillic and
+    // Greek lookalikes; per-source panel
+    "q146_script_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 11 === 4,
+          regexp_replace(col("text"), "a", "а"))
+          .when(col("doc_id") % 11 === 7,
+            regexp_replace(col("text"), "e", "ε"))
+          .otherwise(col("text")))
+      val sc = T.scriptCounts(col("text"))
+      docs.select(col("source"), sc.as("sc"),
+          T.mixedScript(sc).cast("long").as("mixed"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("mixed")).as("n_mixed"),
+          sum(col("sc.n_latin")).as("sum_latin"),
+          sum(col("sc.n_cyrillic")).as("sum_cyrillic"),
+          sum(col("sc.n_greek")).as("sum_greek"),
+          sum(col("sc.n_digit")).as("sum_digit"))
+        .orderBy(col("source"))
+    }),
     // edge-WEIGHTED PageRank: per-edge mass (r*w) div sum_w(src) in the
     // same integer micro-units - bit-identical to the unrolled oracle
     "q145_weighted_pagerank" -> ((s, dir) => {
@@ -3560,6 +3582,30 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q146_script_mix" ->
+      s"""WITH d AS (SELECT source,
+         |    CASE WHEN doc_id % 11 = 4 THEN regexp_replace(text, 'a', 'а', 'g')
+         |    WHEN doc_id % 11 = 7 THEN regexp_replace(text, 'e', 'ε', 'g')
+         |    ELSE text END AS text
+         |  FROM documents),
+         |c AS (SELECT source,
+         |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+         |    AS n_latin,
+         |  length(text) - length(regexp_replace(text, '[\\x{0400}-\\x{04FF}]', '', 'g'))
+         |    AS n_cyr,
+         |  length(text) - length(regexp_replace(text, '[\\x{0370}-\\x{03FF}]', '', 'g'))
+         |    AS n_greek,
+         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+         |    AS n_digit
+         |  FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n_latin > 0 AND (n_cyr > 0 OR n_greek > 0)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+         |  CAST(sum(n_latin) AS BIGINT) AS sum_latin,
+         |  CAST(sum(n_cyr) AS BIGINT) AS sum_cyrillic,
+         |  CAST(sum(n_greek) AS BIGINT) AS sum_greek,
+         |  CAST(sum(n_digit) AS BIGINT) AS sum_digit
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "q145_weighted_pagerank" ->
       s"""WITH e0 AS (SELECT doc_id % 23 AS src, doc_id % 31 AS dst,
          |    doc_id % 7 + 1 AS w

@@ -445,4 +445,33 @@ object TextFunctions {
       words >= minDocWords && words <= maxDocWords &&
       !lower(clean).contains("lorem ipsum") && !clean.contains("{")
   }
+
+  /** Per-SCRIPT character counts — the mixed-script / homoglyph signal
+   * crawl filters gate on (Latin text salted with Cyrillic lookalikes is
+   * a classic spam/spoof marker, and heavy script mixing inside one doc
+   * usually means boilerplate chrome around the payload language).
+   * Exact integers by construction: each count is `len(text) −
+   * len(text with the class removed)` — two codegen'd regex passes per
+   * class, map-only at any scale, and the same spelling any
+   * regex-capable engine reproduces. Classes: basic Latin letters,
+   * Cyrillic U+0400–04FF, Greek U+0370–03FF, CJK unified U+4E00–9FFF,
+   * ASCII digits. */
+  def scriptCounts(text: Column): Column = {
+    def cnt(cls: String) =
+      (length(text) - length(regexp_replace(text, cls, ""))).cast("long")
+    struct(
+      cnt("[A-Za-z]").as("n_latin"),
+      cnt("[\u0400-\u04FF]").as("n_cyrillic"),
+      cnt("[\u0370-\u03FF]").as("n_greek"),
+      cnt("[\u4E00-\u9FFF]").as("n_cjk"),
+      cnt("[0-9]").as("n_digit"),
+      length(text).cast("long").as("n_chars"))
+  }
+
+  /** Mixed-script flag over [[scriptCounts]]: Latin letters co-occurring
+   * with Cyrillic or Greek in one document — the confusable-script
+   * combination homoglyph spoofing uses. */
+  def mixedScript(counts: Column): Column =
+    counts.getField("n_latin") > 0 &&
+      (counts.getField("n_cyrillic") > 0 || counts.getField("n_greek") > 0)
 }

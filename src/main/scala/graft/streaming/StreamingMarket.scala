@@ -198,6 +198,48 @@ object StreamingMarket {
     }
   }
 
+  /**
+   * Streaming SCD-2 maintenance — the CDC sink: each micro-batch of
+   * change rows applies incrementally to a VERSIONED dimension history
+   * (`Relational.scd2Apply`: closed past untouched, live keys + the
+   * batch re-derive the open tail) and publishes a new immutable
+   * version behind `historyDir/latest`. Batch 0 against an empty dir
+   * boots the history with the batch builder. Readers always see a
+   * complete consistent snapshot (the rename-committed publish);
+   * `pruneKeep` GCs superseded versions after each publish. The CDC
+   * append-only contract of `scd2Apply` applies per key across batches.
+   *
+   * `sink` receives the just-published history (read back from its
+   * version, so what downstream sees is what durably exists) + batch id.
+   */
+  def scd2WithHistory(
+      changes: DataFrame,
+      historyDir: String,
+      keyCols: Seq[String],
+      orderCol: String,
+      attrCols: Seq[String],
+      pruneKeep: Option[Int] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.data.{Relational, Versioned}
+    changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val core = (keyCols :+ orderCol) ++ attrCols
+      val updated = Versioned.latestVersion(spark, historyDir) match {
+        case Some(v) =>
+          Relational.scd2Apply(spark.read.parquet(s"$historyDir/v$v/history"),
+            batch, keyCols, orderCol, attrCols)
+        case None =>
+          Relational.scd2(batch.select(core.map(col): _*),
+            keyCols, orderCol, attrCols)
+      }
+      val nv = Versioned.publish(spark, historyDir)(path =>
+        updated.write.parquet(s"$path/history"))
+      pruneKeep.foreach(keep =>
+        Versioned.pruneVersions(spark, historyDir, keep, Some(nv)))
+      sink(spark.read.parquet(s"$historyDir/v$nv/history"), batchId)
+    }
+  }
+
   case class FunnelEvent(key: Long, step: String, ts: Long)
   case class FunnelState(stage: Int, stageTimes: List[Long])
   case class FunnelProgress(key: Long, stage: Int, t_first: Long, t_last: Long)

@@ -869,4 +869,37 @@ class StreamingMarketSpec extends SparkSpec {
     assert(p2 === batchFunnel(b1 ++ b2) + (3L -> 0))
     assert(p2(1L) === 3 && p2(2L) === 2) // key 2's early buy rejected
   }
+
+  test("scd2WithHistory: incremental CDC versions equal the batch rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.data.{Relational, Versioned}
+    val dir = java.nio.file.Files.createTempDirectory("scd2_hist").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[(Long, Long, Option[Long], String, Boolean)])]
+    val input = MemoryStream[(Long, Long, String)]
+    val q = scd2WithHistory(input.toDF().toDF("k", "ts", "s"), dir,
+        Seq("k"), "ts", Seq("s"), pruneKeep = Some(0)) { (hist, batchId) =>
+      got += ((batchId, hist
+        .select(col("k"), col("valid_from"), col("valid_to"), col("s"),
+          col("is_current"))
+        .as[(Long, Long, Option[Long], String, Boolean)].collect().toSet))
+    }.start()
+
+    val b1 = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "x"))
+    val b2 = Seq((1L, 30L, "b"), (1L, 40L, "c"), (3L, 50L, "q"))
+    def rebuild(rows: Seq[(Long, Long, String)]) =
+      Relational.scd2(rows.toDF("k", "ts", "s"), Seq("k"), "ts", Seq("s"))
+        .select(col("k"), col("valid_from"), col("valid_to"), col("s"),
+          col("is_current"))
+        .as[(Long, Long, Option[Long], String, Boolean)].collect().toSet
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    assert(got.toMap === Map(0L -> rebuild(b1), 1L -> rebuild(b1 ++ b2)))
+    // pruneKeep 0: only the latest version remains, loadable
+    val onDisk = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v")).toSet
+    assert(onDisk === Set("v2"), onDisk.toString)
+    assert(Versioned.latestVersion(spark, dir) === Some(2L))
+  }
 }
