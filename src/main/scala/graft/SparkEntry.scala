@@ -1051,6 +1051,32 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // IVF index-ops health panel: per-cell occupancy with empty cells
+    // present, exact counts + integer-ppm share
+    "q147_ivf_balance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.ivfBalanceReport(e, "v", Similarity.planes(8, 64))
+        .orderBy(col("cell"))
+    }),
+    // embedding-distribution DRIFT: per-dim mean shift between two
+    // snapshots (one stats pass each side, 64-row join)
+    "q148_embedding_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val before = e.filter(col("vec_id") % 3 =!= 0)
+      val after = e.withColumn("v",
+        when(col("vec_id") % 5 === 0, transform(col("v"), x => x * 1.1))
+          .otherwise(col("v")))
+      val sb = Similarity.dimensionStats(before, "v")
+        .select(col("dim"), round(col("mean"), 6).as("mean_before"))
+      val sa = Similarity.dimensionStats(after, "v")
+        .select(col("dim"), round(col("mean"), 6).as("mean_after"))
+      sb.join(sa, "dim")
+        .select(col("dim"), col("mean_before"), col("mean_after"),
+          round(col("mean_after") - col("mean_before"), 6).as("delta"))
+        .orderBy(col("dim"))
+    }),
     // mixed-script / homoglyph signal: per-script char counts (exact,
     // two regex passes per class, map-only) with planted Cyrillic and
     // Greek lookalikes; per-source panel
@@ -3582,6 +3608,35 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q147_ivf_balance" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |planes AS (SELECT * FROM (VALUES $planesSql) pl(p, coef)),
+         |cellsim AS (SELECT vec_id, p, list_dot_product(v, coef) AS s
+         |  FROM e CROSS JOIN planes),
+         |ccell AS (SELECT vec_id, p AS cell FROM cellsim
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY s DESC, p DESC) = 1),
+         |cnt AS (SELECT cell, count(*) AS n FROM ccell GROUP BY 1),
+         |tot AS (SELECT count(*) AS total FROM ccell)
+         |SELECT CAST(p AS BIGINT) AS cell,
+         |  CAST(coalesce(n, 0) AS BIGINT) AS n_vecs,
+         |  coalesce(n, 0) * 1000000 // total AS share_ppm
+         |FROM planes LEFT JOIN cnt ON cnt.cell = planes.p, tot
+         |ORDER BY cell""".stripMargin,
+    "q148_embedding_drift" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT v FROM e WHERE vec_id % 3 <> 0),
+         |a AS (SELECT CASE WHEN vec_id % 5 = 0
+         |    THEN list_transform(v, x -> x * 1.1) ELSE v END AS v FROM e),
+         |xb AS (SELECT i, v[i+1] AS x FROM b CROSS JOIN range(64) t(i)),
+         |xa AS (SELECT i, v[i+1] AS x FROM a CROSS JOIN range(64) t(i)),
+         |mb AS (SELECT i, round(sum(x) / count(*), 6) AS mean_before
+         |  FROM xb GROUP BY i),
+         |ma AS (SELECT i, round(sum(x) / count(*), 6) AS mean_after
+         |  FROM xa GROUP BY i)
+         |SELECT CAST(mb.i AS BIGINT) AS dim, mean_before, mean_after,
+         |  round(mean_after - mean_before, 6) AS delta
+         |FROM mb JOIN ma ON ma.i = mb.i ORDER BY dim""".stripMargin,
     "q146_script_mix" ->
       s"""WITH d AS (SELECT source,
          |    CASE WHEN doc_id % 11 = 4 THEN regexp_replace(text, 'a', 'а', 'g')

@@ -290,6 +290,33 @@ object Similarity {
       struct(dotNative(v, array(c.toIndexedSeq.map(lit): _*)).as("s"), lit(i).as("cell"))
     }: _*)
 
+  /**
+   * Per-CELL occupancy report for an IVF layout — the index-ops health
+   * panel: per-cell exact counts and integer-ppm share with EMPTY cells
+   * present. A skewed layout (one cell holding half the corpus) means
+   * probes degrade toward brute force; many empty cells mean the
+   * centroids no longer fit the data — either way the fix is retraining
+   * ([[trainIvfCentroids]]) and this report is the trigger. One max-dot
+   * assignment (centroids as broadcast literals, map-only), one
+   * map-combinable count, a |cells|-row left join. Same
+   * ties-toward-higher-cell argmax contract as [[ivfTopKWith]].
+   */
+  def ivfBalanceReport(vectors: DataFrame, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    val assigned = repartitioned(vectors)
+      .select(sort_array(cellSims(col(vecCol), cents), asc = false)(0)("cell")
+        .as("cell"))
+    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    vectors.sparkSession.range(cents.length)
+      .select(col("id").cast("int").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("cell").cast("long").as("cell"),
+        coalesce(col("n"), lit(0L)).as("n_vecs"),
+        expr("coalesce(n, 0) * 1000000 div total").as("share_ppm"))
+  }
+
   /** [[ivfTopK]] against explicit centroids (seed planes or
    * [[trainIvfCentroids]] output). */
   def ivfTopKWith(

@@ -71,4 +71,26 @@ class VectorStatsSpec extends SparkSpec {
     assert("(?s)Generate.*Aggregate".r.findFirstIn(plan).isDefined, plan)
     assert(plan.sliding("Aggregate".length).count(_ == "Aggregate") === 1, plan)
   }
+
+  test("ivfBalanceReport: exact occupancy, empty cells present, shares sum") {
+    val rnd = new scala.util.Random(4)
+    val vs = Seq.tabulate(40)(i => (i.toLong, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("vec_id", "v")
+    val cents = Similarity.planes(6, 8)
+    val got = Similarity.ivfBalanceReport(vs, "v", cents)
+      .select(col("cell"), col("n_vecs"), col("share_ppm"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === (0L until 6L))
+    assert(got.map(_._2).sum === 40L)
+    // brute-force assignment reference (ties toward higher cell id)
+    val data = vs.as[(Long, Array[Double])].collect()
+    val want = data.groupBy { case (_, v) =>
+      (0 until 6).map(c => (v.zip(cents(c)).map(p => p._1 * p._2).sum, c))
+        .maxBy { case (s, c) => (s, c) }._2.toLong
+    }.view.mapValues(_.length.toLong).toMap
+    got.foreach { case (cell, n, ppm) =>
+      assert(n === want.getOrElse(cell, 0L), s"cell $cell")
+      assert(ppm === n * 1000000L / 40L)
+    }
+  }
 }
