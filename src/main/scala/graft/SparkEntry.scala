@@ -1051,6 +1051,32 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // largest-remainder quota allocation + A-ES sampling under per-group
+    // quotas: exact Hamilton split of 100 slots by source size, then the
+    // content-addressed weighted sample fills each quota
+    "q149_proportional_sample" -> ((s, dir) => {
+      import graft.data.Sampling
+      val docs = t(s, dir, "documents")
+      val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val quotas = Sampling.proportionalAllocation(sizes, Seq("source"), 100L)
+      Sampling.weightedSampleAllocated(
+          docs.select(col("source"), col("doc_id"), col("n_chars")),
+          Seq("source"), col("doc_id"), col("n_chars"), quotas)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+    // temperature-scaled mixture quotas (alpha = 0.5): floor(sqrt(n))
+    // flattening gives small sources relatively more slots — exact
+    // integers + one deterministic IEEE sqrt
+    "q150_temperature_mixture" -> ((s, dir) => {
+      import graft.data.Sampling
+      val sizes = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(T.wordCount(col("text")).cast("long")).as("n"))
+      Sampling.proportionalAllocation(sizes, Seq("source"), 5000L,
+          temperatureHalf = true)
+        .orderBy(col("source"))
+    }),
     // IVF index-ops health panel: per-cell occupancy with empty cells
     // present, exact counts + integer-ppm share
     "q147_ivf_balance" -> ((s, dir) => {
@@ -3608,6 +3634,35 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q149_proportional_sample" ->
+      s"""WITH sizes AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM sizes),
+         |qa AS (SELECT source, n, (100 * n) // t AS q, (100 * n) % t AS r
+         |  FROM sizes, tot),
+         |sq AS (SELECT CAST(sum(q) AS BIGINT) AS sq FROM qa),
+         |quo AS (SELECT source, q + CASE WHEN row_number()
+         |      OVER (ORDER BY r DESC, source) <= 100 - sq
+         |    THEN 1 ELSE 0 END AS quota FROM qa, sq),
+         |rk AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+         |    ORDER BY ln((${h60Sql("concat(CAST(doc_id AS VARCHAR), 'wsample')")} + 1.0)
+         |      / 1152921504606846977.0) / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT rk.source AS source, doc_id
+         |FROM rk JOIN quo ON quo.source = rk.source
+         |WHERE rn <= quota ORDER BY rk.source, doc_id""".stripMargin,
+    "q150_temperature_mixture" ->
+      s"""WITH sizes AS (SELECT source,
+         |    CAST(sum(len($tokSql)) AS BIGINT) AS n FROM documents GROUP BY 1),
+         |sc AS (SELECT source, n,
+         |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS scaled FROM sizes),
+         |tot AS (SELECT CAST(sum(scaled) AS BIGINT) AS t FROM sc),
+         |qa AS (SELECT source, n, scaled, (5000 * scaled) // t AS q,
+         |    (5000 * scaled) % t AS r FROM sc, tot),
+         |sq AS (SELECT CAST(sum(q) AS BIGINT) AS sq FROM qa)
+         |SELECT source, n, scaled, q + CASE WHEN row_number()
+         |    OVER (ORDER BY r DESC, source) <= 5000 - sq
+         |  THEN 1 ELSE 0 END AS quota
+         |FROM qa, sq ORDER BY source""".stripMargin,
     "q147_ivf_balance" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |planes AS (SELECT * FROM (VALUES $planesSql) pl(p, coef)),

@@ -215,4 +215,78 @@ object Sampling {
           expr("(need_tokens + avail_tokens - 1) div avail_tokens"))
           .otherwise(lit(0L)))
   }
+
+  /**
+   * PROPORTIONAL QUOTA ALLOCATION — the largest-remainder (Hamilton)
+   * method: split `k` sample slots across groups in proportion to their
+   * sizes with EXACT integer arithmetic — `floor(k·n_g / N)` per group,
+   * then the `k − Σfloor` leftover slots go to the largest remainders
+   * (`k·n_g mod N` desc, group asc — deterministic). Σ quota == k
+   * whenever N > 0 and k ≤ … always (Hamilton is exact by
+   * construction); quotas are NOT capped at group sizes — cap (and
+   * redistribute) upstream if a group can run dry, or let the sampler
+   * keep what exists ([[weightedSampleAllocated]] semantics).
+   *
+   * `temperatureHalf = true` scales sizes to `floor(sqrt(n))` first —
+   * the α = 0.5 mixture flattening (small sources get relatively more
+   * slots; the multilingual-sampling standard). `floor ∘ sqrt` of a
+   * long < 2⁵² is deterministic across engines (IEEE sqrt is correctly
+   * rounded; a non-square n can never round up to an exact integer).
+   *
+   * Shape: the input is the per-GROUP size table (already tiny); one
+   * 1-row total, one |groups|-row window. Overflow bound: `k·n` must
+   * fit a long — k ≤ 10⁹ with 10⁹-row groups is fine.
+   */
+  def proportionalAllocation(sizes: DataFrame, groupCols: Seq[String],
+      k: Long, temperatureHalf: Boolean = false): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val scaled =
+      if (temperatureHalf) floor(sqrt(col("n").cast("double"))).cast("long")
+      else col("n").cast("long")
+    val base = sizes
+      .select(groupCols.map(col) :+ col("n").cast("long").as("n"): _*)
+      .withColumn("scaled", scaled)
+    val tot = base.agg(sum(col("scaled")).as("__t"))
+    val withQ = base.crossJoin(broadcast(tot))
+      .withColumn("__q",
+        coalesce(expr(s"(${k}L * scaled) div __t"), lit(0L)))
+      .withColumn("__r",
+        coalesce(expr(s"(${k}L * scaled) % __t"), lit(0L)))
+    val sumQ = withQ.agg(sum(col("__q")).as("__sq"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__r").desc +: groupCols.map(col(_).asc): _*)
+    withQ.crossJoin(broadcast(sumQ))
+      .withColumn("__rank", row_number().over(wnd).cast("long"))
+      .withColumn("quota",
+        col("__q") + when(col("__rank") <= lit(k) - col("__sq"), 1L)
+          .otherwise(0L))
+      .select(groupCols.map(col) ++
+        Seq(col("n"), col("scaled"), col("quota")): _*)
+  }
+
+  /**
+   * A-ES weighted sampling with PER-GROUP QUOTAS (the
+   * [[proportionalAllocation]] companion): rank each group's rows by the
+   * content-addressed A-ES key ([[weightedSampleByGroup]]'s exact
+   * spelling), broadcast-join the tiny quota table, keep `rank ≤ quota`.
+   * Groups with fewer positive-weight rows than quota keep what they
+   * have. One keyed shuffle for the rank window; deterministic and
+   * engine-mirrorable end to end.
+   */
+  def weightedSampleAllocated(df: DataFrame, groupCols: Seq[String],
+      key: Column, weight: Column, quotas: DataFrame,
+      salt: String = "wsample"): DataFrame = {
+    val u = (TextFunctions.hash60(concat(key.cast("string"), lit(salt)))
+      .cast("double") + lit(1.0)) / lit(1152921504606846977.0)
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__sk").desc, key)
+    df.filter(weight > 0)
+      .withColumn("__sk", log(u) / weight.cast("double"))
+      .withColumn("__rn", row_number().over(wnd).cast("long"))
+      .join(broadcast(quotas.select(
+        (groupCols.map(col) :+ col("quota")): _*)), groupCols)
+      .filter(col("__rn") <= col("quota"))
+      .drop("__sk", "__rn", "quota")
+  }
 }

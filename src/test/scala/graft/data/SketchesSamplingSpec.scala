@@ -285,4 +285,51 @@ class SketchesSamplingSpec extends SparkSpec {
       .filter($"id".isin(a, b)).select($"split").as[String].collect()
     assert(fixed.distinct.length === 1)
   }
+
+  test("proportionalAllocation: Hamilton quotas sum to k, hand case") {
+    val sizes = Seq(("a", 50L), ("b", 30L), ("c", 15L), ("d", 5L))
+      .toDF("source", "n")
+    val got = Sampling.proportionalAllocation(sizes, Seq("source"), 7L)
+      .select(col("source"), col("quota")).as[(String, Long)].collect().toMap
+    // shares: 3.5, 2.1, 1.05, .35 -> floors 3,2,1,0 (sum 6); largest
+    // remainder: a (.5) gets the leftover slot
+    assert(got === Map("a" -> 4L, "b" -> 2L, "c" -> 1L, "d" -> 0L))
+    assert(got.values.sum === 7L)
+  }
+
+  test("proportionalAllocation: temperature 0.5 flattens toward small groups") {
+    val sizes = Seq(("big", 10000L), ("small", 100L)).toDF("source", "n")
+    def quotaOf(temp: Boolean) =
+      Sampling.proportionalAllocation(sizes, Seq("source"), 100L,
+          temperatureHalf = temp)
+        .select(col("source"), col("quota")).as[(String, Long)].collect().toMap
+    val flat = quotaOf(false); val sq = quotaOf(true)
+    assert(flat("small") === 1L)          // 100/10100 share
+    assert(sq("small") === 9L)            // sqrt: 10/110 share
+    assert(flat.values.sum === 100L && sq.values.sum === 100L)
+  }
+
+  test("weightedSampleAllocated: fills each quota, keeps what exists") {
+    val rows = (1 to 40).map(i => (if (i <= 30) "x" else "y", i.toLong, i.toLong))
+      .toDF("source", "id", "w")
+    val quotas = Seq(("x", 5L), ("y", 20L)).toDF("source", "quota")
+    val got = Sampling.weightedSampleAllocated(rows, Seq("source"),
+        col("id"), col("w"), quotas)
+      .groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("x" -> 5L, "y" -> 10L)) // y has only 10 rows
+  }
+
+  test("weightedSampleAllocated with uniform quota == weightedSampleByGroup") {
+    val rows = (1 to 60).map(i => (s"g${i % 3}", i.toLong, (i % 7 + 1).toLong))
+      .toDF("source", "id", "w")
+    val quotas = Seq(("g0", 4L), ("g1", 4L), ("g2", 4L)).toDF("source", "quota")
+    val a = Sampling.weightedSampleAllocated(rows, Seq("source"),
+        col("id"), col("w"), quotas)
+      .select(col("source"), col("id")).as[(String, Long)].collect().toSet
+    val b = Sampling.weightedSampleByGroup(rows, Seq("source"),
+        col("id"), col("w"), k = 4)
+      .select(col("source"), col("id")).as[(String, Long)].collect().toSet
+    assert(a === b)
+  }
 }
