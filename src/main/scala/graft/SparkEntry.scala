@@ -1204,6 +1204,21 @@ object SparkEntry {
           Seq("signup", "click", "purchase"))
         .orderBy(col("step"))
     }),
+    // windowed funnel: conversion only counts within a 3-day deadline of
+    // step 1 (the "converted within N days" product-analytics contract)
+    "q151_funnel_window" -> ((s, dir) => {
+      import graft.data.Events
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        col("ts").cast("long").as("ts_s"))
+      Events.funnelReport(
+          Events.funnel(e, Seq("user_id"), "ts_s", Seq(
+            "signup" -> (col("event_type") === "signup"),
+            "click" -> (col("event_type") === "click"),
+            "purchase" -> (col("event_type") === "purchase")),
+            maxSpanSeconds = Some(259200L)),
+          Seq("signup", "click", "purchase"))
+        .orderBy(col("step"))
+    }),
     // retention cohorts: first-activity epoch-day buckets x age-days
     // distinct-active matrix, all integer-exact day arithmetic
     "q141_cohorts" -> ((s, dir) => {
@@ -3798,6 +3813,25 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |  WHERE event_type = 'click' AND s > t1 GROUP BY 1),
          |s3 AS (SELECT e.user_id, min(s) AS t3 FROM e JOIN s2 USING (user_id)
          |  WHERE event_type = 'purchase' AND s > t2 GROUP BY 1),
+         |c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+         |  (SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3)
+         |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+         |  n1 AS n_converted, CAST(1000000 AS BIGINT) AS conversion_ppm FROM c
+         |UNION ALL SELECT 2, 'click', n2, n2 * 1000000 // n1 FROM c
+         |UNION ALL SELECT 3, 'purchase', n3, n3 * 1000000 // n1 FROM c
+         |ORDER BY step""".stripMargin,
+    "q151_funnel_window" ->
+      s"""WITH e AS (SELECT user_id, event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+         |s1 AS (SELECT user_id, min(s) AS t1 FROM e
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(s) AS t2, min(t1) AS t1b
+         |  FROM e JOIN s1 USING (user_id)
+         |  WHERE event_type = 'click' AND s > t1 AND s - t1 <= 259200
+         |  GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(s) AS t3 FROM e JOIN s2 USING (user_id)
+         |  WHERE event_type = 'purchase' AND s > t2 AND s - t1b <= 259200
+         |  GROUP BY 1),
          |c AS (SELECT (SELECT count(*) FROM s1) AS n1,
          |  (SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3)
          |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,

@@ -77,8 +77,11 @@ object Events {
    * [[funnelReport]] for the per-step conversion table.
    */
   def funnel(events: DataFrame, keyCols: Seq[String], tsCol: String,
-      steps: Seq[(String, Column)]): DataFrame = {
+      steps: Seq[(String, Column)],
+      maxSpanSeconds: Option[Long] = None): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
+    maxSpanSeconds.foreach(sp =>
+      require(sp > 0, s"maxSpanSeconds must be positive, got $sp"))
     val keys = keyCols.map(col)
     val first = events.filter(steps.head._2)
       .groupBy(keys: _*).agg(min(col(tsCol)).as("t_1"))
@@ -86,9 +89,17 @@ object Events {
       case (prev, ((_, pred), i)) =>
         val tPrev = s"t_$i"
         val tThis = s"t_${i + 1}"
+        // the WINDOWED variant (`maxSpanSeconds`): step k also has to
+        // land within the deadline of the key's step-1 time — the
+        // "converted within 7 days" product-analytics contract. t_1
+        // rides every stage join for the check.
+        val within = maxSpanSeconds
+          .map(sp => col(tsCol) - col("t_1") <= sp)
+          .getOrElse(lit(true))
         val stepTs = events.filter(pred)
-          .join(prev.select(keys :+ col(tPrev): _*), keyCols)
-          .filter(col(tsCol) > col(tPrev))
+          .join(prev.select((keys :+ col(tPrev)) ++
+            (if (i > 1) Seq(col("t_1")) else Nil): _*), keyCols)
+          .filter(col(tsCol) > col(tPrev) && within)
           .groupBy(keys: _*).agg(min(col(tsCol)).as(tThis))
         prev.join(stepTs, keyCols, "left")
     }

@@ -76,4 +76,29 @@ class EventsSpec extends SparkSpec {
       (0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 2L),
       (1L, 0L, 1L)))
   }
+
+  test("windowed funnel: the deadline cuts late conversions only") {
+    val e = Seq(
+      (1L, "signup", 0L), (1L, "click", 50L), (1L, "buy", 90L),    // inside
+      (2L, "signup", 0L), (2L, "click", 150L), (2L, "buy", 160L),  // click late
+      (3L, "signup", 0L), (3L, "click", 50L), (3L, "buy", 150L))   // buy late
+      .toDF("user", "et", "ts")
+    val steps = Seq(
+      "signup" -> (col("et") === "signup"),
+      "click" -> (col("et") === "click"),
+      "buy" -> (col("et") === "buy"))
+    val got = Events.funnel(e, Seq("user"), "ts", steps,
+        maxSpanSeconds = Some(100L))
+      .select(col("user"), col("t_2"), col("t_3"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> ((Some(50L), Some(90L))),
+      2L -> ((None, None)),
+      3L -> ((Some(50L), None))))
+    // without a deadline all three convert fully
+    val free = Events.funnel(e, Seq("user"), "ts", steps)
+      .filter(col("t_3").isNotNull).count()
+    assert(free === 3L)
+  }
 }
