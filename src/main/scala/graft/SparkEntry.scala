@@ -1051,6 +1051,20 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // quality-preferring survivors over NEAR-dup clusters (minhash ->
+    // connected components -> keep longest text, then max id) — the
+    // production near-dup policy end to end
+    "q152_best_neardup_survivor" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+      val clusters = Dedup.connectedComponents(pairs)
+      Dedup.deduplicateBest(docs, "doc_id", clusters,
+          Seq(length(col("text")).desc, col("doc_id").desc))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
     // largest-remainder quota allocation + A-ES sampling under per-group
     // quotas: exact Hamilton split of 100 slots by source size, then the
     // content-addressed weighted sample fills each quota
@@ -3649,6 +3663,21 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q152_best_neardup_survivor" ->
+      s"""WITH RECURSIVE t AS ($minhashSigTableSql),
+         |prs AS (SELECT id_a, id_b FROM ($minhashCandidatesSql) WHERE jaccard >= 0.3),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM prs
+         |          UNION SELECT id_b, id_a FROM prs),
+         |reach(node, lab) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+         |comp AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node),
+         |asg AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+         |    d.text FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+         |rk AS (SELECT doc_id, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY length(text) DESC, doc_id DESC) AS r FROM asg)
+         |SELECT doc_id FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin,
     "q149_proportional_sample" ->
       s"""WITH sizes AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
          |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM sizes),
