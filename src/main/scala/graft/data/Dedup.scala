@@ -654,6 +654,11 @@ object Dedup {
    * catching token-order rewrites whose shingle Jaccard is near zero —
    * the same two-tier contract as [[incrementalDedup]].
    *
+   * `preferOrder` switches BOTH survivor selections from min-id to
+   * best-by-preference ([[deduplicateBest]] — e.g. longest text, top
+   * quality): one consistent policy across the exact and near-dup
+   * stages. Empty (default) keeps the historical min-id contract.
+   *
    * The exact stage FIRST is load-bearing at scale: identical documents
    * all land in the same LSH bands, so ten thousand copies of one page
    * would meet quadratically in the band join. Collapsing them to one
@@ -669,14 +674,23 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5,
       maxHamming: Int = -1,
-      simhashBits: Int = 28): DataFrame = {
+      simhashBits: Int = 28,
+      preferOrder: Seq[Column] = Nil): DataFrame = {
     val fp = TextFunctions.fingerprint(col(textCol))
-    val keepExact = docs
-      .withColumn("__fp", fp)
-      .groupBy(col("__fp"))
-      .agg(min(col(idCol)).as(idCol))
-      .drop("__fp")
-    val exact = docs.join(keepExact, Seq(idCol), "left_semi")
+    // exact stage: min id per fingerprint by default; with a preference,
+    // the best member of each fingerprint class (same policy as the
+    // near-dup stage below — one consistent survivor rule end to end)
+    val exact =
+      if (preferOrder.isEmpty) {
+        val keepExact = docs
+          .withColumn("__fp", fp)
+          .groupBy(col("__fp"))
+          .agg(min(col(idCol)).as(idCol))
+          .drop("__fp")
+        docs.join(keepExact, Seq(idCol), "left_semi")
+      } else
+        deduplicateBest(docs, idCol,
+          docs.select(col(idCol).as("id"), fp.as("cluster")), preferOrder)
     val jaccardPairs = minhashNearDups(exact, idCol, textCol, shingleN, k,
         bands, threshold)
       .select(col("id_a"), col("id_b"))
@@ -686,7 +700,8 @@ object Dedup {
           simhashNearDups(exact, idCol, textCol, simhashBits, maxHamming)
             .select(col("id_a"), col("id_b")))
       else jaccardPairs
-    deduplicate(exact, idCol, pairs)
+    if (preferOrder.isEmpty) deduplicate(exact, idCol, pairs)
+    else deduplicateBest(exact, idCol, connectedComponents(pairs), preferOrder)
   }
 
   // --------------------------------------------- continuous-ingest dedup
