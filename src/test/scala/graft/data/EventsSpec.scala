@@ -101,4 +101,65 @@ class EventsSpec extends SparkSpec {
       .filter(col("t_3").isNotNull).count()
     assert(free === 3L)
   }
+
+  test("randomized: sessionize and cohorts match scalar references") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(600)(i =>
+      (rnd.nextInt(12).toLong, i.toLong, rnd.nextInt(2000).toLong))
+    val df = rows.toDF("user", "eid", "ts").repartition(7)
+
+    // --- sessionize vs a scalar fold over (ts, eid)-sorted events
+    val gap = 37L
+    val gotS = Events.sessionize(df, Seq("user"), "ts", gap,
+        tieBreak = Seq(col("eid")))
+      .select(col("eid"), col("session_seq")).as[(Long, Long)]
+      .collect().toMap
+    rows.groupBy(_._1).foreach { case (_, evs) =>
+      var seq = 0L; var prev = Option.empty[Long]
+      evs.sortBy(e => (e._3, e._2)).foreach { case (_, eid, ts) =>
+        if (prev.forall(p => ts - p > gap)) seq += 1
+        prev = Some(ts)
+        assert(gotS(eid) === seq, s"eid=$eid")
+      }
+    }
+
+    // --- cohorts vs a scalar matrix: rescale ts so day = ts div 100
+    //     (integer multiply only — Column `/` would go double)
+    val dayDf = df.withColumn("ts", col("ts") * 864L)
+    val gotC = Events.retentionCohorts(dayDf, Seq("user"), "ts")
+      .select(col("cohort_day"), col("age_days"), col("n_active"))
+      .as[(Long, Long, Long)].collect().toSet
+    val byUserDay = rows.map { case (u, _, ts) => (u, ts * 864L / 86400L) }.distinct
+    val firstDay = byUserDay.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val wantC = byUserDay.groupBy { case (u, d) => (firstDay(u), d - firstDay(u)) }
+      .map { case (k, xs) => (k._1, k._2, xs.map(_._1).distinct.size.toLong) }.toSet
+    assert(gotC === wantC)
+  }
+
+  test("randomized: funnel equals a scalar greedy chain") {
+    val rnd = new scala.util.Random(7)
+    val stepNames = Vector("s1", "s2", "s3")
+    val rows = Seq.tabulate(400)(i =>
+      (rnd.nextInt(25).toLong, stepNames(rnd.nextInt(3)), i.toLong))
+    val df = rows.toDF("user", "et", "ts").repartition(5)
+    val got = Events.funnel(df, Seq("user"), "ts", Seq(
+        "s1" -> (col("et") === "s1"), "s2" -> (col("et") === "s2"),
+        "s3" -> (col("et") === "s3")))
+      .select(col("user"), col("t_1"), col("t_2"), col("t_3"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    rows.groupBy(_._1).foreach { case (u, evs) =>
+      var stage = 0; var times = List.empty[Long]
+      evs.sortBy(_._3).foreach { case (_, et, ts) =>
+        if (stage < 3 && et == stepNames(stage) &&
+            (stage == 0 || ts > times.head)) { stage += 1; times = ts :: times }
+      }
+      val t = times.reverse
+      val want = (t.lift(0), t.lift(1), t.lift(2))
+      got.get(u) match {
+        case Some(g) => assert(g === want, s"user=$u")
+        case None => assert(want._1.isEmpty, s"user=$u missing but $want")
+      }
+    }
+  }
 }
