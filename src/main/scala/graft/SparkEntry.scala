@@ -1051,6 +1051,20 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // exact distributed selection: median and p90 of price-cents via
+    // value-range binary search (count-probes over one cached column,
+    // no global sort) — matches ORDER BY/OFFSET exactly incl. ties
+    "q153_exact_kth" -> ((s, dir) => {
+      import graft.data.Relational
+      import s.implicits._
+      val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+      val li = t(s, dir, "lineitem")
+      val n = li.count()
+      val med = Relational.exactKth(li, cents, (n + 1) / 2)
+      val p90 = Relational.exactKth(li, cents, (n * 9 + 9) / 10)
+      Seq(("median", (n + 1) / 2, med), ("p90", (n * 9 + 9) / 10, p90))
+        .toDF("stat", "k", "value").orderBy(col("stat"))
+    }),
     // quality-preferring survivors over NEAR-dup clusters (minhash ->
     // connected components -> keep longest text, then max id) — the
     // production near-dup policy end to end
@@ -3663,6 +3677,15 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q153_exact_kth" ->
+      s"""WITH v AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+         |  FROM lineitem),
+         |n AS (SELECT count(*) AS n FROM v),
+         |ks AS (SELECT 'median' AS stat, (n + 1) // 2 AS k FROM n
+         |  UNION ALL SELECT 'p90', (n * 9 + 9) // 10 FROM n),
+         |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+         |SELECT stat, k, v AS value FROM ks JOIN o ON o.rn = ks.k
+         |ORDER BY stat""".stripMargin,
     "q152_best_neardup_survivor" ->
       s"""WITH RECURSIVE t AS ($minhashSigTableSql),
          |prs AS (SELECT id_a, id_b FROM ($minhashCandidatesSql) WHERE jaccard >= 0.3),

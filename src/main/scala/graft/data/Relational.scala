@@ -246,6 +246,64 @@ object Relational {
   }
 
   /**
+   * EXACT k-th smallest (1-based) of an integer column — distributed
+   * SELECTION via driver-coordinated binary search on the VALUE range:
+   * `O(log range)` map-combinable `count(v ≤ mid)` passes instead of a
+   * global sort (whose final merge is one task) or a `percentile`
+   * window. Invariant: the answer is the smallest `v₀` with
+   * `count(v ≤ v₀) ≥ k` — exact under ties, matching SQL
+   * `ORDER BY v LIMIT 1 OFFSET k−1`. The (narrow) value column is
+   * cached once, so the ~40 worst-case probe jobs scan one cached
+   * long column, not the source table. Exact-median/p-k at 100 TB where
+   * `histogramQuantile`'s bin error is not acceptable.
+   */
+  def exactKth(df: DataFrame, value: Column, k: Long,
+      buckets: Int = 4096): Long = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val v = df.select(value.cast("long").as("v")).filter(col("v").isNotNull)
+      .cache()
+    try {
+      val row = v.agg(min(col("v")), max(col("v")), count(lit(1))).head()
+      val n = row.getLong(2)
+      require(k >= 1 && k <= n, s"k must be in [1, $n], got $k")
+      var lo = row.getLong(0)
+      var hi = row.getLong(1)
+      var kk = k // rank of the answer within the current [lo, hi] window
+      // multi-way narrowing: each pass histograms the window into
+      // `buckets` cells in ONE map-combinable aggregation (≤ `buckets`
+      // rows to the driver) and descends into the cell holding rank kk —
+      // log_buckets(range) passes (a 2⁶³ range is ≤ 6 with 4096 cells)
+      // vs ~63 for a binary search, and at scale each pass is one scan
+      // of the cached long column
+      while (hi - lo >= buckets.toLong) {
+        val width = Math.floorDiv(hi - lo, buckets.toLong) + 1
+        val hist = v.filter(col("v").between(lo, hi))
+          .groupBy(expr(s"(v - ${lo}L) div ${width}L").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+          .sortBy(_._1)
+        var cum = 0L
+        val (b, before) = hist.collectFirst {
+          case (bi, c) if { cum += c; cum >= kk } => (bi, cum - c)
+        }.get
+        kk -= before
+        hi = math.min(hi, lo + (b + 1) * width - 1)
+        lo = lo + b * width
+      }
+      // final window is < `buckets` distinct values: one exact per-value
+      // count resolves the rank
+      val tail = v.filter(col("v").between(lo, hi))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .sortBy(_._1)
+      var cum = 0L
+      tail.collectFirst {
+        case (value0, c) if { cum += c; cum >= kk } => value0
+      }.get
+    } finally { v.unpersist(); () }
+  }
+
+  /**
    * SCD TYPE-2 history build: collapse a change log `(key, order,
    * attrs…)` into versioned rows with `[valid_from, valid_to)` intervals
    * — the dimension-table twin of `Warehouse.mergeUpsert` (which keeps

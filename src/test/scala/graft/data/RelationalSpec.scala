@@ -156,4 +156,24 @@ class RelationalSpec extends SparkSpec {
     // u2's intervals never pair with u1's despite identical bins
     assert(got === Set(("u1", 10L)))
   }
+
+  test("exactKth: matches sort-offset semantics incl. ties and negatives") {
+    val rnd = new scala.util.Random(19)
+    val vals = Seq.fill(500)(rnd.nextInt(40).toLong - 20L)
+    val df = vals.toDF("x").repartition(6)
+    val sorted = vals.sorted
+    for (k <- Seq(1L, 2L, 250L, 251L, 499L, 500L)) {
+      val got = Relational.exactKth(df, col("x"), k)
+      assert(got === sorted((k - 1).toInt), s"k=$k")
+    }
+  }
+
+  test("exactKth: null values excluded, bounds enforced") {
+    val df = Seq(Some(5L), None, Some(1L), Some(9L)).toDF("x")
+    assert(Relational.exactKth(df, col("x"), 1L) === 1L)
+    assert(Relational.exactKth(df, col("x"), 3L) === 9L)
+    intercept[IllegalArgumentException] {
+      Relational.exactKth(df, col("x"), 4L)
+    }
+  }
 }
