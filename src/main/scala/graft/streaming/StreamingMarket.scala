@@ -240,6 +240,53 @@ object StreamingMarket {
     }
   }
 
+  case class ActivityEvent(key: Long, ts: Long)
+  case class RetentionState(firstDay: Long, seen0: Long, seen1: Long)
+  case class RetentionHit(cohort_day: Long, age_days: Long)
+
+  /**
+   * Streaming RETENTION tracker — the live face of
+   * [[graft.data.Events.retentionCohorts]] with BOUNDED per-key state:
+   * the key's first-activity day plus a 128-bit bitmap of ages already
+   * counted (three longs, forever — the horizon bound is what makes
+   * per-key state safe at any stream length; batch retention matrices
+   * are horizon-bounded in practice too). Emits one `(cohort_day,
+   * age_days)` increment the FIRST time each (key, age) is seen — sum
+   * downstream per cell and you have the batch matrix over the stream's
+   * prefix (spec-pinned parity, in-order streams).
+   *
+   * Contracts: the first SEEN day defines the cohort (a late
+   * cross-batch event from before it would imply a negative age and is
+   * dropped — the CDC append expectation, as in [[streamingFunnel]]);
+   * ages ≥ 128 days are outside the horizon and not tracked.
+   */
+  def streamingRetention(events: Dataset[ActivityEvent])(
+      implicit spark: SparkSession): Dataset[RetentionHit] = {
+    import spark.implicits._
+    events.groupByKey(_.key).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (_: Long, it: Iterator[ActivityEvent], state: GroupState[RetentionState]) =>
+        var st = state.getOption.getOrElse(RetentionState(Long.MaxValue, 0L, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[RetentionHit]
+        it.toArray.map(e => Math.floorDiv(e.ts, 86400L)).sorted.foreach { day =>
+          if (st.firstDay == Long.MaxValue) st = st.copy(firstDay = day)
+          val age = day - st.firstDay
+          if (age >= 0 && age < 128) {
+            val (word, bit) =
+              if (age < 64) (st.seen0, age) else (st.seen1, age - 64)
+            if ((word & (1L << bit)) == 0L) {
+              out += RetentionHit(st.firstDay, age)
+              st =
+                if (age < 64) st.copy(seen0 = st.seen0 | (1L << bit))
+                else st.copy(seen1 = st.seen1 | (1L << bit))
+            }
+          }
+        }
+        state.update(st)
+        out.iterator
+    }
+  }
+
   case class FunnelEvent(key: Long, step: String, ts: Long)
   case class FunnelState(stage: Int, stageTimes: List[Long])
   case class FunnelProgress(key: Long, stage: Int, t_first: Long, t_last: Long)

@@ -902,4 +902,32 @@ class StreamingMarketSpec extends SparkSpec {
     assert(onDisk === Set("v2"), onDisk.toString)
     assert(Versioned.latestVersion(spark, dir) === Some(2L))
   }
+
+  test("streamingRetention: increments sum to the batch matrix; dedup + bounds") {
+    implicit val s2 = spark
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.data.Events
+    val day = 86400L
+    val b1 = Seq(ActivityEvent(1L, 0L), ActivityEvent(1L, day + 5L),
+      ActivityEvent(2L, 100L), ActivityEvent(1L, 10L)) // same day twice
+    val b2 = Seq(ActivityEvent(1L, 3L * day), ActivityEvent(2L, 3L * day + 1L),
+      ActivityEvent(3L, day), ActivityEvent(1L, day + 9L)) // (1, age 1) again
+    val input = MemoryStream[ActivityEvent]
+    val q = streamingRetention(input.toDS())
+      .writeStream.format("memory").queryName("ret_hits")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+        "SELECT cohort_day, age_days, count(*) FROM ret_hits GROUP BY 1, 2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Events.retentionCohorts(
+        (b1 ++ b2).map(e => (e.key, e.ts)).toDF("user", "ts"),
+        Seq("user"), "ts")
+      .select(col("cohort_day"), col("age_days"), col("n_active"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
 }
