@@ -1051,6 +1051,15 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // per-group EXACT medians over a bounded domain: one (group, value)
+    // count agg + a cumulative walk over distinct values — no per-row
+    // window, ties match sort-offset semantics
+    "q154_group_median" -> ((s, dir) => {
+      import graft.data.Relational
+      Relational.groupedExactMedian(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), col("l_quantity"))
+        .orderBy(col("l_returnflag"))
+    }),
     // exact distributed selection: median and p90 of price-cents via
     // value-range binary search (count-probes over one cached column,
     // no global sort) — matches ORDER BY/OFFSET exactly incl. ties
@@ -3677,6 +3686,16 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q154_group_median" ->
+      s"""WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+         |    count(*) AS c FROM lineitem GROUP BY 1, 2),
+         |x AS (SELECT l_returnflag, v, c,
+         |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(c) OVER (PARTITION BY l_returnflag) AS n FROM c)
+         |SELECT l_returnflag, v AS median, CAST(n AS BIGINT) AS n_rows
+         |FROM x WHERE cum >= (n + 1) // 2 AND cum - c < (n + 1) // 2
+         |ORDER BY l_returnflag""".stripMargin,
     "q153_exact_kth" ->
       s"""WITH v AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
          |  FROM lineitem),

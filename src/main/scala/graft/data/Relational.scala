@@ -304,6 +304,33 @@ object Relational {
   }
 
   /**
+   * Per-GROUP exact (lower) median over a BOUNDED-DOMAIN integer column
+   * — the group-wise companion of [[exactKth]] where a driver loop per
+   * group would not scale: one (group, value) count aggregation
+   * (map-combinable; |groups|·|domain| cells max), then a per-group
+   * cumulative walk over DISTINCT VALUES picks the smallest v with
+   * `cum ≥ (n+1) div 2`. Matches SQL sort-offset median semantics
+   * exactly, ties included. The window sorts value cells, not rows —
+   * a 10⁹-row group with a 100-value domain costs 100 window rows.
+   */
+  def groupedExactMedian(df: DataFrame, groupCols: Seq[String],
+      value: Column): DataFrame = {
+    val keys = groupCols.map(col)
+    val counts = df
+      .groupBy(keys :+ value.cast("long").as("v"): _*)
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(keys: _*)
+    counts
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .filter(col("cum") >= expr("(n + 1) div 2") &&
+        col("cum") - col("c") < expr("(n + 1) div 2"))
+      .select(keys :+ col("v").as("median") :+ col("n").as("n_rows"): _*)
+  }
+
+  /**
    * SCD TYPE-2 history build: collapse a change log `(key, order,
    * attrs…)` into versioned rows with `[valid_from, valid_to)` intervals
    * — the dimension-table twin of `Warehouse.mergeUpsert` (which keeps

@@ -176,4 +176,22 @@ class RelationalSpec extends SparkSpec {
       Relational.exactKth(df, col("x"), 4L)
     }
   }
+
+  test("groupedExactMedian: sort-offset parity per group, ties included") {
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.tabulate(800)(_ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(12).toLong))
+    val got = Relational.groupedExactMedian(rows.toDF("g", "v").repartition(5),
+        Seq("g"), col("v"))
+      .select(col("g"), col("median"), col("n_rows"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    rows.groupBy(_._1).foreach { case (g, members) =>
+      val sorted = members.map(_._2).sorted
+      val want = sorted(((sorted.size + 1) / 2 - 1))
+      val (m, n) = got(g)
+      assert(m === want, s"g=$g")
+      assert(n === members.size.toLong)
+    }
+  }
 }
