@@ -1051,6 +1051,18 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // per-SOURCE ECDF calibration: each doc's rank within its own
+    // source in exact integer ppm — the fairness step before blending
+    // per-source scores (distributed bin table, no driver collect)
+    "q155_group_ecdf" -> ((s, dir) => {
+      import graft.data.Sketches
+      Sketches.ecdfNormalizeByGroup(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            col("n_chars")),
+          Seq("source"), col("n_chars"), lo = 0.0, hi = 1000.0, nBins = 50)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("ecdf_ppm"))
+        .orderBy(col("doc_id"))
+    }),
     // per-group EXACT medians over a bounded domain: one (group, value)
     // count agg + a cumulative walk over distinct values — no per-row
     // window, ties match sort-offset semantics
@@ -3686,6 +3698,21 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q155_group_ecdf" ->
+      s"""WITH d AS (SELECT doc_id, source, n_chars,
+         |  CAST(least(greatest(floor((n_chars - 0.0) * 0.05), 0), 49) AS BIGINT)
+         |    AS bin
+         |  FROM documents),
+         |h AS (SELECT source, bin, count(*) AS c FROM d GROUP BY 1, 2),
+         |t AS (SELECT source, bin,
+         |    CAST(sum(c) OVER (PARTITION BY source ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM h)
+         |SELECT d.doc_id, d.source AS source, d.n_chars,
+         |  CAST(t.cum * 1000000 // t.n AS BIGINT) AS ecdf_ppm
+         |FROM d JOIN t ON t.source = d.source AND t.bin = d.bin
+         |ORDER BY d.doc_id""".stripMargin,
     "q154_group_median" ->
       s"""WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
          |    count(*) AS c FROM lineitem GROUP BY 1, 2),

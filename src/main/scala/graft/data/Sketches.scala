@@ -282,6 +282,47 @@ object Sketches {
   }
 
   /**
+   * Per-GROUP [[ecdfNormalize]] — per-domain score CALIBRATION: each
+   * group's raw score maps to its empirical-CDF rank WITHIN THE GROUP
+   * (exact integer ppm), so "top decile of its own source" means the
+   * same thing for a 10⁹-doc domain and a 10⁴-doc one — the fairness
+   * step before blending per-source scores into one keep decision.
+   *
+   * Unlike the global form (bounded literal lookup), the bin table here
+   * is |groups|·nBins rows, so it stays DISTRIBUTED: per-(group, bin)
+   * counts (one map-combinable agg), per-group cumulative sums (a
+   * window over ≤ nBins cells per group), then one equi-join back on
+   * (group, bin) — left to the planner: AQE broadcasts the table while
+   * it is small and falls back to a shuffle join at extreme group
+   * cardinality. Same floor-division ppm arithmetic as the global form
+   * — bit-identical cross-engine.
+   */
+  def ecdfNormalizeByGroup(df: DataFrame, groupCols: Seq[String],
+      value: Column, lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val keys = groupCols.map(col)
+    val raw = floor((value.cast("double") - lit(lo)) * lit(nBins / (hi - lo)))
+    val bin = least(greatest(raw, lit(0.0)), lit((nBins - 1).toDouble))
+      .cast("long")
+    val counts = df.select(keys :+ bin.as("__bin"): _*)
+      .groupBy(keys :+ col("__bin"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("__bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    val table = counts
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .select(keys ++ Seq(col("__bin"),
+        expr("__cum * 1000000 div __n").as("ecdf_ppm")): _*)
+    df.withColumn("__bin", bin)
+      .join(table, groupCols :+ "__bin")
+      .drop("__bin")
+  }
+
+  /**
    * Quantile estimated from a [[fixedHistogram]] result by linear
    * interpolation inside the covering bin (one more tiny shuffle on the
    * group key). Error ≤ one bin width. `p` in (0,1).

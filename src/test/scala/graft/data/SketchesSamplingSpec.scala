@@ -332,4 +332,31 @@ class SketchesSamplingSpec extends SparkSpec {
       .select(col("source"), col("id")).as[(String, Long)].collect().toSet
     assert(a === b)
   }
+
+  test("ecdfNormalizeByGroup: per-group ranks; top-of-group hits 1e6") {
+    val rows = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("a", 4L, 40.0),
+      ("b", 5L, 35.0), ("b", 6L, 35.0))
+      .toDF("g", "id", "v")
+    val got = Sketches.ecdfNormalizeByGroup(rows, Seq("g"), col("v"),
+        lo = 0.0, hi = 50.0, nBins = 50)
+      .select(col("id"), col("ecdf_ppm")).as[(Long, Long)].collect().toMap
+    // group a: ranks 1..4 of 4 -> 250000, 500000, 750000, 1000000
+    assert(got(1L) === 250000L && got(2L) === 500000L)
+    assert(got(3L) === 750000L && got(4L) === 1000000L)
+    // group b: tied bin -> both share the full-group rank 1e6
+    assert(got(5L) === 1000000L && got(6L) === 1000000L)
+  }
+
+  test("ecdfNormalizeByGroup matches the global form on one group") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.tabulate(300)(i => (i.toLong, rnd.nextDouble() * 100.0))
+      .toDF("id", "v").withColumn("g", lit("only"))
+    val grouped = Sketches.ecdfNormalizeByGroup(rows, Seq("g"), col("v"),
+        0.0, 100.0, 20)
+      .select(col("id"), col("ecdf_ppm")).as[(Long, Long)].collect().toMap
+    val global = Sketches.ecdfNormalize(rows, col("v"), 0.0, 100.0, 20)
+      .select(col("id"), col("ecdf_ppm")).as[(Long, Long)].collect().toMap
+    assert(grouped === global)
+  }
 }
