@@ -1051,6 +1051,36 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // tokenizer OOV-rate panel: vocab trained on a SUBSET (%3==0),
+    // held-out docs carry planted unseen symbols -> per-source unk_ppm
+    // (golden - BPE segmentation not ANSI-expressible)
+    "q156_oov_rate" -> ((s, dir) => {
+      import graft.data.Bpe
+      val docs = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 2,
+          concat(col("text"), lit(" ssigß"))).otherwise(col("text")))
+      val train = docs.filter(col("doc_id") % 3 === 0)
+      val merges = Bpe.trainMerges(train, "text", 20)
+      val vocab = Bpe.vocabulary(train, "text", merges)
+      Bpe.encodeIds(docs, "text", merges, vocab)
+        .select(col("source"), explode(col("token_ids")).as("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_ids"),
+          sum(when(col("id") === -1, 1L).otherwise(0L)).as("n_unk"))
+        .withColumn("unk_ppm", expr("n_unk * 1000000 div n_ids"))
+        .orderBy(col("source"))
+    }),
+    // Pearson panel from exact integer sufficient statistics: one agg,
+    // closed form + round(6) as the only floating point
+    "q157_corr_panel" -> ((s, dir) => {
+      import graft.data.Sketches
+      val docs = t(s, dir, "documents")
+      Sketches.pearsonExact(docs, Seq(
+          ("chars_words", col("n_chars"), T.wordCount(col("text"))),
+          ("words_distinct", T.wordCount(col("text")),
+            size(array_distinct(T.tokens(col("text")))))))
+        .orderBy(col("pair"))
+    }),
     // per-SOURCE ECDF calibration: each doc's rank within its own
     // source in exact integer ppm — the fairness step before blending
     // per-source scores (distributed bin table, no driver collect)
@@ -3698,6 +3728,39 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q157_corr_panel" ->
+      s"""WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x1,
+         |    CAST(len($tokSql) AS BIGINT) AS w,
+         |    CAST(len(list_distinct($tokSql)) AS BIGINT) AS p
+         |  FROM documents),
+         |s AS (SELECT count(*) AS n,
+         |  CAST(sum(x1) AS BIGINT) AS sx0, CAST(sum(w) AS BIGINT) AS sy0,
+         |  CAST(sum(x1 * w) AS BIGINT) AS sxy0,
+         |  CAST(sum(x1 * x1) AS BIGINT) AS sxx0,
+         |  CAST(sum(w * w) AS BIGINT) AS syy0,
+         |  CAST(sum(w) AS BIGINT) AS sx1, CAST(sum(p) AS BIGINT) AS sy1,
+         |  CAST(sum(w * p) AS BIGINT) AS sxy1,
+         |  CAST(sum(w * w) AS BIGINT) AS sxx1,
+         |  CAST(sum(p * p) AS BIGINT) AS syy1
+         |  FROM d)
+         |SELECT 'chars_words' AS pair, n, round(
+         |  (CAST(n AS DOUBLE) * CAST(sxy0 AS DOUBLE)
+         |    - CAST(sx0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+         |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+         |      - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE))
+         |    * sqrt(CAST(n AS DOUBLE) * CAST(syy0 AS DOUBLE)
+         |      - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE))), 6) AS corr
+         |FROM s
+         |UNION ALL
+         |SELECT 'words_distinct', n, round(
+         |  (CAST(n AS DOUBLE) * CAST(sxy1 AS DOUBLE)
+         |    - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+         |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+         |      - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+         |    * sqrt(CAST(n AS DOUBLE) * CAST(syy1 AS DOUBLE)
+         |      - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))), 6) AS corr
+         |FROM s
+         |ORDER BY pair""".stripMargin,
     "q155_group_ecdf" ->
       s"""WITH d AS (SELECT doc_id, source, n_chars,
          |  CAST(least(greatest(floor((n_chars - 0.0) * 0.05), 0), 49) AS BIGINT)

@@ -535,4 +535,41 @@ object Sketches {
       .select(gcols ++ Seq(col("key"), col("cnt"),
         expr("cnt * 1000000 div total").as("share_ppm")): _*)
   }
+
+  /**
+   * PEARSON correlation panel from EXACT integer sufficient statistics:
+   * one aggregation computes (Σx, Σy, Σxy, Σx², Σy², n) for every pair
+   * — exact longs, order-independent — and the only floating-point is
+   * the final closed form `(n·Σxy − ΣxΣy) / (√(n·Σx²−Σx²̂)·√(…))`,
+   * evaluated in one documented operation order and rounded to 6 dp, so
+   * any engine reproduces the panel from the same sums bit-for-bit.
+   * Input columns must be integer-valued (cast upstream); long sums
+   * bound the exact range to ~10⁹ rows of ~10⁴-magnitude values —
+   * scale the units down for wider corpora.
+   */
+  def pearsonExact(df: DataFrame,
+      pairs: Seq[(String, Column, Column)]): DataFrame = {
+    require(pairs.nonEmpty, "pass at least one (name, x, y) pair")
+    val aggs = pairs.zipWithIndex.flatMap { case ((_, x, y), i) =>
+      val xl = x.cast("long"); val yl = y.cast("long")
+      Seq(sum(xl).as(s"sx_$i"), sum(yl).as(s"sy_$i"),
+        sum(xl * yl).as(s"sxy_$i"), sum(xl * xl).as(s"sxx_$i"),
+        sum(yl * yl).as(s"syy_$i"))
+    } :+ count(lit(1)).as("n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    pairs.zipWithIndex.map { case ((name, _, _), i) =>
+      val n = col("n").cast("double")
+      val cov = n * col(s"sxy_$i").cast("double") -
+        col(s"sx_$i").cast("double") * col(s"sy_$i").cast("double")
+      val vx = n * col(s"sxx_$i").cast("double") -
+        col(s"sx_$i").cast("double") * col(s"sx_$i").cast("double")
+      val vy = n * col(s"syy_$i").cast("double") -
+        col(s"sy_$i").cast("double") * col(s"sy_$i").cast("double")
+      // a zero-variance side has no defined correlation: NULL, not an
+      // ANSI divide-by-zero abort (constant columns are routine)
+      row.select(lit(name).as("pair"), col("n"),
+        when(vx > 0 && vy > 0, round(cov / (sqrt(vx) * sqrt(vy)), 6))
+          .otherwise(lit(null).cast("double")).as("corr"))
+    }.reduce(_.unionByName(_))
+  }
 }

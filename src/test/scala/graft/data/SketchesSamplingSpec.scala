@@ -359,4 +359,36 @@ class SketchesSamplingSpec extends SparkSpec {
       .select(col("id"), col("ecdf_ppm")).as[(Long, Long)].collect().toMap
     assert(grouped === global)
   }
+
+  test("pearsonExact: perfect, inverse, and random-reference correlations") {
+    val rnd = new scala.util.Random(8)
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, 3L * i + 7L, 100L - i.toLong, rnd.nextInt(50).toLong))
+      .toDF("x", "lin", "inv", "z")
+    val got = Sketches.pearsonExact(rows, Seq(
+        ("lin", col("x"), col("lin")), ("inv", col("x"), col("inv")),
+        ("rnd", col("x"), col("z"))))
+      .select(col("pair"), col("corr")).as[(String, Double)].collect().toMap
+    assert(got("lin") === 1.0)
+    assert(got("inv") === -1.0)
+    // scalar reference on the random pair
+    val xs = (0 until 200).map(_.toLong)
+    val zs = { val r2 = new scala.util.Random(8)
+      Seq.fill(200)(r2.nextInt(50).toLong) }
+    val n = 200.0
+    val sx = xs.sum.toDouble; val sz = zs.sum.toDouble
+    val sxz = xs.zip(zs).map { case (a, b) => a * b }.sum.toDouble
+    val sxx = xs.map(a => a * a).sum.toDouble
+    val szz = zs.map(a => a * a).sum.toDouble
+    val want = (n * sxz - sx * sz) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * szz - sz * sz))
+    assert(math.abs(got("rnd") - math.rint(want * 1e6) / 1e6) <= 1e-6)
+  }
+
+  test("pearsonExact: a zero-variance side yields null, not an abort") {
+    val rows = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "c")
+    val got = Sketches.pearsonExact(rows, Seq(("xc", col("x"), col("c"))))
+      .select(col("corr")).collect().head
+    assert(got.isNullAt(0))
+  }
 }
