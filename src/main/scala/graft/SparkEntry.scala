@@ -1051,6 +1051,31 @@ object SparkEntry {
           cents = Similarity.planes(8, 64), dropFrac = 0.2)
         .orderBy(col("id"))
     }),
+    // VIDEO near-dups: real container parse -> per-frame ImageIO decode
+    // -> 64-bit dHash set -> frame-hash Jaccard pairs (golden - frame
+    // decode not ANSI-expressible); consecutive ids share 4/6 frames
+    "q158_video_neardups" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 40L)
+        .map(id => Multimodal.MediaRow(id, "video/gvid",
+          Multimodal.syntheticVideo(id)))
+      Multimodal.videoNearDups(media, thresholdPpm = 300000L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // semi-structured JSON props: extraction + typed aggregation over
+    // the event payloads (get_json_object surface)
+    "q159_json_props" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
     // tokenizer OOV-rate panel: vocab trained on a SUBSET (%3==0),
     // held-out docs carry planted unseen symbols -> per-source unk_ppm
     // (golden - BPE segmentation not ANSI-expressible)
@@ -3728,6 +3753,17 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    THEN (need_tokens + avail_tokens - 1) // avail_tokens ELSE 0 END
          |    AS epochs
          |FROM q ORDER BY source""".stripMargin,
+    "q159_json_props" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT)
+         |    AS sum_k,
+         |  CAST(count(DISTINCT CAST(json_extract(props, '$$.k') AS BIGINT))
+         |    AS BIGINT) AS n_distinct_k,
+         |  CAST(min(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT)
+         |    AS min_k,
+         |  CAST(max(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT)
+         |    AS max_k
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q157_corr_panel" ->
       s"""WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x1,
          |    CAST(len($tokSql) AS BIGINT) AS w,

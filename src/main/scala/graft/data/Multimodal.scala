@@ -406,4 +406,100 @@ object Multimodal {
       case _ => None
     }
   }
+
+  // --------------------------------------------- video (multi-frame container)
+
+  /** Minimal REAL multi-frame container per id — magic `GVID`, frame
+   * count, an absolute-offset table, then whole PNG frames from the
+   * JDK's own encoder — so frame extraction exercises genuine offset
+   * parsing and genuine image decode, not byte striding. Frame f of
+   * video v is [[syntheticPng]]`(2·v + f)`: consecutive videos share
+   * 4 of 6 frames by construction (frame-set Jaccard 4/8 = 0.5), so
+   * near-dup chains exist for the golden to pin. */
+  def syntheticVideo(id: Long, nFrames: Int = 6): Array[Byte] = {
+    val frames = Array.tabulate(nFrames)(f => syntheticPng(2 * id + f))
+    val headerLen = 4 + 4 + 4 * nFrames
+    val total = headerLen + frames.map(_.length).sum
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("GVID".getBytes("US-ASCII")).putInt(nFrames)
+    var off = headerLen
+    frames.foreach { fr => buf.putInt(off); off += fr.length }
+    frames.foreach(buf.put)
+    buf.array()
+  }
+
+  /** Parse a `GVID` container: every `stride`-th frame's raw bytes
+   * (frame 0 always included). Malformed payloads yield an empty list —
+   * the corrupt-tolerant contract of the other decoders. */
+  private[data] def extractFrames(bytes: Array[Byte],
+      stride: Int): Seq[Array[Byte]] = {
+    if (bytes.length < 8 ||
+      new String(bytes, 0, 4, "US-ASCII") != "GVID") return Nil
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt(4)
+    // long arithmetic: a garbage count near Int.Max would overflow 4·n
+    // and slip past an int-typed bounds check
+    if (n <= 0 || 8L + 4L * n > bytes.length) return Nil
+    val offs = Array.tabulate(n)(i => bb.getInt(8 + 4 * i))
+    val ends = offs.drop(1) :+ bytes.length
+    if (offs.exists(o => o < 0 || o > bytes.length) ||
+      offs.zip(ends).exists { case (o, e) => e < o }) return Nil
+    (0 until n by stride).map(i =>
+      java.util.Arrays.copyOfRange(bytes, offs(i), ends(i)))
+  }
+
+  /** Per-video FRAME-HASH signature: decode every `stride`-th frame
+   * (real ImageIO) → 64-bit dHash per frame → sorted distinct hash set.
+   * `mapPartitions` over the typed rows — map-only; undecodable frames
+   * are skipped, fully corrupt payloads yield an empty set. */
+  def videoSignatures(media: Dataset[MediaRow], stride: Int = 1)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val hs = extractFrames(r.content, stride).flatMap { fb =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(fb))
+            if (img == null) None else Some(dHash64(img))
+          } catch { case _: Exception => None }
+        }.distinct.sorted
+        (r.media_id, hs)
+      }
+    }.toDF("media_id", "frame_hashes")
+  }
+
+  /**
+   * VIDEO near-dup pairs: two videos are near-dups when the JACCARD of
+   * their distinct frame-dHash sets clears `thresholdPpm` — re-encoded
+   * or trimmed copies share most perceptual frame hashes even when no
+   * byte matches. Scale shape: explode each signature's hashes, ONE
+   * equi-join on the 64-bit frame hash (high-cardinality key — the
+   * inverted-index join needs no prefix trick), count shared hashes per
+   * pair, exact integer-ppm Jaccard. Candidate volume is Σ per-hash
+   * df² — bounded by how often a frame is genuinely reused.
+   */
+  def videoNearDups(media: Dataset[MediaRow], thresholdPpm: Long,
+      stride: Int = 1)(
+      implicit spark: SparkSession): DataFrame = {
+    val sigs = videoSignatures(media, stride)
+      .filter(size(col("frame_hashes")) > 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("media_id"), col("frame_hashes"),
+        size(col("frame_hashes")).cast("long").as("n"))
+    val ex = sigs.select(col("media_id"), col("n"),
+      explode(col("frame_hashes")).as("h"))
+    ex.select(col("h"), col("media_id").as("id_a"), col("n").as("n_a"))
+      .hint("shuffle_hash")
+      .join(ex.select(col("h"), col("media_id").as("id_b"), col("n").as("n_b")),
+        Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("icnt"))
+      .select(col("id_a"), col("id_b"),
+        expr("icnt * 1000000 div (n_a + n_b - icnt)").as("jaccard_ppm"))
+      .filter(col("jaccard_ppm") >= thresholdPpm)
+  }
 }
