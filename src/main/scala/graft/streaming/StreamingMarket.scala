@@ -240,6 +240,82 @@ object StreamingMarket {
     }
   }
 
+  /**
+   * DELTA-layout streaming SCD-2 — the write-amplification fix for
+   * [[scd2WithHistory]], which republishes the FULL history every
+   * micro-batch (fine for small dimensions; at a 100 TB dimension the
+   * closed past would be rewritten forever). Here the history lives as
+   * two stores:
+   *
+   *  - `closed/`: APPEND-ONLY — each batch appends only the versions it
+   *    closed (the superseded current row + intra-batch intermediate
+   *    versions, both already derived by the incremental builder);
+   *    closed rows are immutable by SCD-2 semantics, so append is the
+   *    right verb. Same small-files/compaction posture as the dedup
+   *    signature store (`Dedup.compactSignatureStore`'s pattern applies).
+   *  - `current/`: VERSIONED rewrite of the live slice only — one row
+   *    per live key, small relative to history by construction, and the
+   *    only thing the next batch needs to read: per-batch work is
+   *    O(|batch| + |live keys|) with the closed past never scanned.
+   *
+   * [[loadScd2History]] reassembles the full table. Crash contract:
+   * append lands before the current-pointer publish, so a reprocessed
+   * batch can append its closed delta twice — the loader dedupes on the
+   * natural key `(key…, valid_from)`, making recovery idempotent
+   * (at-least-once append + dedup-on-read, the standard CDC posture).
+   */
+  def scd2WithHistoryDelta(
+      changes: DataFrame,
+      historyDir: String,
+      keyCols: Seq[String],
+      orderCol: String,
+      attrCols: Seq[String],
+      pruneKeep: Option[Int] = None)(
+      sink: (Long, Long, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.data.{Relational, Versioned}
+    changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val core = (keyCols :+ orderCol) ++ attrCols
+      val curDir = s"$historyDir/current"
+      val relog = Versioned.latestVersion(spark, curDir) match {
+        case Some(v) =>
+          spark.read.parquet(s"$curDir/v$v/data").select(core.map(col): _*)
+            .unionByName(batch.select(core.map(col): _*))
+        case None => batch.select(core.map(col): _*)
+      }
+      val updated = Relational.scd2(relog, keyCols, orderCol, attrCols)
+        .localCheckpoint() // two consumers below; derive once
+      val closedDelta = updated.filter(!col("is_current"))
+      val nClosed = closedDelta.count()
+      if (nClosed > 0)
+        closedDelta.write.mode("append").parquet(s"$historyDir/closed")
+      val newCurrent = updated.filter(col("is_current"))
+      val v = Versioned.publish(spark, curDir)(path =>
+        newCurrent.write.parquet(s"$path/data"))
+      pruneKeep.foreach(keep =>
+        Versioned.pruneVersions(spark, curDir, keep, Some(v)))
+      sink(batchId, nClosed, v)
+    }
+  }
+
+  /** Reassemble the full SCD-2 table from a [[scd2WithHistoryDelta]]
+   * layout: append-only closed versions (deduped on the natural key —
+   * the at-least-once recovery guard) ∪ the latest current slice. */
+  def loadScd2History(spark: SparkSession, historyDir: String,
+      keyCols: Seq[String]): DataFrame = {
+    import graft.data.Versioned
+    val curDir = s"$historyDir/current"
+    val v = Versioned.latestVersion(spark, curDir).getOrElse(
+      throw new IllegalStateException(s"no history published under $historyDir"))
+    val current = spark.read.parquet(s"$curDir/v$v/data")
+    val closedPath = new org.apache.hadoop.fs.Path(s"$historyDir/closed")
+    val fs = closedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(closedPath)) current
+    else current.unionByName(
+      spark.read.parquet(s"$historyDir/closed")
+        .dropDuplicates(keyCols :+ "valid_from"))
+  }
+
   case class ActivityEvent(key: Long, ts: Long)
   case class RetentionState(firstDay: Long, seen0: Long, seen1: Long)
   case class RetentionHit(cohort_day: Long, age_days: Long)

@@ -930,4 +930,39 @@ class StreamingMarketSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === want)
   }
+
+  test("scd2WithHistoryDelta: closed appends + small current == full rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.data.Relational
+    val dir = java.nio.file.Files.createTempDirectory("scd2_delta").toString
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[(Long, Long, String)]
+    val q = scd2WithHistoryDelta(input.toDF().toDF("k", "ts", "s"), dir,
+        Seq("k"), "ts", Seq("s"), pruneKeep = Some(0)) {
+      (batchId, nClosed, v) => stats += ((batchId, nClosed, v))
+    }.start()
+    val b1 = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "x"))
+    val b2 = Seq((1L, 30L, "c"), (2L, 25L, "x"), (3L, 50L, "q")) // (2,25,x) no-op
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // batch 0 closed one version ((1,10,a)); batch 1 closed one ((1,20,b))
+    assert(stats.toList === List((0L, 1L, 1L), (1L, 1L, 2L)))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("valid_from"), col("valid_to"), col("s"),
+        col("is_current"))
+      .as[(Long, Long, Option[Long], String, Boolean)].collect().toSet
+    val got = rows(loadScd2History(spark, dir, Seq("k")))
+    val want = rows(Relational.scd2((b1 ++ b2).toDF("k", "ts", "s"),
+      Seq("k"), "ts", Seq("s")))
+    assert(got === want)
+    // the current slice holds exactly the live keys (3 rows), not history
+    val curV = graft.data.Versioned.latestVersion(spark, s"$dir/current").get
+    assert(spark.read.parquet(s"$dir/current/v$curV/data").count() === 3L)
+    // loader dedup guard: a replayed closed append must not duplicate
+    spark.read.parquet(s"$dir/closed").limit(1)
+      .write.mode("append").parquet(s"$dir/closed")
+    assert(rows(loadScd2History(spark, dir, Seq("k"))) === want)
+  }
 }
