@@ -304,4 +304,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin [tok"), p.take(4000))
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 2, p.take(4000))
   }
+
+  test("heavyHitters: the data side never broadcasts; candidates do") {
+    val keys = Seq.fill(300)("hot") ++ (1 to 100).map(i => s"k$i")
+    val df = keys.toDF("key")
+    // with auto-broadcast off, the ONLY broadcast left must be the
+    // explicit candidate-table one — the corpus-sized keyed stream stays
+    // on the probe side of the recount join
+    withNoAutoBroadcast {
+      val p = plan(Sketches.heavyHitters(df, col("key"), k = 5))
+      assert("BroadcastExchange".r.findAllIn(p).size === 1, p.take(2000))
+    }
+  }
+
+  test("collocations: two count aggs + keyed joins, nothing quadratic") {
+    val docs = (0 until 30).map(i => s"tok${i % 5} tok${(i + 1) % 5} x$i")
+      .toDF("text")
+    withNoAutoBroadcast {
+      val p = plan(Corpus.collocations(docs, "text", minCount = 1L))
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      // the 1-row corpus-total frame is the only nested-loop artifact
+      // allowed (it broadcasts a single row)
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
+      assert(p.contains("HashAggregate"), p.take(2000))
+    }
+  }
+
+  test("jaccardThresholdPairs: candidate self-join is a shuffle join") {
+    val docs = (0 until 24).map(i =>
+      (i.toLong, s"alpha$i beta${i % 3} gamma${i % 2} delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    withNoAutoBroadcast {
+      val p = plan(Dedup.jaccardThresholdPairs(docs, "doc_id", "text",
+        500000L, shingleN = 3))
+      assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+        p.take(2000))
+    }
+  }
 }
