@@ -287,8 +287,13 @@ object Corpus {
     val base = corpus
       .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
       .crossJoin(broadcast(dense.select(col("words"))))
+      // NULL fingerprint (null text) → NULL probe, which both branch
+      // filters would drop; a null can never match the benchmark, so it
+      // is definitively clean — coalesce keeps semi-join-identical rows
       .withColumn("__might",
-        Sketches.bloomMightContain(col("words"), col("__fp"), mBits, kHashes))
+        coalesce(
+          Sketches.bloomMightContain(col("words"), col("__fp"), mBits, kHashes),
+          lit(false)))
       .drop("words")
     val outCols = corpus.columns.map(col).toSeq :+ col("contaminated")
     // misses are definitively clean — map-only, never shuffled

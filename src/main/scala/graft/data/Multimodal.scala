@@ -384,7 +384,11 @@ object Multimodal {
     while (off + 8 <= bytes.length && (data.isEmpty || !fmtOk)) {
       val cid = ascii(off, 4)
       val clen = bb.getInt(off + 4)
-      if (clen < 0 || off + 8 + clen > bytes.length) return None
+      // Long arithmetic: a crafted clen near Int.MaxValue would overflow
+      // `off + 8 + clen` negative and bypass an int-typed guard (the GVID
+      // parser guards the same way). Once this holds, clen is bounded by
+      // the array length, so the int offset advance below cannot overflow.
+      if (clen < 0 || off.toLong + 8L + clen.toLong > bytes.length) return None
       if (cid == "fmt " && clen >= 16) {
         val audioFormat = bb.getShort(off + 8).toInt
         val bits = bb.getShort(off + 22).toInt

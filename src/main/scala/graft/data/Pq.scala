@@ -508,12 +508,18 @@ object Pq {
    * distance. Integer-exact by construction: any engine with a
    * `>` comparison reproduces the codes bit-for-bit. */
   def signBits(v: Column): Column =
-    transform(sequence(lit(0), shiftright(size(v) - lit(1), 6)), w =>
-      aggregate(sequence(w * 64, least(w * 64 + 63, size(v) - 1)),
-        lit(0L), (acc, d) => acc +
-          when(element_at(v, d.cast("int") + 1) > 0,
-            call_function("shiftleft", lit(1L), (d - w * 64).cast("int")))
-            .otherwise(lit(0L))))
+    // empty-vector guard: size 0 would make the word range sequence(0,-1)
+    // = [0,-1] and the inner element_at(v, 0) errors at runtime; an empty
+    // embedding gets an empty code (Hamming 0 vs itself) instead of
+    // failing the whole job
+    when(size(v) > 0,
+      transform(sequence(lit(0), shiftright(size(v) - lit(1), 6)), w =>
+        aggregate(sequence(w * 64, least(w * 64 + 63, size(v) - 1)),
+          lit(0L), (acc, d) => acc +
+            when(element_at(v, d.cast("int") + 1) > 0,
+              call_function("shiftleft", lit(1L), (d - w * 64).cast("int")))
+              .otherwise(lit(0L)))))
+      .otherwise(array().cast("array<bigint>"))
 
   /** Exact Hamming distance between two [[signBits]] codes (same dim):
    * Σ popcount(xor) over the words. */

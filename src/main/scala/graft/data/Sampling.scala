@@ -248,17 +248,28 @@ object Sampling {
       .withColumn("scaled", scaled)
     val tot = base.agg(sum(col("scaled")).as("__t"))
     val withQ = base.crossJoin(broadcast(tot))
+      // `when` guard, not coalesce: under ANSI a div-by-zero throws
+      // before null-coalescing could catch it (all-empty input -> __t=0)
       .withColumn("__q",
-        coalesce(expr(s"(${k}L * scaled) div __t"), lit(0L)))
+        when(col("__t") > 0, expr(s"(${k}L * scaled) div __t"))
+          .otherwise(lit(0L)))
       .withColumn("__r",
-        coalesce(expr(s"(${k}L * scaled) % __t"), lit(0L)))
+        when(col("__t") > 0, expr(s"(${k}L * scaled) % __t"))
+          .otherwise(lit(0L)))
     val sumQ = withQ.agg(sum(col("__q")).as("__sq"))
     val wnd = org.apache.spark.sql.expressions.Window
       .orderBy(col("__r").desc +: groupCols.map(col(_).asc): _*)
     withQ.crossJoin(broadcast(sumQ))
       .withColumn("__rank", row_number().over(wnd).cast("long"))
+      // `scaled > 0` gate: when the scaled total is 0 every floor quota
+      // is 0 via the coalesce and the largest-remainder rule would hand
+      // +1 slots to the first k groups alphabetically — nonzero quotas
+      // for empty groups. When the total is > 0 the gate is a no-op:
+      // leftover slots = Σ fractional parts ≤ #(groups with __r > 0),
+      // so bumps never reach a zero-remainder (hence zero-scaled) group.
       .withColumn("quota",
-        col("__q") + when(col("__rank") <= lit(k) - col("__sq"), 1L)
+        col("__q") + when(
+          col("__rank") <= lit(k) - col("__sq") && col("scaled") > 0, 1L)
           .otherwise(0L))
       .select(groupCols.map(col) ++
         Seq(col("n"), col("scaled"), col("quota")): _*)

@@ -74,6 +74,18 @@ class AudioSpec extends SparkSpec {
     }
   }
 
+  test("near-Int.MaxValue chunk length cannot overflow the bounds guard") {
+    // a crafted data-chunk length of 0x7FFFFFF0 makes `off + 8 + clen`
+    // overflow negative in int arithmetic, bypassing the guard and
+    // crashing downstream; the Long-typed guard rejects it -> sentinel
+    val bytes = wav(Seq[Short](1, 2))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, 0x7FFFFFF0) // data chunk length field
+    assert(Multimodal.parseWavPcm16(bytes).isEmpty)
+    assert(feats(bytes).sample_rate === -1)
+  }
+
   test("malformed and non-PCM16 payloads yield the sentinel, not a crash") {
     assert(feats(Array[Byte](1, 2, 3)).sample_rate === -1)
     assert(feats(Array.empty[Byte]).sample_rate === -1)

@@ -43,6 +43,20 @@ class BinaryAnnSpec extends SparkSpec {
     assert(got === Seq(4L))
   }
 
+  test("empty vector yields an empty code instead of an element_at error") {
+    // size 0 would make the word range sequence(0,-1) = [0,-1] and the
+    // inner aggregate would call element_at(v, 0) -> runtime error; the
+    // guard maps it to an empty code (Hamming 0 vs itself)
+    val got = Seq((1L, Array.empty[Double])).toDF("id", "v")
+      .select(Pq.signBits(col("v"))).as[Seq[Long]].head()
+    assert(got === Seq.empty[Long])
+    val h = Seq((1L, Array.empty[Double], Array.empty[Double]))
+      .toDF("id", "a", "b")
+      .select(Pq.hammingDist(Pq.signBits(col("a")), Pq.signBits(col("b"))))
+      .as[Long].head()
+    assert(h === 0L)
+  }
+
   test("hammingDist equals the naive sign-mismatch count") {
     val vs = randVecs(10, 130, seed = 9)
     val pairs = for (a <- vs; b <- vs if a._1 < b._1) yield (a, b)

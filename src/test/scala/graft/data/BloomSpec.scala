@@ -76,6 +76,19 @@ class BloomSpec extends SparkSpec {
       4L -> true, 5L -> false))
   }
 
+  test("null text survives the guard as definitively clean") {
+    // a NULL fingerprint makes the raw bloom probe NULL, which both
+    // branch filters would silently drop; the coalesce keeps the row in
+    // the clean branch — identical to the plain semi-join's answer
+    val corpus = Seq((1L, "aaa bbb"), (2L, null.asInstanceOf[String]),
+        (3L, "ccc ddd")).toDF("doc_id", "text")
+    val bench = Seq("aaa bbb").toDF("text")
+    val got = Corpus.decontaminateExact(corpus, "doc_id", "text", bench)
+      .select(col("doc_id"), col("contaminated"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("the clean stream never enters a join (guard is map-side)") {
     val corpus = Seq((1L, "aaa bbb"), (2L, "ccc ddd")).toDF("doc_id", "text")
     val bench = Seq("aaa bbb").toDF("text")

@@ -297,6 +297,21 @@ class SketchesSamplingSpec extends SparkSpec {
     assert(got.values.sum === 7L)
   }
 
+  test("proportionalAllocation: zero total allocates nothing") {
+    // all-empty groups: without the scaled>0 gate the largest-remainder
+    // rule would hand +1 slots to the first k groups alphabetically
+    val sizes = Seq(("a", 0L), ("b", 0L), ("c", 0L)).toDF("source", "n")
+    val got = Sampling.proportionalAllocation(sizes, Seq("source"), 2L)
+      .select(col("source"), col("quota")).as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 0L, "b" -> 0L, "c" -> 0L))
+    // mixed: an empty group never takes a remainder slot
+    val mixed = Seq(("a", 3L), ("b", 0L), ("c", 4L)).toDF("source", "n")
+    val got2 = Sampling.proportionalAllocation(mixed, Seq("source"), 5L)
+      .select(col("source"), col("quota")).as[(String, Long)].collect().toMap
+    assert(got2("b") === 0L)
+    assert(got2.values.sum === 5L)
+  }
+
   test("proportionalAllocation: temperature 0.5 flattens toward small groups") {
     val sizes = Seq(("big", 10000L), ("small", 100L)).toDF("source", "n")
     def quotaOf(temp: Boolean) =
