@@ -67,7 +67,16 @@ object Bench {
     val es = errs.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_err":${errs.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_err":${errs.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's BENCH_r*.json artifact truncates the per-query map to a
+    // tail — self-persist the COMPLETE table so cross-round regression
+    // diffs always have every query (path overridable for local runs)
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"bench_full write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

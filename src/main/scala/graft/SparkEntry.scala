@@ -203,6 +203,21 @@ object SparkEntry {
         .join(agg("nearest", "n_near", "sum_near"), Seq("user_id"))
         .orderBy(col("user_id"))
     }),
+    // chunked large×large GLOBAL as-of (the scale path where the
+    // unpartitioned window variant is one task and the right side is too
+    // big to broadcast): 1-day chunks force matches through the carry
+    "q13d_asof_chunked" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("ts")).agg(max(col("value")).as("pv"))
+      AsOfJoin.asofJoinChunked(clicks, purch, "ts", Nil, chunkDays = 1)
+        .groupBy(col("user_id"))
+        .agg(count(col("right_pv")).as("n_matched"),
+          round(sum(col("right_pv")), 4).as("sum_pv"))
+        .orderBy(col("user_id"))
+    }),
     "q13b_asof_broadcast" -> ((s, dir) => {
       val ev = events(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
@@ -313,6 +328,17 @@ object SparkEntry {
     "q23_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, k = 16, bands = 4, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // q23's whole-corpus spelling: 64-bit xxhash64 shingle hashes +
+    // signatures (hashBits = 64) — no portable oracle (DuckDB has no
+    // xxhash64), so golden-pinned (GoldenMcSpec) with fused-vs-composable
+    // parity and a RecallSpec floor; q23 keeps the 28-bit oracle spelling
+    "q23b_minhash64" -> ((s, dir) => {
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, k = 16, bands = 4, threshold = 0.3, hashBits = 64)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
@@ -2776,6 +2802,13 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
         |SELECT f.user_id, f.n_fwd, f.sum_fwd, n.n_near, n.sum_near
         |FROM f JOIN n ON f.user_id = n.user_id
         |ORDER BY f.user_id""".stripMargin,
+    "q13d_asof_chunked" ->
+      """WITH clicks AS (SELECT user_id, ts, value FROM events WHERE event_type='click'),
+        |purch AS (SELECT ts, max(value) AS pv FROM events
+        |  WHERE event_type='purchase' GROUP BY 1)
+        |SELECT c.user_id, count(p.pv) AS n_matched, round(sum(p.pv),4) AS sum_pv
+        |FROM clicks c ASOF LEFT JOIN purch p ON c.ts >= p.ts
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
     "q13b_asof_broadcast" ->
       """WITH clicks AS (SELECT user_id, ts, value FROM events WHERE event_type='click'),
         |purch AS (SELECT user_id, ts, max(value) AS pv FROM events

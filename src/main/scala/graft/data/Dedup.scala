@@ -50,6 +50,21 @@ object Dedup {
   def shingleHashesComposable(text: Column, n: Int): Column =
     sort_array(array_distinct(transform(wordShingles(tokens(text), n), s => hash28(s))))
 
+  /** 64-bit (xxhash64) shingle hashes — the SCALE spelling: 28-bit
+   * hashes collide between different shingles at whole-corpus
+   * cardinalities (birthday bound ~2¹⁴·⁵ distinct shingles for a 50%
+   * collision), inflating candidate mass and the hash-set "exact"
+   * Jaccard; 64 bits stay collision-free at any real corpus size. Not
+   * DuckDB-portable — parity pinned against the composable twin. */
+  def shingleHashes64(text: Column, n: Int): Column =
+    call_function("shingle_hashes64", tokens(text), lit(n))
+
+  /** Extension-free composable twin of [[shingleHashes64]] — identical
+   * output (same bytes through the builtin xxhash64), kept as the parity
+   * reference for the fused expression. */
+  def shingleHashes64Composable(text: Column, n: Int): Column =
+    sort_array(array_distinct(transform(wordShingles(tokens(text), n), s => xxhash64(s))))
+
   /** MinHash signature: for each of k universal hashes, the min over the
    * shingle-hash set. NULL-free input required (guard empty shingles
    * upstream). */
@@ -63,6 +78,22 @@ object Dedup {
     array((0 until k).map { i =>
       val (a, b) = hashParams(i)
       array_min(transform(hashes, h => (h * a + b) % P))
+    }: _*)
+
+  /** 64-bit MinHash signature (`sig[f] = min over h of xxhash64(h, f)`) —
+   * the SCALE companion of [[shingleHashes64]]: the 28-bit universal
+   * family's 2³¹−1 value space makes signature positions collide across
+   * unrelated docs at corpus scale, producing false LSH-band candidate
+   * mass; the xxhash64 family keeps the full 64-bit space. */
+  def minhashSignature64(hashes: Column, k: Int): Column =
+    call_function("vec_minhash64", hashes, lit(k))
+
+  /** Composable twin of [[minhashSignature64]] — k interpreted walks of
+   * the builtin two-arg xxhash64; identical output (signed array_min =
+   * the fused kernel's signed min), kept as the parity reference. */
+  def minhashSignature64Composable(hashes: Column, k: Int): Column =
+    array((0 until k).map { f =>
+      array_min(transform(hashes, h => xxhash64(h, lit(f.toLong))))
     }: _*)
 
   /** LSH band keys: signature split into `bands` rows-per-band groups,
@@ -148,8 +179,41 @@ object Dedup {
       shingleN: Int = 3,
       k: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      hashBits: Int = 28): DataFrame =
+    minhashNearDupsWithLen(docs, idCol, textCol, shingleN, k, bands,
+        threshold, hashBits)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
+
+  /** The `hashBits`-wide shingle-hash + signature spelling: 28 = the
+   * portable MD5 + universal-hash family (DuckDB-reproducible, the
+   * oracle spelling, q23), 64 = the xxhash64 family
+   * ([[shingleHashes64]]/[[minhashSignature64]]) for whole-corpus
+   * cardinalities where 28-bit hash collisions produce false candidate
+   * mass — the [[simhashFor]] pattern applied to MinHash. */
+  private def minhashSigsFor(text: Column, shingleN: Int, k: Int,
+      hashBits: Int): (Column, Column => Column) = {
+    require(hashBits == 28 || hashBits == 64,
+      s"hashBits must be 28 (portable MD5) or 64 (xxhash64), got $hashBits")
+    if (hashBits == 28) (shingleHashes(text, shingleN), minhashSignature(_, k))
+    else (shingleHashes64(text, shingleN), minhashSignature64(_, k))
+  }
+
+  /** [[minhashNearDups]] plus `len_a`/`len_b` (character lengths, carried
+   * through the signature stage — 8 bytes on the band shuffle, so
+   * downstream length-band pruning costs nothing extra; see
+   * [[editNearDups]]). */
+  private[graft] def minhashNearDupsWithLen(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      hashBits: Int = 28): DataFrame = {
     val rows = k / bands
+    val (shCol, sigOf) = minhashSigsFor(col(textCol), shingleN, k, hashBits)
     // The repartition AFTER the signature projection is load-bearing twice
     // over: (1) it spreads the (often single-file) input across cores, and
     // (2) it materializes sh/sig as exchanged attributes. Without the
@@ -158,16 +222,18 @@ object Dedup {
     // whole minhash+md5 chain (generator projections get no subexpression
     // elimination) — measured 25× slower at sf0.1.
     def sigs(src: DataFrame) = src
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
+      .select(col(idCol).as("id"), length(col(textCol)).as("len"),
+        shCol.as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("sig", sigOf(col("sh")))
       .repartition(src.sparkSession.sparkContext.defaultParallelism)
-      .select(col("id"), col("sh"), col("sig"),
+      .select(col("id"), col("len"), col("sh"), col("sig"),
         posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band_idx", "band")))
     val a = sigs(docs).select(col("band"), col("band_idx"),
-      col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a"))
+      col("id").as("id_a"), col("len").as("len_a"),
+      col("sh").as("sh_a"), col("sig").as("sig_a"))
     val b = sigs(docs).select(col("band"), col("id").as("id_b"),
-      col("sh").as("sh_b"), col("sig").as("sig_b"))
+      col("len").as("len_b"), col("sh").as("sh_b"), col("sig").as("sig_b"))
     // a pair sharing m bands appears m times; keep only the FIRST agreeing
     // band per pair — O(k) integer compares, vs. a distinct() shuffle AND
     // m-fold duplicated est/exact-jaccard work
@@ -185,7 +251,7 @@ object Dedup {
     a.hint("shuffle_hash").join(b, Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("band_idx") === firstAgreeingBand)
-      .select(col("id_a"), col("id_b"),
+      .select(col("id_a"), col("id_b"), col("len_a"), col("len_b"),
         signatureAgreement(col("sig_a"), col("sig_b"), k).as("est_jaccard"),
         jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -210,7 +276,12 @@ object Dedup {
    * ids join BACK to the corpus — two keyed joins sized by the
    * candidate set, which LSH keeps ≪ N². The id_a-side join carries
    * only (id_b, jaccard) per candidate; text_a meets text_b in the
-   * second join.
+   * second join. Candidates are PRUNED BY LENGTH BAND first: Levenshtein
+   * distance is ≥ |len_a − len_b| (each unmatched character costs one
+   * edit), so a pair with |Δlen| > maxDist can never pass the banded
+   * verify — the 8-byte lengths ride the signature stage for free
+   * ([[minhashNearDupsWithLen]]) and the filter runs BEFORE the two
+   * text joins, so doomed candidates never pay a join or a Levenshtein.
    */
   def editNearDups(
       docs: DataFrame,
@@ -219,10 +290,12 @@ object Dedup {
       maxDist: Int,
       shingleN: Int = 3,
       k: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      hashBits: Int = 28): DataFrame = {
     require(maxDist >= 0, s"maxDist $maxDist")
-    val cands = minhashNearDups(docs, idCol, textCol, shingleN, k, bands,
-        threshold = 0.0)
+    val cands = minhashNearDupsWithLen(docs, idCol, textCol, shingleN, k,
+        bands, threshold = 0.0, hashBits)
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     val txt = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
     cands

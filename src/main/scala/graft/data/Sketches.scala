@@ -557,7 +557,11 @@ object Sketches {
         sum(yl * yl).as(s"syy_$i"))
     } :+ count(lit(1)).as("n")
     val row = df.agg(aggs.head, aggs.tail: _*)
-    pairs.zipWithIndex.map { case ((name, _, _), i) =>
+    // ONE stats pass, panel rows via explode — a per-pair union would let
+    // column pruning specialize each branch's aggregate (sx_0 vs sx_1),
+    // defeating exchange reuse and scanning the corpus once per pair
+    // (the BM25 df-stats lesson); plan-pinned single-Aggregate in PlanSpec
+    val panel = array(pairs.zipWithIndex.map { case ((name, _, _), i) =>
       val n = col("n").cast("double")
       val cov = n * col(s"sxy_$i").cast("double") -
         col(s"sx_$i").cast("double") * col(s"sy_$i").cast("double")
@@ -567,9 +571,10 @@ object Sketches {
         col(s"sy_$i").cast("double") * col(s"sy_$i").cast("double")
       // a zero-variance side has no defined correlation: NULL, not an
       // ANSI divide-by-zero abort (constant columns are routine)
-      row.select(lit(name).as("pair"), col("n"),
+      struct(lit(name).as("pair"), col("n").as("n"),
         when(vx > 0 && vy > 0, round(cov / (sqrt(vx) * sqrt(vy)), 6))
           .otherwise(lit(null).cast("double")).as("corr"))
-    }.reduce(_.unionByName(_))
+    }: _*)
+    row.select(explode(panel).as("__r")).select(col("__r.*"))
   }
 }

@@ -215,6 +215,71 @@ object MinHashSig {
 }
 
 /**
+ * 64-bit one-pass k-function MinHash signature — the SCALE spelling of
+ * [[MinHashSig]]: `sig[f] = min over h of xxhash64(h, f)` (Spark's
+ * builtin two-argument xxhash64: seed 42 folded over the element hash
+ * then the function index, both as longs). The 28-bit universal-hash
+ * family lives in a 2³¹−1 space, so at whole-corpus cardinalities
+ * DIFFERENT shingles collide in hash space (birthday bound ≈ 2¹⁴·⁵
+ * distinct shingles per 50% collision) and false candidate mass grows
+ * with N; the 64-bit family keeps collisions negligible at any real
+ * corpus size. Not DuckDB-reproducible (no portable xxhash64 there) —
+ * parity is pinned against the composable
+ * `array_min(transform(hashes, h => xxhash64(h, f)))` twin instead,
+ * and the signed `array_min` ordering is the same signed min here.
+ */
+case class MinHashSig64(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_minhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig64.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.MinHashSig64.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig64 {
+  /** One-pass n×k loop; `hashLong(h, 42)` then `hashLong(f, ·)` is
+   * exactly Spark's `xxhash64(h, CAST(f AS BIGINT))` fold. */
+  def compute(xs: ArrayData, k: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64.hashLong
+    val n = xs.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s0 = hashLong(xs.getLong(i), 42L)
+      var f = 0
+      while (f < k) {
+        val v = hashLong(f.toLong, s0)
+        if (v < sig(f)) sig(f) = v
+        f += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_minhash64"),
+    new ExpressionInfo(classOf[MinHashSig64].getName, "vec_minhash64"),
+    (children: Seq[Expression]) => MinHashSig64(children(0),
+      children(1).eval().asInstanceOf[Number].intValue()))
+}
+
+/**
  * Deterministic hash embedding: fan an `array<bigint>` of token hashes
  * out to `dim` double coordinates — per dimension `j` the exact integer
  * sum over hashes of `(h·(2j+1) + (7919j+13)) mod 2001 − 1000`, divided
@@ -410,6 +475,77 @@ object ShingleHashes {
     FunctionIdentifier("shingle_hashes"),
     new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
     (children: Seq[Expression]) => ShingleHashes(children(0),
+      children(1).eval().asInstanceOf[Number].intValue()))
+}
+
+/**
+ * 64-bit fused shingle hasher — the SCALE spelling of [[ShingleHashes]]:
+ * `array<string>` tokens → sorted distinct `array<long>` of xxhash64
+ * (seed 42) hashes of space-joined word `n`-grams. 28-bit MD5-prefix
+ * shingle hashes collide between DIFFERENT shingles at whole-corpus
+ * cardinalities, silently inflating Jaccard estimates AND the verify
+ * stage's "exact" Jaccard (it compares hash sets); 64 bits keep the hash
+ * space collision-free at any real shingle count. Bit-identical to the
+ * composable `sort_array(array_distinct(transform(shingles, xxhash64)))`
+ * twin (same UTF-8 bytes hashed, same signed sort); not
+ * DuckDB-reproducible, so oracle queries keep the 28-bit spelling.
+ */
+case class ShingleHashes64(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes64.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ShingleHashes64.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes64 {
+  private val SPACE = UTF8String.fromString(" ")
+
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String
+    val nTok = toks.numElements()
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nTok - n + 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= nTok - n) {
+      var k = 0
+      while (k < n) { parts(k) = toks.getUTF8String(i + k); k += 1 }
+      // concatWs builds the identical UTF-8 byte string the composable
+      // concat_ws(" ", ...) spelling hashes, so parity is byte-exact
+      out(i) = hashUTF8String(UTF8String.concatWs(SPACE, parts: _*), 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_hashes64"),
+    new ExpressionInfo(classOf[ShingleHashes64].getName, "shingle_hashes64"),
+    (children: Seq[Expression]) => ShingleHashes64(children(0),
       children(1).eval().asInstanceOf[Number].intValue()))
 }
 
@@ -1043,8 +1179,10 @@ object GraftExtensions {
       DotProduct.descriptor,
       SortedJaccard.descriptor,
       MinHashSig.descriptor,
+      MinHashSig64.descriptor,
       Md5PrefixHash.descriptor,
       ShingleHashes.descriptor,
+      ShingleHashes64.descriptor,
       SimHash.descriptor,
       SimHash64.descriptor,
       PredictNonLinear.descriptor,

@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
  *     match per left row, then broadcast-hash-join the right columns back.
  *     ZERO shuffles of the (possibly 100TB) left side; scales linearly
  *     with executors.
+ *
+ *  3. [[asofJoinChunked]] — LARGE left × LARGE right with no (or
+ *     low-cardinality) series keys, where 1 collapses to one task and 2
+ *     can't broadcast: time-chunk both sides, fill within each chunk in
+ *     parallel, and carry the per-chunk boundary payload over a
+ *     chunk-count-sized summary (the [[Windows.chunkedFfill]]
+ *     construction applied to the as-of payload) — exact for ANY gap
+ *     size, parallel in #chunks.
  */
 object AsOfJoin {
 
@@ -113,6 +121,137 @@ object AsOfJoin {
       df.withColumn(rightPrefix + c, col(payload).getField(c))
     }
     expanded.drop(side, payload)
+  }
+
+  /**
+   * Time-chunked as-of join — the scale path for LARGE left × LARGE right
+   * over a single (or few-key) global series, where [[asofJoin]]'s
+   * unpartitioned window is one task and [[asofJoinBroadcast]]'s right
+   * side no longer fits the driver.
+   *
+   * Construction ([[Windows.chunkedFfill]]'s computed-carry trick applied
+   * to the as-of payload — exact for any gap size, no look-back
+   * replication):
+   *
+   *  1. union left/right exactly as [[asofJoin]], add `__chunk =
+   *     floor(ts / chunkDays)`;
+   *  2. fill within each (keys, chunk) partition — parallel in #chunks;
+   *  3. reduce each chunk to its LAST right payload (backward; FIRST for
+   *     forward) — one row per (keys, chunk), a chunk-count-sized frame;
+   *  4. carry that summary across chunks with a window over the summary
+   *     (the only sequential step, sized in chunks, not rows), shifted
+   *     one chunk so a chunk only sees earlier (later) chunks;
+   *  5. broadcast the carry back; a row unfilled in its own chunk takes
+   *     the carry — exactly the latest right row in any earlier chunk.
+   *
+   * Identical to [[asofJoin]] for right sides with unique (keys, ts)
+   * (spec-pinned); with duplicate right ts the in-chunk window is
+   * order-dependent in BOTH spellings, so uniqueness is the contract
+   * (dedup upstream, as [[asofJoinBroadcast]] does).
+   */
+  def asofJoinChunked(
+      left: DataFrame,
+      right: DataFrame,
+      tsCol: String,
+      partitionCols: Seq[String] = Nil,
+      rightPrefix: String = "right_",
+      direction: String = "backward",
+      chunkDays: Int = 1024): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    require(chunkDays > 0, s"chunkDays must be positive, got $chunkDays")
+    val side = "__asof_side"
+    val payload = "__asof_payload"
+    val rightValueCols = right.columns.filterNot(c => c == tsCol || partitionCols.contains(c))
+    val leftValueCols = left.columns.filterNot(c => c == tsCol || partitionCols.contains(c))
+
+    val rightStruct = struct((tsCol +: rightValueCols.toSeq).map(col): _*)
+    val l = left
+      .withColumn(side, lit(1))
+      .withColumn(payload, lit(null).cast(right.select(rightStruct).schema.head.dataType))
+    val r = right
+      .select(
+        partitionCols.map(col) ++ Seq(col(tsCol)) ++
+          leftValueCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          Seq(lit(0).as(side), rightStruct.as(payload)): _*)
+
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def micros(c: org.apache.spark.sql.Column) =
+      left.schema(tsCol).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => c.cast("long")
+        case _ => unix_micros(c.cast("timestamp"))
+      }
+
+    val chunkLen = chunkDays.toLong * 86400L * 1000000L // micros
+    val keyCs = partitionCols.map(col)
+    val base = l.select(l.columns.map(col).toSeq: _*).unionByName(r)
+      .withColumn("__chunk", floor(micros(col(tsCol)) / chunkLen))
+
+    // in-chunk fills: same (ts, side) ordering contract as asofJoin, the
+    // chunk id added to the partition keys — parallel in #chunks
+    val wB = Window.partitionBy(keyCs :+ col("__chunk"): _*)
+      .orderBy(col(tsCol), col(side))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keyCs :+ col("__chunk"): _*)
+      .orderBy(col(tsCol), lit(1) - col(side))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    // per-chunk boundary summary over ALL chunks seen (left-only chunks
+    // get a null right payload and inherit via the carry window): one row
+    // per (keys, chunk). max/min of (micros, payload) picks the
+    // last/first right row of the chunk deterministically.
+    val summary = base
+      .groupBy(keyCs :+ col("__chunk"): _*)
+      .agg(
+        max(when(col(side) === 0,
+          struct(micros(col(tsCol)).as("__t"), col(payload).as("__p"))))
+          .as("__last_r"),
+        min(when(col(side) === 0,
+          struct(micros(col(tsCol)).as("__t"), col(payload).as("__p"))))
+          .as("__first_r"))
+    // with no keys, partition the (chunk-count-sized) carry window on a
+    // computed constant so the single-partition step is explicit
+    val carryKeys = if (keyCs.isEmpty) Seq(pmod(col("__chunk"), lit(1))) else keyCs
+    val wCB = Window.partitionBy(carryKeys: _*).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCF = Window.partitionBy(carryKeys: _*).orderBy(col("__chunk"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carried = summary
+      .withColumn("__carry_b",
+        last(col("__last_r"), ignoreNulls = true).over(wCB).getField("__p"))
+      .withColumn("__carry_f",
+        first(col("__first_r"), ignoreNulls = true).over(wCF).getField("__p"))
+      .select(keyCs ++ Seq(col("__chunk"), col("__carry_b"), col("__carry_f")): _*)
+
+    val joined = base.join(broadcast(carried),
+      partitionCols :+ "__chunk", "left")
+
+    def bFill = coalesce(
+      last(col(payload), ignoreNulls = true).over(wB), col("__carry_b"))
+    def fFill = coalesce(
+      first(col(payload), ignoreNulls = true).over(wF), col("__carry_f"))
+
+    val filled = (direction match {
+      case "backward" => joined.withColumn(payload, bFill)
+      case "forward" => joined.withColumn(payload, fFill)
+      case "nearest" =>
+        joined
+          .withColumn("__b", bFill)
+          .withColumn("__f", fFill)
+          .withColumn(payload,
+            when(col("__b").isNull, col("__f"))
+              .when(col("__f").isNull, col("__b"))
+              .when(micros(col(tsCol)) - micros(col("__b").getField(tsCol)) <=
+                micros(col("__f").getField(tsCol)) - micros(col(tsCol)),
+                col("__b"))
+              .otherwise(col("__f")))
+          .drop("__b", "__f")
+    }).filter(col(side) === 1)
+
+    val expanded = (tsCol +: rightValueCols.toSeq).foldLeft(filled) { (df, c) =>
+      df.withColumn(rightPrefix + c, col(payload).getField(c))
+    }
+    expanded.drop(side, payload, "__chunk", "__carry_b", "__carry_f")
   }
 
   /**

@@ -137,6 +137,49 @@ class DataSpec extends SparkSpec {
     assert(both.exists(r => r.getLong(0) < 0 || r.getLong(0) >= (1L << 28)))
   }
 
+  test("shingleHashes64/minhashSignature64: fused == composable xxhash64 twins") {
+    val both = docs.select(
+      Dedup.shingleHashes64($"text", 3).as("sh_f"),
+      Dedup.shingleHashes64Composable($"text", 3).as("sh_c")).collect()
+    both.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    // full 64-bit width actually used (sign bit / above bit 28 set)
+    assert(both.exists(_.getSeq[Long](0).exists(h => h < 0 || h >= (1L << 28))))
+    val sigs = docs
+      .select(Dedup.shingleHashes64($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+      .select(Dedup.minhashSignature64($"sh", 16).as("f"),
+        Dedup.minhashSignature64Composable($"sh", 16).as("c")).collect()
+    assert(sigs.nonEmpty)
+    sigs.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("minhashNearDups hashBits=64: finds the planted near-dups, jaccard agrees") {
+    // planted pairs: doc 2i+1 is doc 2i with ONE of 40 words changed ->
+    // shingle jaccard ≈ 35/41 ≈ 0.85, so a 4-row band agrees with prob
+    // ~0.5 and ≥1-of-4-bands recall is high (deterministic fixture —
+    // gate at ≥ 8/10 per family). Both families verify with exact
+    // jaccard over their own hash sets — collision-free at this size,
+    // so where both report a pair the values must be EQUAL.
+    val base = (0L until 10L).map { i =>
+      val words = (0 until 40).map(j => s"w${(i * 131 + j * 7) % 997}")
+      (2 * i, words.mkString(" "))
+    }
+    val edited = base.map { case (id, t) =>
+      (id + 1, t.split(" ").updated(20, "CHANGED").mkString(" ")) }
+    val corpus = (base ++ edited).toDF("doc_id", "text")
+    def run(bits: Int) = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        threshold = 0.3, hashBits = bits)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val m28 = run(28); val m64 = run(64)
+    val planted = (0L until 10L).map(i => (2 * i, 2 * i + 1)).toSet
+    assert(planted.count(m64.contains) >= 8, s"64-bit missed ${planted -- m64.keySet}")
+    assert(planted.count(m28.contains) >= 8, s"28-bit missed ${planted -- m28.keySet}")
+    val shared = m28.keySet & m64.keySet
+    assert(shared.nonEmpty)
+    shared.foreach(p => assert(m28(p) === m64(p), s"jaccard drift at $p"))
+  }
+
   test("simhashNearDups bits=64 == brute-force Hamming ball (recall equivalence)") {
     // same pigeonhole-exactness contract as the 28-bit test, on the
     // xxhash64 scale spelling: the chunk join must find EXACTLY the
@@ -605,6 +648,41 @@ class DataSpec extends SparkSpec {
       .select(col("id"), col("byte_len"), col("ratio_micro"))
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(again === got)
+  }
+
+  test("compressionSignal comp_len matches an independent JDK spelling + round-trips") {
+    // the golden (q121) pins the VALUES; this pins the SEMANTICS against a
+    // second, independent code path through the JDK — DeflaterOutputStream
+    // (streaming) vs the kernel's incremental Deflater loop — and proves
+    // the counted stream is a genuine raw-deflate of the input by
+    // inflating it back
+    val texts = Seq(
+      "the quick brown fox jumps over a lazy dog and keeps going onward",
+      ("tick tock " * 50).trim, "a", "äöü 😀 emoji and ünïcödé text")
+    def streamed(s: String): (Long, Array[Byte]) = {
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bos = new java.io.ByteArrayOutputStream()
+      val dos = new java.util.zip.DeflaterOutputStream(bos,
+        new java.util.zip.Deflater(6, true))
+      dos.write(bytes); dos.close()
+      (bos.size().toLong, bos.toByteArray)
+    }
+    val got = Corpus.compressionSignal(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text"),
+        "id", "text")
+      .select(col("id"), col("comp_len")).as[(Long, Long)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (len, stream) = streamed(t)
+      assert(got(i.toLong) === len, s"doc $i")
+      // inflate the independent stream back: byte-identical round trip
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(stream)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) out.write(buf, 0, inf.inflate(buf))
+      inf.end()
+      assert(out.toString("UTF-8") === t, s"round trip $i")
+    }
   }
 
   test("blockByDomainSuffix: exact + subdomain matches, no substring false positives") {

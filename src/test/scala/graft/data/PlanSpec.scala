@@ -330,6 +330,100 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("exactKth narrows in bounded histogram jobs, not per-probe scans") {
+    // a 2^40 value range must resolve in ~log_4096(range) histogram
+    // passes; count Spark jobs to pin the bound (cache + minmax + ~4
+    // histogram/tail passes + slack for cache materialization)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val df = (1L to 2000L).map(i => i * (1L << 29)).toDF("v")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = Relational.exactKth(df, col("v"), k = 1000L)
+      // listener events are async: poll briefly for the last job-start
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs.get() == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(got === 1000L * (1L << 29))
+      assert(jobs.get() <= 12, s"${jobs.get()} jobs for one exactKth call")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("groupedExactMedian windows value CELLS, never raw rows") {
+    val df = (1 to 4000).map(i => (s"g${i % 3}", (i % 7).toLong))
+      .toDF("g", "v")
+    val plan = Relational.groupedExactMedian(df, Seq("g"), col("v"))
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty)
+    // every window must sit ABOVE the (g, v) count aggregate — i.e. have
+    // an Aggregate in its subtree — so a 10^9-row group costs |domain|
+    // window rows, not 10^9
+    windows.foreach { w =>
+      val aggsBelow = w.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+      assert(aggsBelow.nonEmpty, w.toString.take(1000))
+    }
+  }
+
+  test("pearsonExact: one sufficient-stats pass reused across the panel") {
+    val df = (1 to 500).map(i => (i.toLong, (i * 2).toLong, (i % 7).toLong))
+      .toDF("x", "y", "z")
+    val panel = Sketches.pearsonExact(df, Seq(
+      ("xy", col("x"), col("y")), ("xz", col("x"), col("z")),
+      ("yz", col("y"), col("z"))))
+    val p = panel.queryExecution.executedPlan.toString
+    // the whole 3-pair panel is ONE sufficient-stats aggregation (one
+    // partial + one final) exploded to rows — a per-pair union would
+    // scan the corpus once per pair after column pruning
+    assert(!p.contains("Union"), p.take(4000))
+    assert("HashAggregate".r.findAllIn(p).size === 2, p.take(4000))
+    assert("Exchange SinglePartition".r.findAllIn(p).size === 1, p.take(4000))
+  }
+
+  test("videoNearDups: frame-hash join carries ids and counts only") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val media = (0L until 6L).map(i =>
+      Multimodal.MediaRow(i, "video/gvid", Multimodal.syntheticVideo(i)))
+      .toDS()
+    val plan = Multimodal.videoNearDups(media, thresholdPpm = 100000L)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty)
+    // neither join input may carry the signature array or raw bytes —
+    // only the exploded hash, ids, and set sizes ride the shuffle
+    joins.foreach(_.children.foreach { side =>
+      val names = side.output.map(_.name).toSet
+      assert(!names.contains("frame_hashes") && !names.contains("content"),
+        names.mkString(","))
+    })
+  }
+
+  test("editNearDups: length-band prune sits BELOW the text joins") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"some document text number ${i % 9} with shared words and tail $i"))
+      .toDF("doc_id", "text")
+    val p = plan(Dedup.editNearDups(docs, "doc_id", "text", maxDist = 5))
+    // |Δlen| > maxDist pairs can never pass banded levenshtein; the prune
+    // must run before the two id-keyed text joins so doomed candidates
+    // never pay a join. Catalyst pushes it all the way into the band
+    // self-join's condition — pin that: the abs(len_a - len_b) predicate
+    // lives on the band join's own line, below both text joins.
+    val idJoins = "Join \\[id_".r.findAllMatchIn(p).map(_.start).toList
+    val bandJoinAt = p.indexOf("Join [band")
+    assert(idJoins.size === 2, p.take(3000))
+    assert(bandJoinAt >= 0 && idJoins.forall(_ < bandJoinAt), p.take(3000))
+    val bandJoinLine = p.substring(bandJoinAt,
+      math.max(bandJoinAt, p.indexOf('\n', bandJoinAt)))
+    assert(bandJoinLine.contains("abs((len_a"), bandJoinLine.take(3000))
+  }
+
   test("jaccardThresholdPairs: candidate self-join is a shuffle join") {
     val docs = (0 until 24).map(i =>
       (i.toLong, s"alpha$i beta${i % 3} gamma${i % 2} delta epsilon zeta"))

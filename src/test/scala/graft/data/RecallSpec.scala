@@ -125,6 +125,22 @@ class RecallSpec extends SparkSpec {
     assert(degraded < banded, "single-band AND must lose recall vs banding")
   }
 
+  test("minhash 64-bit production tier meets the same pair-recall floor") {
+    // the xxhash64 family (hashBits = 64) is the whole-corpus spelling —
+    // different signatures, same banding math, so it must clear the same
+    // empirical floor against the same exact twin as the 28-bit gate
+    val exact = pairs(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", lit(0),
+        shingleN = 3, threshold = 0.3),
+      "id_a", "id_b")
+    val banded = recall(pairs(
+      Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleN = 3, k = 16, bands = 4, threshold = 0.3, hashBits = 64),
+      "id_a", "id_b"), exact)
+    info(f"minhash64 pair-recall: 4 bands = $banded%.3f")
+    assert(banded >= 0.6, f"minhash64 pair-recall $banded%.3f below 0.6 floor")
+  }
+
   test("bucketed cosine near-dup pair-recall meets the floor with tables") {
     val exact = pairs(
       Similarity.cosineNearDupPairs(emb, "vec_id", "v", threshold = 0.4),

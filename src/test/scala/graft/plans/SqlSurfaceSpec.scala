@@ -27,6 +27,10 @@ class SqlSurfaceSpec extends SparkSpec {
     "vec_minhash" -> (
       "SELECT element_at(vec_minhash(array(7L), 2), 1)",
       "20"),
+    // singleton {7}: sig[f] = xxhash64(7, f) — the builtin 2-arg fold
+    "vec_minhash64" -> (
+      "SELECT element_at(vec_minhash64(array(7L), 2), 2) = xxhash64(7L, 1L)",
+      "true"),
     // first 15 nibbles of md5('a') = 0cc175b9c0f1b6a
     "md5_prefix_hash" -> (
       "SELECT md5_prefix_hash('a', 15)",
@@ -35,6 +39,10 @@ class SqlSurfaceSpec extends SparkSpec {
     "shingle_hashes" -> (
       "SELECT size(shingle_hashes(array('a','b','c','d'), 3))",
       "2"),
+    // single shingle: its hash is exactly xxhash64 of the joined n-gram
+    "shingle_hashes64" -> (
+      "SELECT element_at(shingle_hashes64(array('a','b'), 2), 1) = xxhash64('a b')",
+      "true"),
     "vec_simhash" -> (
       "SELECT vec_simhash(array('a','b','c'), 24)",
       null),
@@ -75,7 +83,7 @@ class SqlSurfaceSpec extends SparkSpec {
     val registered = GraftExtensions.functionNames
     assert(registered.sorted === census.keys.toSeq.sorted,
       "census out of sync with GraftExtensions.descriptors")
-    assert(registered.size === 14)
+    assert(registered.size === 16)
     registered.foreach { name =>
       val (sql, expected) = census(name)
       val rows = spark.sql(sql).collect()

@@ -58,6 +58,67 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("chunked variant passes the hand oracle, partitioned, tiny chunks") {
+    check(AsOfJoin.asofJoinChunked(left, right, "date", Seq("ticker"),
+      chunkDays = 1))
+    check(AsOfJoin.asofJoinChunked(left, right, "date", Seq("ticker"),
+      chunkDays = 100000)) // one chunk: degenerates to plain asofJoin
+  }
+
+  test("chunked == single-task form: all directions, gappy 1-day chunks") {
+    // sparse right side over 40 days: at chunkDays=1 most chunks have no
+    // right rows, so matches must flow through the carry summary (and
+    // leading left rows before any right row must stay null)
+    val rng = new scala.util.Random(11)
+    val lrows = (1 to 300).map { i =>
+      (new Timestamp(1700000000000L + rng.nextInt(40) * 86400000L +
+        rng.nextInt(86400) * 1000L), i.toDouble)
+    }
+    val rrows = rng.shuffle((1 to 2000).toList).take(15).map { d =>
+      (new Timestamp(1700000000000L + (d % 40) * 86400000L +
+        (d * 997 % 86400) * 1000L), d.toDouble)
+    }.distinct
+    val l = lrows.toDF("t", "lv")
+    val r = rrows.toDF("t", "rv")
+    for (dir <- Seq("backward", "forward", "nearest");
+         chunkDays <- Seq(1, 7)) {
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("t", "lv", "right_t", "right_rv").collect()
+          .map(x => (x.get(0).toString, x.get(1),
+            Option(x.get(2)).map(_.toString), Option(x.get(3))))
+          .sortBy(_.toString).toSeq
+      val plain = canon(AsOfJoin.asofJoin(l, r, "t", direction = dir))
+      val chunked = canon(AsOfJoin.asofJoinChunked(l, r, "t",
+        direction = dir, chunkDays = chunkDays))
+      assert(chunked === plain, s"dir=$dir chunkDays=$chunkDays")
+    }
+  }
+
+  test("chunked variant parallelizes: no unpartitioned raw-row window") {
+    // the only window without real partition keys must be the
+    // chunk-count-sized carry summary, never the raw union — pin the
+    // shape: every Window over the union subtree partitions on __chunk
+    val out = AsOfJoin.asofJoinChunked(left.drop("ticker"),
+      right.drop("ticker").groupBy("date")
+        .agg(org.apache.spark.sql.functions.max("rval").as("rval")),
+      "date", chunkDays = 1)
+    val plan = out.queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty)
+    // each window must either partition on the chunk id (parallel
+    // in-chunk fill) or run over the chunk-count-sized carry SUMMARY
+    // (an Aggregate in its subtree) — never over raw union rows
+    val rawWindows = windows.filterNot { w =>
+      w.partitionSpec.exists(_.toString.contains("__chunk")) ||
+        w.child.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.nonEmpty
+    }
+    assert(rawWindows.isEmpty,
+      rawWindows.map(_.partitionSpec.mkString(",")).mkString(" | "))
+  }
+
   test("right_ts column reports the matched timestamp") {
     val out = AsOfJoin.asofJoin(left, right, "date", Seq("ticker"))
     val row = out.filter($"ticker" === "A" && $"lval" === 3.0).head

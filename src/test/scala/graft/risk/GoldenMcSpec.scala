@@ -32,7 +32,7 @@ class GoldenMcSpec extends SparkSpec {
     "q27c_ann_ivf_kmeans", "q30_mc_portfolio_var", "q31_var_by_country",
     "q32_compliance", "q33_mc_trials", "q33b_mc_trials_stored",
     "q34_risk_contribution", "q35_compliance_daily", "q37_file_config",
-    "q54_pca", "q54b_pca_ann", "q54c_pca_sampled", "q87_bpe_merges",
+    "q23b_minhash64", "q54_pca", "q54b_pca_ann", "q54c_pca_sampled", "q87_bpe_merges",
     "q87b_bpe_encode", "q87c_bpe_token_ids", "q91b_simhash_hamming64",
     "q112_unigram_train", "q113_unigram_encode", "q115_sampled_encode",
     "q119_mmr_rerank", "q120_image_neardups", "q121_compression_signal",
