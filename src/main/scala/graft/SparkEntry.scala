@@ -1001,6 +1001,58 @@ object SparkEntry {
         .groupBy(col("tok_id")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("tok_id"))
     }),
+    // WordPiece (BERT) tokenizer: likelihood-ratio merges over
+    // position-aware symbols, greedy longest-match encode. No SQL
+    // oracle reproduces the training loop — golden-pinned; the trainer
+    // itself is spec-pinned against a from-scratch recount reference
+    // (WordpieceSpec) and the encode against hand cases
+    "q161_wordpiece" -> ((s, dir) => {
+      import graft.data.Wordpiece
+      val docs = t(s, dir, "documents")
+      val vocab = Wordpiece.train(docs, "text", vocabSize = 60)
+      Wordpiece.pieceStats(Wordpiece.encode(docs, "doc_id", "text", vocab))
+        .orderBy(col("piece"))
+    }),
+    // HTML -> text extraction (crawl front door): the whole extractor is
+    // a codegen'd regexp_replace chain, so the DuckDB oracle runs the
+    // IDENTICAL chain — synthesized tag soup around each doc's text,
+    // per-doc extracted char/line counts + prefix, value-exact
+    "q162_html_text" -> ((s, dir) => {
+      import graft.data.Html
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><title>Doc</title></head><body><nav>" +
+          "<a href='/'>Home</a> <a href='/a'>About</a></nav>" +
+          "<h1>Heading &amp; more</h1><p>"),
+        col("text"),
+        lit(" with a <a href='/r'>ref &lt;here&gt;</a> inline</p>" +
+          "<footer><a href='/t'>Terms</a></footer></body></html>"))
+      docs.select(col("doc_id"), Html.htmlToText(html).as("txt"))
+        .select(col("doc_id"),
+          length(col("txt")).cast("long").as("n_chars"),
+          size(split(col("txt"), "\n")).cast("long").as("n_lines"),
+          substring(col("txt"), 1, 30).as("head30"))
+        .orderBy(col("doc_id"))
+    }),
+    // jusText-style content gate over the block frame (link density +
+    // length): per-doc kept/dropped counts + extracted length. Golden —
+    // the block split + per-block density chain is value-pinned by
+    // HtmlSpec hand cases; no compact SQL twin for the full explode
+    "q162b_html_content" -> ((s, dir) => {
+      import graft.data.Html
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<nav><a href='/'>Home</a> <a href='/a'>About</a> " +
+          "<a href='/c'>Contact</a></nav><h1>Doc heading</h1><p>"),
+        col("text"),
+        lit("</p><p>short</p><footer><a href='/t'>Terms</a> " +
+          "<a href='/p'>Privacy</a></footer>"))
+      Html.extractContent(
+          docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          col("n_blocks_kept"), col("n_blocks_dropped"))
+        .orderBy(col("doc_id"))
+    }),
     // deterministic shuffle-shard for training delivery: seeded hash IS
     // the permutation (reproducible cross-engine), shards balanced by
     // the hash mod; per-shard stats + key-order head pin the assignment
@@ -3425,6 +3477,33 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
          |  count(*) AS n_grams
          |FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+    "q162_html_text" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc</title></head><body><nav><a href=''/''>Home</a> <a href=''/a''>About</a></nav><h1>Heading &amp; more</h1><p>'
+        |  || text ||
+        |  ' with a <a href=''/r''>ref &lt;here&gt;</a> inline</p><footer><a href=''/t''>Terms</a></footer></body></html>' AS html
+        |  FROM documents),
+        |t1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+        |  '(?s)<!--.*?-->', '', 'g'),
+        |  '(?is)<script\b.*?</script\s*>', '', 'g'),
+        |  '(?is)<style\b.*?</style\s*>', '', 'g') AS s FROM h),
+        |t2 AS (SELECT doc_id, regexp_replace(s,
+        |  '(?i)</?(?:p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|thead|tbody|article|section|header|footer|nav|blockquote|pre|form|hr|title)\b[^>]*>',
+        |  chr(10), 'g') AS s FROM t1),
+        |t3 AS (SELECT doc_id, regexp_replace(s, '(?s)<[^>]*>', '', 'g') AS s FROM t2),
+        |t4 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(s,
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'), '&apos;', '''', 'g'), '&nbsp;', ' ', 'g'),
+        |    '&amp;', '&', 'g') AS s FROM t3),
+        |t5 AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(s,
+        |  '[ \t\r]+', ' ', 'g'), '(?m)^ +| +$', '', 'g'), '\n{2,}', chr(10), 'g'),
+        |  chr(10)) AS txt FROM t4)
+        |SELECT doc_id, CAST(length(txt) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(txt, chr(10))) AS BIGINT) AS n_lines,
+        |  substring(txt, 1, 30) AS head30
+        |FROM t5 ORDER BY doc_id""".stripMargin,
     "q95_shard_corpus" ->
       s"""WITH sk AS (SELECT doc_id,
          |  ${h60Sql("concat(CAST(doc_id AS VARCHAR), '#shard0')")} AS shuffle_key

@@ -812,19 +812,24 @@ object Dedup {
    * subexpression elimination).
    */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 16, simhashBits: Int = 28): DataFrame = {
+      shingleN: Int = 3, k: Int = 16, simhashBits: Int = 28,
+      hashBits: Int = 28): DataFrame = {
     require(simhashBits == 0 || (simhashBits > 0 && simhashBits <= 64),
       s"simhashBits must be 0 (skip) or in (0, 64], got $simhashBits")
+    val (shCol, sigOf) = minhashSigsFor(col(textCol), shingleN, k, hashBits)
     docs
       .select(col(idCol).as("id"),
         TextFunctions.fingerprint(col(textCol)).as("fp"),
-        shingleHashes(col(textCol), shingleN).as("sh"),
+        shCol.as("sh"),
         (if (simhashBits == 0) lit(null).cast("long")
          else when(size(tokens(col(textCol))) > 0,
            simhashFor(col(textCol), simhashBits))).as("simh"),
-        lit(simhashBits).as("simh_bits"))
+        lit(simhashBits).as("simh_bits"),
+        // minhash-family width metadata — the crossNearDups mismatch
+        // guard, mirroring simh_bits for the Hamming tier
+        lit(hashBits).as("hash_bits"))
       .withColumn("sig",
-        when(size(col("sh")) > 0, minhashSignature(col("sh"), k)))
+        when(size(col("sh")) > 0, sigOf(col("sh"))))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
   }
 
@@ -921,9 +926,65 @@ object Dedup {
    * Output: `(id_new, id_old, est_jaccard, jaccard)`, one row per pair
    * with exact Jaccard ≥ `threshold`.
    */
+  /** Fail loudly when two signature tables were built with DIFFERENT
+   * MinHash hash families ([[signatures]]' `hashBits`): band keys from a
+   * 28-bit and a 64-bit signature can never agree, so a mismatched probe
+   * runs without error and silently admits every near-duplicate — the
+   * same worst-case failure mode [[requireHammingCompatible]] guards for
+   * the simhash tier. Tables without the `hash_bits` metadata column
+   * (assembled outside [[signatures]], or persisted before the column
+   * existed) pass unverified. Cost: one limit-1 read per side. */
+  private def requireMinhashCompatible(batchSigs: DataFrame,
+      storeSigs: DataFrame): Unit = {
+    // static-first: a [[signatures]]-built frame carries hash_bits as a
+    // plan LITERAL — read it from the analyzed plan for free. The
+    // dynamic limit-1 fallback (loaded parquet stores: a footer + one
+    // row) must never run against a COMPUTED plan, where limit(1) above
+    // the signature repartition barrier executes the whole map side
+    // (measured 2× on the q88 admit cycle).
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    def widthOf(df: DataFrame): Option[Long] =
+      if (!df.schema.fieldNames.contains("hash_bits")) None
+      else {
+        val static = df.queryExecution.analyzed.collectFirst {
+          case p if p.expressions.exists {
+                case a: Alias => a.name == "hash_bits" &&
+                  a.child.isInstanceOf[Literal]
+                case _ => false
+              } =>
+            p.expressions.collectFirst {
+              case a: Alias if a.name == "hash_bits" &&
+                  a.child.isInstanceOf[Literal] =>
+                a.child.asInstanceOf[Literal].value
+                  .asInstanceOf[Number].longValue
+            }.get
+        }
+        static.orElse {
+          import org.apache.spark.sql.catalyst.plans.logical._
+          val heavy = df.queryExecution.analyzed.collect {
+            case p @ (_: Join | _: Aggregate | _: Generate | _: Window |
+                      _: Repartition | _: RepartitionByExpression) => p
+          }.nonEmpty
+          if (heavy) None // computed plan without the literal: skip check
+          else df.select(col("hash_bits").cast("long")).limit(1).collect()
+            .headOption.map(_.getLong(0))
+        }
+      }
+    (widthOf(batchSigs), widthOf(storeSigs)) match {
+      case (Some(b), Some(s)) if b != s =>
+        throw new IllegalArgumentException(
+          s"MinHash width mismatch: batch signatures built at hashBits=$b, " +
+            s"store at hashBits=$s — band keys can never agree, so the " +
+            "probe would silently admit every near-duplicate. Rebuild one " +
+            "side with the other's width.")
+      case _ => ()
+    }
+  }
+
   def crossNearDups(batchSigs: DataFrame, storeSigs: DataFrame,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
       broadcastBatch: Boolean = false): DataFrame = {
+    requireMinhashCompatible(batchSigs, storeSigs)
     val rows = k / bands
     val n = batchSigs.filter(col("sig").isNotNull)
       .select(col("id").as("id_new"), col("sh").as("sh_n"), col("sig").as("sig_n"),
@@ -1058,7 +1119,8 @@ object Dedup {
   def incrementalDedup(newDocs: DataFrame, idCol: String, textCol: String,
       store: DataFrame, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, broadcastBatch: Boolean = false,
-      maxHamming: Int = -1, simhashBits: Int = 28): DataFrame = {
+      maxHamming: Int = -1, simhashBits: Int = 28,
+      hashBits: Int = 28): DataFrame = {
     // cache AND eagerly materialize the batch signatures: five consumers
     // follow (exact groupBy, semi join, store probe, self pair join x2)
     // and each would otherwise re-tokenize and re-minhash the batch from
@@ -1069,7 +1131,7 @@ object Dedup {
     // materialized here. With the Hamming tier off, skip the batch-side
     // simhash walk too (simhashBits = 0)
     val sigs = signatures(newDocs, idCol, textCol, shingleN, k,
-      if (maxHamming >= 0) simhashBits else 0).cache()
+      if (maxHamming >= 0) simhashBits else 0, hashBits).cache()
     sigs.count()
     // 1. exact: min id per batch fingerprint, minus store fingerprints
     val keepExact = sigs.groupBy(col("fp")).agg(min(col("id")).as("id"))

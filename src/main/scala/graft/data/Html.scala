@@ -1,0 +1,116 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * HTML → text extraction and boilerplate stripping — the front door of a
+ * crawl-corpus pipeline (the step trafilatura/jusText play in published
+ * pipelines), Spark-first: the whole extractor is a chain of CODEGEN'D
+ * `regexp_replace`/`regexp_extract_all` Column expressions (compiled
+ * patterns, whole-stage codegen, map-only — no UDF, no shuffle), and the
+ * boilerplate POLICY (link-density + length gates, jusText's core idea)
+ * is ordinary relational filtering over an exploded block frame — so
+ * Catalyst sees through all of it, and a DuckDB oracle reproduces every
+ * value exactly (same RE2-class regex chain, same integer ppm math).
+ *
+ * Scope contract (documented, spec-pinned): tag-soup HTML of the common
+ * shapes — nested block/inline tags, attributes, script/style/comment
+ * islands, the HTML-4 named entities + numeric `&#NNN;` escapes. NOT a
+ * browser-grade parser: CDATA, conditional comments, and broken
+ * `<script>` nesting degrade gracefully (text may keep fragments) rather
+ * than erroring — the 100 TB posture, where one malformed page must
+ * never kill a partition.
+ */
+object Html {
+
+  /** Tags that terminate a text block (block-level or structural). */
+  private val BlockTags =
+    "p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|thead|tbody|" +
+      "article|section|header|footer|nav|blockquote|pre|form|hr|title"
+
+  /** Drop script/style/comment islands — content is never text. `(?is)`:
+   * case-insensitive, dot-matches-newline; non-greedy bodies. */
+  def stripIslands(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", "")
+    val noScript =
+      regexp_replace(noComments, "(?is)<script\\b.*?</script\\s*>", "")
+    regexp_replace(noScript, "(?is)<style\\b.*?</style\\s*>", "")
+  }
+
+  /** Decode the high-frequency named entities + numeric escapes. Applied
+   * AFTER tag stripping so a decoded `&lt;` can never re-form a tag. */
+  def decodeEntities(c: Column): Column = {
+    val named = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&apos;" -> "'", "&nbsp;" -> " ")
+    val decoded = named.foldLeft(c) { case (acc, (e, v)) =>
+      regexp_replace(acc, e, java.util.regex.Matcher.quoteReplacement(v))
+    }
+    // &amp; LAST — else "&amp;lt;" would double-decode to "<"
+    regexp_replace(decoded, "&amp;", "&")
+  }
+
+  /** Full extractor: islands out, block tags → newline, all other tags
+   * out, entities decoded, whitespace normalized (runs of spaces/tabs →
+   * one space, trimmed lines, empty lines dropped). */
+  def htmlToText(html: Column): Column = {
+    val blocks = regexp_replace(stripIslands(html),
+      s"(?i)</?(?:$BlockTags)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", "")
+    val decoded = decodeEntities(noTags)
+    val spaced = regexp_replace(decoded, "[ \\t\\r]+", " ")
+    val trimmed = regexp_replace(spaced, "(?m)^ +| +$", "")
+    trim(regexp_replace(trimmed, "\\n{2,}", "\n"), "\n")
+  }
+
+  /** Characters of anchor text (`<a …>…</a>` contents, tags stripped,
+   * entities decoded) — the numerator of link density. */
+  def anchorChars(html: Column): Column =
+    coalesce(length(decodeEntities(regexp_replace(concat_ws("",
+      regexp_extract_all(stripIslands(html),
+        lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"), lit(1))),
+      "(?s)<[^>]*>", ""))).cast("long"), lit(0L))
+
+  /**
+   * Main-content extraction: keep blocks with ≥ `minChars` of text and
+   * link density ≤ `maxLinkPpm` (navigation/footer chrome is short and
+   * link-dense — jusText's discriminator), reassemble per doc in block
+   * order. Output: `(id, text, n_blocks_kept, n_blocks_dropped)`.
+   */
+  def extractContent(docs: DataFrame, idCol: String, htmlCol: String,
+      minChars: Long = 20L, maxLinkPpm: Long = 300000L): DataFrame = {
+    val blocks = blocksWithDensity(docs, idCol, htmlCol)
+    val kept = when(col("n_chars") >= minChars &&
+      col("link_ppm") <= maxLinkPpm, 1L).otherwise(0L)
+    blocks
+      .withColumn("__keep", kept)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n", sort_array(collect_list(
+          when(col("__keep") === 1L,
+            struct(col("block_idx"), col("block_text")))))
+          .getField("block_text")).as("text"),
+        sum(col("__keep")).as("n_blocks_kept"),
+        (count(lit(1)) - sum(col("__keep"))).as("n_blocks_dropped"))
+  }
+
+  /** [[htmlBlocks]] with the anchor-char numerator computed per block —
+   * the exploded frame both [[extractContent]] and ad-hoc policies
+   * filter. */
+  def blocksWithDensity(docs: DataFrame, idCol: String,
+      htmlCol: String): DataFrame = {
+    val split_re = s"(?i)</?(?:$BlockTags)\\b[^>]*>"
+    docs
+      .withColumn("__clean", stripIslands(col(htmlCol)))
+      .select(col(idCol),
+        posexplode(split(col("__clean"), split_re)).as(Seq("block_idx", "__raw")))
+      .withColumn("block_text", htmlToText(col("__raw")))
+      .filter(length(col("block_text")) > 0)
+      .withColumn("n_chars", length(col("block_text")).cast("long"))
+      .withColumn("__anchor", anchorChars(col("__raw")))
+      .withColumn("link_ppm",
+        least(lit(1000000L), expr("__anchor * 1000000 div n_chars")))
+      .drop("__raw", "__anchor")
+  }
+}

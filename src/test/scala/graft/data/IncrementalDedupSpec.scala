@@ -240,6 +240,42 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(kept.nonEmpty)
   }
 
+  test("64-bit hash family: full admit cycle, same decisions as 28-bit") {
+    // the whole-corpus tier (hashBits = 64) must make the same admit
+    // decisions on this fixture (no 28-bit collisions at this size, and
+    // LSH banding over either family fires on jaccard >= 0.5 planted dups)
+    val store64 = Dedup.signatures(oldDocs, "doc_id", "text", hashBits = 64)
+    val kept = Dedup.incrementalDedup(batch, "doc_id", "text", store64,
+        hashBits = 64)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept === Set(13L, 16L, 17L))
+    // pair probe: identical pairs and identical exact jaccard to 28-bit
+    // (hash-set jaccard = true shingle jaccard in both collision-free
+    // families)
+    val got64 = Dedup.crossNearDups(
+        Dedup.signatures(batch, "doc_id", "text", hashBits = 64), store64)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    val got28 = Dedup.crossNearDups(
+        Dedup.signatures(batch, "doc_id", "text"), store)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got64 === got28)
+  }
+
+  test("MinHash probe fails loudly on a batch/store hash-family mismatch") {
+    val batch64 = Dedup.signatures(batch, "doc_id", "text", hashBits = 64)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.crossNearDups(batch64, store)
+    }
+    assert(e.getMessage.contains("MinHash width mismatch"), e.getMessage)
+    // a store without the metadata column (pre-hash_bits persistence)
+    // passes unverified — back-compat contract
+    val legacy = store.drop("hash_bits")
+    assert(Dedup.crossNearDups(
+      Dedup.signatures(batch, "doc_id", "text"), legacy).count() >= 0)
+  }
+
   test("short docs (no shingles) still dedup exactly, never via bands") {
     val s = Dedup.signatures(Seq((1L, "hi")).toDF("doc_id", "text"),
       "doc_id", "text")
