@@ -94,6 +94,25 @@ class WordpieceSpec extends SparkSpec {
     }
   }
 
+  test("property: incremental == reference on random type tables") {
+    // 20 seeded random tables; the reference recount is O(merges·types·
+    // len), so sizes stay small — the one-fixture equality test above
+    // covers a bigger instance
+    for (seed <- 1 to 20) {
+      val rng = new scala.util.Random(seed)
+      val alpha = "abcdef"
+      val types = (1 to 12 + rng.nextInt(20)).map { _ =>
+        val w = (0 to rng.nextInt(5)).map(_ => alpha(rng.nextInt(alpha.length)))
+          .mkString
+        (w, (rng.nextInt(30) + 1).toLong)
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+      val vs = 5 + rng.nextInt(30)
+      val inc = Wordpiece.trainFromTypes(types, vs, minCount = 2L)
+      val ref = referenceTrain(types, vs, minCount = 2L)
+      assert(inc === ref, s"seed=$seed vocabSize=$vs types=${types.toSeq}")
+    }
+  }
+
   test("train is deterministic and position-aware over a DataFrame") {
     val docs = Seq((1L, "hello hello world"), (2L, "help held hello"))
       .toDF("doc_id", "text")
