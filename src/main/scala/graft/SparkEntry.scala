@@ -1047,6 +1047,9 @@ object SparkEntry {
         col("text"),
         lit("</p><p>short</p><footer><a href='/t'>Terms</a> " +
           "<a href='/p'>Privacy</a></footer>"))
+      // exploded spelling (codegen per block row) — the faster batch
+      // shape; extractContentInline is the spec-pinned value-equal
+      // streaming twin (HOF interpretation costs ~1.5x here)
       Html.extractContent(
           docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),

@@ -95,6 +95,49 @@ object Html {
         (count(lit(1)) - sum(col("__keep"))).as("n_blocks_dropped"))
   }
 
+  /**
+   * PER-ROW twin of [[extractContent]]: the block split, per-block
+   * extraction/density, gate, and reassembly all run inside one row via
+   * array higher-order functions — no explode, no groupBy; rows never
+   * fan out. Identical output values (spec-pinned); the exploded
+   * spelling stays for ad-hoc block-level policies
+   * ([[blocksWithDensity]]) and is the faster BATCH shape. Because no
+   * stage is stateful it runs unchanged on a STREAM — the streaming
+   * crawl front door needs no watermark and no state store.
+   *
+   * The heavy regex chain is materialized behind a round-robin exchange
+   * before the gate: HOF lambdas get no common-subexpression
+   * elimination, so the three output columns referencing the enriched
+   * array would otherwise re-run the whole per-block extraction 3× per
+   * row (measured 6× at sf0.1 — the repo-wide "no CSE through HOFs"
+   * trap). The exchange moves extracted text (smaller than the raw
+   * HTML), once.
+   */
+  def extractContentInline(docs: DataFrame, idCol: String, htmlCol: String,
+      minChars: Long = 20L, maxLinkPpm: Long = 300000L): DataFrame = {
+    val split_re = s"(?i)</?(?:$BlockTags)\\b[^>]*>"
+    val enriched = transform(
+      split(stripIslands(col(htmlCol)), split_re), b => {
+        val t = htmlToText(b)
+        val n = length(t).cast("long")
+        struct(t.as("text"), n.as("n_chars"),
+          when(n === 0L, lit(1000000L))
+            .otherwise(least(lit(1000000L),
+              floor(anchorChars(b) * lit(1000000L) / n).cast("long")))
+            .as("link_ppm"))
+      })
+    val blocks = docs.select(col(idCol), enriched.as("__blocks"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val nonEmpty = filter(col("__blocks"), s => s.getField("n_chars") > 0L)
+    val kept = filter(nonEmpty, s =>
+      s.getField("n_chars") >= minChars &&
+        s.getField("link_ppm") <= maxLinkPpm)
+    blocks.select(col(idCol),
+      concat_ws("\n", transform(kept, _.getField("text"))).as("text"),
+      size(kept).cast("long").as("n_blocks_kept"),
+      (size(nonEmpty) - size(kept)).cast("long").as("n_blocks_dropped"))
+  }
+
   /** [[htmlBlocks]] with the anchor-char numerator computed per block —
    * the exploded frame both [[extractContent]] and ad-hoc policies
    * filter. */

@@ -734,6 +734,43 @@ object StreamingMarket {
     }
   }
 
+  /**
+   * Streaming corpus encode under a periodically-retrained WORDPIECE
+   * vocabulary — the hot-reload twin for the third tokenizer family,
+   * same recipe as [[encodeWithModelRefresh]] (unigram) and the BPE
+   * ladder: an offline job retrains and republishes with
+   * [[graft.data.Wordpiece.saveVocabVersioned]]; each micro-batch reads
+   * the tiny `latest` pointer, reloads the (vocab-scale) piece list only
+   * on a version change, and encodes with the exact batch
+   * [[graft.data.Wordpiece.encode]] kernel — a vocab swap lands between
+   * batches, never inside one. `sink` receives each batch's encoded
+   * frame plus the vocab version it was encoded under.
+   */
+  def wordpieceEncodeWithVocabRefresh(
+      docs: DataFrame,
+      vocabDir: String,
+      idCol: String,
+      textCol: String,
+      pruneKeep: Option[Int] = None)(
+      sink: (DataFrame, Long, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.data.Wordpiece
+    var loaded: Option[(Long, Seq[String])] = None
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      graft.data.Versioned.latestVersion(spark, vocabDir).foreach { v =>
+        if (!loaded.exists(_._1 == v)) {
+          loaded = Some((v, Wordpiece.loadVocab(spark, s"$vocabDir/v$v")))
+          pruneKeep.foreach(keep =>
+            graft.data.Versioned.pruneVersions(spark, vocabDir, keep, Some(v)))
+        }
+      }
+      val (v, vocab) = loaded.getOrElse(throw new IllegalStateException(
+        s"no wordpiece vocab published under $vocabDir — write one with " +
+          "Wordpiece.saveVocabVersioned"))
+      sink(Wordpiece.encode(batch, idCol, textCol, vocab), batchId, v)
+    }
+  }
+
   /** Input row of the streaming weighted sampler. */
   case class SampleRow(group: String, id: Long, w: Double)
 

@@ -547,6 +547,87 @@ class StreamingMarketSpec extends SparkSpec {
     assert(p2.contains("row") && !p2.contains(Unigram.UnkPiece))
   }
 
+  test("wordpieceEncodeWithVocabRefresh: a vocab republish lands next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.data.Wordpiece
+    // v1 trains without 'w' -> "row" is UNK; the retrain corpus covers it
+    val dir = java.nio.file.Files.createTempDirectory("wp_refresh").toString
+    val v1 = Wordpiece.train(Seq((1L, "spark spark table rot rot"))
+      .toDF("doc_id", "text"), "text", vocabSize = 20)
+    assert(Wordpiece.saveVocabVersioned(spark, v1, dir) === 1L)
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val q = wordpieceEncodeWithVocabRefresh(
+        input.toDF().toDF("doc_id", "text"), dir, "doc_id", "text") {
+      (out, _, ver) =>
+        results ++= out.select(col("id"), col("piece"))
+          .collect().map(r => (r.getLong(0), ver, r.getString(1)))
+    }.start()
+
+    input.addData((9000L, "row"))
+    q.processAllAvailable()
+    val v2 = Wordpiece.train(Seq((1L, "row row row spark"))
+      .toDF("doc_id", "text"), "text", vocabSize = 20)
+    assert(Wordpiece.saveVocabVersioned(spark, v2, dir) === 2L)
+    input.addData((9001L, "row"))
+    q.processAllAvailable()
+    q.stop()
+
+    val p1 = results.filter(_._1 == 9000L)
+    val p2 = results.filter(_._1 == 9001L)
+    assert(p1.forall(_._2 == 1L) && p2.forall(_._2 == 2L))
+    // v1 has no 'w' piece -> UNK; v2 rebuilds "row" from its pieces
+    assert(p1.map(_._3) === Seq(Wordpiece.Unk))
+    assert(p2.map(_._3).mkString.replace("##", "") === "row")
+    // each batch encodes bit-equal to the batch kernel under that vocab
+    def batchEnc(v: Seq[String]): Seq[String] =
+      Wordpiece.encode(Seq((1L, "row")).toDF("doc_id", "text"),
+          "doc_id", "text", v)
+        .orderBy(col("piece_idx")).select(col("piece")).as[String]
+        .collect().toSeq
+    assert(p1.map(_._3).toSeq === batchEnc(Wordpiece.loadVocab(spark, s"$dir/v1")))
+    assert(p2.map(_._3).toSeq === batchEnc(Wordpiece.loadVocab(spark, s"$dir/v2")))
+  }
+
+  test("streaming HTML extraction: the inline extractor is batch-equal on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.data.Html
+    val pages = Seq(
+      (1L, "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>" +
+        "<p>a long enough paragraph about streaming extraction with " +
+        "plenty of words</p><footer><a href='/t'>Terms</a></footer>"),
+      (2L, "<h1>short</h1><p>another sufficiently long block of ordinary " +
+        "prose for the gate</p>"))
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = Html.extractContentInline(
+        input.toDF().toDF("doc_id", "html"), "doc_id", "html")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        results ++= b.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3)))
+        ()
+      }.start()
+    input.addData(pages: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = Html.extractContentInline(pages.toDF("doc_id", "html"),
+        "doc_id", "html")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(results.sortBy(_._1).toSeq === batch.sortBy(_._1))
+    // and the inline spelling equals the exploded+grouped batch one
+    val grouped = Html.extractContent(pages.toDF("doc_id", "html"),
+        "doc_id", "html")
+      .select(col("doc_id"), col("text"), col("n_blocks_kept"),
+        col("n_blocks_dropped"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(batch.sortBy(_._1) === grouped.sortBy(_._1))
+  }
+
   test("streamingSessions: gap-based event-time sessions emit once on watermark close") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
