@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.ml.stat.Summarizer
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,24 @@ object SparkEntry {
       case _ => raw
     }
   }
+
+  /** Synthetic crawl page for the link-graph queries (q163/q163b/q164):
+   * deterministic doc_id arithmetic fans links across an absolute
+   * cross-host target, a protocol-relative CDN host, a relative local
+   * path (resolves to the page's own host), and a mailto (dropped as a
+   * non-crawl scheme); anchor text carries an entity + inner tag. */
+  private def linkHtml: Column = concat(
+    lit("<body><p>"), col("text"), lit("</p><ul><li><a href='https://h"),
+    (col("doc_id") % 7).cast("string"),
+    lit(".example.org/p?x=1'>Page <b>"),
+    (col("doc_id") % 7).cast("string"),
+    lit("</b></a></li><li><a href=\"//cdn"),
+    (col("doc_id") % 3).cast("string"),
+    lit(".example.net/lib.js\">CDN &amp; assets</a></li>" +
+      "<li><a href='/local/"),
+    col("doc_id").cast("string"),
+    lit("'>Local page</a></li>" +
+      "<li><a href='mailto:a@b.example'>Mail us</a></li></ul></body>"))
 
   /** Flagship: full Monte-Carlo VaR time-series on the synthetic market
    * (smoke-checked rows>0 by the driver). */
@@ -1055,6 +1073,77 @@ object SparkEntry {
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
           col("n_blocks_kept"), col("n_blocks_dropped"))
         .orderBy(col("doc_id"))
+    }),
+    // crawl link graph: per-page <a href> extraction (map-only regexp),
+    // host resolution (absolute/protocol-relative/relative/other-scheme),
+    // one keyed shuffle to weighted host->host edges. Mixed-case hosts
+    // + a mailto link exercise lowercasing and the non-crawl-scheme drop
+    "q163_link_graph" -> ((s, dir) => {
+      import graft.data.Html
+      val d = t(s, dir, "documents")
+        .withColumn("host", concat(lit("h"), (col("doc_id") % 5).cast("string"),
+          lit(".Example.org")))
+        .withColumn("html", linkHtml)
+      Html.linkGraph(d, "doc_id", "html", "host")
+        .orderBy(col("src_host"), col("dst_host"))
+    }),
+    // host authority over the EXTRACTED graph — the crawl-prioritization
+    // capstone: q163's edges (self-loops dropped) into 3 iterations of
+    // exact-integer weighted PageRank; end-to-end html -> ranked hosts
+    "q163b_host_rank" -> ((s, dir) => {
+      import graft.data.{Graph, Html}
+      val d = t(s, dir, "documents")
+        .withColumn("host", concat(lit("h"), (col("doc_id") % 5).cast("string"),
+          lit(".Example.org")))
+        .withColumn("html", linkHtml)
+      val e = Html.linkGraph(d, "doc_id", "html", "host")
+        .filter(col("src_host") =!= col("dst_host"))
+      Graph.pageRank(e, "src_host", "dst_host", iters = 3,
+          weightCol = Some("w"))
+        .select(col("node"), col("rank_micro").as("pr_micro"),
+          col("rank").as("pr"))
+        .orderBy(col("node"))
+    }),
+    // anchor-text signal: the visible text of inbound links aggregated
+    // per TARGET host — published pipelines index anchor text as a
+    // description of the target. Extraction is the two-group zip
+    // (href + inner html), anchors normalized (tags out, entities
+    // decoded, whitespace collapsed); src host recomputed from doc_id
+    // (derivable), so no join rides the link rows
+    "q164_anchor_stats" -> ((s, dir) => {
+      import graft.data.Html
+      val d = t(s, dir, "documents").withColumn("html", linkHtml)
+      Html.extractLinks(d, "doc_id", "html")
+        .withColumn("dst_host", Html.linkHost(col("href"),
+          concat(lit("h"), (col("doc_id") % 5).cast("string"),
+            lit(".example.org"))))
+        .filter(col("dst_host").isNotNull)
+        .groupBy(col("dst_host"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(length(col("anchor"))).cast("long").as("n_anchor_chars"),
+          min(col("anchor")).as("first_anchor"))
+        .orderBy(col("dst_host"))
+    }),
+    // crawl-budget allocation: host authority (q163b's ranks) drives a
+    // Hamilton largest-remainder split of a 10k-page crawl budget —
+    // the frontier-prioritization composition (authority in, per-host
+    // fetch quotas out); Σ quota == 10000 exactly
+    "q165_crawl_budget" -> ((s, dir) => {
+      import graft.data.{Graph, Html, Sampling}
+      val d = t(s, dir, "documents")
+        .withColumn("host", concat(lit("h"), (col("doc_id") % 5).cast("string"),
+          lit(".Example.org")))
+        .withColumn("html", linkHtml)
+      val e = Html.linkGraph(d, "doc_id", "html", "host")
+        .filter(col("src_host") =!= col("dst_host"))
+      val ranks = Graph.pageRank(e, "src_host", "dst_host", iters = 3,
+        weightCol = Some("w"))
+      Sampling.proportionalAllocation(
+          ranks.select(col("node").as("host"), col("rank_micro").as("n")),
+          Seq("host"), k = 10000L)
+        .select(col("host"), col("n").as("rank_micro"), col("quota"))
+        .orderBy(col("host"))
     }),
     // deterministic shuffle-shard for training delivery: seeded hash IS
     // the permutation (reproducible cross-engine), shards balanced by
@@ -2468,6 +2557,67 @@ object SparkEntry {
   private val sigSql =
     """list_transform(range(0,16),
       | i -> list_min(list_transform(sh, h -> (h*(2*i+1) + (7919*i+13)) % 2147483647)))""".stripMargin
+  /** Synthetic crawl page of [[linkHtml]], spelled in SQL. */
+  private val linkHtmlSql =
+    """'<body><p>' || text || '</p><ul><li><a href=''https://h' ||
+      |  CAST(doc_id % 7 AS VARCHAR) || '.example.org/p?x=1''>Page <b>' ||
+      |  CAST(doc_id % 7 AS VARCHAR) ||
+      |  '</b></a></li><li><a href="//cdn' || CAST(doc_id % 3 AS VARCHAR) ||
+      |  '.example.net/lib.js">CDN &amp; assets</a></li><li><a href=''/local/' ||
+      |  CAST(doc_id AS VARCHAR) ||
+      |  '''>Local page</a></li><li><a href=''mailto:a@b.example''>Mail us</a></li></ul></body>'""".stripMargin
+  /** Html.AnchorRe as a DuckDB string literal (group 1 href, 2 inner). */
+  private val anchorReSql =
+    """'(?is)<a\b[^>]*?href\s*=\s*[''"]([^''"]*)[''"][^>]*>(.*?)</a\s*>'"""
+  /** Html.linkHost over columns `href` and `src_host`. */
+  private val linkHostSql =
+    """CASE WHEN regexp_extract(href,
+      |      '^(?i)(?:https?:)?//(?:[^/@?#]*@)?([^/:?#]+)', 1) <> ''
+      |    THEN lower(regexp_extract(href,
+      |      '^(?i)(?:https?:)?//(?:[^/@?#]*@)?([^/:?#]+)', 1))
+      |    WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+      |    ELSE src_host END""".stripMargin
+  /** Weighted host->host edges of the synthetic crawl (q163 base). */
+  private val linkGraphSql =
+    s"""SELECT src_host, dst_host, count(*) AS w FROM (
+       |  SELECT src_host, $linkHostSql AS dst_host FROM (
+       |    SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+       |        AS src_host,
+       |      unnest(regexp_extract_all($linkHtmlSql, $anchorReSql, 1)) AS href
+       |    FROM documents))
+       |WHERE dst_host IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  /** 3-iteration weighted-PageRank recurrence over the extracted host
+   * graph, self-loops dropped — `WITH … r3` (q163b/q165 share it). */
+  private val hostRankCteSql =
+    s"""WITH e AS (SELECT src_host AS src, dst_host AS dst, w
+       |  FROM ($linkGraphSql) WHERE src_host <> dst_host),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |sw AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM e GROUP BY 1),
+       |r0 AS (SELECT node, 1000000000 // (SELECT n FROM nn) AS r FROM nodes),
+       |c1 AS (SELECT e.dst AS node,
+       |    CAST(sum((r0.r * e.w) // sw.sw) AS BIGINT) AS c
+       |  FROM e JOIN r0 ON e.src = r0.node JOIN sw ON e.src = sw.src
+       |  GROUP BY 1),
+       |r1 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
+       |    + (17 * coalesce(c1.c, 0)) // 20 AS r
+       |  FROM nodes nd LEFT JOIN c1 ON nd.node = c1.node),
+       |c2 AS (SELECT e.dst AS node,
+       |    CAST(sum((r1.r * e.w) // sw.sw) AS BIGINT) AS c
+       |  FROM e JOIN r1 ON e.src = r1.node JOIN sw ON e.src = sw.src
+       |  GROUP BY 1),
+       |r2 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
+       |    + (17 * coalesce(c2.c, 0)) // 20 AS r
+       |  FROM nodes nd LEFT JOIN c2 ON nd.node = c2.node),
+       |c3 AS (SELECT e.dst AS node,
+       |    CAST(sum((r2.r * e.w) // sw.sw) AS BIGINT) AS c
+       |  FROM e JOIN r2 ON e.src = r2.node JOIN sw ON e.src = sw.src
+       |  GROUP BY 1),
+       |r3 AS (SELECT nd.node, 150000000 // (SELECT n FROM nn)
+       |    + (17 * coalesce(c3.c, 0)) // 20 AS r
+       |  FROM nodes nd LEFT JOIN c3 ON nd.node = c3.node)""".stripMargin
+
   /** 28-bit simhash terms (Dedup.simhash). */
   private val simhashSql = (0 until 28).map { j =>
     s"(CASE WHEN 2*len(list_filter(hs, h -> ((h>>$j)&1)=1)) > len(hs) THEN ${1L << j} ELSE 0 END)"
@@ -3507,6 +3657,48 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
         |  CAST(len(string_split(txt, chr(10))) AS BIGINT) AS n_lines,
         |  substring(txt, 1, 30) AS head30
         |FROM t5 ORDER BY doc_id""".stripMargin,
+    "q163_link_graph" ->
+      s"""SELECT * FROM ($linkGraphSql) ORDER BY src_host, dst_host""",
+    "q163b_host_rank" ->
+      s"""$hostRankCteSql
+         |SELECT node, CAST(r AS BIGINT) AS pr_micro,
+         |  CAST(r AS DOUBLE) / 1e9 AS pr
+         |FROM r3 ORDER BY node""".stripMargin,
+    "q165_crawl_budget" ->
+      s"""$hostRankCteSql,
+         |tot AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM r3),
+         |qa AS (SELECT node, r, (10000 * r) // t AS q, (10000 * r) % t AS rm
+         |  FROM r3, tot),
+         |sq AS (SELECT CAST(sum(q) AS BIGINT) AS sq FROM qa)
+         |SELECT node AS host, CAST(r AS BIGINT) AS rank_micro,
+         |  q + CASE WHEN row_number() OVER (ORDER BY rm DESC, node)
+         |    <= 10000 - sq THEN 1 ELSE 0 END AS quota
+         |FROM qa, sq ORDER BY host""".stripMargin,
+    "q164_anchor_stats" ->
+      s"""WITH h AS (SELECT doc_id, $linkHtmlSql AS html FROM documents),
+         |x AS (SELECT doc_id,
+         |    regexp_extract_all(html, $anchorReSql, 1) AS hrefs,
+         |    regexp_extract_all(html, $anchorReSql, 2) AS inners FROM h),
+         |i AS (SELECT doc_id, hrefs, inners,
+         |    CAST(unnest(range(1, len(hrefs) + 1)) AS BIGINT) AS idx FROM x),
+         |a AS (SELECT doc_id, hrefs[CAST(idx AS INT)] AS href,
+         |    trim(regexp_replace(
+         |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |        inners[CAST(idx AS INT)], '(?s)<[^>]*>', '', 'g'),
+         |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+         |      '&#39;', '''', 'g'), '&apos;', '''', 'g'), '&nbsp;', ' ', 'g'),
+         |      '&amp;', '&', 'g'),
+         |    '\\s+', ' ', 'g')) AS anchor FROM i),
+         |r AS (SELECT doc_id, anchor, $linkHostSql AS dst_host FROM (
+         |  SELECT doc_id, href, anchor,
+         |    'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS src_host
+         |  FROM a))
+         |SELECT dst_host, count(*) AS n_links,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  CAST(sum(length(anchor)) AS BIGINT) AS n_anchor_chars,
+         |  min(anchor) AS first_anchor
+         |FROM r WHERE dst_host IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "q95_shard_corpus" ->
       s"""WITH sk AS (SELECT doc_id,
          |  ${h60Sql("concat(CAST(doc_id AS VARCHAR), '#shard0')")} AS shuffle_key

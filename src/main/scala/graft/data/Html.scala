@@ -138,6 +138,81 @@ object Html {
       (size(nonEmpty) - size(kept)).cast("long").as("n_blocks_dropped"))
   }
 
+  /** `<a>` element pattern: group 1 = the href value (either quote
+   * style), group 2 = the inner HTML (lazy, up to the closing tag). */
+  private val AnchorRe =
+    "(?is)<a\\b[^>]*?href\\s*=\\s*['\"]([^'\"]*)['\"][^>]*>(.*?)</a\\s*>"
+
+  /**
+   * Every `<a href=…>…</a>` of every document, in document order —
+   * the raw material of the crawl link graph and of anchor-text
+   * signals. Output: `(id, link_idx, href, anchor)` where `anchor` is
+   * the link's visible text (inner tags stripped, entities decoded,
+   * whitespace collapsed). Map-only: two `regexp_extract_all` passes
+   * over the island-stripped page (one per capture group — the
+   * extraction primitive yields one group at a time) zipped positionally,
+   * then one `posexplode`; no shuffle, no UDF. Links inside
+   * script/style/comment islands are excluded ([[stripIslands]] runs
+   * first); unquoted `href=x` values are out of scope (documented, like
+   * the rest of the tag-soup contract).
+   */
+  def extractLinks(docs: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val clean = stripIslands(col(htmlCol))
+    val hrefs = regexp_extract_all(clean, lit(AnchorRe), lit(1))
+    val inners = regexp_extract_all(clean, lit(AnchorRe), lit(2))
+    docs
+      .select(col(idCol), posexplode(arrays_zip(hrefs.as("h"), inners.as("i")))
+        .as(Seq("link_idx", "__z")))
+      .select(col(idCol), col("link_idx").cast("long").as("link_idx"),
+        col("__z.h").as("href"),
+        trim(regexp_replace(decodeEntities(
+          regexp_replace(col("__z.i"), "(?s)<[^>]*>", "")),
+          "\\s+", " ")).as("anchor"))
+  }
+
+  /**
+   * Resolve a link target to its HOST: absolute (`http://h/…`,
+   * `https://h/…`) and protocol-relative (`//h/…`) links yield their
+   * own authority (userinfo skipped, port/path/query stripped,
+   * lowercased — the same authority grammar as
+   * [[TextFunctions.urlHosts]]); any OTHER scheme (`mailto:`,
+   * `javascript:`, `ftp:`…) yields NULL (not a crawl edge); everything
+   * else is a relative link and resolves to `baseHost`.
+   */
+  def linkHost(href: Column, baseHost: Column): Column = {
+    val abs = regexp_extract(href,
+      "^(?i)(?:https?:)?//(?:[^/@?#]*@)?([^/:?#]+)", 1)
+    when(length(abs) > 0, lower(abs))
+      .when(regexp_like(href, lit("^[A-Za-z][A-Za-z0-9+.-]*:")),
+        lit(null).cast("string"))
+      .otherwise(lower(baseHost))
+  }
+
+  /**
+   * Host-level link graph of a crawl slice: extract every anchor,
+   * resolve each to a destination host against the page's own host,
+   * and aggregate to weighted edges `(src_host, dst_host, w)` where
+   * `w` counts links. The 100 TB shape: extraction is map-only; the
+   * single keyed shuffle aggregates on host PAIRS (hosts ≪ pages in
+   * any real crawl, so partial map-side combine collapses most of the
+   * volume before the exchange). Self-loops (intra-host links) are
+   * kept — rank callers drop them ([[Graph.pageRank]] requires it);
+   * blocklist callers want them.
+   */
+  def linkGraph(docs: DataFrame, idCol: String, htmlCol: String,
+      hostCol: String): DataFrame = {
+    // hrefs only — no anchor text, no zip, no join back to docs: one
+    // regexp pass with the src host riding alongside
+    val hrefs = regexp_extract_all(stripIslands(col(htmlCol)),
+      lit(AnchorRe), lit(1))
+    docs
+      .select(lower(col(hostCol)).as("src_host"), explode(hrefs).as("href"))
+      .withColumn("dst_host", linkHost(col("href"), col("src_host")))
+      .filter(col("dst_host").isNotNull)
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("w"))
+  }
+
   /** [[htmlBlocks]] with the anchor-char numerator computed per block —
    * the exploded frame both [[extractContent]] and ad-hoc policies
    * filter. */

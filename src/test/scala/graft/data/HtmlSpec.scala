@@ -96,4 +96,61 @@ class HtmlSpec extends SparkSpec {
     assert(got.split("\n").toSeq ===
       (1 to 8).map(i => s"block number $i with enough characters to pass the gate"))
   }
+
+  test("extractLinks: both quote styles, order kept, anchors normalized") {
+    val page = "<p>pre <a href='/a'>First  link</a> mid " +
+      "<a href=\"https://EX.org/p\">Ref &lt;b&gt; <b>bold</b></a> " +
+      "<script><a href='/ghost'>never</a></script>" +
+      "<a href='mailto:x@y.z'>Mail &amp; more</a></p>"
+    val got = Html.extractLinks(Seq((7L, page)).toDF("doc_id", "html"),
+        "doc_id", "html")
+      .orderBy(col("link_idx"))
+      .select(col("link_idx"), col("href"), col("anchor"))
+      .as[(Long, String, String)].collect().toSeq
+    // the script-island link never appears; inner tags stripped,
+    // entities decoded, whitespace collapsed
+    assert(got === Seq(
+      (0L, "/a", "First link"),
+      (1L, "https://EX.org/p", "Ref <b> bold"),
+      (2L, "mailto:x@y.z", "Mail & more")))
+  }
+
+  test("linkHost: absolute, protocol-relative, relative, non-crawl schemes") {
+    val cases = Seq(
+      ("https://A.Example.org/p?q=1", "base.org", "a.example.org"),
+      ("http://user:pw@h.net/x", "base.org", "h.net"),
+      ("//cdn.ex.net/lib.js", "base.org", "cdn.ex.net"),
+      ("/local/path", "Base.ORG", "base.org"),
+      ("page.html", "base.org", "base.org"),
+      ("", "base.org", "base.org"),
+      ("mailto:a@b.c", "base.org", null),
+      ("javascript:void(0)", "base.org", null),
+      ("ftp://files.ex.org/f", "base.org", null))
+    val got = cases.toDF("href", "base", "want")
+      .select(Html.linkHost(col("href"), col("base")), col("want"))
+      .as[(Option[String], Option[String])].collect()
+    got.foreach { case (h, w) => assert(h === w, s"got $h want $w") }
+  }
+
+  test("linkGraph: weighted host edges, self-loops kept, no doc join") {
+    val docs = Seq(
+      (1L, "a.org", "<p><a href='https://b.org/x'>B</a> " +
+        "<a href='https://b.org/y'>B2</a> <a href='/self'>me</a></p>"),
+      (2L, "A.ORG", "<p><a href='//b.org/z'>B3</a> " +
+        "<a href='mailto:x@y'>drop</a></p>"),
+      (3L, "b.org", "<p><a href='https://a.org/'>A</a></p>"))
+      .toDF("doc_id", "host", "html")
+    val got = Html.linkGraph(docs, "doc_id", "html", "host")
+      .orderBy(col("src_host"), col("dst_host"))
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a.org", "a.org", 1L),    // relative self-loop kept
+      ("a.org", "b.org", 3L),    // 2 absolute + 1 protocol-relative
+      ("b.org", "a.org", 1L)))
+    // plan shape: extraction is map-only — exactly one exchange (the
+    // edge aggregation), and no join anywhere
+    val plan = Html.linkGraph(docs, "doc_id", "html", "host")
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
 }
