@@ -1145,6 +1145,26 @@ object SparkEntry {
         .select(col("host"), col("n").as("rank_micro"), col("quota"))
         .orderBy(col("host"))
     }),
+    // TrustRank (personalized PageRank, teleport to 2 trusted seed
+    // hosts): mass flows outward from the trusted core only — hosts
+    // unreachable from seeds score 0 regardless of interlinking, the
+    // spam-demotion property global PageRank lacks
+    "q166_trust_rank" -> ((s, dir) => {
+      import s.implicits._
+      import graft.data.{Graph, Html}
+      val d = t(s, dir, "documents")
+        .withColumn("host", concat(lit("h"), (col("doc_id") % 5).cast("string"),
+          lit(".Example.org")))
+        .withColumn("html", linkHtml)
+      val e = Html.linkGraph(d, "doc_id", "html", "host")
+        .filter(col("src_host") =!= col("dst_host"))
+      val seeds = Seq("h0.example.org", "h1.example.org").toDF("host")
+      Graph.personalizedPageRank(e, "src_host", "dst_host",
+          seeds, "host", iters = 3, weightCol = Some("w"))
+        .select(col("node"), col("rank_micro").as("tr_micro"),
+          col("rank").as("tr"))
+        .orderBy(col("node"))
+    }),
     // deterministic shuffle-shard for training delivery: seeded hash IS
     // the permutation (reproducible cross-engine), shards balanced by
     // the hash mod; per-shard stats + key-order head pin the assignment
@@ -3663,6 +3683,41 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
       s"""$hostRankCteSql
          |SELECT node, CAST(r AS BIGINT) AS pr_micro,
          |  CAST(r AS DOUBLE) / 1e9 AS pr
+         |FROM r3 ORDER BY node""".stripMargin,
+    "q166_trust_rank" ->
+      s"""WITH e AS (SELECT src_host AS src, dst_host AS dst, w
+         |  FROM ($linkGraphSql) WHERE src_host <> dst_host),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |sd AS (SELECT node, CASE WHEN node IN
+         |    ('h0.example.org', 'h1.example.org') THEN 1 ELSE 0 END AS s
+         |  FROM nodes),
+         |ns AS (SELECT CAST(sum(s) AS BIGINT) AS n FROM sd),
+         |sw AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM e GROUP BY 1),
+         |r0 AS (SELECT node, s * (1000000000 // (SELECT n FROM ns)) AS r
+         |  FROM sd),
+         |c1 AS (SELECT e.dst AS node,
+         |    CAST(sum((r0.r * e.w) // sw.sw) AS BIGINT) AS c
+         |  FROM e JOIN r0 ON e.src = r0.node JOIN sw ON e.src = sw.src
+         |  GROUP BY 1),
+         |r1 AS (SELECT sd.node, sd.s * (150000000 // (SELECT n FROM ns))
+         |    + (17 * coalesce(c1.c, 0)) // 20 AS r
+         |  FROM sd LEFT JOIN c1 ON sd.node = c1.node),
+         |c2 AS (SELECT e.dst AS node,
+         |    CAST(sum((r1.r * e.w) // sw.sw) AS BIGINT) AS c
+         |  FROM e JOIN r1 ON e.src = r1.node JOIN sw ON e.src = sw.src
+         |  GROUP BY 1),
+         |r2 AS (SELECT sd.node, sd.s * (150000000 // (SELECT n FROM ns))
+         |    + (17 * coalesce(c2.c, 0)) // 20 AS r
+         |  FROM sd LEFT JOIN c2 ON sd.node = c2.node),
+         |c3 AS (SELECT e.dst AS node,
+         |    CAST(sum((r2.r * e.w) // sw.sw) AS BIGINT) AS c
+         |  FROM e JOIN r2 ON e.src = r2.node JOIN sw ON e.src = sw.src
+         |  GROUP BY 1),
+         |r3 AS (SELECT sd.node, sd.s * (150000000 // (SELECT n FROM ns))
+         |    + (17 * coalesce(c3.c, 0)) // 20 AS r
+         |  FROM sd LEFT JOIN c3 ON sd.node = c3.node)
+         |SELECT node, CAST(r AS BIGINT) AS tr_micro,
+         |  CAST(r AS DOUBLE) / 1e9 AS tr
          |FROM r3 ORDER BY node""".stripMargin,
     "q165_crawl_budget" ->
       s"""$hostRankCteSql,

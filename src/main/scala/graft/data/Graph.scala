@@ -136,6 +136,83 @@ object Graph {
   }
 
   /**
+   * PERSONALIZED PageRank — the teleport vector is concentrated on a
+   * SEED set instead of uniform: `r' = [node ∈ seeds]·(1−d)/|S| +
+   * d·Σ contrib`. With trusted seed hosts this is exactly TrustRank
+   * (Gyöngyi, Garcia-Molina, Pedersen — VLDB 2004): mass flows outward
+   * from the trusted core, so spam clusters that PageRank rewards (they
+   * interlink heavily but are rarely linked FROM the good web) score ~0
+   * — the crawl-frontier trust prior that complements [[pageRank]]'s
+   * global authority.
+   *
+   * Same exact-integer micro-unit arithmetic, weighted-edge handling,
+   * and caching discipline as [[pageRank]] (one contribution shuffle
+   * per iteration; nothing collected). Differences: initial and
+   * teleport mass are `1e9 div |S|` / `150000000 div |S|` on seed
+   * nodes and 0 elsewhere, so non-seed nodes start at 0 and earn mass
+   * only through in-links. Seeds not present in the edge set are
+   * ignored (the graph defines the node universe); `seeds` is
+   * by-contract small (a curated trust list) but is still only ever
+   * joined — never collected — so a large seed list degrades, not
+   * breaks. Dangling mass is dropped (the classic leak) matching
+   * [[pageRank]]'s default.
+   *
+   * Returns `(node, rank_micro, rank)`.
+   */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      iters: Int = 3, weightCol: Option[String] = None): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = (weightCol match {
+      case None =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .distinct().withColumn("w", lit(1L))
+      case Some(wc) =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+            col(wc).cast("long").as("__w"))
+          .filter(col("__w") > 0)
+          .groupBy(col("src"), col("dst"))
+          .agg(sum(col("__w")).as("w"))
+    }).cache()
+    val sd = seeds.select(col(seedCol).as("node")).distinct()
+    // seed flag rides the node table: 1 row per node, joined once
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(sd.withColumn("__s", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
+      .cache()
+    try {
+      val nSeeds =
+        nodes.agg(sum(col("__s"))).head().getLong(0) // bounded: one long
+      require(nSeeds > 0,
+        "personalizedPageRank: no seed appears in the edge set")
+      val outDeg = e.groupBy(col("src")).agg(sum(col("w")).as("sw"))
+      val init = 1000000000L / nSeeds
+      val base = 150000000L / nSeeds
+      var r = nodes.withColumn("r", col("__s") * init)
+        .select(col("node"), col("r"))
+      for (i <- 1 to iters) {
+        val contrib = e
+          .join(r.withColumnRenamed("node", "src"), Seq("src"))
+          .join(outDeg, Seq("src"))
+          .select(col("dst").as("node"), expr("(r * w) div sw").as("t"))
+          .groupBy(col("node")).agg(sum(col("t")).as("c"))
+        r = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (col("__s") * lit(base) +
+              expr("(17 * coalesce(c, 0L)) div 20")).as("r"))
+        if (i % 10 == 0) r = r.localCheckpoint()
+      }
+      val out = r.select(col("node"), col("r").as("rank_micro"),
+          (col("r").cast("double") / lit(1e9)).as("rank"))
+        .cache()
+      out.count()
+      out
+    } finally { e.unpersist(); nodes.unpersist(); () }
+  }
+
+  /**
    * Fixed-iteration HITS (Kleinberg, JACM 1999) over a directed edge
    * list — hubs point at good authorities, authorities are pointed at
    * by good hubs. The link-analysis complement to [[pageRank]]: where

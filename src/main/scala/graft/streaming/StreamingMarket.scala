@@ -771,6 +771,55 @@ object StreamingMarket {
     }
   }
 
+  /**
+   * Streaming link-graph maintenance — the continuous-crawl edge store:
+   * each micro-batch of fetched pages extracts weighted host→host edges
+   * ([[graft.data.Html.linkGraph]] — map-only regexp + ONE keyed
+   * shuffle, per batch) and MERGES them into a versioned edge store
+   * (`storeDir/v<N>` behind the rename-committed `latest` pointer):
+   * union with the prior version, re-sum per (src_host, dst_host).
+   * The merge operates on EDGE tables (hosts² bounded, ≪ pages — the
+   * same "the store is the graph, not the corpus" size argument as the
+   * batch operator), so each publish rewrites host-pair counts, never
+   * page data, and a rank job ([[graft.data.Graph.pageRank]] /
+   * `personalizedPageRank`) can run against any published version while
+   * ingest continues. Readers always see a complete snapshot; batch 0
+   * against an empty dir boots the store. `sink` receives the
+   * just-published edge table (read back from its version — what
+   * downstream sees is what durably exists), the batch id, and the
+   * published version.
+   */
+  def linkGraphIngest(
+      pages: DataFrame,
+      storeDir: String,
+      idCol: String,
+      htmlCol: String,
+      hostCol: String,
+      pruneKeep: Option[Int] = None)(
+      sink: (DataFrame, Long, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.data.{Html, Versioned}
+    pages.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val batchEdges = Html.linkGraph(batch, idCol, htmlCol, hostCol)
+      val merged = Versioned.latestVersion(spark, storeDir) match {
+        case None => batchEdges
+        case Some(v) =>
+          spark.read.parquet(s"$storeDir/v$v")
+            .select(col("src_host"), col("dst_host"), col("w"))
+            .unionByName(batchEdges)
+            .groupBy(col("src_host"), col("dst_host"))
+            .agg(sum(col("w")).as("w"))
+      }
+      val v = Versioned.publish(spark, storeDir)(p =>
+        merged.write.parquet(p))
+      // GC AFTER the publish, anchored on v (a concurrent publish
+      // landing between our write and the prune must not delete v)
+      pruneKeep.foreach(keep =>
+        Versioned.pruneVersions(spark, storeDir, keep, Some(v)))
+      sink(spark.read.parquet(s"$storeDir/v$v"), batchId, v)
+    }
+  }
+
   /** Input row of the streaming weighted sampler. */
   case class SampleRow(group: String, id: Long, w: Double)
 

@@ -49,6 +49,66 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Scalar reference of the personalized (seed-teleport) recurrence. */
+  private def refPersonalized(
+      edges: Seq[(String, String)], seeds: Set[String],
+      iters: Int): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    val inGraph = nodes.filter(seeds).toSet
+    val ns = inGraph.size.toLong
+    var r = nodes.map(nd =>
+      nd -> (if (inGraph(nd)) 1000000000L / ns else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = e.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      r = nodes.map(nd =>
+        nd -> ((if (inGraph(nd)) 150000000L / ns else 0L) +
+          17L * contrib.getOrElse(nd, 0L) / 20L)).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank matches the scalar reference exactly") {
+    val df = toyEdges.toDF("s", "d")
+    for (iters <- Seq(1, 3, 5)) {
+      val got = Graph.personalizedPageRank(df, "s", "d",
+          Seq("a", "d").toDF("n"), "n", iters)
+        .select(col("node"), col("rank_micro"))
+        .as[(String, Long)].collect().toMap
+      assert(got === refPersonalized(toyEdges, Set("a", "d"), iters),
+        s"iters=$iters")
+    }
+  }
+
+  test("personalizedPageRank: unreachable-from-seeds scores exactly 0") {
+    // two disconnected cliques; seed only in the first — the second
+    // interlinks heavily (global PageRank would reward it) but gets no
+    // trust mass at all
+    val e = Seq(("a", "b"), ("b", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("x", "z"), ("z", "y"), ("y", "x"))
+    val got = Graph.personalizedPageRank(e.toDF("s", "d"), "s", "d",
+        Seq("a").toDF("n"), "n", iters = 4)
+      .select(col("node"), col("rank_micro"))
+      .as[(String, Long)].collect().toMap
+    assert(got("x") === 0L && got("y") === 0L && got("z") === 0L)
+    assert(got("a") > 0L && got("b") > 0L)
+  }
+
+  test("personalizedPageRank: seeds absent from the graph are ignored") {
+    val got = Graph.personalizedPageRank(toyEdges.toDF("s", "d"), "s", "d",
+        Seq("a", "ghost").toDF("n"), "n", iters = 2)
+      .select(col("node"), col("rank_micro"))
+      .as[(String, Long)].collect().toMap
+    assert(got === refPersonalized(toyEdges, Set("a"), 2))
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(toyEdges.toDF("s", "d"), "s", "d",
+        Seq("ghost").toDF("n"), "n", iters = 1)
+    }
+  }
+
   test("pageRank is invariant to input partitioning (exact longs)") {
     val a = Graph.pageRank(toyEdges.toDF("s", "d"), "s", "d", 3)
       .select(col("node"), col("rank_micro")).as[(String, Long)]

@@ -628,6 +628,51 @@ class StreamingMarketSpec extends SparkSpec {
     assert(batch.sortBy(_._1) === grouped.sortBy(_._1))
   }
 
+  test("linkGraphIngest: the edge store after each batch equals the batch operator on all pages so far") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.data.Html
+    val dir = java.nio.file.Files.createTempDirectory("lg_store").toString
+    val b1 = Seq(
+      (1L, "a.org", "<p><a href='https://b.org/x'>B</a> <a href='/s'>me</a></p>"),
+      (2L, "b.org", "<p><a href='https://a.org/'>A</a></p>"))
+    val b2 = Seq(
+      (3L, "a.org", "<p><a href='https://b.org/y'>B2</a></p>"),
+      (4L, "c.org", "<p><a href='//b.org/z'>B3</a> <a href='mailto:x@y'>m</a></p>"))
+    val published = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Seq[(String, String, Long)])]
+    val input = MemoryStream[(Long, String, String)]
+    val q = linkGraphIngest(
+        input.toDF().toDF("doc_id", "host", "html"),
+        dir, "doc_id", "html", "host") { (edges, batchId, v) =>
+      published += ((batchId, v,
+        edges.orderBy(col("src_host"), col("dst_host"))
+          .as[(String, String, Long)].collect().toSeq))
+    }.start()
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def batchGraph(pages: Seq[(Long, String, String)]) =
+      Html.linkGraph(pages.toDF("doc_id", "host", "html"),
+          "doc_id", "html", "host")
+        .orderBy(col("src_host"), col("dst_host"))
+        .as[(String, String, Long)].collect().toSeq
+    // store versions advance; each snapshot is bit-equal to the batch
+    // operator over the union of all pages ingested so far
+    assert(published.map(p => (p._1, p._2)) === Seq((0L, 1L), (1L, 2L)))
+    assert(published(0)._3 === batchGraph(b1))
+    assert(published(1)._3 === batchGraph(b1 ++ b2))
+    // and a rank job runs against the published store as-is
+    val ranks = graft.data.Graph.pageRank(
+      spark.read.parquet(s"$dir/v2")
+        .filter(col("src_host") =!= col("dst_host")),
+      "src_host", "dst_host", iters = 2, weightCol = Some("w"))
+    assert(ranks.count() === 3L)
+  }
+
   test("streamingSessions: gap-based event-time sessions emit once on watermark close") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
