@@ -1149,6 +1149,75 @@ object SparkEntry {
     // hosts): mass flows outward from the trusted core only — hosts
     // unreachable from seeds score 0 regardless of interlinking, the
     // spam-demotion property global PageRank lacks
+    // mixture-recipe materialization incl. UP-sampling: src0 at 2.5
+    // epochs (whole copies + hash-fractional third pass), src1 at
+    // exactly 3, src2 down-sampled to 0.4 — per-(source, epoch)
+    // rollup pins copy counts and membership (sum of ids) exactly
+    "q170_mixture_epochs" -> ((s, dir) => {
+      import graft.data.Sampling
+      Sampling.materializeRates(t(s, dir, "documents"), col("source"),
+          col("doc_id"),
+          Map("src0" -> 2500000L, "src1" -> 3000000L, "src2" -> 400000L))
+        .groupBy(col("source"), col("epoch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("source"), col("epoch"))
+    }),
+    // budget-constrained curation: per source keep the longest docs
+    // while the exclusive running token sum is under budget (the
+    // straddler included) — "the best 800-token slice of each source"
+    "q171_budget_select" -> ((s, dir) => {
+      import graft.data.{Sampling, TextFunctions}
+      val d = t(s, dir, "documents")
+        .withColumn("n_tokens", TextFunctions.wordCount(col("text")).cast("long"))
+      Sampling.selectToBudget(d, Seq("source"),
+          Seq(col("n_chars").desc, col("doc_id").asc), col("n_tokens"),
+          budgetTokens = 800L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+          min(col("n_chars")).as("min_chars"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("source"))
+    }),
+    // join-size pre-flight: exact |A join B| and per-key pair mass from
+    // count tables alone (never running the join) — the ops gate that
+    // catches a quadratic self-join blow-up before it OOMs; here the
+    // user-pair analysis shape over the events stream
+    "q169_join_preflight" -> ((s, dir) => {
+      import graft.data.Relational
+      val ev = events(s, dir)
+      Relational.joinSizePreflight(ev, ev, col("user_id"), col("user_id"),
+          topK = 15)
+        .orderBy(col("pairs").desc, col("key"))
+    }),
+    // small-file compaction plan: deterministic path-ordered bin packing
+    // (bucket = exclusive prefix bytes div target) over a synthetic file
+    // inventory; per-bucket rollup pins every bucket within one max-file
+    // of the target — the OPTIMIZE half of the layout story
+    "q168_compaction_plan" -> ((s, dir) => {
+      import graft.risk.Sinks
+      val inv = t(s, dir, "documents")
+        .select(format_string("part-%08d", col("doc_id")).as("path"),
+          (col("n_chars") + lit(100L)).as("size"))
+      Sinks.compactionPlan(inv, "path", "size", targetBytes = 20000L)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_files"), sum(col("size")).as("bytes"),
+          min(col("path")).as("first_path"), max(col("path")).as("last_path"))
+        .orderBy(col("bucket"))
+    }),
+    // mergeable HDR log-histogram quantiles: bounded sketch state
+    // (~1.9k buckets/group at subBits=5) over the unbounded price-cents
+    // domain; p50/p90/p99 per return flag within 2^-5 relative error —
+    // integer-exact bucketing (bin-string exponent, shift/mask sub-
+    // bucket) that any engine reproduces bit-for-bit
+    "q167_log_hist_quantiles" -> ((s, dir) => {
+      import graft.data.Sketches
+      val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+      val hist = Sketches.logHistogram(
+        t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+          cents.as("v")), Seq("flag"), col("v"), subBits = 5)
+      Sketches.logHistogramQuantiles(hist, Seq("flag"),
+          Seq(500000L, 900000L, 990000L), subBits = 5)
+        .orderBy(col("flag"), col("p_ppm"))
+    }),
     "q166_trust_rank" -> ((s, dir) => {
       import s.implicits._
       import graft.data.{Graph, Html}
@@ -3684,6 +3753,65 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |SELECT node, CAST(r AS BIGINT) AS pr_micro,
          |  CAST(r AS DOUBLE) / 1e9 AS pr
          |FROM r3 ORDER BY node""".stripMargin,
+    "q170_mixture_epochs" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |    CASE source WHEN 'src0' THEN 2500000 WHEN 'src1' THEN 3000000
+         |      WHEN 'src2' THEN 400000 ELSE 1000000 END AS rate,
+         |    ${h60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS slot
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, rate // 1000000 +
+         |    CASE WHEN slot < rate % 1000000 THEN 1 ELSE 0 END AS n FROM r),
+         |e AS (SELECT doc_id, source,
+         |    CAST(unnest(range(0, n)) AS BIGINT) AS epoch FROM c WHERE n > 0)
+         |SELECT source, epoch, count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q171_budget_select" ->
+      s"""WITH d AS (SELECT source, doc_id, n_chars,
+         |    CAST(len($tokSql) AS BIGINT) AS n_tokens FROM documents),
+         |p AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY n_chars DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  FROM d),
+         |k AS (SELECT * FROM p WHERE pre < 800)
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         |  min(n_chars) AS min_chars, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q169_join_preflight" ->
+      s"""WITH lc AS (SELECT user_id AS key, count(*) AS n_left FROM events
+         |  WHERE user_id IS NOT NULL GROUP BY 1),
+         |prod AS (SELECT key, n_left, n_left AS n_right,
+         |    n_left * n_left AS pairs FROM lc),
+         |tot AS (SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs FROM prod)
+         |SELECT key, n_left, n_right, pairs, total_pairs,
+         |  pairs * 1000000 // greatest(total_pairs, 1) AS share_ppm
+         |FROM prod, tot ORDER BY pairs DESC, key LIMIT 15""".stripMargin,
+    "q168_compaction_plan" ->
+      s"""WITH inv AS (SELECT printf('part-%08d', doc_id) AS path,
+         |    n_chars + 100 AS size FROM documents),
+         |pre AS (SELECT path, size, coalesce(sum(size) OVER (ORDER BY path
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+         |  FROM inv),
+         |pl AS (SELECT path, size, CAST(p // 20000 AS BIGINT) AS bucket FROM pre)
+         |SELECT bucket, count(*) AS n_files, CAST(sum(size) AS BIGINT) AS bytes,
+         |  min(path) AS first_path, max(path) AS last_path
+         |FROM pl GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q167_log_hist_quantiles" ->
+      s"""WITH v AS (SELECT l_returnflag AS flag,
+         |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v FROM lineitem),
+         |b AS (SELECT flag, CASE WHEN v < 64 THEN v
+         |    ELSE (length(bin(v)) - 1 - 5) * 32 + (v >> (length(bin(v)) - 1 - 5))
+         |    END AS bin FROM v),
+         |h AS (SELECT flag, bin, count(*) AS bin_n FROM b GROUP BY 1, 2),
+         |c AS (SELECT flag, bin,
+         |    sum(bin_n) OVER (PARTITION BY flag ORDER BY bin) AS cum,
+         |    sum(bin_n) OVER (PARTITION BY flag) AS n FROM h),
+         |p AS (SELECT CAST(unnest([500000, 900000, 990000]) AS BIGINT) AS p_ppm),
+         |sel AS (SELECT flag, p_ppm, min(bin) AS bin FROM c JOIN p
+         |    ON cum * 1000000 >= p_ppm * n GROUP BY 1, 2)
+         |SELECT flag, p_ppm, CAST(CASE WHEN bin < 64 THEN bin
+         |    ELSE (bin - (bin // 32 - 1) * 32) << (bin // 32 - 1) END AS BIGINT) AS q
+         |FROM sel ORDER BY flag, p_ppm""".stripMargin,
     "q166_trust_rank" ->
       s"""WITH e AS (SELECT src_host AS src, dst_host AS dst, w
          |  FROM ($linkGraphSql) WHERE src_host <> dst_host),

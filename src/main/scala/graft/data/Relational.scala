@@ -440,6 +440,41 @@ object Relational {
     closed.unionByName(updated.select(outCols: _*))
   }
 
+  /**
+   * Join-size PRE-FLIGHT: the exact output cardinality and per-key mass
+   * of `left ⋈ right` on an equi-key, computed WITHOUT running the join
+   * — two map-combinable per-key count aggregations, one join of the
+   * (already tiny) count tables, one 1-row total, a TakeOrdered top-K.
+   * The ops gate before a 100 TB join: |A ⋈ B| = Σ_k cl(k)·cr(k), so a
+   * key whose count product dominates `share_ppm` is the skew/blow-up
+   * culprit to salt ([[saltedJoinAuto]]), filter, or pre-aggregate —
+   * found at per-key-count cost instead of by OOMing the real join.
+   *
+   * NULL keys are excluded (SQL equi-joins never match them). Exact in
+   * longs for per-key products and totals up to 2^63; `share_ppm` is
+   * exact integer ppm while total_pairs ≤ 9.2e12 (beyond that the ppm
+   * numerator saturates long arithmetic — at that size the total alone
+   * already answers the go/no-go question).
+   */
+  def joinSizePreflight(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column, topK: Int = 20): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val lc = left.select(leftKey.as("key")).where(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("n_left"))
+    val rc = right.select(rightKey.as("key")).where(col("key").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("n_right"))
+    val prod = lc.join(rc, "key")
+      .withColumn("pairs", col("n_left") * col("n_right"))
+    // 1-row aggregate cross join (the bounded-literal boundary, as in
+    // the other report queries) — keeps the whole report one lazy plan
+    val tot = prod.agg(coalesce(sum(col("pairs")), lit(0L)).as("total_pairs"))
+    prod.crossJoin(tot)
+      .withColumn("share_ppm",
+        expr("pairs * 1000000 div greatest(total_pairs, 1)"))
+      .orderBy(col("pairs").desc, col("key"))
+      .limit(topK)
+  }
+
   def prefixSum(df: DataFrame, orderCol: String, valueCol: Column,
       outCol: String): DataFrame = {
     val pid = "__prefix_pid"

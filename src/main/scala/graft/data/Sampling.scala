@@ -217,6 +217,72 @@ object Sampling {
   }
 
   /**
+   * Materialize a mixture RECIPE over the corpus — the EXECUTOR half of
+   * [[mixturePlan]]: per-source sampling rates in integer ppm, where a
+   * rate ABOVE 1e6 UP-SAMPLES (the "epochs per source" every real
+   * pretraining recipe applies to small high-quality sources — 3e6 ppm
+   * ≈ three passes over wiki — instead of silently shifting the mix).
+   * Each row emits `rate div 1e6` whole copies, plus one more when its
+   * deterministic hash slot falls under `rate mod 1e6` — so expected
+   * token mass per source is exactly `rate · tokens / 1e6`, the
+   * fractional part is content-addressed (same doc, same salt ⇒ same
+   * decision on any cluster, any partitioning), and down-sampling
+   * (rate < 1e6) degenerates to [[mixtureSample]]'s Bernoulli keep at
+   * ppm instead of 1e4 slot granularity.
+   *
+   * Copies carry an `epoch` column (0-based) so downstream shuffles and
+   * pack/shard stages can salt on it — duplicated rows must not
+   * re-collide into one partition. Map-only: the when-chain is
+   * order-independent (sources mutually exclusive), the fan-out is
+   * `explode(sequence(...))` — no join, no shuffle, no UDF.
+   */
+  def materializeRates(docs: DataFrame, sourceCol: Column, key: Column,
+      ratesPpm: Map[String, Long], defaultPpm: Long = 1000000L,
+      salt: String = ""): DataFrame = {
+    (ratesPpm.values ++ Seq(defaultPpm)).foreach(r =>
+      require(r >= 0, s"rates must be >= 0 ppm, got $r"))
+    val thr = ratesPpm.foldLeft(lit(defaultPpm)) { case (acc, (g, r)) =>
+      when(sourceCol === lit(g), lit(r)).otherwise(acc)
+    }
+    val extra = when(hashSlot(key, 1000000, salt) < thr % 1000000L, 1L)
+      .otherwise(0L)
+    // integer `div`, not `/`: keeps whole-copy counts exact for any rate
+    val copies = call_function("div", thr, lit(1000000L)) + extra
+    docs.withColumn("__copies", copies)
+      .filter(col("__copies") > 0L)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__copies")
+  }
+
+  /**
+   * BUDGET-CONSTRAINED selection: per group, walk rows in `order`
+   * (quality desc, id asc — the caller makes it a total order) and keep
+   * while the EXCLUSIVE running token sum is under `budgetTokens`, so
+   * the straddling document is kept and every group lands in
+   * [budget, budget + max doc) tokens — "the best N-token slice of each
+   * source", the curation step between scoring and tokenization.
+   *
+   * Exact spelling: one window per group (a per-group SORT — the honest
+   * cost; the selection is order-sensitive so some order must
+   * materialize). At corpus scale where a full per-group sort is too
+   * much, the two-pass scale path is [[Sketches.ecdfNormalizeByGroup]]
+   * on the order column to find each group's score THRESHOLD at the
+   * budgeted token mass, then a map-only filter — within one histogram
+   * bin of this exact result.
+   */
+  def selectToBudget(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], tokensCol: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__pre", coalesce(sum(tokensCol.cast("long")).over(w), lit(0L)))
+      .filter(col("__pre") < budgetTokens)
+      .drop("__pre")
+  }
+
+  /**
    * PROPORTIONAL QUOTA ALLOCATION — the largest-remainder (Hamilton)
    * method: split `k` sample slots across groups in proportion to their
    * sizes with EXACT integer arithmetic — `floor(k·n_g / N)` per group,

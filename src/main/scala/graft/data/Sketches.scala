@@ -354,6 +354,108 @@ object Sketches {
         acc => acc.getField("q")).as("q_approx")): _*)
   }
 
+  // ------------------------- HDR log-histogram (relative-error quantiles)
+
+  /**
+   * Bucket index of a non-negative integer `value` in a base-2
+   * LOG-HISTOGRAM layout with `2^subBits` sub-buckets per octave — the
+   * HdrHistogram/Prometheus-native-histogram bucketing, spelled in pure
+   * integer ops so ANY engine reproduces it bit-for-bit (`bin()` string
+   * length for the exponent, shift + mask for the sub-bucket; no
+   * floating-point `log`, whose rounding at exact powers of two differs
+   * across engines).
+   *
+   * Unlike [[fixedHistogram]] this needs NO [lo, hi) range up front —
+   * the natural fit for unbounded positive domains (bytes, latencies,
+   * token counts, price cents) where a fixed range either truncates the
+   * tail or wastes all its resolution on it. Guarantees:
+   *
+   *  - values `< 2^(subBits+1)` are EXACT (bucket == value);
+   *  - above that, bucket width is `2^(e-subBits)` for values with bit
+   *    length `e+1`, i.e. relative error ≤ `2^-subBits` — every decade
+   *    of the domain gets the same relative resolution;
+   *  - total bucket count is bounded by `(64-subBits)·2^subBits +
+   *    2^(subBits+1)` (~1.9k at subBits=5) REGARDLESS of data size or
+   *    range — the mergeable fixed-state property that makes the
+   *    histogram a sketch.
+   *
+   * Negative values clamp to bucket 0 (the contract is non-negative
+   * measures; callers with signed domains shift first).
+   */
+  def logBucket(value: Column, subBits: Int = 5): Column = {
+    require(subBits >= 1 && subBits <= 16, s"subBits in [1,16], got $subBits")
+    val v = greatest(value.cast("long"), lit(0L))
+    // bit length − 1: exact integer exponent via the binary-string
+    // spelling (no leading zeros in either Spark or DuckDB `bin()`)
+    val e = (length(bin(v)) - lit(1)).cast("long")
+    val sub = lit(1L << subBits)
+    when(v < sub * 2L, v)
+      .otherwise((e - subBits) * sub +
+        call_function("shiftright", v, (e - lit(subBits)).cast("int")))
+  }
+
+  /** Inverse of [[logBucket]]: the smallest value mapping to `bucket`
+   * (the bucket's inclusive lower bound), again pure integer. Quantiles
+   * answered from bucket floors are ≤ the true quantile by at most one
+   * relative bucket width. */
+  def logBucketFloor(bucket: Column, subBits: Int = 5): Column = {
+    val sub = lit(1L << subBits)
+    val m = (bucket / sub).cast("long") - 1L // = e − subBits for the log range
+    when(bucket < sub * 2L, bucket)
+      .otherwise(call_function("shiftleft",
+        (bucket - m * sub).cast("long"), m.cast("int")))
+  }
+
+  /** Scalar spelling of [[logBucketFloor]] for driver-side sketch state
+   * (the streaming monitor's quantile walk over its bounded bucket map). */
+  def logBucketFloorScalar(bucket: Long, subBits: Int): Long = {
+    val sub = 1L << subBits
+    if (bucket < 2 * sub) bucket
+    else { val m = bucket / sub - 1; (bucket - m * sub) << m }
+  }
+
+  /**
+   * Per-group log-histogram: one map-combinable aggregation to a
+   * BOUNDED (`|groups| · ~1.9k` at subBits=5) bucket table. The state is
+   * plain `(bucket, count)` rows, so histograms merge by summing counts
+   * — the property the streaming twin and multi-snapshot monitors lean
+   * on — and the whole sketch is oracle-reproducible in any SQL engine.
+   */
+  def logHistogram(df: DataFrame, groupCols: Seq[String], value: Column,
+      subBits: Int = 5): DataFrame =
+    df.groupBy((groupCols.map(col) :+ logBucket(value, subBits).as("bin")): _*)
+      .agg(count(lit(1)).as("bin_n"))
+
+  /**
+   * Quantiles from a [[logHistogram]] — `psPpm` are quantile ranks in
+   * integer ppm (500000 = median). Exact integer rank semantics: the
+   * answer for rank p is the FLOOR of the first bucket whose cumulative
+   * count reaches `ceil(p·n / 1e6)`, so the result is a real data-domain
+   * lower bound within `2^-subBits` relative error of the true order
+   * statistic. All arithmetic stays in longs (safe to n ≤ 9.2e12 rows
+   * per group); the windows run over the tiny bucket table, never the
+   * data.
+   */
+  def logHistogramQuantiles(hist: DataFrame, groupCols: Seq[String],
+      psPpm: Seq[Long], subBits: Int = 5): DataFrame = {
+    require(psPpm.nonEmpty && psPpm.forall(p => p > 0 && p <= 1000000L),
+      s"quantile ranks must be in (0, 1e6] ppm, got $psPpm")
+    val keys = groupCols.map(col)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    hist
+      .withColumn("__cum", sum(col("bin_n")).over(wOrd))
+      .withColumn("__n", sum(col("bin_n")).over(wAll))
+      .withColumn("p_ppm", explode(array(psPpm.map(lit): _*)))
+      .where(col("__cum") * 1000000L >= col("p_ppm") * col("__n"))
+      .groupBy(keys :+ col("p_ppm"): _*)
+      .agg(min(col("bin")).as("__bin"))
+      .select(keys ++ Seq(col("p_ppm"),
+        logBucketFloor(col("__bin"), subBits).as("q")): _*)
+  }
+
   // --------------------------------------- Bloom filter (portable bitset)
 
   /** The `kHashes` MD5-derived bit positions of one value in an

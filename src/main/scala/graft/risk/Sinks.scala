@@ -57,4 +57,72 @@ object Sinks {
       .drop(zc)
       .write.mode("overwrite").parquet(path)
   }
+
+  // ------------------------------------------- small-file compaction
+
+  /**
+   * Deterministic small-file COMPACTION PLAN — the OPTIMIZE/bin-packing
+   * half of Delta's `OPTIMIZE` next to [[writeZOrdered]]'s ZORDER half.
+   * Streaming ingest and per-partition writes leave thousands of
+   * kilobyte parquet files whose per-file open/footer cost dominates
+   * scans at scale; the fix is periodic rewrite into ~`targetBytes`
+   * files.
+   *
+   * The plan is pure arithmetic over the file INVENTORY (one row per
+   * file — metadata scale: 100 TB at 128 MB/file is under a million
+   * rows, so the single global window here orders tiny metadata, never
+   * data): files sort by path (keeping any path-embedded ordering —
+   * dates, shards — physically adjacent), and each file's bucket is
+   * `exclusive_prefix_sum(size) div targetBytes`. Consequences, all
+   * exact: buckets are contiguous runs in path order; every bucket's
+   * bytes land strictly within (targetBytes − maxFile, targetBytes +
+   * maxFile) — the bucket boundary can shift by at most the file that
+   * straddles it — except the last, which holds the remainder; a file
+   * already ≥ targetBytes dominates its own bucket. The whole rule is
+   * one window + one integer division — reproducible by any SQL engine,
+   * so compaction plans can be audited cross-engine.
+   */
+  def compactionPlan(inventory: DataFrame, pathCol: String, sizeCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(pathCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    inventory
+      .withColumn("__pre", coalesce(sum(col(sizeCol).cast("long")).over(w), lit(0L)))
+      .withColumn("bucket", expr(s"__pre div ${targetBytes}L"))
+      .drop("__pre")
+  }
+
+  /**
+   * Execute a [[compactionPlan]] over a parquet directory: list files
+   * (driver-side metadata listing, same scale bound as the plan), tag
+   * every row with its source file, and rewrite with one partition per
+   * plan bucket. Rows are joined to the broadcast plan on the unique
+   * file NAME (part-UUID), so no path-encoding mismatch between the
+   * filesystem listing and `input_file_name()` can mis-bucket a row.
+   * Output file count ≤ number of plan buckets (hash partitioning may
+   * merge two buckets into one file — content is unaffected). Returns
+   * the plan for inspection/audit.
+   */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, targetBytes: Long): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.getName, s.getLen))
+    import spark.implicits._
+    val plan = compactionPlan(files.toSeq.toDF("path", "size"),
+      "path", "size", targetBytes)
+    val nBuckets = (plan.agg(max(col("bucket"))).collect().head.getLong(0) + 1).toInt
+    val fileName = regexp_extract(input_file_name(), "([^/]+)$", 1)
+    spark.read.parquet(inDir)
+      .withColumn("__file", fileName)
+      .join(broadcast(plan.select(col("path").as("__file"), col("bucket"))),
+        Seq("__file"))
+      .repartition(nBuckets, col("bucket"))
+      .drop("__file", "bucket")
+      .write.mode("overwrite").parquet(outDir)
+    plan
+  }
 }

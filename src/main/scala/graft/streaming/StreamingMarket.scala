@@ -441,6 +441,54 @@ object StreamingMarket {
   }
 
   /**
+   * Streaming QUANTILE monitor — the streaming twin of
+   * [[graft.data.Sketches.logHistogram]]. Each micro-batch aggregates to
+   * its own bounded bucket table (one map-combined Spark aggregation, ≤
+   * ~1.9k rows at subBits=5 REGARDLESS of batch size), which merges into
+   * the running histogram by summing counts — the mergeable-sketch
+   * property the batch kernel was designed around — and the requested
+   * quantile ranks are re-answered per batch with the identical integer
+   * rank rule (`first bucket with cum·1e6 ≥ p·n`, answer = bucket
+   * floor). Driver state is the bucket map: bounded forever, so p50/p99
+   * latency/size monitors run on unbounded streams at fixed memory.
+   * Emits `(p_ppm → quantile)` pairs, rows seen, and batch id.
+   */
+  def streamingQuantileMonitor(
+      values: DataFrame,
+      value: org.apache.spark.sql.Column,
+      psPpm: Seq[Long],
+      subBits: Int = 5)(
+      sink: (Seq[(Long, Long)], Long, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(psPpm.nonEmpty && psPpm.forall(p => p > 0 && p <= 1000000L),
+      s"quantile ranks must be in (0, 1e6] ppm, got $psPpm")
+    val state = scala.collection.mutable.HashMap.empty[Long, Long]
+    var total = 0L
+    values.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val rows = graft.data.Sketches.logHistogram(
+        batch.select(value.as("__v")), Seq.empty, col("__v"), subBits)
+        .collect()
+      rows.foreach { r =>
+        val b = r.getLong(0); val n = r.getLong(1)
+        state.update(b, state.getOrElse(b, 0L) + n)
+        total += n
+      }
+      val sorted = state.toSeq.sortBy(_._1)
+      val qs = psPpm.map { p =>
+        var cum = 0L
+        var ans = -1L
+        val it = sorted.iterator
+        while (ans < 0 && it.hasNext) {
+          val (b, n) = it.next(); cum += n
+          if (cum * 1000000L >= p * total)
+            ans = graft.data.Sketches.logBucketFloorScalar(b, subBits)
+        }
+        p -> ans
+      }
+      sink(qs, total, batchId)
+    }
+  }
+
+  /**
    * Streaming DECONTAMINATION with a versioned benchmark hot-reload —
    * the streaming face of [[graft.data.Corpus.decontaminateExact]]: each
    * micro-batch is bloom-guard-screened map-side (the 8 KB dense word

@@ -371,6 +371,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("logHistogramQuantiles windows bucket CELLS above the histogram aggregate") {
+    val df = (1 to 4000).map(i => ("g", (i.toLong * 31L) % 100000L)).toDF("g", "v")
+    val plan = Sketches.logHistogramQuantiles(
+      Sketches.logHistogram(df, Seq("g"), col("v")), Seq("g"), Seq(500000L))
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty)
+    // the cumulative/total windows run over the bounded bucket table —
+    // each must have the histogram Aggregate in its subtree
+    windows.foreach { w =>
+      val aggsBelow = w.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+      assert(aggsBelow.nonEmpty, w.toString.take(1000))
+    }
+  }
+
+  test("joinSizePreflight joins count TABLES, never the raw sides") {
+    val l = (1 to 2000).map(i => (s"k${i % 50}", i)).toDF("k", "x")
+    val r = (1 to 1500).map(i => (s"k${i % 40}", i)).toDF("k", "y")
+    withNoAutoBroadcast {
+      val rep = Relational.joinSizePreflight(l, r, col("k"), col("k"), topK = 10)
+      val plan = rep.queryExecution.optimizedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      assert(joins.nonEmpty)
+      // every join input must already be aggregated — the report's cost
+      // is per-key counts, never |A|x|B| rows
+      joins.foreach(_.children.foreach { side =>
+        val aggsBelow = side.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+        assert(aggsBelow.nonEmpty, side.toString.take(1000))
+      })
+      // top-K is a TakeOrdered, not a global sort of all keys
+      assert(rep.queryExecution.executedPlan.toString.contains("TakeOrdered"))
+    }
+  }
+
   test("pearsonExact: one sufficient-stats pass reused across the panel") {
     val df = (1 to 500).map(i => (i.toLong, (i * 2).toLong, (i % 7).toLong))
       .toDF("x", "y", "z")

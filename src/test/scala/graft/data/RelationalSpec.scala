@@ -224,4 +224,33 @@ class RelationalSpec extends SparkSpec {
       assert(n === members.size.toLong)
     }
   }
+
+  test("joinSizePreflight: exact pair counts vs the real join, skew key on top") {
+    val rnd = new scala.util.Random(77)
+    // planted hot key "k0" on both sides + a null key that must not count
+    val l = (Seq.fill(300)("k0") ++ Seq.tabulate(500)(_ => s"k${rnd.nextInt(40)}")
+      ).map(k => (k, 1)) :+ ((null: String, 1))
+    val r = (Seq.fill(200)("k0") ++ Seq.tabulate(400)(_ => s"k${rnd.nextInt(40)}")
+      ).map(k => (k, 2)) :+ ((null: String, 2))
+    val lf = l.toDF("k", "x"); val rf = r.toDF("k", "x")
+    val rep = Relational.joinSizePreflight(lf, rf, col("k"), col("k"), topK = 50)
+      .collect().map(row => (row.getString(0), row.getLong(1), row.getLong(2),
+        row.getLong(3), row.getLong(4), row.getLong(5)))
+    // exact total == the real join's cardinality (null keys match nothing)
+    val realJoin = lf.join(rf, "k").count()
+    assert(rep.head._5 == realJoin, s"total ${rep.head._5} vs join $realJoin")
+    // per-key products match brute counts
+    val lc = l.filter(_._1 != null).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val rc = r.filter(_._1 != null).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    rep.foreach { case (k, nl, nr, pairs, _, _) =>
+      assert(nl == lc(k) && nr == rc(k) && pairs == nl * nr, s"key $k")
+    }
+    // the planted hot key dominates and its ppm share is exact
+    assert(rep.head._1 == "k0")
+    assert(rep.head._6 == rep.head._4 * 1000000L / realJoin)
+    // shares of ALL matched keys sum to ~1e6 (floor-division slack only)
+    val allKeys = (lc.keySet intersect rc.keySet).size
+    val ppmSum = rep.map(_._6).sum
+    assert(ppmSum <= 1000000L && ppmSum >= 1000000L - allKeys)
+  }
 }

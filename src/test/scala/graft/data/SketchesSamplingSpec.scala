@@ -406,4 +406,62 @@ class SketchesSamplingSpec extends SparkSpec {
       .select(col("corr")).collect().head
     assert(got.isNullAt(0))
   }
+
+  test("materializeRates: whole epochs exact, fractional hash-deterministic, zero drops") {
+    val docs = (0 until 900).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "src")
+    val out = Sampling.materializeRates(docs, col("src"), col("id"),
+      Map("s0" -> 3000000L, "s1" -> 1500000L, "s2" -> 0L))
+    val rows = out.select(col("id"), col("src"), col("epoch"))
+      .as[(Long, String, Long)].collect()
+    // s0 at exactly 3 epochs: every doc 3 times, epochs 0,1,2
+    val s0 = rows.filter(_._2 == "s0").groupBy(_._1).view.mapValues(_.map(_._3).sorted)
+    assert(s0.size == 300 && s0.values.forall(_.sameElements(Seq(0L, 1L, 2L))))
+    // s2 at rate 0: gone entirely
+    assert(!rows.exists(_._2 == "s2"))
+    // s1 at 1.5 epochs: every doc >= once; extra copies ~half, content-addressed
+    val s1 = rows.filter(_._2 == "s1").groupBy(_._1).view.mapValues(_.size).toMap
+    assert(s1.size == 300 && s1.values.forall(c => c == 1 || c == 2))
+    val extras = s1.values.count(_ == 2)
+    assert(extras > 100 && extras < 200, s"$extras of 300 got the extra pass")
+    // determinism: identical output under a different partitioning
+    val again = Sampling.materializeRates(docs.repartition(13), col("src"),
+        col("id"), Map("s0" -> 3000000L, "s1" -> 1500000L, "s2" -> 0L))
+      .select(col("id"), col("src"), col("epoch"))
+      .as[(Long, String, Long)].collect()
+    assert(rows.sorted.sameElements(again.sorted))
+    // pure down-sampling: a single epoch-0 Bernoulli keep at ~the rate
+    val down = Sampling.materializeRates(docs, col("src"), col("id"),
+      Map.empty, defaultPpm = 400000L)
+    val downN = down.count()
+    assert(downN > 900 * 0.3 && downN < 900 * 0.5, s"kept $downN of 900")
+    assert(down.select(max(col("epoch"))).as[Long].head() == 0L)
+  }
+
+  test("selectToBudget: scalar walk parity, straddler kept, zero budget empty") {
+    val rnd = new scala.util.Random(9)
+    val docs = Seq.tabulate(300)(i =>
+      (i.toLong, s"g${i % 4}", 10L + rnd.nextInt(90)))
+      .toDF("id", "g", "tok")
+    val kept = Sampling.selectToBudget(docs.repartition(7), Seq("g"),
+        Seq(col("tok").desc, col("id").asc), col("tok"), budgetTokens = 500L)
+      .select(col("id")).as[Long].collect().toSet
+    // scalar reference: per group, sort (tok desc, id asc), keep while
+    // exclusive prefix < budget
+    val byG = docs.as[(Long, String, Long)].collect().groupBy(_._2)
+    val want = byG.values.flatMap { g =>
+      val sorted = g.sortBy(r => (-r._3, r._1))
+      var pre = 0L
+      sorted.takeWhile { r => val ok = pre < 500L; pre += r._3; ok }.map(_._1)
+    }.toSet
+    assert(kept == want)
+    // every group lands in [budget, budget + max doc) tokens
+    byG.foreach { case (gName, g) =>
+      val tot = g.filter(r => kept(r._1)).map(_._3).sum
+      val mx = g.map(_._3).max
+      assert(tot >= 500L && tot < 500L + mx, s"$gName: $tot")
+    }
+    val none = Sampling.selectToBudget(docs, Seq("g"),
+      Seq(col("tok").desc), col("tok"), budgetTokens = 0L)
+    assert(none.count() == 0L)
+  }
 }

@@ -45,4 +45,57 @@ class SinksSpec extends SparkSpec {
     assert(filesTouched("a") <= 8, s"a: ${filesTouched("a")}")
     assert(filesTouched("b") <= 8, s"b: ${filesTouched("b")}")
   }
+
+  test("compactionPlan: contiguous path-ordered buckets, all but last at target") {
+    val target = 1000L
+    val inv = (0 until 500).map(i => (f"f-$i%04d", 37L + i % 113))
+      .toDF("path", "size")
+    val plan = Sinks.compactionPlan(inv, "path", "size", target)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // scalar reference: running exclusive prefix div target
+    var pre = 0L
+    plan.foreach { case (p, sz, b) =>
+      assert(b == pre / target, s"$p: bucket $b vs ${pre / target}")
+      pre += sz
+    }
+    // bucket sizes: every bucket but the last within one max-file of target
+    val maxFile = plan.map(_._2).max
+    val perBucket = plan.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val last = perBucket.keys.max
+    perBucket.foreach { case (b, bytes) =>
+      if (b != last) assert(bytes > target - maxFile, s"bucket $b only $bytes bytes")
+      assert(bytes < target + maxFile, s"bucket $b overshoots: $bytes")
+    }
+    // buckets are contiguous runs in path order
+    assert(plan.map(_._3).sliding(2).forall {
+      case Array(a, b) => b - a >= 0 && b - a <= 1
+      case _ => true
+    })
+    // an oversized file gets a bucket of its own boundary
+    val big = Seq(("a", 10L), ("b", 5000L), ("c", 10L)).toDF("path", "size")
+    val bigPlan = Sinks.compactionPlan(big, "path", "size", target)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(bigPlan("a") == 0L && bigPlan("b") == 0L && bigPlan("c") == 5L)
+  }
+
+  test("compactSmallFiles: content-identical rewrite with ~target-sized files") {
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    // 64 tiny files
+    (1 to 10000).map(i => (i.toLong, s"row_$i", i * 1.5)).toDF("id", "s", "v")
+      .repartition(64).write.parquet(in)
+    val nIn = new java.io.File(in).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nIn == 64)
+    val totalBytes = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val plan = Sinks.compactSmallFiles(spark, in, out, targetBytes = totalBytes / 4)
+    assert(plan.count() == 64)
+    val nOut = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nOut <= 5, s"expected <=5 compacted files, got $nOut")
+    // bit-for-bit content equality (as multisets of rows)
+    val a = spark.read.parquet(in).collect().map(_.toString).sorted
+    val b = spark.read.parquet(out).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
 }

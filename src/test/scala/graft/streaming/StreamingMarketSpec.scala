@@ -954,6 +954,44 @@ class StreamingMarketSpec extends SparkSpec {
     assert(res("hot") <= 70L && res("hot") >= 70L - 130L / 7)
   }
 
+  test("streamingQuantileMonitor: batch-equal quantiles over any prefix, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.data.Sketches
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, Long)], Long)]
+    val input = MemoryStream[Long]
+    val ps = Seq(500000L, 900000L, 990000L)
+    val q = streamingQuantileMonitor(input.toDF().toDF("v"), col("v"), ps) {
+      (qs, total, batchId) => snaps += ((batchId, qs, total))
+    }.start()
+
+    val b1 = (1 to 3000).map(i => (i.toLong * 7919L) % 500000L + 1L)
+    val b2 = (1 to 2000).map(i => (i.toLong * 104729L) % 2000000L + 1L)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(snaps.map(x => (x._1, x._3)).toList === List((0L, 3000L), (1L, 5000L)))
+    // after each batch, quantiles == the BATCH kernel over the prefix
+    import spark.implicits._
+    def batchQs(data: Seq[Long]): Map[Long, Long] =
+      Sketches.logHistogramQuantiles(
+        Sketches.logHistogram(data.toDF("v"), Seq.empty, $"v", 5),
+        Seq.empty, ps, 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snaps(0)._2.toMap === batchQs(b1))
+    assert(snaps(1)._2.toMap === batchQs(b1 ++ b2))
+    // and within relative error of the exact prefix order statistics
+    val sorted = (b1 ++ b2).sorted
+    snaps(1)._2.foreach { case (ppm, qv) =>
+      val exact = sorted((((ppm * sorted.length + 999999L) / 1000000L) - 1L).toInt)
+      assert(qv <= exact && (exact - qv).toDouble / exact <= 1.0 / 32 + 1e-12,
+        s"$ppm: $qv vs $exact")
+    }
+  }
+
   test("streamingFunnel: prefix-equal to the batch funnel, bounded state") {
     implicit val s2 = spark
     implicit val sqlCtx = spark.sqlContext
