@@ -384,9 +384,20 @@ object Sketches {
    */
   def logBucket(value: Column, subBits: Int = 5): Column = {
     require(subBits >= 1 && subBits <= 16, s"subBits in [1,16], got $subBits")
+    // native codegen expression (one numberOfLeadingZeros intrinsic per
+    // row); bit-identical to [[logBucketComposable]], the engine-portable
+    // spelling SQL oracles mirror — equality pinned in LogHistSpec
+    call_function("log_bucket", value.cast("long"), lit(subBits))
+  }
+
+  /** Engine-portable spelling of [[logBucket]]: the exponent read off
+   * `length(bin(v)) − 1` (no leading zeros in either Spark or DuckDB
+   * `bin()`), sub-bucket by shift + mask — built-ins only, so any SQL
+   * engine reproduces the bucket without the graft extension. Costs a
+   * binary-string allocation per row; the native form is the default. */
+  def logBucketComposable(value: Column, subBits: Int = 5): Column = {
+    require(subBits >= 1 && subBits <= 16, s"subBits in [1,16], got $subBits")
     val v = greatest(value.cast("long"), lit(0L))
-    // bit length − 1: exact integer exponent via the binary-string
-    // spelling (no leading zeros in either Spark or DuckDB `bin()`)
     val e = (length(bin(v)) - lit(1)).cast("long")
     val sub = lit(1L << subBits)
     when(v < sub * 2L, v)

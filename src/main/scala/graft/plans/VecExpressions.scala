@@ -1162,6 +1162,61 @@ object PqEncodeExpr {
 }
 
 /**
+ * HDR log-histogram bucket index — the native twin of
+ * `Sketches.logBucket`'s portable `length(bin(v))` spelling. The
+ * composable chain allocates a binary STRING (up to 64 chars) per row
+ * to read off the exponent; this computes the identical value with one
+ * `Long.numberOfLeadingZeros` intrinsic (bit-identical by the spec's
+ * equality pin, so SQL oracles keep the `bin()` spelling). Negative
+ * inputs clamp to bucket 0, matching the kernel contract.
+ */
+case class LogBucketExpr(child: Expression, subBits: Int)
+    extends UnaryExpression {
+
+  require(subBits >= 1 && subBits <= 16, "subBits must be 1..16")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "log_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    LogBucketExpr.bucket(input.asInstanceOf[Long], subBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.LogBucketExpr.bucket($c, $subBits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LogBucketExpr {
+  /** Bucket of `v`: exact identity below 2^(subBits+1), then
+   * (e − subBits)·2^subBits + (v >> (e − subBits)) with e the bit
+   * length − 1. Pure arithmetic, branch-light, codegen-inlined. */
+  def bucket(v0: Long, subBits: Int): Long = {
+    val v = if (v0 < 0L) 0L else v0
+    val sub = 1L << subBits
+    if (v < (sub << 1)) v
+    else {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      (e - subBits).toLong * sub + (v >>> (e - subBits))
+    }
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("log_bucket"),
+    new ExpressionInfo(classOf[LogBucketExpr].getName, "log_bucket"),
+    (children: Seq[Expression]) => LogBucketExpr(children(0),
+      children(1).eval().asInstanceOf[Number].intValue()))
+}
+
+/**
  * Session extension registering graft's native expressions; enable with
  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
  */
@@ -1191,7 +1246,8 @@ object GraftExtensions {
       PqEncodeExpr.descriptor,
       KgramHashStream.descriptor,
       TopNgramFrac.descriptor,
-      HashEmbed.descriptor)
+      HashEmbed.descriptor,
+      LogBucketExpr.descriptor)
 
   /** Registered SQL function names, in registration order. */
   def functionNames: Seq[String] = descriptors.map(_._1.funcName)

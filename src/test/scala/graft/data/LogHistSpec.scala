@@ -36,6 +36,19 @@ class LogHistSpec extends SparkSpec {
     vs.foreach { v => assert(got(v) == refBucket(v), s"bucket($v)") }
   }
 
+  test("native log_bucket expression == the portable bin()-string spelling") {
+    val vs = Seq(0L, 1L, 63L, 64L, 65L, 4096L, Long.MaxValue, -7L) ++
+      (0 until 3000).map(i => math.abs(scala.util.hashing.MurmurHash3
+        .stringHash(s"n$i").toLong * 0x9E3779B97F4A7C15L))
+    for (b <- Seq(1, 5, 8)) {
+      val mismatches = vs.toDF("v")
+        .select(Sketches.logBucket($"v", b).as("native"),
+          Sketches.logBucketComposable($"v", b).as("portable"))
+        .filter($"native" =!= $"portable").count()
+      assert(mismatches == 0L, s"subBits=$b")
+    }
+  }
+
   test("bucket floor is a tight lower bound: floor <= v and relative error <= 2^-subBits") {
     val vs = (0 until 2000).map(i =>
       math.abs(scala.util.hashing.MurmurHash3.stringHash(s"x$i").toLong *

@@ -77,13 +77,17 @@ class SqlSurfaceSpec extends SparkSpec {
     // h=7: j=1 -> (7*3 + 7919 + 13) % 2001 - 1000 = 950 -> 0.95
     "hash_embed" -> (
       "SELECT element_at(hash_embed(array(7L), 2), 2)",
-      "0.95"))
+      "0.95"),
+    // v=100, subBits=5: e=6, (6-5)*32 + (100 >> 1) = 82
+    "log_bucket" -> (
+      "SELECT log_bucket(100L, 5)",
+      "82"))
 
   test("every registered function has a census entry and answers via spark.sql") {
     val registered = GraftExtensions.functionNames
     assert(registered.sorted === census.keys.toSeq.sorted,
       "census out of sync with GraftExtensions.descriptors")
-    assert(registered.size === 16)
+    assert(registered.size === 17)
     registered.foreach { name =>
       val (sql, expected) = census(name)
       val rows = spark.sql(sql).collect()
