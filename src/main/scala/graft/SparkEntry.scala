@@ -1149,6 +1149,35 @@ object SparkEntry {
     // hosts): mass flows outward from the trusted core only — hosts
     // unreachable from seeds score 0 regardless of interlinking, the
     // spam-demotion property global PageRank lacks
+    // cross-source duplication matrix: near-dup pair mass per unordered
+    // source pair — "which sources copy each other" before mixing
+    // weights are chosen; pairs sized by duplicates, text never rides
+    "q172_source_overlap" -> ((s, dir) => {
+      Dedup.crossSourceOverlap(t(s, dir, "documents"), "doc_id", "text",
+          "source", threshold = 0.3)
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+    // Markov transitions within 30-min sessions: where users go next,
+    // per (from, to) event-type pair — shares sessionize's user shuffle
+    "q173_session_transitions" -> ((s, dir) => {
+      import graft.data.Events
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), col("ts").cast("long").as("ts_s"))
+      val sess = Events.sessionize(e, Seq("user_id"), "ts_s",
+        gapSeconds = 1800L, tieBreak = Seq(col("event_id")))
+      Events.transitionCounts(sess, Seq("user_id", "session_seq"), "ts_s",
+          col("event_type"), tieBreak = Seq(col("event_id")))
+        .orderBy(col("from_state"), col("to_state"))
+    }),
+    // vocabulary coverage curve: types needed for 50/90/99% of running
+    // tokens — the tokenizer-sizing panel; windows over the TYPE table
+    "q174_vocab_coverage" -> ((s, dir) => {
+      import graft.data.Corpus
+      val counts = Corpus.tokenCounts(
+        t(s, dir, "documents").withColumn("lt", lower(col("text"))), "lt")
+      Corpus.coverageCurve(counts, Seq(500000L, 900000L, 990000L))
+        .orderBy(col("p_ppm"))
+    }),
     // mixture-recipe materialization incl. UP-sampling: src0 at 2.5
     // epochs (whole copies + hash-fractional third pass), src1 at
     // exactly 3, src2 down-sampled to 0.4 — per-(source, epoch)
@@ -3753,6 +3782,45 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |SELECT node, CAST(r AS BIGINT) AS pr_micro,
          |  CAST(r AS DOUBLE) / 1e9 AS pr
          |FROM r3 ORDER BY node""".stripMargin,
+    "q172_source_overlap" ->
+      s"""WITH t AS ($minhashSigTableSql),
+         |prs AS (SELECT id_a, id_b FROM ($minhashCandidatesSql)
+         |  WHERE jaccard >= 0.3),
+         |s AS (SELECT doc_id, source FROM documents),
+         |j AS (SELECT least(sa.source, sb.source) AS source_a,
+         |    greatest(sa.source, sb.source) AS source_b
+         |  FROM prs JOIN s sa ON prs.id_a = sa.doc_id
+         |  JOIN s sb ON prs.id_b = sb.doc_id)
+         |SELECT source_a, source_b, count(*) AS n_pairs
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q173_session_transitions" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+         |b AS (SELECT user_id, ts_s, event_id, event_type, CASE WHEN p IS NULL
+         |      OR ts_s - p > 1800 THEN 1 ELSE 0 END AS nb
+         |  FROM (SELECT user_id, ts_s, event_id, event_type, lag(ts_s) OVER
+         |      (PARTITION BY user_id ORDER BY ts_s, event_id) AS p FROM e) q),
+         |sess AS (SELECT user_id, ts_s, event_id, event_type,
+         |    CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS session_seq FROM b),
+         |tr AS (SELECT lag(event_type) OVER (PARTITION BY user_id, session_seq
+         |    ORDER BY ts_s, event_id) AS f, event_type AS t FROM sess)
+         |SELECT f AS from_state, t AS to_state, count(*) AS n
+         |FROM tr WHERE f IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q174_vocab_coverage" ->
+      s"""WITH c AS (SELECT tok, count(*) AS cnt
+         |  FROM (SELECT unnest($ltokSql) AS tok FROM documents) GROUP BY 1),
+         |r AS (SELECT tok, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+         |    sum(cnt) OVER (ORDER BY cnt DESC, tok
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(cnt) OVER () AS total FROM c),
+         |p AS (SELECT CAST(unnest([500000, 900000, 990000]) AS BIGINT) AS p_ppm)
+         |SELECT p_ppm, CAST(min(rank) AS BIGINT) AS n_types,
+         |  CAST(min(cum) AS BIGINT) AS cum_tokens, max(cnt) AS cutoff_count
+         |FROM r JOIN p ON cum * 1000000 >= p_ppm * total
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q170_mixture_epochs" ->
       s"""WITH r AS (SELECT doc_id, source,
          |    CASE source WHEN 'src0' THEN 2500000 WHEN 'src1' THEN 3000000

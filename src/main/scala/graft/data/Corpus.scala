@@ -512,6 +512,38 @@ object Corpus {
     .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
     .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
 
+  /**
+   * Vocabulary COVERAGE CURVE: how many types (kept in frequency order)
+   * cover `p` of all running tokens — the tokenizer-sizing question
+   * ("32k pieces cover 99.5% of tokens; the tail is byte-fallback").
+   * For each requested ppm rank: `n_types` = the minimal head of the
+   * frequency-sorted vocabulary whose cumulative count reaches
+   * `⌈p·total/1e6⌉` (ties broken by token asc, so the curve is
+   * deterministic), `cum_tokens` its exact token mass, `cutoff_count`
+   * the frequency of the last type in. Windows run over the TYPE table
+   * (≪ corpus; a 100 TB corpus has ~10⁸ types) — the one global-window
+   * spelling this module accepts, same scale class as [[tokenDrift]]'s
+   * leaderboard.
+   */
+  def coverageCurve(counts: DataFrame, psPpm: Seq[Long]): DataFrame = {
+    require(psPpm.nonEmpty && psPpm.forall(p => p > 0 && p <= 1000000L),
+      s"coverage ranks must be in (0, 1e6] ppm, got $psPpm")
+    val W = org.apache.spark.sql.expressions.Window
+    val ord = W.orderBy(col("cnt").desc, col("tok"))
+    val w = ord.rowsBetween(W.unboundedPreceding, 0)
+    counts
+      .withColumn("__rank", row_number().over(ord))
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .withColumn("__total", sum(col("cnt")).over(
+        W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .withColumn("p_ppm", explode(array(psPpm.map(lit): _*)))
+      .where(col("__cum") * 1000000L >= col("p_ppm") * col("__total"))
+      .groupBy(col("p_ppm"))
+      .agg(min(col("__rank")).cast("long").as("n_types"),
+        min(col("__cum")).as("cum_tokens"),
+        max(col("cnt")).as("cutoff_count"))
+  }
+
   /** The count-level drift kernel behind [[tokenDrift]]: both sides are
    * `(tok, cnt)` tables (any extra columns ignored). Totals are summed
    * from the count tables, not a corpus re-scan — when a side was just

@@ -185,6 +185,32 @@ object Dedup {
         threshold, hashBits)
       .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
 
+  /**
+   * Cross-source DUPLICATION MATRIX: near-dup pair mass per (unordered)
+   * source pair — the curation question "which sources copy each
+   * other" (mirror sites, syndication, scraped re-posts) answered at
+   * near-dup-pair cost. Off-diagonal mass says two sources should share
+   * one dedup pass before mixing weights are chosen; diagonal mass is
+   * each source's internal redundancy. Shape: the banded
+   * [[minhashNearDups]] pair table (sized by duplicates, never N²) +
+   * two id-keyed joins carrying ONLY (id, source) — text never rides —
+   * and a count aggregation on the ≤ |sources|² matrix.
+   */
+  def crossSourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, hashBits: Int = 28): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, shingleN, k, bands,
+      threshold, hashBits)
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.toDF("id_a", "__src_a"), "id_a")
+      .join(src.toDF("id_b", "__src_b"), "id_b")
+      .select(least(col("__src_a"), col("__src_b")).as("source_a"),
+        greatest(col("__src_a"), col("__src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** The `hashBits`-wide shingle-hash + signature spelling: 28 = the
    * portable MD5 + universal-hash family (DuckDB-reproducible, the
    * oracle spelling, q23), 64 = the xxhash64 family

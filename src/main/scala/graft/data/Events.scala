@@ -62,6 +62,27 @@ object Events {
         (max(col(tsCol)) - min(col(tsCol))).as("duration_s"))
 
   /**
+   * Markov TRANSITION counts: within each key (typically a session from
+   * [[sessionize]]), count consecutive `state → state` moves in time
+   * order — the behavior-mining step behind "where do users go after an
+   * error" / next-page prediction priors. One keyed window (the same
+   * shuffle grain as sessionize, so chained they share the exchange) +
+   * one map-combinable aggregation onto the ≤ |states|² matrix. The
+   * first event of each key has no predecessor and contributes nothing.
+   */
+  def transitionCounts(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      stateCol: Column, tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "transitionCounts needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol) +: tieBreak: _*)
+    df.withColumn("__to", stateCol)
+      .withColumn("__from", lag(col("__to"), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_state"), col("__to").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /**
    * ORDERED FUNNEL: for each key, the earliest time it completed step 1,
    * then step 2 STRICTLY AFTER that, then step 3 after that, … — the
    * "signup → activate → purchase" conversion chain where order matters

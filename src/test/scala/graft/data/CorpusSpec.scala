@@ -203,4 +203,23 @@ class CorpusSpec extends SparkSpec {
       .select(col("text")).as[String].collect().toSeq
     assert(run("e1") !== run("e2"))
   }
+
+  test("coverageCurve: scalar reference on a Zipf-ish vocab, deterministic ties") {
+    // counts: t1:50 t2:30 t3:10 t4:5 t5:5 (total 100); ties t4/t5 by token asc
+    val counts = Seq(("t1", 50L), ("t2", 30L), ("t3", 10L), ("t5", 5L),
+      ("t4", 5L)).toDF("tok", "cnt")
+    val got = Corpus.coverageCurve(counts,
+        Seq(500000L, 800000L, 900000L, 950000L, 1000000L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got(500000L) === ((1L, 50L, 50L)))   // t1 alone covers 50%
+    assert(got(800000L) === ((2L, 80L, 30L)))   // t1+t2 = 80%
+    assert(got(900000L) === ((3L, 90L, 10L)))
+    assert(got(950000L) === ((4L, 95L, 5L)))    // tie: t4 before t5
+    assert(got(1000000L) === ((5L, 100L, 5L)))  // full vocab for 100%
+    // partition invariance
+    val again = Corpus.coverageCurve(counts.repartition(7), Seq(950000L))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(again === ((4L, 95L)))
+  }
 }

@@ -61,4 +61,29 @@ class EditNearDupsSpec extends SparkSpec {
     assert(!carried.contains("text") && !carried.contains("text_a"),
       carried.mkString(","))
   }
+
+  test("crossSourceOverlap: matrix matches brute-force pair sources, unordered") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, "wiki", base), (2L, "web", base + " x"),          // cross pair
+      (3L, "web", base + " y"),                              // web internal w/ 2
+      (4L, "wiki", "completely different text about sparks and shuffles here now"),
+      (5L, "news", "another unrelated document that matches nothing else at all"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.crossSourceOverlap(docs, "doc_id", "text", "source",
+        threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // brute reference from the pair table itself
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+    val srcOf = Map(1L -> "wiki", 2L -> "web", 3L -> "web", 4L -> "wiki",
+      5L -> "news")
+    val want = pairs.map { case (a, b) =>
+      val (x, y) = (srcOf(a), srcOf(b))
+      (if (x <= y) (x, y) else (y, x))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === want)
+    // the planted cross-source pair is present
+    assert(got.keySet.contains(("web", "wiki")))
+  }
 }

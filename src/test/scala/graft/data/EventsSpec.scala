@@ -162,4 +162,22 @@ class EventsSpec extends SparkSpec {
       }
     }
   }
+
+  test("transitionCounts: scalar walk parity, first event excluded") {
+    val rows = Seq(
+      // key 1: a->b->b->c ; key 2: c->a ; key 3: singleton (no pairs)
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "b"),
+      (1L, 40L, 4L, "c"), (2L, 5L, 5L, "c"), (2L, 6L, 6L, "a"),
+      (3L, 7L, 7L, "a"),
+      // tie on ts within key 4: event_id breaks it -> x->y, not y->x
+      (4L, 50L, 8L, "x"), (4L, 50L, 9L, "y"))
+      .toDF("k", "ts", "eid", "st")
+    val got = Events.transitionCounts(rows.repartition(5), Seq("k"), "ts",
+        col("st"), tieBreak = Seq(col("eid")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("a", "b") -> 1L, ("b", "b") -> 1L, ("b", "c") -> 1L,
+      ("c", "a") -> 1L, ("x", "y") -> 1L))
+    // total transitions == events - keys
+    assert(got.values.sum === 9L - 4L)
+  }
 }
