@@ -1149,6 +1149,17 @@ object SparkEntry {
     // hosts): mass flows outward from the trusted core only — hosts
     // unreachable from seeds score 0 regardless of interlinking, the
     // spam-demotion property global PageRank lacks
+    // one-pass table profile (ANALYZE surface): per column nulls, exact
+    // ndv, min/max — one scan, Expand-planned multi-distinct, stack
+    // unpivot; long/string columns so min/max stringification is
+    // engine-neutral
+    "q175_table_profile" -> ((s, dir) => {
+      import graft.data.Relational
+      Relational.profileTable(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_mktsegment")))
+        .orderBy(col("column_name"))
+    }),
     // cross-source duplication matrix: near-dup pair mass per unordered
     // source pair — "which sources copy each other" before mixing
     // weights are chosen; pairs sized by duplicates, text never rides
@@ -3782,6 +3793,14 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |SELECT node, CAST(r AS BIGINT) AS pr_micro,
          |  CAST(r AS DOUBLE) / 1e9 AS pr
          |FROM r3 ORDER BY node""".stripMargin,
+    "q175_table_profile" -> Seq("c_custkey", "c_name", "c_nationkey",
+        "c_mktsegment").map(c =>
+        s"""SELECT '$c' AS column_name,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value FROM customer""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
     "q172_source_overlap" ->
       s"""WITH t AS ($minhashSigTableSql),
          |prs AS (SELECT id_a, id_b FROM ($minhashCandidatesSql)

@@ -475,6 +475,36 @@ object Relational {
       .limit(topK)
   }
 
+  /**
+   * One-pass table PROFILE — the ANALYZE/data-quality surface: per
+   * column `n_nulls`, `n_distinct`, `min`/`max` (as strings, so one
+   * long-format report covers heterogeneous schemas). One aggregation
+   * over the data: Spark plans the multi-column distinct via Expand
+   * (one scan, ×|cols| row fan-out before the partial agg — the honest
+   * cost of EXACT ndv; pass `exactDistinct = false` to profile with
+   * `approx_count_distinct` instead, no Expand, ±2% ndv, the 100 TB
+   * default). The wide 1-row aggregate is unpivoted driver-free via
+   * `stack`.
+   */
+  def profileTable(df: DataFrame, exactDistinct: Boolean = true): DataFrame = {
+    val cols = df.schema.fields.map(_.name).toSeq
+    require(cols.nonEmpty, "cannot profile a zero-column frame")
+    val aggs = cols.flatMap { c =>
+      val q = col(c)
+      Seq(count(lit(1)).minus(count(q)).cast("long").as(s"__nn_$c"),
+        (if (exactDistinct) countDistinct(q)
+         else approx_count_distinct(q)).cast("long").as(s"__nd_$c"),
+        min(q).cast("string").as(s"__mn_$c"),
+        max(q).cast("string").as(s"__mx_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`").mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"))
+  }
+
   def prefixSum(df: DataFrame, orderCol: String, valueCol: Column,
       outCol: String): DataFrame = {
     val pid = "__prefix_pid"

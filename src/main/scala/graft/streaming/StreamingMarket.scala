@@ -441,6 +441,77 @@ object StreamingMarket {
   }
 
   /**
+   * Streaming parquet sink with AUTO-COMPACTION — the small-files fix
+   * at the ingest boundary. A day of micro-batches leaves thousands of
+   * kilobyte part-files whose per-file open/footer cost dominates later
+   * scans; this sink APPENDS each batch to `store/live/` and, whenever
+   * the live part-file count exceeds `maxLiveFiles`, compacts the live
+   * set into the next immutable `store/v<N>/` chunk
+   * ([[graft.risk.Sinks.compactSmallFiles]], ~`targetBytes` files)
+   * through [[graft.data.Versioned.publish]] — the chunk lands under a
+   * staging name and the pointer flips LAST, so a concurrent reader
+   * never sees a half-written chunk. EXACTLY the consumed live files
+   * are then deleted (the compaction plan lists them by name; files a
+   * racing append lands after the listing survive untouched). Old
+   * chunks are never rewritten — per-compaction work is O(live set),
+   * not O(store), the same write-amplification discipline as the
+   * delta-layout SCD-2 sink. Reassemble with [[loadCompactedStore]].
+   */
+  def appendWithAutoCompact(
+      rows: DataFrame,
+      storeDir: String,
+      maxLiveFiles: Int,
+      targetBytes: Long)(
+      onCompact: (Long, Int, Long) => Unit = (_, _, _) => ()): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(maxLiveFiles > 0, s"maxLiveFiles must be positive, got $maxLiveFiles")
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val liveDir = s"$storeDir/live"
+      batch.write.mode("append").parquet(liveDir)
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(liveDir), spark.sparkContext.hadoopConfiguration)
+      val livePath = new org.apache.hadoop.fs.Path(liveDir)
+      val nLive = hfs.listStatus(livePath)
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (nLive > maxLiveFiles) {
+        var consumed: Array[String] = Array.empty
+        val v = graft.data.Versioned.publish(spark, storeDir) { staged =>
+          val plan = graft.risk.Sinks.compactSmallFiles(
+            spark, liveDir, staged, targetBytes)
+          consumed = plan.select(col("path")).collect().map(_.getString(0))
+        }
+        consumed.foreach(name => hfs.delete(
+          new org.apache.hadoop.fs.Path(livePath, name), false))
+        onCompact(batchId, consumed.length, v)
+      }
+    }
+  }
+
+  /** Reader for [[appendWithAutoCompact]]'s layout: every immutable
+   * compacted chunk `v<N>/` plus the live remainder, one union scan.
+   * Chunks are append-only history, so no pointer coordination is
+   * needed beyond directory listing. */
+  def loadCompactedStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
+    val chunks = Option(hfs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$storeDir/v*")))
+      .getOrElse(Array.empty)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.toString)
+    val live = new org.apache.hadoop.fs.Path(s"$storeDir/live")
+    val liveDirs =
+      if (hfs.exists(live) && hfs.listStatus(live).exists(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet")))
+        Seq(live.toString)
+      else Seq.empty
+    val all = chunks.toSeq ++ liveDirs
+    require(all.nonEmpty, s"no compacted chunks or live files under $storeDir")
+    spark.read.parquet(all: _*)
+  }
+
+  /**
    * Streaming QUANTILE monitor — the streaming twin of
    * [[graft.data.Sketches.logHistogram]]. Each micro-batch aggregates to
    * its own bounded bucket table (one map-combined Spark aggregation, ≤

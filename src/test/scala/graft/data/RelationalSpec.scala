@@ -253,4 +253,22 @@ class RelationalSpec extends SparkSpec {
     val ppmSum = rep.map(_._6).sum
     assert(ppmSum <= 1000000L && ppmSum >= 1000000L - allKeys)
   }
+
+  test("profileTable: exact nulls/ndv/min/max per column in one pass") {
+    val df = Seq(
+      (1L, Some("b"), 2.5), (2L, Some("a"), 2.5), (3L, None, -1.0),
+      (3L, Some("a"), 0.0))
+      .toDF("id", "s", "v")
+    val got = Relational.profileTable(df)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(got("id") === ((0L, 3L, "1", "3")))
+    assert(got("s") === ((1L, 2L, "a", "b")))
+    assert(got("v") === ((0L, 3L, "-1.0", "2.5")))
+    // approx mode: no Expand in the plan, ndv within sketch tolerance
+    val approx = Relational.profileTable(df, exactDistinct = false)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    val nd = approx.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(nd("id") >= 2L && nd("id") <= 4L)
+  }
 }

@@ -954,6 +954,45 @@ class StreamingMarketSpec extends SparkSpec {
     assert(res("hot") <= 70L && res("hot") >= 70L - 130L / 7)
   }
 
+  test("appendWithAutoCompact: content-exact store, live file count stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("autocompact").toString + "/store"
+    val compactions = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    val input = MemoryStream[(Long, String)]
+    // 4 shuffle partitions -> up to 4 part-files per batch; threshold 6
+    // forces a compaction on roughly every other batch
+    val q = appendWithAutoCompact(
+      input.toDF().toDF("id", "payload").repartition(4),
+      dir, maxLiveFiles = 6, targetBytes = 1L << 20) {
+      (b, n, v) => compactions += ((b, n, v))
+    }.start()
+    val batches = (0 until 5).map(b =>
+      (0 until 40).map(i => (b * 1000L + i, s"row_${b}_$i")))
+    batches.foreach { rows => input.addData(rows: _*); q.processAllAvailable() }
+    q.stop()
+
+    // at least one compaction fired and produced immutable chunks
+    assert(compactions.nonEmpty)
+    val chunkDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+    assert(chunkDirs.nonEmpty)
+    // every input row present exactly once across chunks + live
+    val got = loadCompactedStore(spark, dir)
+      .select(col("id"), col("payload")).as[(Long, String)].collect().sorted.toSeq
+    assert(got == batches.flatten.sorted)
+    // the live set never accumulates past threshold + one batch of files
+    val liveFiles = new java.io.File(s"$dir/live").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(liveFiles <= 6 + 4, s"live files: $liveFiles")
+    // chunks are few target-sized files, not the consumed small ones
+    compactions.foreach { case (_, consumed, v) =>
+      val nChunkFiles = new java.io.File(s"$dir/v$v").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(nChunkFiles < consumed, s"v$v: $nChunkFiles vs $consumed consumed")
+    }
+  }
+
   test("streamingQuantileMonitor: batch-equal quantiles over any prefix, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
