@@ -1149,6 +1149,19 @@ object SparkEntry {
     // hosts): mass flows outward from the trusted core only — hosts
     // unreachable from seeds score 0 regardless of interlinking, the
     // spam-demotion property global PageRank lacks
+    // Hilbert-clustered layout audit: 16x16 customer grid -> hilbert
+    // index -> 16-cell occupancy rollup. Loops make the curve genuinely
+    // non-SQL (golden-pinned); adjacency/bijection are spec-pinned
+    "q176_hilbert_layout" -> ((s, dir) => {
+      import graft.risk.Sinks
+      t(s, dir, "customer")
+        .select((col("c_custkey") % 16).as("a"), (col("c_nationkey") % 16).as("b"))
+        .select(Sinks.hilbertKey(Seq(col("a"), col("b")), bits = 4).as("h"))
+        .groupBy(expr("h div 16").as("run"))
+        .agg(count(lit(1)).as("n_rows"), min(col("h")).as("h_min"),
+          max(col("h")).as("h_max"))
+        .orderBy(col("run"))
+    }),
     // one-pass table profile (ANALYZE surface): per column nulls, exact
     // ndv, min/max — one scan, Expand-planned multi-distinct, stack
     // unpivot; long/string columns so min/max stringification is

@@ -1217,6 +1217,99 @@ object LogBucketExpr {
 }
 
 /**
+ * TRUE Hilbert-curve index of a d-dimensional point (Skilling 2004,
+ * "Programming the Hilbert curve", AIP Conf. Proc. 707) — the layout
+ * key behind `Sinks.writeHilbertOrdered`. Unlike the Morton/z-order
+ * interleave ([[graft.risk.Sinks.zorderKey]]), CONSECUTIVE Hilbert
+ * indices are always grid-neighbors (no diagonal jumps across half the
+ * space), so range-partitioned files cut the curve into d-dimensional
+ * blobs with strictly better per-dimension min/max pruning — which is
+ * why Delta/Iceberg OPTIMIZE cluster by Hilbert, not Morton. The
+ * adjacency property and bijectivity are spec-pinned over full grids.
+ *
+ * Input: `array<bigint>` of coordinates (low `bits` bits each), plus a
+ * literal `bits`. `bits·d` must fit 62 bits. Loops make this genuinely
+ * inexpressible in portable SQL, so its query pins are goldens.
+ */
+case class HilbertIndexExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 31, "bits must be 1..31")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_index"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HilbertIndexExpr.index(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HilbertIndexExpr.index($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HilbertIndexExpr {
+  /** Skilling's AxesToTranspose, in place: undo excess rotations from
+   * the highest bit plane down, then Gray-encode across dimensions. */
+  private def axesToTranspose(x: Array[Long], b: Int): Unit = {
+    val n = x.length
+    var q = 1L << (b - 1)
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0L) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    var i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = 1L << (b - 1)
+    while (q > 1) { if ((x(n - 1) & q) != 0L) t ^= q - 1; q >>= 1 }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+  }
+
+  /** Hilbert index: transpose, then MSB-first bit interleave across
+   * dimensions (bit j of the index block = bit j of each transposed
+   * coordinate, dimension-major). */
+  def index(coords: ArrayData, bits: Int): Long = {
+    val n = coords.numElements()
+    require(n >= 1 && n * bits <= 62, s"$n dims x $bits bits exceeds a long")
+    val x = new Array[Long](n)
+    var i = 0
+    val mask = (1L << bits) - 1
+    while (i < n) { x(i) = coords.getLong(i) & mask; i += 1 }
+    axesToTranspose(x, bits)
+    var idx = 0L
+    var j = bits - 1
+    while (j >= 0) {
+      var k = 0
+      while (k < n) { idx = (idx << 1) | ((x(k) >>> j) & 1L); k += 1 }
+      j -= 1
+    }
+    idx
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hilbert_index"),
+    new ExpressionInfo(classOf[HilbertIndexExpr].getName, "hilbert_index"),
+    (children: Seq[Expression]) => HilbertIndexExpr(children(0),
+      children(1).eval().asInstanceOf[Number].intValue()))
+}
+
+/**
  * Session extension registering graft's native expressions; enable with
  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
  */
@@ -1247,7 +1340,8 @@ object GraftExtensions {
       KgramHashStream.descriptor,
       TopNgramFrac.descriptor,
       HashEmbed.descriptor,
-      LogBucketExpr.descriptor)
+      LogBucketExpr.descriptor,
+      HilbertIndexExpr.descriptor)
 
   /** Registered SQL function names, in registration order. */
   def functionNames: Seq[String] = descriptors.map(_._1.funcName)

@@ -58,6 +58,35 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /**
+   * TRUE Hilbert-curve key (Skilling's transform — see
+   * `plans.HilbertIndexExpr`): consecutive key values are always grid
+   * NEIGHBORS, where the Morton interleave ([[zorderKey]]) jumps across
+   * half the space at power-of-two boundaries — so range-partitioned
+   * files cover compact d-dimensional blobs and every dimension prunes
+   * a bit harder (this is the curve Delta/Iceberg OPTIMIZE actually
+   * cluster by). Same normalization contract as [[zorderKey]]: the low
+   * `bits` bits of each dimension participate via `pmod`.
+   */
+  def hilbertKey(dims: Seq[Column], bits: Int = 8): Column = {
+    require(dims.nonEmpty && dims.size <= 6, s"1..6 dims, got ${dims.size}")
+    require(bits * dims.size <= 62, s"bits*dims must fit a long, got $bits*${dims.size}")
+    call_function("hilbert_index",
+      array(dims.map(c => pmod(c.cast("long"), lit(1L << bits))): _*),
+      lit(bits))
+  }
+
+  /** Clustered parquet write ordered by the Hilbert key of `dims`. */
+  def writeHilbertOrdered(df: DataFrame, path: String, dims: Seq[String],
+      numFiles: Int = 20, bits: Int = 8): Unit = {
+    val hc = "__hilbert"
+    df.withColumn(hc, hilbertKey(dims.map(col), bits))
+      .repartitionByRange(numFiles, col(hc))
+      .sortWithinPartitions(col(hc))
+      .drop(hc)
+      .write.mode("overwrite").parquet(path)
+  }
+
   // ------------------------------------------- small-file compaction
 
   /**

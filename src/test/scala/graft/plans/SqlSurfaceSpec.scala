@@ -81,13 +81,17 @@ class SqlSurfaceSpec extends SparkSpec {
     // v=100, subBits=5: e=6, (6-5)*32 + (100 >> 1) = 82
     "log_bucket" -> (
       "SELECT log_bucket(100L, 5)",
-      "82"))
+      "82"),
+    // 2-d, 1-bit U-curve: (1,0) is the last corner -> index 3
+    "hilbert_index" -> (
+      "SELECT hilbert_index(array(1L, 0L), 1)",
+      "3"))
 
   test("every registered function has a census entry and answers via spark.sql") {
     val registered = GraftExtensions.functionNames
     assert(registered.sorted === census.keys.toSeq.sorted,
       "census out of sync with GraftExtensions.descriptors")
-    assert(registered.size === 17)
+    assert(registered.size === 18)
     registered.foreach { name =>
       val (sql, expected) = census(name)
       val rows = spark.sql(sql).collect()

@@ -37,7 +37,8 @@ class GoldenMcSpec extends SparkSpec {
     "q112_unigram_train", "q113_unigram_encode", "q115_sampled_encode",
     "q119_mmr_rerank", "q120_image_neardups", "q121_compression_signal",
     "q126_tokenizer_eval", "q142_audio_features", "q156_oov_rate",
-    "q158_video_neardups", "q161_wordpiece", "q162b_html_content")
+    "q158_video_neardups", "q161_wordpiece", "q162b_html_content",
+    "q176_hilbert_layout")
 
   /** Canonical text form: columns sorted by name, one CSV line per row,
    * rows sorted lexicographically, doubles to 6 significant digits. */

@@ -46,6 +46,50 @@ class SinksSpec extends SparkSpec {
     assert(filesTouched("b") <= 8, s"b: ${filesTouched("b")}")
   }
 
+  test("hilbertKey: bijective over the grid, consecutive indices are grid NEIGHBORS") {
+    // d=2, bits=4: all 256 cells. The adjacency property is THE Hilbert
+    // property (Morton fails it at every power-of-two boundary).
+    val grid = (0 until 256).map(i => (i / 16, i % 16)).toDF("x", "y")
+    val cells = grid.select($"x", $"y",
+        Sinks.hilbertKey(Seq($"x", $"y"), bits = 4).as("h"))
+      .as[(Int, Int, Long)].collect()
+    val byIdx = cells.map { case (x, y, h) => h -> ((x, y)) }.toMap
+    assert(byIdx.size == 256 && byIdx.keys.min == 0L && byIdx.keys.max == 255L)
+    (0L until 255L).foreach { i =>
+      val (x1, y1) = byIdx(i); val (x2, y2) = byIdx(i + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at $i: ($x1,$y1)->($x2,$y2)")
+    }
+    // Morton, by contrast, jumps: count non-adjacent consecutive steps
+    val mortonByIdx = grid.select($"x", $"y",
+        Sinks.zorderKey(Seq($"x", $"y"), bits = 4).as("m"))
+      .as[(Int, Int, Long)].collect()
+      .map { case (x, y, m) => m -> ((x, y)) }.toMap
+    val mortonJumps = (0L until 255L).count { i =>
+      val (x1, y1) = mortonByIdx(i); val (x2, y2) = mortonByIdx(i + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(mortonJumps > 0, "expected Morton to have diagonal jumps")
+    // 3-d bijectivity at bits=2 (64 cells)
+    val g3 = (0 until 64).map(i => (i / 16, (i / 4) % 4, i % 4)).toDF("a", "b", "c")
+    val idx3 = g3.select(Sinks.hilbertKey(Seq($"a", $"b", $"c"), bits = 2))
+      .as[Long].collect().toSet
+    assert(idx3 == (0L until 64L).toSet)
+  }
+
+  test("writeHilbertOrdered: locality on BOTH dims, per-file ranges disjoint") {
+    val n = 4096
+    val grid = (0 until n).map(i => (i % 64, i / 64, i)).toDF("a", "b", "v")
+    val dir = java.nio.file.Files.createTempDirectory("sinks_h").toString + "/t"
+    Sinks.writeHilbertOrdered(grid, dir, Seq("a", "b"), numFiles = 16, bits = 6)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == n)
+    def filesTouched(c: String) = back.filter(col(c) === 7)
+      .select(input_file_name()).distinct().count()
+    assert(filesTouched("a") <= 8, s"a: ${filesTouched("a")}")
+    assert(filesTouched("b") <= 8, s"b: ${filesTouched("b")}")
+  }
+
   test("compactionPlan: contiguous path-ordered buckets, all but last at target") {
     val target = 1000L
     val inv = (0 until 500).map(i => (f"f-$i%04d", 37L + i % 113))
