@@ -489,6 +489,10 @@ object Relational {
   def profileTable(df: DataFrame, exactDistinct: Boolean = true): DataFrame = {
     val cols = df.schema.fields.map(_.name).toSeq
     require(cols.nonEmpty, "cannot profile a zero-column frame")
+    // names are spliced into the stack() SQL below — refuse the two
+    // characters that could break out of the quoting
+    require(cols.forall(c => !c.contains("`") && !c.contains("'")),
+      s"column names with backticks/quotes unsupported: ${cols.mkString(", ")}")
     val aggs = cols.flatMap { c =>
       val q = col(c)
       Seq(count(lit(1)).minus(count(q)).cast("long").as(s"__nn_$c"),

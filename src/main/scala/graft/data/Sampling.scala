@@ -274,6 +274,7 @@ object Sampling {
   def selectToBudget(df: DataFrame, groupCols: Seq[String],
       order: Seq[Column], tokensCol: Column, budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    require(order.nonEmpty, "selectToBudget needs a total order (quality desc, id)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*).orderBy(order: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

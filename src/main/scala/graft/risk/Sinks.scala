@@ -140,6 +140,7 @@ object Sinks {
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => (s.getPath.getName, s.getLen))
+    require(files.nonEmpty, s"no parquet files to compact under $inDir")
     import spark.implicits._
     val plan = compactionPlan(files.toSeq.toDF("path", "size"),
       "path", "size", targetBytes)
