@@ -437,6 +437,47 @@ class SketchesSamplingSpec extends SparkSpec {
     assert(down.select(max(col("epoch"))).as[Long].head() == 0L)
   }
 
+  test("selectToBudget scale path: ECDF score-threshold lands within one bin of exact") {
+    // the documented two-pass spelling for when a per-group sort is
+    // unaffordable: per-group ECDF of the order score -> keep everything
+    // above the rank threshold implied by the budget share
+    val rnd = new scala.util.Random(21)
+    val docs = Seq.tabulate(2000)(i =>
+      (i.toLong, s"g${i % 2}", (rnd.nextInt(1000) + 1).toLong))
+      .toDF("id", "g", "score")
+      .withColumn("tok", col("score")) // tokens proportional to score
+    val budget = 50000L
+    val exact = Sampling.selectToBudget(docs, Seq("g"),
+        Seq(col("score").desc, col("id").asc), col("tok"), budget)
+      .groupBy(col("g")).agg(sum(col("tok")).as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // two-pass path: ECDF rank per group, then keep the top slice whose
+    // expected token mass reaches the budget (score-proportional tokens
+    // -> threshold from the per-group token ECDF over the score column)
+    val ranked = Sketches.ecdfNormalizeByGroup(docs, Seq("g"), col("score"),
+      lo = 0.0, hi = 1001.0, nBins = 200)
+    // per group: find the smallest ecdf cutoff whose tail token mass >= budget
+    val cutoffs = ranked.groupBy(col("g"), col("ecdf_ppm"))
+      .agg(sum(col("tok")).as("t"))
+      .withColumn("tail", sum(col("t")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+          .orderBy(col("ecdf_ppm").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("tail") >= budget)
+      .groupBy(col("g")).agg(max(col("ecdf_ppm")).as("cut"))
+    val approx = ranked.join(cutoffs, "g")
+      .filter(col("ecdf_ppm") >= col("cut"))
+      .groupBy(col("g")).agg(sum(col("tok")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // within one bin's token mass of the exact selection: with 200 bins
+    // over ~1000 score values and ~500 tokens/doc avg, a generous band
+    exact.foreach { case (g, (t, _)) =>
+      val a = approx(g)
+      assert(a >= budget, s"$g: approx $a under budget")
+      assert(math.abs(a - t) <= 30000L, s"$g: approx $a vs exact $t")
+    }
+  }
+
   test("selectToBudget: scalar walk parity, straddler kept, zero budget empty") {
     val rnd = new scala.util.Random(9)
     val docs = Seq.tabulate(300)(i =>
