@@ -540,45 +540,41 @@ object Sketches {
    * answer deterministic with an exact recount.
    */
   class MisraGries(c: Int) extends org.apache.spark.sql.expressions.Aggregator[
-      String, scala.collection.mutable.HashMap[String, Long], Map[String, Long]] {
-    type Buf = scala.collection.mutable.HashMap[String, Long]
-    override def zero: Buf = scala.collection.mutable.HashMap.empty
+      String, Map[String, Long], Map[String, Long]] {
+    type Buf = Map[String, Long]
+    override def zero: Buf = Map.empty
     override def reduce(b: Buf, k: String): Buf = {
-      if (k != null) {
-        b.get(k) match {
-          case Some(v) => b.update(k, v + 1)
-          case None if b.size < c => b.update(k, 1L)
-          case None =>
-            // decrement-all: amortized O(1) per input (each decrement
-            // cancels one prior increment), worst-case O(c) per miss
-            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-            b.keysIterator.foreach { key =>
-              val v = b(key) - 1
-              if (v <= 0) dead += key else b.update(key, v)
-            }
-            dead.foreach(b.remove)
-        }
+      if (k == null) b
+      else b.get(k) match {
+        case Some(v) => b.updated(k, v + 1)
+        case None if b.size < c => b.updated(k, 1L)
+        case None =>
+          // decrement-all: amortized O(1) per input (each decrement
+          // cancels one prior increment), worst-case O(c) per miss
+          b.iterator.collect {
+            case (key, v) if v > 1L => key -> (v - 1L)
+          }.toMap
       }
-      b
     }
     override def merge(a: Buf, b: Buf): Buf = {
-      b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
-      if (a.size > c) {
+      var m = a
+      b.foreach { case (k, v) => m = m.updated(k, m.getOrElse(k, 0L) + v) }
+      if (m.size > c) {
         // subtract the (c+1)-th largest residual; everything ≤ it drops,
         // leaving ≤ c survivors (deterministic given the merged map)
-        val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(c)
-        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-        a.keysIterator.foreach { key =>
-          val v = a(key) - cut
-          if (v <= 0) dead += key else a.update(key, v)
-        }
-        dead.foreach(a.remove)
-      }
-      a
+        val cut = m.values.toArray.sorted(Ordering[Long].reverse).apply(c)
+        m.iterator.collect {
+          case (k, v) if v > cut => k -> (v - cut)
+        }.toMap
+      } else m
     }
-    override def finish(b: Buf): Map[String, Long] = b.toMap
+    override def finish(b: Buf): Map[String, Long] = b
+    // immutable Map rides Spark's NATIVE map encoding (no kryo, no
+    // module-opens dependency, compact shuffle bytes); the in-memory
+    // buffer between serialization boundaries is the object itself, so
+    // the per-row cost is one HAMT update
     override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
-      org.apache.spark.sql.Encoders.kryo[Buf]
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
     override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }

@@ -432,8 +432,7 @@ object StreamingMarket {
       val mg = udaf(new graft.data.Sketches.MisraGries(counters))
       val row = batch.select(key.cast("string").as("k"))
         .agg(mg(col("k")).as("m"), count(lit(1)).as("n")).head()
-      val batchSummary = scala.collection.mutable.HashMap(
-        row.getMap[String, Long](0).toSeq: _*)
+      val batchSummary = row.getMap[String, Long](0).toMap
       total += row.getLong(1)
       state = merger.merge(state, batchSummary)
       sink(state.toSeq.sortBy { case (k, v) => (-v, k) }, total, batchId)
