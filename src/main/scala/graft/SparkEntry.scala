@@ -1152,6 +1152,62 @@ object SparkEntry {
     // Hilbert-clustered layout audit: 16x16 customer grid -> hilbert
     // index -> 16-cell occupancy rollup. Loops make the curve genuinely
     // non-SQL (golden-pinned); adjacency/bijection are spec-pinned
+    // community detection over the host co-occurrence graph (same graph
+    // as q85): 3 rounds of deterministic synchronous label propagation,
+    // ties to the smallest label — the per-community grouping used for
+    // crawl-budget / domain-mix decisions; one keyed shuffle per round
+    "q177_label_prop" -> ((s, dir) => {
+      import graft.data.Graph
+      val aug = concat(col("text"),
+        lit(" see http://ex"), (col("doc_id") % 5).cast("string"),
+        lit(".org/p/"), col("doc_id").cast("string"),
+        lit(" and https://cdn.example.com/x"), (col("doc_id") % 3).cast("string"))
+      val hosts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(T.urlHosts(aug)).as("host"))
+      val lp = Graph.labelPropagation(
+        Graph.coOccurrenceEdges(hosts, "doc_id", "host"), "src", "dst",
+        iters = 3)
+      val sz = lp.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+      lp.join(sz, Seq("label"))
+        .select(col("node").as("host"), col("label").as("community"),
+          col("csize"))
+        .orderBy(col("host"))
+    }),
+    // LAION-shape image-caption pair gate: real PNG decode -> dHash ->
+    // 64-dim surrogate embedding vs the caption's hash embedding, one
+    // codegen'd vec_dot per pair; every 97th payload truncated to prove
+    // the corrupt-tolerant path (decoded=false, kept=false, job lives).
+    // Golden-pinned: ImageIO decode is not ANSI-SQL-reproducible
+    "q179_pair_filter" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val media = docs.select(col("doc_id")).as[Long]
+        .map { id =>
+          val png = Multimodal.syntheticPng(id)
+          Multimodal.MediaRow(id, "img/png",
+            if (id % 97 == 0) png.take(16) else png)
+        }
+      Multimodal.pairScores(docs.select(col("doc_id"), col("text")), media,
+          "doc_id", "text", minScore = 0.05)
+        .select(col("media_id"), col("decoded"),
+          round(col("score"), 6).as("score"), col("kept"))
+        .orderBy(col("media_id"))
+    }),
+    // per-SOURCE boilerplate strip: lines present in >= 60% of a
+    // source's docs are dropped from every doc of that source — the
+    // site-template filter; the planted copyright line dies, the unique
+    // doc tail survives, cross-source repeats are untouched
+    "q178_boilerplate" -> ((s, dir) => {
+      val aug = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"),
+          lit("\n(c) "), col("source"), lit(" media group - all rights reserved"),
+          lit("\ndoc tail "), col("doc_id").cast("string")))
+      Dedup.removeBoilerplate(aug, "doc_id", "text", "source",
+          minSharePpm = 600000L)
+        .select(col("doc_id"), col("n_lines"), col("n_dropped"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
     "q176_hilbert_layout" -> ((s, dir) => {
       import graft.risk.Sinks
       t(s, dir, "customer")
@@ -2901,6 +2957,41 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
       |    + (17 * coalesce(c3.c, 0)) // 20 AS r
       |  FROM nodes nd LEFT JOIN c3 ON nd.node = c3.node)""".stripMargin
 
+  /** q177 oracle: same host co-occurrence edges as q85, then 3 unrolled
+   * synchronous label-propagation rounds — plurality neighbor label,
+   * ties to the smallest (row_number ordered by count DESC, label ASC
+   * is exactly the min-struct argmax on the Spark side). */
+  private val hostLabelPropSql =
+    """aug AS (SELECT doc_id, concat(text,
+      |    ' see http://ex', CAST(doc_id % 5 AS VARCHAR),
+      |    '.org/p/', CAST(doc_id AS VARCHAR),
+      |    ' and https://cdn.example.com/x', CAST(doc_id % 3 AS VARCHAR)) AS a
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |    unnest(list_filter(
+      |      list_transform(regexp_extract_all(a, 'https?://[^\s]+'),
+      |        u -> regexp_extract(u, 'https?://(?:[^/\s@]*@)?([^/\s:?#@]+)', 1)),
+      |      x -> len(x) > 0)) AS host
+      |  FROM aug),
+      |e AS (SELECT DISTINCT x.host AS src, y.host AS dst
+      |  FROM h x JOIN h y ON x.doc_id = y.doc_id AND x.host <> y.host),
+      |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+      |n1 AS (SELECT e.dst AS node, l.lab AS lab, count(*) AS c
+      |  FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+      |l1 AS (SELECT node, lab FROM (SELECT node, lab, row_number() OVER
+      |    (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn FROM n1)
+      |  WHERE rn = 1),
+      |n2 AS (SELECT e.dst AS node, l.lab AS lab, count(*) AS c
+      |  FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+      |l2 AS (SELECT node, lab FROM (SELECT node, lab, row_number() OVER
+      |    (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn FROM n2)
+      |  WHERE rn = 1),
+      |n3 AS (SELECT e.dst AS node, l.lab AS lab, count(*) AS c
+      |  FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+      |l3 AS (SELECT node, lab FROM (SELECT node, lab, row_number() OVER
+      |    (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn FROM n3)
+      |  WHERE rn = 1)""".stripMargin
+
   /** Shared q94/q94b oracle prelude: d = 2 ridge weights from the
    * train split's micro-exact sufficient statistics, solved by the SAME
    * Cramer expansions (same FP operation order) as Probe.fitRidge2 —
@@ -3806,6 +3897,43 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |SELECT node, CAST(r AS BIGINT) AS pr_micro,
          |  CAST(r AS DOUBLE) / 1e9 AS pr
          |FROM r3 ORDER BY node""".stripMargin,
+    "q177_label_prop" ->
+      s"""WITH $hostLabelPropSql,
+         |sz AS (SELECT lab, count(*) AS csize FROM l3 GROUP BY lab)
+         |SELECT l3.node AS host, l3.lab AS community,
+         |  CAST(sz.csize AS BIGINT) AS csize
+         |FROM l3 JOIN sz ON l3.lab = sz.lab ORDER BY host""".stripMargin,
+    "q178_boilerplate" ->
+      """WITH aug AS (SELECT doc_id, source, concat(text,
+        |    chr(10), '(c) ', source, ' media group - all rights reserved',
+        |    chr(10), 'doc tail ', CAST(doc_id AS VARCHAR)) AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS parts
+        |  FROM aug),
+        |l AS (SELECT doc_id, source,
+        |    CAST(unnest(range(1, len(parts) + 1)) AS BIGINT) - 1 AS line_no,
+        |    parts FROM ls),
+        |lh AS (SELECT doc_id, source, line_no,
+        |    parts[CAST(line_no AS INT) + 1] AS line,
+        |    CAST(concat('0x', substr(md5(parts[CAST(line_no AS INT) + 1]), 1, 15))
+        |      AS BIGINT) AS h FROM l),
+        |gd AS (SELECT source, count(*) AS gdocs FROM documents GROUP BY source),
+        |dw AS (SELECT source, h, count(DISTINCT doc_id) AS docs_with
+        |  FROM lh GROUP BY source, h),
+        |boiler AS (SELECT dw.source, dw.h FROM dw JOIN gd ON dw.source = gd.source
+        |  WHERE gd.gdocs >= 2 AND dw.docs_with * 1000000 >= 600000 * gd.gdocs),
+        |kept AS (SELECT lh.* FROM lh LEFT JOIN boiler
+        |    ON lh.source = boiler.source AND lh.h = boiler.h
+        |  WHERE boiler.h IS NULL),
+        |reb AS (SELECT doc_id, count(*) AS n_lines,
+        |    string_agg(line, chr(10) ORDER BY line_no) AS text
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(parts) AS BIGINT) AS total FROM ls)
+        |SELECT tot.doc_id, CAST(coalesce(reb.n_lines, 0) AS BIGINT) AS n_lines,
+        |  CAST(tot.total - coalesce(reb.n_lines, 0) AS BIGINT) AS n_dropped,
+        |  coalesce(reb.text, '') AS text
+        |FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
     "q175_table_profile" -> Seq("c_custkey", "c_name", "c_nationkey",
         "c_mktsegment").map(c =>
         s"""SELECT '$c' AS column_name,

@@ -1420,6 +1420,71 @@ object Dedup {
   }
 
   /**
+   * GROUP-SCOPED boilerplate removal — the per-site cleanup tier between
+   * [[dedupLinesWithinDoc]] (one doc) and [[dedupLines]] (whole corpus,
+   * first-winner): a line is BOILERPLATE for a group (host / source /
+   * crawl) when it occurs in at least `minSharePpm` of that group's
+   * documents, and every occurrence in the group is dropped — nav bars,
+   * cookie banners, footers that repeat across a site's pages but are
+   * legitimate content elsewhere. This is the CCNet/trafilatura-style
+   * template filter re-expressed relationally: frequency is per-group
+   * document frequency, not corpus-global, so one site's template never
+   * deletes another site's quote of the same sentence.
+   *
+   * Exact integer gate: `docs_with_line · 1_000_000 ≥ minSharePpm ·
+   * group_docs`, evaluated only for groups with ≥ `minDocs` documents
+   * (a 1-page "site" would otherwise declare all its lines boilerplate).
+   * Exact-line semantics on the RAW line (hash60 keys, like
+   * [[dedupLines]]); blank lines count as lines and typically ARE
+   * group-frequent — callers who want them kept should filter the
+   * boilerplate set, not this contract.
+   *
+   * Scale shape: line explode → one (group, line-hash) count over the
+   * DISTINCT (doc, line) pairs (map-side combinable), one broadcast-able
+   * group-size join (|groups| rows), then a left_anti hash join of the
+   * line stream against the flagged set keyed by (group, h) — the
+   * flagged side is post-aggregation small but is JOINED, never
+   * collected, so a pathological template-heavy corpus degrades
+   * gracefully. Reassembly is the same per-doc sort-merge as
+   * [[dedupLines]]. Docs whose every line is boilerplate still appear
+   * (n_lines = 0, empty text) via the final left join back to the doc
+   * universe.
+   *
+   * Returns `(idCol, n_lines, n_dropped, text)`.
+   */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, minSharePpm: Long = 500000L,
+      minDocs: Long = 2L): DataFrame = {
+    require(minSharePpm > 0, s"minSharePpm must be > 0, got $minSharePpm")
+    val lines = docs
+      .select(col(idCol).as("doc_id"), col(groupCol).as("g"),
+        posexplode(split(col(textCol), "\n")))
+      .select(col("doc_id"), col("g"), col("pos").as("line_no"),
+        col("col").as("line"), TextFunctions.hash60(col("col")).as("h"))
+    val groupDocs = docs.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("gdocs"))
+    val flagged = lines.select(col("g"), col("h"), col("doc_id")).distinct()
+      .groupBy(col("g"), col("h")).agg(count(lit(1)).as("docs_with"))
+      .join(groupDocs, Seq("g"))
+      .filter(col("gdocs") >= minDocs &&
+        col("docs_with") * lit(1000000L) >= lit(minSharePpm) * col("gdocs"))
+      .select(col("g"), col("h"))
+    val kept = lines.join(flagged.hint("shuffle_hash"), Seq("g", "h"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("line_no"), col("line")))),
+          s => s("line")), "\n").as("text"))
+    docs.select(col(idCol).as("doc_id"),
+        (size(split(col(textCol), "\n"))).cast("long").as("__total"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        (col("__total") - coalesce(col("n_lines"), lit(0L))).as("n_dropped"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
+  /**
    * Train/benchmark DECONTAMINATION — the n-gram overlap check every
    * serious pre-training pipeline runs before shipping a split (GPT-3
    * appendix C; Dodge et al. 2021 C4 analysis): flag each candidate

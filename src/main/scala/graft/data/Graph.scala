@@ -295,4 +295,65 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
   }
+
+  /**
+   * Community detection by SYNCHRONOUS label propagation (Raghavan,
+   * Albert, Kumara 2007) — the near-linear-time community pass used to
+   * group hosts/domains before per-community curation decisions
+   * (crawl-budget allocation per community, dedup within a community,
+   * domain-mix reporting). Each round, every node adopts the label
+   * held by the PLURALITY of its neighbors; ties break to the SMALLEST
+   * label, and all nodes update together from the previous round's
+   * labels — fully deterministic for a fixed `iters` (the classic
+   * async/random-order variant is not, and cross-engine parity would be
+   * impossible). Labels start as each node's own id, so a label is
+   * always "the id of some member", and community ids are stable across
+   * reruns.
+   *
+   * Input edges are treated as UNDIRECTED: the list is symmetrized
+   * (both directions union'd, self-loops dropped) before iterating, so
+   * callers can pass either a directed link graph or an already
+   * symmetric co-occurrence list. Multi-edges collapse (distinct) —
+   * neighbor votes are per-neighbor, not per-edge.
+   *
+   * Scale shape, per round: ONE join of the |V|-row label table into
+   * the cached symmetric edge list (shuffle keyed by src) and one
+   * (node, label) count aggregation (map-side combinable) followed by a
+   * min-struct argmax — no window over raw edges, nothing collected,
+   * nothing broadcast from the graph side. Edges are cached once across
+   * all rounds; the label table is |V| rows and its lineage is
+   * truncated every 10 rounds (matching [[pageRank]]'s discipline).
+   * Like all fixed-point LPA, `iters` bounds work; 3–5 rounds settle
+   * real web-host graphs (communities are diameter-bounded).
+   *
+   * Returns `(node, label)` — nodes sharing a `label` are one community.
+   */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct().cache()
+    try {
+      // symmetrized, so every node occurs as a src
+      var labels = e.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      for (i <- 1 to iters) {
+        labels = e
+          .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("c"))
+          // plurality label, ties to the smallest: min over
+          // (-count, label) is (max count, then min label)
+          .groupBy(col("node"))
+          .agg(min(struct((-col("c")).as("nc"), col("label"))).as("w"))
+          .select(col("node"), col("w.label").as("label"))
+        if (i % 10 == 0) labels = labels.localCheckpoint()
+      }
+      val out = labels.cache()
+      out.count() // materialize while the edge cache is warm
+      out
+    } finally { e.unpersist(); () }
+  }
 }

@@ -286,6 +286,52 @@ object Multimodal {
       dHashes(media).filter(col("decoded")).toDF(),
       "media_id", "dhash", bits = 64, maxHamming = maxHamming)
 
+  /** 64-dim ±0.125 embedding from a 64-bit perceptual hash: bit j of
+   * `dhash` → component j ∈ {+0.125, −0.125}. The deterministic
+   * stand-in for a vision-encoder output (the image libs that would
+   * produce a learned embedding aren't in this container) — unit-norm
+   * by construction (64 · 0.125² = 1), so dot == cosine downstream. */
+  def dhashEmbed(dhash: Column): Column =
+    transform(sequence(lit(0), lit(63)), j =>
+      when(call_function("shiftright", dhash, j.cast("int"))
+          .bitwiseAND(lit(1L)) === 1L, lit(0.125)).otherwise(lit(-0.125)))
+
+  /**
+   * LAION-style image–text PAIR GATE: score every (caption, image) pair
+   * and keep pairs whose caption/image similarity clears `minScore` —
+   * the CLIP-score filter that curated LAION-400M/5B (Schuhmann et al.
+   * 2021), with the model swapped for a deterministic surrogate: image
+   * side = real decode (JDK ImageIO) → 64-bit dHash → [[dhashEmbed]];
+   * caption side = [[Similarity.hashEmbed]] of the token hashes. The
+   * Spark-side shape is exactly the production pipeline's — a
+   * partition-mapped decode stage, an id-keyed join of the two modality
+   * streams (payload bytes never cross the join; only the 64-dim
+   * vectors do), one codegen'd `vec_dot` per pair — so swapping a real
+   * encoder in changes the mapPartitions body, not the plan.
+   *
+   * Undecodable payloads surface as `decoded = false, score = 0, kept =
+   * false` rather than failing the job (same corrupt-tolerant contract
+   * as [[dHashes]]); they're visible for audit, not silently dropped.
+   *
+   * Returns `(media_id, decoded, score, kept)` — callers join captions
+   * back by id for the kept rows (text stays off this plan on purpose).
+   */
+  def pairScores(captions: DataFrame, media: Dataset[MediaRow],
+      idCol: String, captionCol: String, minScore: Double)(
+      implicit spark: SparkSession): DataFrame = {
+    val capVec = captions.select(col(idCol).cast("long").as("media_id"),
+      Similarity.hashEmbed(
+        Similarity.tokenHashes(col(captionCol)), 64).as("cv"))
+    val imgVec = dHashes(media).toDF()
+      .select(col("media_id"), col("decoded"), dhashEmbed(col("dhash")).as("iv"))
+    imgVec.join(capVec, Seq("media_id"))
+      .withColumn("score",
+        when(col("decoded"), Similarity.cosine(col("cv"), col("iv")))
+          .otherwise(lit(0.0)))
+      .select(col("media_id"), col("decoded"), col("score"),
+        (col("decoded") && col("score") >= minScore).as("kept"))
+  }
+
   // ------------------------------------------------ audio (16-bit PCM WAV)
 
   case class AudioFeatures(media_id: Long, sample_rate: Int, n_samples: Long,

@@ -172,4 +172,51 @@ class DupSpansSpec extends SparkSpec {
       .as[(Long, Long, String)].head()
     assert(out == ((4L, 1L, "a\n\nb\nc")))
   }
+
+  test("removeBoilerplate: group-frequent lines drop, cross-group stays") {
+    // "nav" is in 3/3 of site A's docs (boilerplate there) AND in 1/2 of
+    // site B's (below the 60% gate there — must survive); "footer" hits
+    // 2/3 of A (66% >= 60% -> drops); unique bodies always survive
+    val out = Dedup.removeBoilerplate(Seq(
+        (1L, "A", "nav\nbody one\nfooter"),
+        (2L, "A", "nav\nbody two\nfooter"),
+        (3L, "A", "nav\nbody three"),
+        (4L, "B", "nav\nother body"),
+        (5L, "B", "just text")
+      ).toDF("doc_id", "site", "text"), "doc_id", "text", "site",
+        minSharePpm = 600000L)
+      .select($"doc_id", $"n_lines", $"n_dropped", $"text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 2L, "body one")))
+    assert(out(2L) == ((2L, 1L, 2L, "body two")))
+    assert(out(3L) == ((3L, 1L, 1L, "body three")))
+    assert(out(4L) == ((4L, 2L, 0L, "nav\nother body")))
+    assert(out(5L) == ((5L, 1L, 0L, "just text")))
+  }
+
+  test("removeBoilerplate: singleton group exempt; all-boiler doc kept empty") {
+    val out = Dedup.removeBoilerplate(Seq(
+        (1L, "S", "only doc of its site\nnav"),   // gdocs=1 < minDocs: exempt
+        (2L, "T", "nav"),                          // nav is 2/2 of T
+        (3L, "T", "nav")                           // -> both become empty
+      ).toDF("doc_id", "g", "text"), "doc_id", "text", "g",
+        minSharePpm = 500000L)
+      .select($"doc_id", $"n_lines", $"n_dropped", $"text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 0L, "only doc of its site\nnav")))
+    assert(out(2L) == ((2L, 0L, 1L, "")))
+    assert(out(3L) == ((3L, 0L, 1L, "")))
+  }
+
+  test("removeBoilerplate: repeated line within ONE doc counts that doc once") {
+    // doc 1 contains "dup" twice; docs_with(dup) = 1 of 2 -> below the
+    // 60% gate, so the within-doc repeat is NOT this operator's business
+    val out = Dedup.removeBoilerplate(Seq(
+        (1L, "G", "dup\nbody\ndup"),
+        (2L, "G", "other")
+      ).toDF("doc_id", "g", "text"), "doc_id", "text", "g",
+        minSharePpm = 600000L)
+      .select($"doc_id", $"n_lines").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L))
+  }
 }

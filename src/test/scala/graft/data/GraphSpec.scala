@@ -309,4 +309,53 @@ class GraphSpec extends SparkSpec {
         .select(col("node"), col("rank_micro")).as[(Long, Long)].collect().toSet
     assert(run(a) === run(b))
   }
+
+  /** Scalar reference of the synchronous min-tie-break LPA recurrence. */
+  private def refLpa(edges: Seq[(String, String)],
+      iters: Int): Map[String, String] = {
+    val sym = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2).distinct
+    val nbrs = sym.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).distinct }
+    var lab: Map[String, String] = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      val prev = lab
+      lab = nbrs.map { case (n, ns) =>
+        val votes = ns.groupBy(prev).map { case (l, xs) => l -> xs.size }
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  // two triangles joined by one weak bridge c-x: LPA must find exactly
+  // the two triangles
+  private val twoTriangles = Seq(
+    ("a", "b"), ("b", "c"), ("c", "a"),
+    ("x", "y"), ("y", "z"), ("z", "x"),
+    ("c", "x"))
+
+  test("labelPropagation matches the scalar reference (1..3 iters)") {
+    val df = twoTriangles.toDF("s", "d")
+    for (iters <- 1 to 3) {
+      val got = Graph.labelPropagation(df, "s", "d", iters)
+        .as[(String, String)].collect().toMap
+      assert(got === refLpa(twoTriangles, iters), s"iters=$iters")
+    }
+  }
+
+  test("labelPropagation finds the two triangle communities") {
+    val got = Graph.labelPropagation(twoTriangles.toDF("s", "d"), "s", "d", 3)
+      .as[(String, String)].collect().toMap
+    val comms = got.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(comms === Set(Set("a", "b", "c"), Set("x", "y", "z")))
+  }
+
+  test("labelPropagation: directed input symmetrizes; partition-invariant") {
+    val fwd = twoTriangles.toDF("s", "d")
+    val sym = (twoTriangles ++ twoTriangles.map(_.swap)).toDF("s", "d")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.labelPropagation(df, "s", "d", 3)
+        .as[(String, String)].collect().toMap
+    assert(run(fwd) === run(sym))
+    assert(run(fwd.repartition(7)) === run(fwd))
+  }
 }

@@ -84,4 +84,47 @@ class MultimodalHashSpec extends SparkSpec {
     assert(got.length === got.distinct.length, "pair emitted twice")
     assert(got.toSet === brute)
   }
+
+  test("dhashEmbed: bit j -> component j sign, unit norm") {
+    val h = java.lang.Long.parseLong("10110", 2) // bits 1,2,4 set
+    val v = Seq(h).toDF("h").select(Multimodal.dhashEmbed($"h").as("v"))
+      .as[Seq[Double]].head()
+    assert(v.length === 64)
+    for (j <- 0 until 64) {
+      val expect = if (((h >>> j) & 1L) == 1L) 0.125 else -0.125
+      assert(v(j) === expect, s"bit $j")
+    }
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12, "unit norm")
+  }
+
+  test("pairScores: scalar cosine parity, corrupt payload gated not fatal") {
+    val ids = (0L until 6L)
+    val media = ids.toDF("id").as[Long].map { id =>
+      val p = Multimodal.syntheticPng(id)
+      Multimodal.MediaRow(id, "img/png", if (id == 3L) p.take(10) else p)
+    }
+    val caps = ids.map(id => (id, s"caption words for image $id item${id % 3}"))
+      .toDF("id", "caption")
+    val got = Multimodal.pairScores(caps, media, "id", "caption",
+        minScore = -1.0)
+      .select($"media_id", $"decoded", $"score", $"kept")
+      .as[(Long, Boolean, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === ids.toSet)
+    assert(got(3L) === ((3L, false, 0.0, false)), "corrupt row gated")
+    // scalar reference for one good row: dHash bits vs caption hashEmbed
+    val (dec, dh) = hashOf(Multimodal.syntheticPng(2L))
+    assert(dec)
+    val iv = (0 until 64).map(j => if (((dh >>> j) & 1L) == 1L) 0.125 else -0.125)
+    val cv = Seq("caption words for image 2 item2").toDF("t")
+      .select(Similarity.hashEmbed(Similarity.tokenHashes($"t"), 64).as("v"))
+      .as[Seq[Double]].head()
+    val dot = iv.zip(cv).map { case (a, b) => a * b }.sum
+    val ref = dot / (math.sqrt(iv.map(x => x * x).sum) *
+      math.sqrt(cv.map(x => x * x).sum))
+    assert(math.abs(got(2L)._3 - ref) < 1e-9, s"got ${got(2L)._3} ref $ref")
+    // kept must track decoded && score >= threshold for every row
+    got.values.foreach { case (id, dec2, sc, kept) =>
+      assert(kept === (dec2 && sc >= -1.0), s"id=$id")
+    }
+  }
 }

@@ -38,7 +38,7 @@ class GoldenMcSpec extends SparkSpec {
     "q119_mmr_rerank", "q120_image_neardups", "q121_compression_signal",
     "q126_tokenizer_eval", "q142_audio_features", "q156_oov_rate",
     "q158_video_neardups", "q161_wordpiece", "q162b_html_content",
-    "q176_hilbert_layout")
+    "q176_hilbert_layout", "q179_pair_filter")
 
   /** Canonical text form: columns sorted by name, one CSV line per row,
    * rows sorted lexicographically, doubles to 6 significant digits. */
