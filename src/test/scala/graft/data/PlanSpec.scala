@@ -473,4 +473,42 @@ class PlanSpec extends SparkSpec {
         p.take(2000))
     }
   }
+
+  test("labelPropagation: per-round label join is keyed, edges never nested-loop") {
+    val edges = (0 until 200).map(i =>
+      (s"n${i % 37}", s"n${(i * 7) % 37}")).toDF("s", "d")
+    withNoAutoBroadcast {
+      val out = Graph.labelPropagation(edges, "s", "d", iters = 2)
+      val p = plan(out)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p.take(2000))
+      out.unpersist()
+      ()
+    }
+  }
+
+  test("removeBoilerplate: line stream is never broadcast; anti join keyed") {
+    val docs = (0 until 60).map(i =>
+      (i.toLong, s"s${i % 3}", s"nav line\nbody $i\nfooter")).toDF("id", "g", "text")
+    withNoAutoBroadcast {
+      val p = plan(Dedup.removeBoilerplate(docs, "id", "text", "g"))
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p.take(2000))
+      // the flagged-set anti join must key on the line hash (shuffle or
+      // hash join, not a nested loop over the exploded line stream)
+      assert(p.contains("LeftAnti"), p.take(2000))
+    }
+  }
+
+  test("pairScores: payload bytes never cross the modality join") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val media = (0L until 8L).toDF("id").as[Long]
+      .map(id => Multimodal.MediaRow(id, "img/png", Multimodal.syntheticPng(id)))
+    val caps = (0L until 8L).map(id => (id, s"cap $id")).toDF("id", "caption")
+    val p = plan(Multimodal.pairScores(caps, media, "id", "caption", 0.0))
+    // the join's output carries the two 64-dim vectors, never `content`
+    val joinAt = p.indexOf("Join")
+    assert(joinAt >= 0, p.take(2000))
+    assert(!p.substring(0, joinAt).contains("content"), p.take(2000))
+  }
 }
