@@ -1173,6 +1173,75 @@ object SparkEntry {
           col("csize"))
         .orderBy(col("host"))
     }),
+    // deterministic per-epoch corpus shuffle: hash-mod shard + in-shard
+    // rank — the scalable "ORDER BY rand()" replacement (no global sort,
+    // no sampled range boundaries, bit-reproducible across cluster sizes)
+    "q180_epoch_shuffle" -> ((s, dir) => {
+      import graft.data.Corpus
+      Corpus.epochShuffle(t(s, dir, "documents"), "doc_id", epoch = 2L,
+          nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+    // DPR-style hard-negative mining: top-5 cosine neighbors with a
+    // DIFFERENT label per anchor — label filter below the rank window
+    // so rank counts negatives only; null corpus labels excluded
+    "q181_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      Similarity.hardNegatives(e.filter(col("vec_id") < 5), e,
+          "vec_id", "v", "label", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // Bradley-Terry preference ranking: pairwise judgments derived from
+    // consecutive same-user events (higher value wins), 3 exact-integer
+    // MM rounds on the pair-count table — the RLHF reward-data ranking
+    "q182_bradley_terry" -> ((s, dir) => {
+      import graft.data.Preference
+      // second-grain ordering + event_id tie-break: the nanos→micros
+      // normalization must not create ties DuckDB's nano order lacks
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+      val comp = events(s, dir)
+        .withColumn("ts_s", col("ts").cast("long"))
+        .withColumn("pt", lag(col("event_type"), 1).over(w))
+        .withColumn("pv", lag(col("value"), 1).over(w))
+        .filter(col("pt").isNotNull && col("event_type") =!= col("pt") &&
+          col("value") =!= col("pv"))
+        .select(
+          when(col("value") > col("pv"), col("event_type"))
+            .otherwise(col("pt")).as("winner"),
+          when(col("value") > col("pv"), col("pt"))
+            .otherwise(col("event_type")).as("loser"))
+      Preference.bradleyTerry(comp, "winner", "loser", iters = 3)
+        .orderBy(col("rating_micro").desc, col("item"))
+    }),
+    // noisy-label consensus: majority vote, annotator reliability (ppm
+    // agreement with majorities), reliability-weighted revote — all
+    // windows over (item, label) count cells, never raw votes
+    "q183_label_consensus" -> ((s, dir) => {
+      import graft.data.Preference
+      val votes = events(s, dir).select(
+        (col("event_id") % 500).as("item"), col("user_id").as("annotator"),
+        col("event_type").as("label"))
+      Preference.weightedConsensus(votes, "item", "annotator", "label")
+        .orderBy(col("item"))
+    }),
+    // rendezvous (HRW) sharding stability: 8 -> 10 shards moves only the
+    // docs whose NEW candidates win — the (shard8, shard10) matrix pins
+    // both assignments and every off-diagonal row lands on shard 8 or 9
+    "q184_rendezvous_shards" -> ((s, dir) => {
+      import graft.data.Corpus
+      val d = Corpus.rendezvousShard(
+        Corpus.rendezvousShard(t(s, dir, "documents"), "doc_id", 8,
+          outCol = "shard8"),
+        "doc_id", 10, outCol = "shard10")
+      d.groupBy(col("shard8"), col("shard10")).agg(count(lit(1)).as("n"))
+        .orderBy(col("shard8"), col("shard10"))
+    }),
     // LAION-shape image-caption pair gate: real PNG decode -> dHash ->
     // 64-dim surrogate embedding vs the caption's hash embedding, one
     // codegen'd vec_dot per pair; every 97th payload truncated to prove
@@ -2992,6 +3061,53 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
       |    (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn FROM n3)
       |  WHERE rn = 1)""".stripMargin
 
+  /** q182 oracle: pairwise comparisons from consecutive same-user events
+   * (higher value wins), then 3 unrolled Bradley-Terry MM rounds in the
+   * SAME exact long micro-unit arithmetic as `Preference.bradleyTerry`
+   * (`//` here == `div` there, term by term). */
+  private val bradleyTerrySql: String = {
+    val iters = (1 to 3).map { i =>
+      s"""t$i AS (SELECT p.a, p.b, (p.n * 1000000000000) // (ra.p + rb.p) AS t
+         |  FROM pairs p JOIN r${i - 1} ra ON p.a = ra.item
+         |  JOIN r${i - 1} rb ON p.b = rb.item),
+         |d$i AS (SELECT item, CAST(sum(t) AS BIGINT) AS d FROM
+         |  (SELECT a AS item, t FROM t$i UNION ALL SELECT b AS item, t FROM t$i)
+         |  GROUP BY 1),
+         |raw$i AS (SELECT wi.item, CASE WHEN d$i.d IS NULL
+         |      THEN CAST(1000000 AS BIGINT)
+         |      ELSE greatest((wi.wn * 1000000000000) // d$i.d, 1) END AS p0
+         |  FROM wi LEFT JOIN d$i ON wi.item = d$i.item),
+         |r$i AS (SELECT item, CAST((p0 * 1000000) //
+         |    greatest((SELECT CAST(sum(p0) AS BIGINT) FROM raw$i) //
+         |      (SELECT count(*) FROM items), 1) AS BIGINT) AS p
+         |  FROM raw$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ord AS (SELECT event_type, value,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS pt,
+       |    lag(value) OVER (PARTITION BY user_id
+       |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS pv
+       |  FROM events),
+       |comp AS (SELECT CASE WHEN value > pv THEN event_type ELSE pt END AS w,
+       |    CASE WHEN value > pv THEN pt ELSE event_type END AS l
+       |  FROM ord WHERE pt IS NOT NULL AND event_type <> pt AND value <> pv),
+       |wc AS (SELECT w, l, count(*) AS n FROM comp GROUP BY 1, 2),
+       |pairs AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+       |    CAST(sum(n) AS BIGINT) AS n FROM wc GROUP BY 1, 2),
+       |items AS (SELECT w AS item FROM wc UNION SELECT l FROM wc),
+       |wi AS (SELECT i.item, CAST(coalesce(s.wn, 0) AS BIGINT) AS wn
+       |  FROM items i LEFT JOIN (SELECT w AS item, sum(n) AS wn FROM wc
+       |    GROUP BY 1) s ON i.item = s.item),
+       |r0 AS (SELECT item, CAST(1000000 AS BIGINT) AS p FROM items),
+       |$iters,
+       |g AS (SELECT item, CAST(sum(n) AS BIGINT) AS games FROM
+       |  (SELECT a AS item, n FROM pairs UNION ALL SELECT b AS item, n FROM pairs)
+       |  GROUP BY 1)
+       |SELECT r3.item, r3.p AS rating_micro, wi.wn AS wins, g.games
+       |FROM r3 JOIN wi ON r3.item = wi.item JOIN g ON r3.item = g.item
+       |ORDER BY rating_micro DESC, r3.item""".stripMargin
+  }
+
   /** Shared q94/q94b oracle prelude: d = 2 ridge weights from the
    * train split's micro-exact sufficient statistics, solved by the SAME
    * Cramer expansions (same FP operation order) as Probe.fitRidge2 —
@@ -3897,6 +4013,73 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |SELECT node, CAST(r AS BIGINT) AS pr_micro,
          |  CAST(r AS DOUBLE) / 1e9 AS pr
          |FROM r3 ORDER BY node""".stripMargin,
+    "q180_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |      '#epoch2')), 1, 15)) AS BIGINT) AS key
+        |  FROM documents),
+        |s AS (SELECT doc_id, key, key % 8 AS shard FROM k)
+        |SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY key, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    "q181_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings)
+        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.v, c.v) /
+        |        (sqrt(list_dot_product(q.v, q.v)) *
+        |         sqrt(list_dot_product(c.v, c.v))) DESC,
+        |        c.vec_id) AS rank
+        |  FROM e q CROSS JOIN e c
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |    AND c.label IS NOT NULL AND q.label IS DISTINCT FROM c.label)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q182_bradley_terry" -> bradleyTerrySql,
+    "q183_label_consensus" ->
+      """WITH v AS (SELECT event_id % 500 AS item, user_id AS annotator,
+        |    event_type AS label FROM events
+        |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |c1 AS (SELECT item, label, count(*) AS s FROM v GROUP BY 1, 2),
+        |m AS (SELECT item, label AS majority_label FROM
+        |  (SELECT item, label, row_number() OVER (PARTITION BY item
+        |      ORDER BY s DESC, label) AS rk FROM c1) WHERE rk = 1),
+        |rel AS (SELECT annotator,
+        |    (CAST(sum(CASE WHEN label = majority_label THEN 1 ELSE 0 END)
+        |      AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS rel_ppm
+        |  FROM v JOIN m USING (item) GROUP BY 1),
+        |wcell AS (SELECT item, label, CAST(sum(rel_ppm) AS BIGINT) AS s
+        |  FROM v JOIN rel USING (annotator) GROUP BY 1, 2),
+        |f AS (SELECT item, label AS final_label,
+        |    CAST((s * 1000000) // greatest(wtot, 1) AS BIGINT) AS conf_ppm
+        |  FROM (SELECT item, label, s, row_number() OVER (PARTITION BY item
+        |      ORDER BY s DESC, label) AS rk,
+        |      CAST(sum(s) OVER (PARTITION BY item) AS BIGINT) AS wtot
+        |    FROM wcell) WHERE rk = 1),
+        |tv AS (SELECT item, count(*) AS votes_total FROM v GROUP BY 1)
+        |SELECT f.item, m.majority_label, f.final_label, f.conf_ppm,
+        |  tv.votes_total
+        |FROM f JOIN m USING (item) JOIN tv USING (item) ORDER BY item""".stripMargin,
+    "q184_rendezvous_shards" ->
+      """WITH cand AS (SELECT doc_id, unnest(range(0, 10)) AS s FROM documents),
+        |h AS (SELECT doc_id, s, CAST(concat('0x', substr(md5(concat(
+        |      CAST(doc_id AS VARCHAR), '#rv', CAST(s AS VARCHAR))), 1, 15))
+        |    AS BIGINT) AS hv
+        |  FROM cand),
+        |a8 AS (SELECT doc_id, s AS shard8 FROM (SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY hv DESC, s) AS rk
+        |  FROM h WHERE s < 8) WHERE rk = 1),
+        |a10 AS (SELECT doc_id, s AS shard10 FROM (SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY hv DESC, s) AS rk
+        |  FROM h) WHERE rk = 1)
+        |SELECT CAST(a8.shard8 AS BIGINT) AS shard8,
+        |  CAST(a10.shard10 AS BIGINT) AS shard10, count(*) AS n
+        |FROM a8 JOIN a10 USING (doc_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q177_label_prop" ->
       s"""WITH $hostLabelPropSql,
          |sz AS (SELECT lab, count(*) AS csize FROM l3 GROUP BY lab)

@@ -1,6 +1,6 @@
 package graft.data
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -459,6 +459,84 @@ object Corpus {
       concat(col(idCol).cast("string"), lit(s"#shard$seed")))
     docs.withColumn("shuffle_key", key)
       .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+  }
+
+  /**
+   * Deterministic EPOCH SHUFFLE — the scalable spelling of "globally
+   * shuffle the corpus before each training epoch": every `epoch` value
+   * induces an independent pseudo-random permutation, expressed as
+   * (shard, pos) so a data loader streams shard files in any order and
+   * rows within a shard in `pos` order. No global sort ever happens:
+   * shard is a pure hash of (id, epoch) — balanced in expectation, no
+   * range-boundary sampling whose boundaries would drift between runs —
+   * and `pos` is a rank WITHIN each shard (per-shard window, parallel
+   * across shards), so the widest single-task state is one shard, not
+   * the corpus. That is exactly the property a 100 TB epoch needs: the
+   * naive `ORDER BY rand()` is a corpus-wide total sort with a sampling
+   * pass, and seeded `rand()` itself is partition-order-dependent in
+   * any engine — this hash spelling is reproducible bit-for-bit across
+   * cluster sizes, retries, and engines.
+   *
+   * Writing the physical layout is one line downstream:
+   * `.repartition(col("shard")).sortWithinPartitions("shard", "pos")`
+   * + `partitionBy("shard")` on the writer.
+   *
+   * Ties on the 60-bit key break by id, so `pos` is total and stable.
+   * Returns the input columns + `(shard, pos)`.
+   */
+  def epochShuffle(docs: DataFrame, idCol: String, epoch: Long,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be > 0, got $nShards")
+    val key = TextFunctions.hash60(
+      concat(col(idCol).cast("string"), lit(s"#epoch$epoch")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__key"), col(idCol))
+    docs.withColumn("__key", key)
+      .withColumn("__shard", pmod(col("__key"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("shard", col("__shard"))
+      .drop("__key", "__shard")
+  }
+
+  /**
+   * RENDEZVOUS (highest-random-weight) sharding — the RESHARD-STABLE
+   * alternative to hash-mod: doc d lands on `argmax_s hash(d # s)`.
+   * Growing n → m shards moves only the docs whose new candidates win
+   * (expected (m−n)/m of the corpus), and every moved doc lands on a
+   * NEW shard — where `hash mod n` reassigns ~all docs on any n change.
+   * That is the difference between "copy 20% of 100 TB" and "rewrite
+   * 100 TB" when a shard store grows.
+   *
+   * Spelled as ONE map-only expression per row — `aggregate` over the
+   * candidate-shard sequence keeps the argmax inside the row (no
+   * explode: a 1000-shard corpus scan stays a corpus scan, not a
+   * 1000× row blow-up). The hash is deliberately INSIDE the lambda
+   * (it depends on the shard candidate); cost is nShards hashes/row,
+   * inherent to flat HRW. `portable = true` (default) uses the
+   * md5-prefix spelling the DuckDB oracles mirror; `portable = false`
+   * swaps in xxhash64 for production corpus scans. Ties (impossible at
+   * 60-bit width in practice) break toward the lower shard id.
+   *
+   * Returns the input + `shard`.
+   */
+  def rendezvousShard(docs: DataFrame, idCol: String, nShards: Int,
+      outCol: String = "shard", portable: Boolean = true): DataFrame = {
+    require(nShards > 0, s"nShards must be > 0, got $nShards")
+    val hashOf: Column => Column = s => {
+      val key = concat(col(idCol).cast("string"), lit("#rv"),
+        s.cast("string"))
+      if (portable) TextFunctions.hashPrefixComposable(key, 15)
+      else xxhash64(key)
+    }
+    val best = aggregate(
+      sequence(lit(0), lit(nShards - 1)),
+      struct(lit(Long.MinValue).as("h"), lit(-1).as("s")),
+      (acc, sh) => {
+        val h = hashOf(sh)
+        when(h > acc.getField("h"), struct(h.as("h"), sh.as("s")))
+          .otherwise(acc)
+      })
+    docs.withColumn(outCol, best.getField("s").cast("long"))
   }
 
   def snapshotDiff(

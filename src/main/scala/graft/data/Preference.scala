@@ -1,0 +1,203 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Preference-data operators for RLHF-style pipelines: turning a stream of
+ * pairwise human judgments into model/response rankings (Bradley-Terry),
+ * and aggregating noisy multi-annotator labels into consensus labels with
+ * annotator-reliability weighting.
+ *
+ * Everything is EXACT-integer arithmetic (micro-units / ppm) so the DuckDB
+ * oracles reproduce the states bit-for-bit — the same trick as
+ * [[Graph.pageRank]]: floor division is deterministic where float
+ * summation order is not.
+ *
+ * Scale shapes:
+ *  - the comparison/vote stream is only ever touched by map-side-combined
+ *    aggregations (one keyed shuffle each);
+ *  - the Bradley-Terry iteration runs on the PAIR-COUNT table
+ *    (≤ |items|² rows) and the |items|-row rating table — corpus size
+ *    never enters the loop;
+ *  - consensus windows run over (item, label) count CELLS, never raw
+ *    votes.
+ */
+object Preference {
+
+  /** Directed win counts from a pairwise-comparison stream: one row per
+   * (winner, loser) with the number of times that direction was observed.
+   * Self-pairs and null items are dropped. One map-side-combined shuffle. */
+  def winCounts(comparisons: DataFrame, winnerCol: String,
+      loserCol: String): DataFrame =
+    comparisons
+      .select(col(winnerCol).as("winner"), col(loserCol).as("loser"))
+      .filter(col("winner").isNotNull && col("loser").isNotNull &&
+        col("winner") =!= col("loser"))
+      .groupBy(col("winner"), col("loser"))
+      .agg(count(lit(1)).as("n"))
+
+  /**
+   * Bradley-Terry strength ratings from pairwise comparisons, fit with
+   * `iters` rounds of Hunter (2004)'s minorization-maximization update:
+   *
+   *   p_i ← W_i / Σ_{j≠i} n_ij / (p_i + p_j)
+   *
+   * followed by a mean-1 renormalization each round, all in exact long
+   * micro-units (1e6 = strength 1.0):
+   *
+   *   t_ij  = (n_ij · 10^12) div (p_i + p_j)   — the pair term × 1e6
+   *   p'_i  = max((W_i · 10^12) div Σ_j t_ij, 1)
+   *   p''_i = (p'_i · 10^6) div max(Σ p' div |items|, 1)
+   *
+   * The floor at 1 keeps never-winning items from hitting exact zero
+   * (which would make a later (p_i + p_j) division undefined); the
+   * renormalization pins the scale BT leaves free, bounding the integers.
+   * Long headroom: n_ij and W_i up to ~10^6 comparisons keep every
+   * product under 10^18.
+   *
+   * Scale: the update joins the ≤|items|² pair-count table with the
+   * |items|-row rating table — comparison-stream size only enters the one
+   * [[winCounts]] aggregation up front. The rating table is
+   * localCheckpoint'd per round (it is read three times per update:
+   * both pair sides + the normalization total), the iterative-lineage
+   * rule from pageRank. The normalization total rides a 1-row lazy
+   * aggregate cross-joined back (broadcast), never a driver collect.
+   *
+   * Returns (item, rating_micro, wins, games) — rating_micro descending
+   * is the ranking.
+   */
+  def bradleyTerry(comparisons: DataFrame, winnerCol: String,
+      loserCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val wins = winCounts(comparisons, winnerCol, loserCol).cache()
+    // unordered pair table: a < b, games n = both directions summed
+    val pairs = wins
+      .select(least(col("winner"), col("loser")).as("a"),
+        greatest(col("winner"), col("loser")).as("b"),
+        col("n"))
+      .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
+      .cache()
+    val items = wins.select(col("winner").as("item"))
+      .union(wins.select(col("loser").as("item"))).distinct().cache()
+    try {
+      val nItems = items.count()
+      require(nItems > 0, "bradleyTerry on an empty comparison stream")
+      val w = items.join(
+          wins.groupBy(col("winner").as("item")).agg(sum(col("n")).as("w")),
+          Seq("item"), "left")
+        .select(col("item"), coalesce(col("w"), lit(0L)).as("w"))
+      var r = items.withColumn("p", lit(1000000L))
+      for (_ <- 1 to iters) {
+        val terms = pairs
+          .join(r.select(col("item").as("a"), col("p").as("pa")), Seq("a"))
+          .join(r.select(col("item").as("b"), col("p").as("pb")), Seq("b"))
+          .withColumn("t", expr("(n * 1000000000000L) div (pa + pb)"))
+        val denom = terms.select(col("a").as("item"), col("t"))
+          .union(terms.select(col("b").as("item"), col("t")))
+          .groupBy(col("item")).agg(sum(col("t")).as("d"))
+        // every item has >= 1 pair by construction; the null arm is a
+        // belt-and-braces identity for a disconnected future caller
+        val raw = w.join(denom, Seq("item"), "left")
+          .select(col("item"),
+            when(col("d").isNull, lit(1000000L))
+              .otherwise(greatest(expr("(w * 1000000000000L) div d"), lit(1L)))
+              .as("p0"))
+        val total = raw.agg(sum(col("p0")).as("tot"))
+        r = raw.crossJoin(total)
+          .select(col("item"),
+            expr(s"(p0 * 1000000L) div greatest(tot div ${nItems}L, 1L)")
+              .as("p"))
+          .localCheckpoint()
+      }
+      r.join(w, Seq("item"))
+        .join(
+          pairs.select(col("a").as("item"), col("n"))
+            .union(pairs.select(col("b").as("item"), col("n")))
+            .groupBy(col("item")).agg(sum(col("n")).as("games")),
+          Seq("item"))
+        .select(col("item"), col("p").as("rating_micro"),
+          col("w").as("wins"), col("games"))
+    } finally { wins.unpersist(); pairs.unpersist(); items.unpersist() }
+  }
+
+  /** Per-(item, label) vote counts — the cell table every consensus
+   * window runs over (never raw votes). Null items/labels dropped. */
+  private def cells(votes: DataFrame, itemCol: String, labelCol: String,
+      weight: Column): DataFrame =
+    votes
+      .filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("item"), col(labelCol).as("label"))
+      .agg(sum(weight).as("s"))
+
+  /**
+   * Majority-vote label per item: the label with the most votes, ties
+   * broken by label ascending (deterministic). The rank window runs over
+   * the (item, label) COUNT cells (≤ |labels| rows per item), not votes.
+   * Returns (item, label, votes_for, votes_total).
+   */
+  def majorityVote(votes: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val c = cells(votes, itemCol, labelCol, lit(1L))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("item"))
+    c.withColumn("rk", row_number().over(
+        w.orderBy(col("s").desc, col("label"))))
+      .withColumn("tot", sum(col("s")).over(w))
+      .filter(col("rk") === 1)
+      .select(col("item"), col("label"), col("s").as("votes_for"),
+        col("tot").as("votes_total"))
+  }
+
+  /**
+   * Reliability-weighted consensus (one Dawid-Skene-style reweighting
+   * round, kept exact-integer):
+   *
+   *  1. round-1 majority label per item ([[majorityVote]]);
+   *  2. annotator reliability = ppm of their votes agreeing with their
+   *     item's round-1 majority: `rel = (agree · 10^6) div total`;
+   *  3. re-vote with each vote weighted by its annotator's reliability;
+   *     final label = argmax weight sum (ties by label asc), confidence =
+   *     ppm share of the item's total vote weight.
+   *
+   * An annotator who mostly disagrees with majorities is down-weighted in
+   * the second round — the standard crowd-labeling cleanup. Returns one
+   * row per item: (item, majority_label, final_label, conf_ppm,
+   * votes_total).
+   *
+   * Scale: two vote-stream aggregations (cells + per-annotator agreement,
+   * both map-side combined) and one vote-stream join against the |items|-
+   * row majority table; every window runs over weight CELLS.
+   */
+  def weightedConsensus(votes: DataFrame, itemCol: String,
+      annotatorCol: String, labelCol: String): DataFrame = {
+    val v = votes
+      .filter(col(itemCol).isNotNull && col(labelCol).isNotNull &&
+        col(annotatorCol).isNotNull)
+      .select(col(itemCol).as("item"), col(annotatorCol).as("annotator"),
+        col(labelCol).as("label"))
+    val maj = majorityVote(v, "item", "label")
+      .select(col("item"), col("label").as("majority_label"))
+    val rel = v.join(maj, Seq("item"))
+      .groupBy(col("annotator"))
+      .agg(sum(when(col("label") === col("majority_label"), 1L)
+          .otherwise(0L)).as("agree"),
+        count(lit(1)).as("total"))
+      .select(col("annotator"),
+        expr("(agree * 1000000L) div total").as("rel_ppm"))
+    val weighted = cells(v.join(rel, Seq("annotator")), "item", "label",
+      col("rel_ppm"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("item"))
+    weighted
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("s").desc, col("label"))))
+      .withColumn("wtot", sum(col("s")).over(w))
+      .filter(col("rk") === 1)
+      .select(col("item"), col("label").as("final_label"),
+        expr("(s * 1000000L) div greatest(wtot, 1L)").as("conf_ppm"))
+      .join(maj, Seq("item"))
+      .join(v.groupBy(col("item")).agg(count(lit(1)).as("votes_total")),
+        Seq("item"))
+      .select(col("item"), col("majority_label"), col("final_label"),
+        col("conf_ppm"), col("votes_total"))
+  }
+}

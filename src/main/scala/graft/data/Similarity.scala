@@ -173,6 +173,53 @@ object Similarity {
   }
 
   /**
+   * HARD-NEGATIVE MINING for contrastive / retrieval training
+   * (Karpukhin et al. 2020's DPR recipe): for every anchor, the `k`
+   * most cosine-similar corpus items whose LABEL DIFFERS — the
+   * "close but wrong" pairs that carry the gradient signal random
+   * negatives don't. Same scored-candidate machinery as
+   * [[bruteForceTopK]] with the different-label predicate placed
+   * BELOW the rank window, so rank counts negatives only (an anchor
+   * surrounded by its own class still yields k true negatives, not a
+   * truncated list). NULL-labeled corpus rows are excluded — an
+   * unknown label can't be certified a negative.
+   *
+   * Serving shape (`broadcastAnchors = true`): anchor batch broadcasts,
+   * corpus never shuffles. Corpus-vs-corpus mining passes `false` —
+   * the same shuffle-replicate big-batch plan as the retrieval tiers;
+   * at real scale swap this brute-force candidate arm for the IVF/LSH
+   * candidate stream and keep everything downstream unchanged.
+   *
+   * Returns `(query_id, rank, neighbor_id, sim)` with `rank ∈ [1, k]`.
+   */
+  def hardNegatives(
+      anchors: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      broadcastAnchors: Boolean = true): DataFrame = {
+    val q = anchors.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("q_n"),
+      col(labelCol).as("q_label"))
+    val c = repartitioned(corpus).select(col(idCol).as("c_id"),
+      col(vecCol).as("c_v"),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("c_n"),
+      col(labelCol).as("c_label"))
+    val rank = row_number().over(
+      Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id")))
+    crossQ(q, c, broadcastAnchors)
+      .filter(col("q_id") =!= col("c_id") &&
+        col("c_label").isNotNull && !(col("q_label") <=> col("c_label")))
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        simCol("q_", "c_").as("sim"))
+      .withColumn("rank", rank)
+      .filter(col("rank") <= k)
+  }
+
+  /**
    * ANN top-k: candidates restricted to the query's LSH bucket. Same
    * output shape as [[bruteForceTopK]]; recall < 1 by construction.
    *

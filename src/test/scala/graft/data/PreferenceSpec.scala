@@ -1,0 +1,140 @@
+package graft.data
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("winCounts aggregates directions separately, drops self/null pairs") {
+    val comp = Seq(
+      ("a", "b"), ("a", "b"), ("b", "a"), ("a", "c"),
+      ("c", "c"),                    // self: dropped
+      (null.asInstanceOf[String], "b") // null: dropped
+    ).toDF("w", "l")
+    val got = Preference.winCounts(comp, "w", "l")
+      .orderBy($"winner", $"loser")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "a", 1L)))
+  }
+
+  test("bradleyTerry matches a scalar reference of the same integer MM") {
+    // a beats b 3:1, b beats c 3:1, a beats c 2:0 — transitive chain
+    val comp = (Seq.fill(3)(("a", "b")) ++ Seq(("b", "a")) ++
+      Seq.fill(3)(("b", "c")) ++ Seq(("c", "b")) ++
+      Seq.fill(2)(("a", "c"))).toDF("w", "l")
+    val got = Preference.bradleyTerry(comp, "w", "l", iters = 3)
+      .orderBy($"item")
+      .select($"item", $"rating_micro", $"wins", $"games")
+      .as[(String, Long, Long, Long)].collect().toSeq
+
+    // scalar mirror of the documented update (same floor divisions)
+    val items = Seq("a", "b", "c")
+    val pairs = Map(("a", "b") -> 4L, ("b", "c") -> 4L, ("a", "c") -> 2L)
+    val wins = Map("a" -> 5L, "b" -> 4L, "c" -> 1L)
+    var p = items.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val t = pairs.map { case ((x, y), n) =>
+        (x, y) -> (n * 1000000000000L) / (p(x) + p(y)) }
+      val d = items.map { i =>
+        i -> t.collect { case ((x, y), v) if x == i || y == i => v }.sum
+      }.toMap
+      val raw = items.map { i =>
+        i -> math.max((wins(i) * 1000000000000L) / d(i), 1L) }.toMap
+      val tot = raw.values.sum
+      p = raw.map { case (i, v) =>
+        i -> (v * 1000000L) / math.max(tot / items.size, 1L) }
+    }
+    val expect = items.map(i =>
+      (i, p(i), wins(i), pairs.collect {
+        case ((x, y), n) if x == i || y == i => n }.sum))
+    assert(got == expect, s"got=$got expect=$expect")
+    // ranking respects the win chain
+    val byRating = got.sortBy(-_._2).map(_._1)
+    assert(byRating == Seq("a", "b", "c"))
+  }
+
+  test("bradleyTerry is partition-order invariant") {
+    val comp = (0 until 200).map { i =>
+      (s"m${i % 5}", s"m${(i * 3 + 1) % 5}")
+    }.filter(p => p._1 != p._2).toDF("w", "l")
+    val a = Preference.bradleyTerry(comp, "w", "l")
+      .orderBy($"item").collect().toSeq
+    val b = Preference.bradleyTerry(comp.repartition(13), "w", "l")
+      .orderBy($"item").collect().toSeq
+    assert(a == b)
+  }
+
+  test("majorityVote picks the modal label, ties to the smaller label") {
+    val votes = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"),          // x wins 2:1
+      (2L, "y"), (2L, "z"),                      // tie: y < z
+      (3L, "z")
+    ).toDF("item", "label")
+    val got = Preference.majorityVote(votes, "item", "label")
+      .orderBy($"item")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, "x", 2L, 3L), (2L, "y", 1L, 2L), (3L, "z", 1L, 1L)))
+  }
+
+  test("weightedConsensus down-weights a contrarian annotator") {
+    // items 1..4: annotators g1/g2 always agree (label "t"), spammer
+    // always says "s". Round 1 majorities are all "t" (2:1), so the
+    // spammer's reliability is 0 ppm and the revote is unanimous.
+    val votes = (1L to 4L).flatMap(i => Seq(
+      (i, "g1", "t"), (i, "g2", "t"), (i, "spam", "s"))).toDF("item", "ann", "lab")
+    val got = Preference.weightedConsensus(votes, "item", "ann", "lab")
+      .orderBy($"item")
+      .select($"item", $"majority_label", $"final_label", $"conf_ppm")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == (1L to 4L).map(i => (i, "t", "t", 1000000L)))
+  }
+
+  test("weightedConsensus can flip an item the raw majority got wrong") {
+    // 10 calibration items where g1/g2/g3 vote "t" and s1/s2 vote "s":
+    // reliabilities g=1.0, s≈0.09 (they agree only on item 99).
+    // item 99: s1, s2, g1 vote "s"-"s"-"t"... make raw majority "s"
+    // (2:1) but weighted flips to "t" since spammers carry ~0 weight.
+    val calib = (1L to 10L).flatMap(i => Seq(
+      (i, "g1", "t"), (i, "g2", "t"), (i, "g3", "t"),
+      (i, "s1", "s"), (i, "s2", "s")))
+    val probe = Seq((99L, "s1", "s"), (99L, "s2", "s"), (99L, "g1", "t"))
+    val votes = (calib ++ probe).toDF("item", "ann", "lab")
+    val got = Preference.weightedConsensus(votes, "item", "ann", "lab")
+      .filter($"item" === 99L)
+      .select($"majority_label", $"final_label")
+      .as[(String, String)].head()
+    assert(got == ("s", "t"), got.toString)
+  }
+
+  test("rendezvousShard: adding shards only moves docs TO the new shards") {
+    val docs = spark.range(2000).select($"id".as("doc_id"))
+    val d = Corpus.rendezvousShard(
+      Corpus.rendezvousShard(docs, "doc_id", 8, outCol = "s8"),
+      "doc_id", 10, outCol = "s10").cache()
+    val moved = d.filter($"s8" =!= $"s10")
+    // HRW invariant: a changed argmax means a NEW candidate won
+    assert(moved.filter($"s10" < 8).count() == 0)
+    // expected movement is 2/10 of the corpus; allow a generous band
+    val m = moved.count()
+    assert(m > 200 && m < 600, s"moved $m of 2000")
+    // stability beats hash-mod, which moves ~90% on 8 -> 10
+    val hm = docs
+      .withColumn("m8", pmod(TextFunctions.hash60($"doc_id".cast("string")), lit(8L)))
+      .withColumn("m10", pmod(TextFunctions.hash60($"doc_id".cast("string")), lit(10L)))
+      .filter($"m8" =!= $"m10").count()
+    assert(m < hm / 2, s"HRW moved $m, hash-mod moved $hm")
+    d.unpersist()
+  }
+
+  test("rendezvousShard portable and xxhash64 tiers are both balanced") {
+    val docs = spark.range(4000).select($"id".as("doc_id"))
+    for (portable <- Seq(true, false)) {
+      val counts = Corpus.rendezvousShard(docs, "doc_id", 8, portable = portable)
+        .groupBy($"shard").count().select($"count").as[Long].collect()
+      assert(counts.length == 8)
+      assert(counts.min > 300 && counts.max < 700,
+        s"portable=$portable counts=${counts.mkString(",")}")
+    }
+  }
+}
