@@ -110,6 +110,9 @@ object Preference {
               .as("p"))
           .localCheckpoint()
       }
+      // materialize the |items|-row result WHILE the wins/pairs caches
+      // are warm — the finally below releases them, and a lazy return
+      // would re-derive the whole comparison aggregation on first use
       r.join(w, Seq("item"))
         .join(
           pairs.select(col("a").as("item"), col("n"))
@@ -118,6 +121,7 @@ object Preference {
           Seq("item"))
         .select(col("item"), col("p").as("rating_micro"),
           col("w").as("wins"), col("games"))
+        .localCheckpoint()
     } finally { wins.unpersist(); pairs.unpersist(); items.unpersist() }
   }
 

@@ -511,4 +511,67 @@ class PlanSpec extends SparkSpec {
     assert(joinAt >= 0, p.take(2000))
     assert(!p.substring(0, joinAt).contains("content"), p.take(2000))
   }
+
+  test("epochShuffle: per-shard hash windows, never a global range sort") {
+    val docs = spark.range(500).select($"id".as("doc_id"))
+    val p = plan(Corpus.epochShuffle(docs, "doc_id", epoch = 1L, nShards = 8))
+    // the permutation must be expressed as shard-keyed windows
+    // (hashpartitioning exchange), not the ORDER BY rand() shape —
+    // a range-partitioned total sort with a boundary-sampling pass
+    assert(!p.contains("rangepartitioning"), p.take(2000))
+    assert(p.contains("Window") && p.contains("hashpartitioning"),
+      p.take(2000))
+  }
+
+  test("rendezvousShard is map-only: no exchange, join, or explode") {
+    val docs = spark.range(500).select($"id".as("doc_id"))
+    for (portable <- Seq(true, false)) {
+      val p = plan(Corpus.rendezvousShard(docs, "doc_id", 16,
+        portable = portable))
+      // the HRW argmax lives inside one row-local aggregate expression:
+      // a 1000-shard assignment must stay a corpus scan, never a
+      // candidate explode (Generate) or a shard-table join
+      assert(!p.contains("Exchange") && !p.contains("Join") &&
+        !p.contains("Generate"), s"portable=$portable: ${p.take(2000)}")
+    }
+  }
+
+  test("hardNegatives big-batch plan never broadcasts the corpus side") {
+    val rows = (0L until 60L).map(i =>
+      (i, Array(math.sin(i * 0.7), math.cos(i * 1.3)), i % 3)).toDF("id", "v", "lab")
+    withNoAutoBroadcast {
+      val p = plan(Similarity.hardNegatives(rows, rows, "id", "v", "lab",
+        k = 5, broadcastAnchors = false))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    }
+  }
+
+  test("weightedConsensus: every argmax window sits above a vote aggregate") {
+    val votes = (0 until 900).map(i =>
+      (i % 30, s"a${i % 7}", s"l${i % 4}")).toDF("item", "ann", "lab")
+    val plan = Preference.weightedConsensus(votes, "item", "ann", "lab")
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty)
+    // a 10^9-vote item must cost |labels| window rows, not 10^9: both
+    // rank windows run over the (item, label) count/weight CELL table
+    windows.foreach { w =>
+      val aggsBelow = w.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+      assert(aggsBelow.nonEmpty, w.toString.take(1000))
+    }
+  }
+
+  test("bradleyTerry returns a checkpointed result: no comparison re-derivation") {
+    val comp = (0 until 100).map(i => (s"m${i % 4}", s"m${(i + 1) % 4}"))
+      .filter(p => p._1 != p._2).toDF("w", "l")
+    val out = Preference.bradleyTerry(comp, "w", "l", iters = 2)
+    // the iterations and final joins ran inside the call while the
+    // win-count caches were warm; consuming the returned frame must not
+    // re-aggregate the comparison stream (its plan is a checkpoint scan)
+    val p = plan(out)
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"), p.take(2000))
+    assert(!p.contains("Aggregate") && !p.contains("HashAggregate"), p.take(2000))
+  }
 }
