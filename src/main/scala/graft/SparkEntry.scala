@@ -35,6 +35,27 @@ object SparkEntry {
     }
   }
 
+  /** Pairwise preference stream for q182/q186: consecutive same-user
+   * events compared, higher `value` wins; ties and same-type pairs
+   * dropped. Second-grain ordering + event_id tie-break (the nanos→
+   * micros normalization must not create ties DuckDB's nano order
+   * lacks). `first` is the earlier-presented side. */
+  private def eventComparisons(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    events(s, dir)
+      .withColumn("ts_s", col("ts").cast("long"))
+      .withColumn("pt", lag(col("event_type"), 1).over(w))
+      .withColumn("pv", lag(col("value"), 1).over(w))
+      .filter(col("pt").isNotNull && col("event_type") =!= col("pt") &&
+        col("value") =!= col("pv"))
+      .select(col("pt").as("first"), col("event_type").as("second"),
+        when(col("value") > col("pv"), col("event_type"))
+          .otherwise(col("pt")).as("winner"),
+        when(col("value") > col("pv"), col("pt"))
+          .otherwise(col("event_type")).as("loser"))
+  }
+
   /** Synthetic crawl page for the link-graph queries (q163/q163b/q164):
    * deterministic doc_id arithmetic fans links across an absolute
    * cross-host target, a protocol-relative CDN host, a relative local
@@ -1201,22 +1222,8 @@ object SparkEntry {
     // MM rounds on the pair-count table — the RLHF reward-data ranking
     "q182_bradley_terry" -> ((s, dir) => {
       import graft.data.Preference
-      // second-grain ordering + event_id tie-break: the nanos→micros
-      // normalization must not create ties DuckDB's nano order lacks
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
-      val comp = events(s, dir)
-        .withColumn("ts_s", col("ts").cast("long"))
-        .withColumn("pt", lag(col("event_type"), 1).over(w))
-        .withColumn("pv", lag(col("value"), 1).over(w))
-        .filter(col("pt").isNotNull && col("event_type") =!= col("pt") &&
-          col("value") =!= col("pv"))
-        .select(
-          when(col("value") > col("pv"), col("event_type"))
-            .otherwise(col("pt")).as("winner"),
-          when(col("value") > col("pv"), col("pt"))
-            .otherwise(col("event_type")).as("loser"))
-      Preference.bradleyTerry(comp, "winner", "loser", iters = 3)
+      Preference.bradleyTerry(eventComparisons(s, dir), "winner", "loser",
+          iters = 3)
         .orderBy(col("rating_micro").desc, col("item"))
     }),
     // noisy-label consensus: majority vote, annotator reliability (ppm
@@ -1241,6 +1248,22 @@ object SparkEntry {
         "doc_id", 10, outCol = "shard10")
       d.groupBy(col("shard8"), col("shard10")).agg(count(lit(1)).as("n"))
         .orderBy(col("shard8"), col("shard10"))
+    }),
+    // inter-annotator agreement: Fleiss' kappa (variable raters) in
+    // exact ppm — the "are these labels better than chance" gate
+    "q185_agreement" -> ((s, dir) => {
+      import graft.data.Preference
+      val votes = events(s, dir).select(
+        (col("event_id") % 500).as("item"), col("event_type").as("label"))
+      Preference.agreementPanel(votes, "item", "label")
+    }),
+    // order-bias audit over the q182 preference stream: per unordered
+    // pair, ppm of comparisons won by the SECOND-presented side
+    "q186_order_bias" -> ((s, dir) => {
+      import graft.data.Preference
+      Preference.orderBias(eventComparisons(s, dir), "first", "second",
+          "winner")
+        .orderBy(col("a"), col("b"))
     }),
     // LAION-shape image-caption pair gate: real PNG decode -> dHash ->
     // 64-dim surrogate embedding vs the caption's hash embedding, one
@@ -4080,6 +4103,45 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
         |SELECT CAST(a8.shard8 AS BIGINT) AS shard8,
         |  CAST(a10.shard10 AS BIGINT) AS shard10, count(*) AS n
         |FROM a8 JOIN a10 USING (doc_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q185_agreement" ->
+      """WITH v AS (SELECT event_id % 500 AS item, event_type AS label
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (SELECT item, label, count(*) AS s FROM v GROUP BY 1, 2),
+        |ist AS (SELECT item, CAST(sum(s) AS BIGINT) AS n,
+        |    CAST(sum(s * (s - 1)) AS BIGINT) AS ap
+        |  FROM c GROUP BY 1 HAVING sum(s) >= 2),
+        |po AS (SELECT count(*) AS n_items,
+        |    CAST(sum((ap * 1000000) // (n * (n - 1))) // count(*) AS BIGINT)
+        |      AS po_ppm
+        |  FROM ist),
+        |lt AS (SELECT c.label, CAST(sum(c.s) AS BIGINT) AS sc
+        |  FROM c JOIN ist ON c.item = ist.item GROUP BY 1),
+        |tot AS (SELECT CAST(sum(sc) AS BIGINT) AS v FROM lt),
+        |pe AS (SELECT tot.v AS n_votes,
+        |    CAST(sum(((sc * 1000000) // tot.v) * ((sc * 1000000) // tot.v))
+        |      // 1000000 AS BIGINT) AS pe_ppm
+        |  FROM lt, tot GROUP BY tot.v)
+        |SELECT po.n_items, pe.n_votes, po.po_ppm, pe.pe_ppm,
+        |  CAST(((po.po_ppm - pe.pe_ppm) * 1000000) // (1000000 - pe.pe_ppm)
+        |    AS BIGINT) AS kappa_ppm
+        |FROM po, pe""".stripMargin,
+    "q186_order_bias" ->
+      """WITH ord AS (SELECT event_type, value,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS pt,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS pv
+        |  FROM events),
+        |comp AS (SELECT pt AS f, event_type AS sec,
+        |    CASE WHEN value > pv THEN event_type ELSE pt END AS w
+        |  FROM ord WHERE pt IS NOT NULL AND event_type <> pt AND value <> pv)
+        |SELECT least(f, sec) AS a, greatest(f, sec) AS b, count(*) AS n,
+        |  CAST(sum(CASE WHEN w = sec THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS second_wins,
+        |  (CAST(sum(CASE WHEN w = sec THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // count(*) AS second_win_ppm
+        |FROM comp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q177_label_prop" ->
       s"""WITH $hostLabelPropSql,
          |sz AS (SELECT lab, count(*) AS csize FROM l3 GROUP BY lab)

@@ -153,6 +153,82 @@ object Preference {
   }
 
   /**
+   * Inter-annotator agreement — Fleiss' kappa generalized to variable
+   * raters per item, in exact ppm integers:
+   *
+   *   Po = mean_i [ Σ_c x_ic·(x_ic − 1) / (n_i·(n_i − 1)) ]   (items with n_i ≥ 2)
+   *   Pe = Σ_c p_c²  with  p_c = votes(c) / votes(total)
+   *   κ  = (Po − Pe) / (1 − Pe)
+   *
+   * spelled  po_i = Σ_c x_ic(x_ic−1)·10^6 div (n_i(n_i−1)),
+   * Po = Σ po_i div m,  p_c in ppm,  Pe = Σ p_c² div 10^6,
+   * κ_ppm = (Po − Pe)·10^6 div (10^6 − Pe)  — every division floored,
+   * so the DuckDB oracle reproduces the panel bit-for-bit. A κ near 0
+   * means the annotator pool agrees no better than chance — the
+   * stop-the-line signal before training on the labels.
+   *
+   * Scale: one map-combined (item, label) count aggregation; everything
+   * after runs on count cells. Returns one row:
+   * (n_items, n_votes, po_ppm, pe_ppm, kappa_ppm).
+   */
+  def agreementPanel(votes: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val c = cells(votes, itemCol, labelCol, lit(1L)).cache()
+    try {
+      // single-vote items carry no agreement evidence: excluded from Po
+      // AND from the Pe label marginals (one population for both terms)
+      val itemStats = c.groupBy(col("item"))
+        .agg(sum(col("s")).as("n"),
+          sum(expr("s * (s - 1)")).as("agreePairs"))
+        .filter(col("n") >= 2)
+      val po = itemStats
+        .select(expr("(agreePairs * 1000000L) div (n * (n - 1))").as("po_i"))
+        .agg(count(lit(1)).as("n_items"),
+          expr("sum(po_i) div count(1)").as("po_ppm"))
+      val eligCells = c.join(itemStats.select(col("item")), Seq("item"),
+        "left_semi")
+      val labelTotals = eligCells.groupBy(col("label"))
+        .agg(sum(col("s")).as("sc"))
+      val pe = labelTotals
+        .crossJoin(labelTotals.agg(sum(col("sc")).as("v")))
+        .groupBy(col("v"))
+        .agg(sum(expr("((sc * 1000000L) div v) * ((sc * 1000000L) div v)"))
+          .as("pe2"))
+        .select(col("v").as("n_votes"),
+          expr("pe2 div 1000000L").as("pe_ppm"))
+      po.crossJoin(pe)
+        .select(col("n_items"), col("n_votes"), col("po_ppm"), col("pe_ppm"),
+          expr("((po_ppm - pe_ppm) * 1000000L) div (1000000L - pe_ppm)")
+            .as("kappa_ppm"))
+    } finally { c.unpersist() }
+  }
+
+  /**
+   * Order-bias audit for pairwise preference data: per unordered item
+   * pair, how often the SECOND-presented side won. A stream where
+   * `second_win_ppm` sits far from 500000 across pairs is position-
+   * biased (lazy raters click the last thing they read) — the standard
+   * pre-flight before fitting [[bradleyTerry]] on human judgments.
+   * One map-combined aggregation over the comparison stream.
+   * Returns (a, b, n, second_wins, second_win_ppm) with a < b.
+   */
+  def orderBias(comparisons: DataFrame, firstCol: String,
+      secondCol: String, winnerCol: String): DataFrame =
+    comparisons
+      .filter(col(firstCol).isNotNull && col(secondCol).isNotNull &&
+        col(firstCol) =!= col(secondCol) &&
+        (col(winnerCol) === col(firstCol) ||
+          col(winnerCol) === col(secondCol)))
+      .select(least(col(firstCol), col(secondCol)).as("a"),
+        greatest(col(firstCol), col(secondCol)).as("b"),
+        when(col(winnerCol) === col(secondCol), 1L).otherwise(0L)
+          .as("sw"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("sw")).as("second_wins"))
+      .select(col("a"), col("b"), col("n"), col("second_wins"),
+        expr("(second_wins * 1000000L) div n").as("second_win_ppm"))
+
+  /**
    * Reliability-weighted consensus (one Dawid-Skene-style reweighting
    * round, kept exact-integer):
    *

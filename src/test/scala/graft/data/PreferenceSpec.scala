@@ -107,6 +107,55 @@ class PreferenceSpec extends SparkSpec {
     assert(got == ("s", "t"), got.toString)
   }
 
+  test("agreementPanel: unanimous items give kappa = 1e6 exactly") {
+    // two unanimous items per label; label marginals 50/50 so Pe = 0.5
+    val votes = Seq(
+      (1L, "x"), (1L, "x"), (1L, "x"), (2L, "x"), (2L, "x"), (2L, "x"),
+      (3L, "y"), (3L, "y"), (3L, "y"), (4L, "y"), (4L, "y"), (4L, "y"),
+      (9L, "z") // single-vote item: excluded from BOTH Po and Pe
+    ).toDF("item", "lab")
+    val got = Preference.agreementPanel(votes, "item", "lab")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == ((4L, 12L, 1000000L, 500000L, 1000000L)), got.toString)
+  }
+
+  test("agreementPanel matches a scalar mirror of the integer spelling") {
+    val raw = (0 until 120).map(i => ((i % 10).toLong, s"l${(i * 7 + i / 10) % 3}"))
+    val got = Preference.agreementPanel(raw.toDF("item", "lab"), "item", "lab")
+      .as[(Long, Long, Long, Long, Long)].head()
+
+    val byItem = raw.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val elig = byItem.filter(_._2.size >= 2)
+    val poI = elig.values.map { labs =>
+      val n = labs.size.toLong
+      val ap = labs.groupBy(identity).values
+        .map(g => g.size.toLong * (g.size - 1)).sum
+      (ap * 1000000L) / (n * (n - 1))
+    }
+    val poPpm = poI.sum / elig.size
+    val marg = elig.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val v = marg.values.sum
+    val pePpm = marg.values.map(s => { val p = s * 1000000L / v; p * p }).sum / 1000000L
+    val kappa = (poPpm - pePpm) * 1000000L / (1000000L - pePpm)
+    assert(got == ((elig.size.toLong, v, poPpm, pePpm, kappa)),
+      s"got=$got expect=(${elig.size},$v,$poPpm,$pePpm,$kappa)")
+  }
+
+  test("orderBias counts second-presented wins per unordered pair") {
+    val comp = Seq(
+      ("a", "b", "b"), ("a", "b", "a"), ("b", "a", "a"),
+      ("a", "c", "c"), ("a", "c", "c")
+    ).toDF("f", "s", "w")
+    val got = Preference.orderBias(comp, "f", "s", "w")
+      .orderBy($"a", $"b")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // (a,b): seconds are b,b,a; winners b,a,a -> second won rows 1 and 3
+    assert(got == Seq(
+      ("a", "b", 3L, 2L, 666666L),
+      ("a", "c", 2L, 2L, 1000000L)))
+  }
+
   test("rendezvousShard: adding shards only moves docs TO the new shards") {
     val docs = spark.range(2000).select($"id".as("doc_id"))
     val d = Corpus.rendezvousShard(
