@@ -68,9 +68,18 @@ object Preference {
    * is the ranking.
    */
   def bradleyTerry(comparisons: DataFrame, winnerCol: String,
-      loserCol: String, iters: Int = 3): DataFrame = {
+      loserCol: String, iters: Int = 3): DataFrame =
+    bradleyTerryFromCounts(winCounts(comparisons, winnerCol, loserCol), iters)
+
+  /** [[bradleyTerry]] starting from a (winner, loser, n) win-count table
+   * — the refit entry point for stores maintained incrementally (the
+   * streaming ingest merges counts; counts are sufficient statistics for
+   * the MM update, so refit-from-store == fit-from-all-judgments). */
+  def bradleyTerryFromCounts(winCountTable: DataFrame,
+      iters: Int = 3): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val wins = winCounts(comparisons, winnerCol, loserCol).cache()
+    val wins = winCountTable
+      .select(col("winner"), col("loser"), col("n")).cache()
     // unordered pair table: a < b, games n = both directions summed
     val pairs = wins
       .select(least(col("winner"), col("loser")).as("a"),

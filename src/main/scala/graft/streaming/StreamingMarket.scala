@@ -938,6 +938,50 @@ object StreamingMarket {
     }
   }
 
+  /**
+   * Streaming PREFERENCE ingest — the continuous form of
+   * [[graft.data.Preference.bradleyTerry]]: each micro-batch's
+   * (winner, loser) judgments aggregate to directed win counts (one
+   * map-combined shuffle over the batch) and merge into a versioned
+   * win-count store (union + re-sum). Win counts are SUFFICIENT
+   * STATISTICS for the Bradley-Terry MM update, so the per-batch refit
+   * from the published store is IDENTICAL to a batch fit over every
+   * judgment ever streamed (spec-pinned) — the judgment stream itself
+   * is never retained. The store is ≤ |items|² rows forever; each
+   * publish rewrites pair counts, never judgments. `sink` receives the
+   * refit ratings, the batch id, and the published store version.
+   */
+  def preferenceIngest(
+      comparisons: DataFrame,
+      storeDir: String,
+      winnerCol: String,
+      loserCol: String,
+      refitIters: Int = 3,
+      pruneKeep: Option[Int] = None)(
+      sink: (DataFrame, Long, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.data.{Preference, Versioned}
+    comparisons.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val batchWins = Preference.winCounts(batch, winnerCol, loserCol)
+      val merged = Versioned.latestVersion(spark, storeDir) match {
+        case None => batchWins
+        case Some(v) =>
+          spark.read.parquet(s"$storeDir/v$v")
+            .select(col("winner"), col("loser"), col("n"))
+            .unionByName(batchWins)
+            .groupBy(col("winner"), col("loser"))
+            .agg(sum(col("n")).as("n"))
+      }
+      val v = Versioned.publish(spark, storeDir)(p =>
+        merged.write.parquet(p))
+      pruneKeep.foreach(keep =>
+        Versioned.pruneVersions(spark, storeDir, keep, Some(v)))
+      val ratings = Preference.bradleyTerryFromCounts(
+        spark.read.parquet(s"$storeDir/v$v"), refitIters)
+      sink(ratings, batchId, v)
+    }
+  }
+
   /** Input row of the streaming weighted sampler. */
   case class SampleRow(group: String, id: Long, w: Double)
 

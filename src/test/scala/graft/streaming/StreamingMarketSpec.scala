@@ -673,6 +673,42 @@ class StreamingMarketSpec extends SparkSpec {
     assert(ranks.count() === 3L)
   }
 
+  test("preferenceIngest: refit from the store equals a batch fit on all judgments") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.data.Preference
+    val dir = java.nio.file.Files.createTempDirectory("pref_store").toString
+    val b1 = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("a", "c"))
+    val b2 = Seq(("b", "a"), ("b", "c"), ("c", "a"), ("a", "b"))
+    val published = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Seq[(String, Long, Long, Long)])]
+    val input = MemoryStream[(String, String)]
+    val q = preferenceIngest(
+        input.toDF().toDF("w", "l"), dir, "w", "l", refitIters = 2) {
+      (ratings, batchId, v) =>
+        published += ((batchId, v,
+          ratings.orderBy(col("item"))
+            .as[(String, Long, Long, Long)].collect().toSeq))
+    }.start()
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def batchFit(comp: Seq[(String, String)]) =
+      Preference.bradleyTerry(comp.toDF("w", "l"), "w", "l", iters = 2)
+        .orderBy(col("item"))
+        .as[(String, Long, Long, Long)].collect().toSeq
+    // win counts are sufficient statistics: each refit is bit-equal to
+    // the batch fit over every judgment streamed so far
+    assert(published.map(p => (p._1, p._2)) === Seq((0L, 1L), (1L, 2L)))
+    assert(published(0)._3 === batchFit(b1))
+    assert(published(1)._3 === batchFit(b1 ++ b2))
+    // the store itself is the pair-count table, not the stream
+    assert(spark.read.parquet(s"$dir/v2").count() <= 6L)
+  }
+
   test("streamingSessions: gap-based event-time sessions emit once on watermark close") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
