@@ -35,6 +35,16 @@ object SparkEntry {
     }
   }
 
+  /** Fixed q188 lexicon: overlapping ("an"/"ana") and nested
+   * ("an" inside "and") terms prove the Aho-Corasick all-occurrence
+   * semantics against the oracle's per-term substring count. */
+  private val lexiconTerms = Seq(
+    "the", "and", "ing", "ent", "data", "an", "ana", "tion")
+
+  /** q188 oracle spelling of [[lexiconTerms]] as a DuckDB list literal. */
+  private def lexiconSqlList: String =
+    lexiconTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+
   /** Pairwise preference stream for q182/q186: consecutive same-user
    * events compared, higher `value` wins; ties and same-type pairs
    * dropped. Second-grain ordering + event_id tie-break (the nanos→
@@ -1248,6 +1258,43 @@ object SparkEntry {
         "doc_id", 10, outCol = "shard10")
       d.groupBy(col("shard8"), col("shard10")).agg(count(lit(1)).as("n"))
         .orderBy(col("shard8"), col("shard10"))
+    }),
+    // triangle count + clustering coefficient over a wheel-shaped host
+    // graph (5-cycle of ex hosts + cdn hub): degree-ordered orientation
+    // bounds the wedge join at O(sqrt(m)) out-degree — the spam-farm
+    // density panel
+    "q187_triangles" -> ((s, dir) => {
+      import graft.data.Graph
+      val aug = concat(col("text"),
+        lit(" http://ex"), (col("doc_id") % 5).cast("string"), lit(".org/a"),
+        lit(" http://ex"), ((col("doc_id") + 1) % 5).cast("string"),
+        lit(".org/b"), lit(" https://cdn.example.com/z"))
+      val hosts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(T.urlHosts(aug)).as("host"))
+      Graph.triangleStats(Graph.coOccurrenceEdges(hosts, "doc_id", "host"),
+          "src", "dst")
+        .orderBy(col("node"))
+    }),
+    // Aho-Corasick lexicon scan: one automaton pass per doc for the
+    // whole term list (incl. overlapping + nested matches) — the
+    // scalable spelling of "grep a 10k-term blocklist over 100 TB"
+    "q188_lexicon_scan" -> ((s, dir) => {
+      import graft.data.Lexicon
+      Lexicon.scanCounts(
+          t(s, dir, "documents").select(col("doc_id"),
+            lower(col("text")).as("lt")),
+          "doc_id", "lt", lexiconTerms)
+        .orderBy(col("doc_id"))
+    }),
+    // exploded per-term tier of the same scan (blocklist joins hang off
+    // this); bounded to a doc slice to keep the pinned surface small
+    "q188b_lexicon_terms" -> ((s, dir) => {
+      import graft.data.Lexicon
+      Lexicon.scanTerms(
+          t(s, dir, "documents").filter(col("doc_id") < 50)
+            .select(col("doc_id"), lower(col("text")).as("lt")),
+          "doc_id", "lt", lexiconTerms)
+        .orderBy(col("doc_id"), col("term"))
     }),
     // inter-annotator agreement: Fleiss' kappa (variable raters) in
     // exact ppm — the "are these labels better than chance" gate
@@ -4103,6 +4150,59 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
         |SELECT CAST(a8.shard8 AS BIGINT) AS shard8,
         |  CAST(a10.shard10 AS BIGINT) AS shard10, count(*) AS n
         |FROM a8 JOIN a10 USING (doc_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q187_triangles" ->
+      """WITH aug AS (SELECT doc_id, concat(text,
+        |    ' http://ex', CAST(doc_id % 5 AS VARCHAR), '.org/a',
+        |    ' http://ex', CAST((doc_id + 1) % 5 AS VARCHAR), '.org/b',
+        |    ' https://cdn.example.com/z') AS a
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    unnest(list_filter(
+        |      list_transform(regexp_extract_all(a, 'https?://[^\s]+'),
+        |        u -> regexp_extract(u, 'https?://(?:[^/\s@]*@)?([^/\s:?#@]+)', 1)),
+        |      x -> len(x) > 0)) AS host
+        |  FROM aug),
+        |und AS (SELECT DISTINCT x.host AS src, y.host AS dst
+        |  FROM h x JOIN h y ON x.doc_id = y.doc_id AND x.host <> y.host),
+        |deg AS (SELECT src AS node, count(*) AS degree FROM und GROUP BY 1),
+        |ord_e AS (SELECT u.src, u.dst FROM und u
+        |  JOIN deg a ON u.src = a.node JOIN deg b ON u.dst = b.node
+        |  WHERE a.degree < b.degree
+        |    OR (a.degree = b.degree AND u.src < u.dst)),
+        |w AS (SELECT x.src AS a, least(x.dst, y.dst) AS b,
+        |    greatest(x.dst, y.dst) AS c
+        |  FROM ord_e x JOIN ord_e y ON x.src = y.src AND x.dst < y.dst),
+        |cl AS (SELECT least(src, dst) AS b, greatest(src, dst) AS c FROM ord_e),
+        |tri AS (SELECT w.a, w.b, w.c FROM w JOIN cl ON w.b = cl.b AND w.c = cl.c),
+        |pn AS (SELECT node, count(*) AS triangles FROM (SELECT a AS node
+        |    FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1)
+        |SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+        |  CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+        |  CAST(CASE WHEN d.degree < 2 THEN 0
+        |    ELSE (2 * coalesce(pn.triangles, 0) * 1000000)
+        |      // (d.degree * (d.degree - 1)) END AS BIGINT) AS clustering_ppm
+        |FROM deg d LEFT JOIN pn ON d.node = pn.node ORDER BY d.node""".stripMargin,
+    "q188_lexicon_scan" -> s"""WITH lex AS (SELECT unnest($lexiconSqlList) AS term),
+        |d AS (SELECT doc_id, coalesce(lower(text), '') AS lt FROM documents),
+        |cnt AS (SELECT doc_id, term,
+        |    CAST(len(list_filter(range(1, greatest(len(lt) - len(term) + 2, 1)),
+        |      i -> substr(lt, CAST(i AS INTEGER), len(term)) = term))
+        |      AS BIGINT) AS n
+        |  FROM d CROSS JOIN lex)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct
+        |FROM cnt GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q188b_lexicon_terms" -> s"""WITH lex AS (SELECT unnest($lexiconSqlList) AS term),
+        |d AS (SELECT doc_id, coalesce(lower(text), '') AS lt FROM documents
+        |  WHERE doc_id < 50),
+        |cnt AS (SELECT doc_id, term,
+        |    CAST(len(list_filter(range(1, greatest(len(lt) - len(term) + 2, 1)),
+        |      i -> substr(lt, CAST(i AS INTEGER), len(term)) = term))
+        |      AS BIGINT) AS n
+        |  FROM d CROSS JOIN lex)
+        |SELECT doc_id, term, n FROM cnt WHERE n > 0
+        |ORDER BY doc_id, term""".stripMargin,
     "q185_agreement" ->
       """WITH v AS (SELECT event_id % 500 AS item, event_type AS label
         |  FROM events

@@ -358,4 +358,54 @@ class GraphSpec extends SparkSpec {
     assert(run(fwd) === run(sym))
     assert(run(fwd.repartition(7)) === run(fwd))
   }
+
+  test("triangleStats: wheel graph W5 by hand") {
+    // 5-cycle h0..h4 + hub connected to all: 5 triangles total;
+    // rim nodes sit in 2 (deg 3), the hub in all 5 (deg 5)
+    val rim = (0 until 5).map(i => (s"h$i", s"h${(i + 1) % 5}"))
+    val spokes = (0 until 5).map(i => ("hub", s"h$i"))
+    val got = Graph.triangleStats((rim ++ spokes).toDF("s", "d"), "s", "d")
+      .orderBy($"node")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val exp = (0 until 5).map(i => (s"h$i", 3L, 2L, 666666L)) :+
+      (("hub", 5L, 5L, 500000L))
+    assert(got == exp, got.toString)
+  }
+
+  test("triangleStats matches brute-force enumeration on a hashed graph") {
+    val edges = (0 until 120).map(i =>
+      ((i * 7) % 25).toLong -> ((i * i + 3) % 25).toLong)
+      .filter(e => e._1 != e._2)
+    val got = Graph.triangleStats(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // brute force over the simple undirected graph
+    val und = edges.flatMap(e => Seq(e, e.swap)).distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val triOf = nodes.map { v =>
+      val nb = adj(v).toSeq
+      v -> (for {
+        i <- nb.indices.iterator; j <- (i + 1) until nb.size
+        if adj(nb(i)).contains(nb(j))
+      } yield 1).sum.toLong
+    }.toMap
+    val expect = nodes.map { v =>
+      val d = adj(v).size.toLong
+      val t = triOf(v)
+      v -> ((d, t, if (d < 2) 0L else (2 * t * 1000000L) / (d * (d - 1))))
+    }.toMap
+    assert(got == expect)
+    // global count: each triangle counted at 3 nodes
+    assert(got.values.map(_._2).sum % 3 == 0)
+  }
+
+  test("triangleStats: directed duplicates and self-loops collapse") {
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "a"))
+    val got = Graph.triangleStats(e.toDF("s", "d"), "s", "d")
+      .orderBy($"node")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L, 1L, 1000000L), ("b", 2L, 1L, 1000000L),
+      ("c", 2L, 1L, 1000000L)))
+  }
 }
