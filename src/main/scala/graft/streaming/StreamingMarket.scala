@@ -890,6 +890,43 @@ object StreamingMarket {
   }
 
   /**
+   * Streaming lexicon scan under a hot-reloadable BLOCKLIST/taxonomy —
+   * the Aho-Corasick twin of the vocab/model refresh family: a curation
+   * job republishes the term list with
+   * [[graft.data.Lexicon.saveLexiconVersioned]]; each micro-batch reads
+   * the tiny `latest` pointer and rebuilds the automaton ONLY on a
+   * version change (build cost is |lexicon|, nothing to do with the
+   * stream), then scans with the exact batch
+   * [[graft.data.Lexicon.scanCounts]] kernel — a lexicon swap lands
+   * between batches, never inside one. `sink` receives each batch's
+   * hit panel plus the lexicon version it was scanned under.
+   */
+  def scanWithLexiconRefresh(
+      docs: DataFrame,
+      lexDir: String,
+      idCol: String,
+      textCol: String,
+      pruneKeep: Option[Int] = None)(
+      sink: (DataFrame, Long, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.data.Lexicon
+    var loaded: Option[(Long, Seq[String])] = None
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      graft.data.Versioned.latestVersion(spark, lexDir).foreach { v =>
+        if (!loaded.exists(_._1 == v)) {
+          loaded = Some((v, Lexicon.loadLexicon(spark, s"$lexDir/v$v")))
+          pruneKeep.foreach(keep =>
+            graft.data.Versioned.pruneVersions(spark, lexDir, keep, Some(v)))
+        }
+      }
+      val (v, terms) = loaded.getOrElse(throw new IllegalStateException(
+        s"no lexicon published under $lexDir — write one with " +
+          "Lexicon.saveLexiconVersioned"))
+      sink(Lexicon.scanCounts(batch, idCol, textCol, terms), batchId, v)
+    }
+  }
+
+  /**
    * Streaming link-graph maintenance — the continuous-crawl edge store:
    * each micro-batch of fetched pages extracts weighted host→host edges
    * ([[graft.data.Html.linkGraph]] — map-only regexp + ONE keyed

@@ -563,6 +563,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("lexicon scanCounts is map-only: no exchange, no join") {
+    val docs = (0L until 50L).map(i => (i, s"text $i the and thing"))
+      .toDF("id", "text")
+    val p = plan(Lexicon.scanCounts(docs, "id", "text", Seq("the", "an")))
+    // the automaton rides the closure; a 10k-term lexicon must never
+    // become a join side or force a shuffle
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(2000))
+  }
+
   test("bradleyTerry returns a checkpointed result: no comparison re-derivation") {
     val comp = (0 until 100).map(i => (s"m${i % 4}", s"m${(i + 1) % 4}"))
       .filter(p => p._1 != p._2).toDF("w", "l")

@@ -673,6 +673,44 @@ class StreamingMarketSpec extends SparkSpec {
     assert(ranks.count() === 3L)
   }
 
+  test("scanWithLexiconRefresh: automaton swaps on version change, batch-exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.data.Lexicon
+    val dir = java.nio.file.Files.createTempDirectory("lex_store").toString
+    val lex1 = Seq("an", "the")
+    val lex2 = Seq("an", "the", "ana")
+    assert(Lexicon.saveLexiconVersioned(spark, lex1, dir) == 1L)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Seq[(Long, Long, Long)])]
+    val input = MemoryStream[(Long, String)]
+    val q = scanWithLexiconRefresh(
+        input.toDF().toDF("id", "text"), dir, "id", "text") {
+      (panel, batchId, v) =>
+        got += ((batchId, v, panel.orderBy(col("id"))
+          .as[(Long, Long, Long)].collect().toSeq))
+    }.start()
+    val b1 = Seq((1L, "the banana man"), (2L, "no hits here"))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    assert(Lexicon.saveLexiconVersioned(spark, lex2, dir) == 2L)
+    val b2 = Seq((3L, "banana banana"))
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def batchScan(rows: Seq[(Long, String)], lex: Seq[String]) =
+      Lexicon.scanCounts(rows.toDF("id", "text"), "id", "text", lex)
+        .orderBy(col("id")).as[(Long, Long, Long)].collect().toSeq
+    // batch 1 under v1, batch 2 under the republished v2 — each
+    // bit-equal to the batch kernel under that lexicon
+    assert(got.map(g => (g._1, g._2)) === Seq((0L, 1L), (1L, 2L)))
+    assert(got(0)._3 === batchScan(b1, lex1.sorted))
+    assert(got(1)._3 === batchScan(b2, lex2.sorted))
+    // v2 genuinely sees the new term: "an" and "ana" each hit twice per
+    // "banana" (overlaps included) -> 8 hits over 2 distinct terms
+    assert(got(1)._3 === Seq((3L, 8L, 2L)))
+  }
+
   test("preferenceIngest: refit from the store equals a batch fit on all judgments") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
