@@ -1296,6 +1296,22 @@ object SparkEntry {
           "doc_id", "lt", lexiconTerms)
         .orderBy(col("doc_id"), col("term"))
     }),
+    // retrieval-eval panel: precision/recall/RR@10 in exact ppm for the
+    // brute-force cosine tier against same-label relevance — the
+    // recall gate every ANN tier (IVF/PQ/LSH) is graded with
+    "q189_retrieval_eval" -> ((s, dir) => {
+      import graft.data.Bm25
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+      val q5 = e.filter(col("vec_id") < 5)
+      val results = Similarity.bruteForceTopK(q5, e, "vec_id", "v", k = 10)
+      val qrels = q5.select(col("vec_id").as("query_id"), col("label").as("__ql"))
+        .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("__cl")),
+          col("__ql") === col("__cl") && col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+      Bm25.rankingMetrics(results, qrels, k = 10)
+        .orderBy(col("query_id"))
+    }),
     // inter-annotator agreement: Fleiss' kappa (variable raters) in
     // exact ppm — the "are these labels better than chance" gate
     "q185_agreement" -> ((s, dir) => {
@@ -4203,6 +4219,37 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
         |  FROM d CROSS JOIN lex)
         |SELECT doc_id, term, n FROM cnt WHERE n > 0
         |ORDER BY doc_id, term""".stripMargin,
+    "q189_retrieval_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings),
+        |res AS (SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.v, c.v) /
+        |        (sqrt(list_dot_product(q.v, q.v)) *
+        |         sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id) AS rank
+        |  FROM e q CROSS JOIN e c
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
+        |  WHERE rank <= 10),
+        |qrels AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5),
+        |nr AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+        |m AS (SELECT r.query_id, r.rank,
+        |    CASE WHEN qr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        |  FROM res r LEFT JOIN qrels qr ON r.query_id = qr.query_id
+        |    AND r.neighbor_id = qr.neighbor_id),
+        |agg AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS hits,
+        |    min(CASE WHEN rel = 1 THEN rank END) AS frst FROM m GROUP BY 1)
+        |SELECT a.query_id, CAST(coalesce(nr.n_rel, 0) AS BIGINT) AS n_rel,
+        |  a.hits,
+        |  CAST((a.hits * 1000000) // 10 AS BIGINT) AS precision_ppm,
+        |  CAST(CASE WHEN coalesce(nr.n_rel, 0) > 0
+        |    THEN (a.hits * 1000000) // nr.n_rel ELSE 0 END AS BIGINT)
+        |    AS recall_ppm,
+        |  CAST(CASE WHEN a.frst IS NOT NULL THEN 1000000 // a.frst
+        |    ELSE 0 END AS BIGINT) AS rr_ppm
+        |FROM agg a LEFT JOIN nr USING (query_id) ORDER BY query_id""".stripMargin,
     "q185_agreement" ->
       """WITH v AS (SELECT event_id % 500 AS item, event_type AS label
         |  FROM events

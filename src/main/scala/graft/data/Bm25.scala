@@ -266,4 +266,46 @@ object Bm25 {
       .withColumn("rank", rank)
       .filter(col("rank") <= k)
   }
+
+  /**
+   * RANKING-QUALITY panel — the retrieval-eval counterpart of
+   * [[Probe.evaluate]]: given a ranked result list (`query_id,
+   * neighbor_id, rank` — the output shape every retrieval tier here
+   * emits) and a relevance set (`query_id, neighbor_id` qrels), the
+   * standard cut-at-k metrics per query in EXACT ppm integers:
+   *
+   *   precision@k = hits·10⁶ div k          (relevant among top k)
+   *   recall@k    = hits·10⁶ div n_rel      (0 when n_rel = 0)
+   *   RR@k        = 10⁶ div first_rel_rank  (0 when none in top k)
+   *
+   * Mean-average them downstream with one more 1-row aggregate (exact:
+   * `sum(x_ppm) div count`). Queries present in `results` but absent
+   * from the qrels evaluate with n_rel = 0 (kept — a silent drop would
+   * inflate averaged metrics); duplicate qrel pairs collapse.
+   *
+   * Scale: one distinct + count over qrels, one (query, doc)-keyed left
+   * join of the CUT result list (≤ k rows/query), one per-query
+   * aggregate — nothing rides the corpus.
+   */
+  def rankingMetrics(results: DataFrame, qrels: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val rel = qrels.select(col("query_id"), col("neighbor_id")).distinct()
+    val nRel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val marked = results.filter(col("rank") <= k)
+      .join(rel.withColumn("__rel", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+    marked.groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__rel"), lit(0L))).as("hits"),
+        min(when(col("__rel") === 1L, col("rank"))).as("__first"))
+      .join(nRel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"), col("hits"),
+        expr(s"(hits * 1000000L) div ${k}L").as("precision_ppm"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          expr("(hits * 1000000L) div n_rel")).otherwise(lit(0L))
+          .as("recall_ppm"),
+        when(col("__first").isNotNull,
+          expr("1000000L div __first")).otherwise(lit(0L)).as("rr_ppm"))
+  }
 }

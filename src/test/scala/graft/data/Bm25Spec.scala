@@ -158,4 +158,25 @@ class Bm25Spec extends SparkSpec {
       .collect().toSet
     assert(fused === Set((1L, 10L, 1), (2L, 20L, 1), (2L, 21L, 2)))
   }
+
+  test("rankingMetrics: hand-computed cut-at-k panel, exact ppm") {
+    // q1: rel at ranks 2 and 3 of 3 results, 4 relevant total
+    // q2: no relevant retrieved (2 qrels exist)
+    // q3: results but NO qrels at all -> n_rel 0, all metrics 0
+    val results = ranking(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4), // rank 4 cut
+      (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 30L, 1))
+    val qrels = Seq(
+      (1L, 11L), (1L, 12L), (1L, 90L), (1L, 91L),
+      (1L, 11L), // duplicate qrel collapses
+      (2L, 95L), (2L, 96L)).toDF("query_id", "neighbor_id")
+    val got = Bm25.rankingMetrics(results, qrels, k = 3)
+      .orderBy($"query_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, 666666L, 500000L, 500000L), // p=2/3, r=2/4, rr=1/2
+      (2L, 2L, 0L, 0L, 0L, 0L),
+      (3L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }
