@@ -1312,6 +1312,35 @@ object SparkEntry {
       Bm25.rankingMetrics(results, qrels, k = 10)
         .orderBy(col("query_id"))
     }),
+    // the panel in production use: measured recall of the IVF tier
+    // against brute-force truth — qrels ARE the exact top-10, so
+    // recall_ppm is the ANN quality number the nProbe knob trades
+    "q190_ann_recall" -> ((s, dir) => {
+      import graft.data.Bm25
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val q20 = e.filter(col("vec_id") < 20)
+      val ann = Similarity.ivfTopK(q20, e, "vec_id", "v", k = 10,
+          nCells = 8, nProbe = 2, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val truth = Similarity.bruteForceTopK(q20, e, "vec_id", "v", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      Bm25.rankingMetrics(ann, truth, k = 10).orderBy(col("query_id"))
+    }),
+    // isotonic (PAV) calibration of the probe's calibration bins: exact
+    // integer pool means, oracle-reproduced via the minimax formula
+    // (floor commutes with min/max) — driver PAV over <= 40 bins only
+    "q191_isotonic" -> ((s, dir) => {
+      import graft.data.Probe
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 2).as("v"),
+          col("label"))
+      val binsDf = Probe.calibration2(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0), "v", "label", nBins = 40)
+      Probe.isotonicCalibrate(binsDf).orderBy(col("bin"))
+    }),
     // inter-annotator agreement: Fleiss' kappa (variable raters) in
     // exact ppm — the "are these labels better than chance" gate
     "q185_agreement" -> ((s, dir) => {
@@ -4219,6 +4248,51 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
         |  FROM d CROSS JOIN lex)
         |SELECT doc_id, term, n FROM cnt WHERE n > 0
         |ORDER BY doc_id, term""".stripMargin,
+    "q190_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |planes AS (SELECT * FROM (VALUES $planesSql) pl(p, coef)),
+         |cellsim AS (SELECT vec_id, p, list_dot_product(v, coef) AS s
+         |  FROM e CROSS JOIN planes),
+         |ccell AS (SELECT vec_id, p AS cell FROM cellsim
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, p DESC) = 1),
+         |qcell AS (SELECT vec_id, p AS cell FROM cellsim WHERE vec_id < 20
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, p DESC) <= 2),
+         |ann AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(q.v, c.v) /
+         |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+         |        c.vec_id) AS rank
+         |  FROM e q JOIN qcell ON qcell.vec_id = q.vec_id
+         |  JOIN ccell ON ccell.cell = qcell.cell
+         |  JOIN e c ON c.vec_id = ccell.vec_id
+         |  WHERE q.vec_id <> c.vec_id)
+         |  WHERE rank <= 10),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(q.v, c.v) /
+         |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+         |        c.vec_id) AS rank
+         |  FROM e q CROSS JOIN e c
+         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+         |  WHERE rank <= 10),
+         |nr AS (SELECT query_id, count(*) AS n_rel FROM truth GROUP BY 1),
+         |m AS (SELECT r.query_id, r.rank,
+         |    CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |  FROM ann r LEFT JOIN truth t ON r.query_id = t.query_id
+         |    AND r.neighbor_id = t.neighbor_id),
+         |agg AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS hits,
+         |    min(CASE WHEN rel = 1 THEN rank END) AS frst FROM m GROUP BY 1)
+         |SELECT a.query_id, CAST(coalesce(nr.n_rel, 0) AS BIGINT) AS n_rel,
+         |  a.hits,
+         |  CAST((a.hits * 1000000) // 10 AS BIGINT) AS precision_ppm,
+         |  CAST(CASE WHEN coalesce(nr.n_rel, 0) > 0
+         |    THEN (a.hits * 1000000) // nr.n_rel ELSE 0 END AS BIGINT)
+         |    AS recall_ppm,
+         |  CAST(CASE WHEN a.frst IS NOT NULL THEN 1000000 // a.frst
+         |    ELSE 0 END AS BIGINT) AS rr_ppm
+         |FROM agg a LEFT JOIN nr USING (query_id) ORDER BY query_id""".stripMargin,
     "q189_retrieval_eval" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
         |  FROM embeddings),
@@ -4790,6 +4864,33 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |  CAST(sum(p6) AS BIGINT) / 1e6 / count(*) AS mean_pred,
          |  CAST(sum(l6) AS BIGINT) / 1e6 / count(*) AS mean_label
          |FROM bi GROUP BY bin ORDER BY bin""".stripMargin,
+    "q191_isotonic" ->
+      s"""WITH $probeWeights2Sql,
+         |te AS (SELECT CAST(embedding[1] AS DOUBLE) AS x1,
+         |    CAST(embedding[2] AS DOUBLE) AS x2, CAST(label AS DOUBLE) AS y
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |sc AS (SELECT w0 + x1*w1 + x2*w2 AS p, y FROM te, wv),
+         |bi AS (SELECT
+         |    least(greatest(CAST(floor((p - 0.0) / 0.25) AS BIGINT), 0), 39)
+         |      AS bin,
+         |    CAST(floor(y * 1e6) AS BIGINT) AS l6 FROM sc),
+         |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(l6) AS BIGINT) AS sl FROM bi GROUP BY bin),
+         |idx AS (SELECT bin, n, sl, row_number() OVER (ORDER BY bin) AS i
+         |  FROM b),
+         |pre AS (SELECT i, bin, n, sl,
+         |    CAST(sum(n) OVER (ORDER BY i) AS BIGINT) AS cn,
+         |    CAST(sum(sl) OVER (ORDER BY i) AS BIGINT) AS cs FROM idx),
+         |seg AS (SELECT j.i AS j, k.i AS k,
+         |    (k.cs - coalesce(jp.cs, 0)) // (k.cn - coalesce(jp.cn, 0)) AS a
+         |  FROM pre j JOIN pre k ON j.i <= k.i
+         |  LEFT JOIN pre jp ON jp.i = j.i - 1),
+         |m1 AS (SELECT p.i AS i, s.j, CAST(min(s.a) AS BIGINT) AS mn
+         |  FROM pre p JOIN seg s ON s.j <= p.i AND s.k >= p.i GROUP BY 1, 2),
+         |m2 AS (SELECT i, CAST(max(mn) AS BIGINT) AS iso FROM m1 GROUP BY 1)
+         |SELECT pre.bin, pre.n, CAST(pre.sl // pre.n AS BIGINT) AS raw_ppm,
+         |  m2.iso AS calibrated_ppm
+         |FROM pre JOIN m2 ON pre.i = m2.i ORDER BY pre.bin""".stripMargin,
     "q85_pagerank" ->
       s"""WITH $hostPagerankSql
          |SELECT node AS host, CAST(r AS BIGINT) AS pr_micro,

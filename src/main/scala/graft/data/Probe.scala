@@ -293,6 +293,64 @@ object Probe {
           .as("mean_label"))
   }
 
+  /**
+   * ISOTONIC (PAV) calibration over a calibration-bin table — the
+   * standard "make the score a probability" post-fit step: given bins
+   * ordered by predicted score with `(n, sum_label_micro)` each, fit
+   * the non-decreasing step function minimizing squared error (pool
+   * adjacent violators) and emit each bin's calibrated value in exact
+   * ppm (`pool_sum div pool_n` — labels live in micro units, so the
+   * pool mean IS ppm of the label scale).
+   *
+   * The PAV runs on the DRIVER over the collected bin table — bounded
+   * by contract: a calibration table is ≤ a few hundred bins (the
+   * [[calibration2]] output), never data. Pool-mean comparisons are
+   * exact cross-multiplications (`s₁·n₂ ≥ s₂·n₁`), no float ever
+   * enters, so the result is engine-reproducible: the DuckDB oracle
+   * recomputes it through the minimax representation
+   * `iso(i) = max_{j≤i} min_{k≥i} avg(j..k)` — floor commutes with
+   * min/max (both monotone), so floored ppm segment averages give the
+   * identical integers.
+   *
+   * Returns `(bin, n, raw_ppm, calibrated_ppm)`, calibrated
+   * non-decreasing in `bin`.
+   */
+  def isotonicCalibrate(bins: DataFrame, binCol: String = "bin",
+      nCol: String = "n", sumCol: String = "sum_label_micro"): DataFrame = {
+    val spark = bins.sparkSession
+    // bounded-by-contract collect: the bin table, never data rows
+    val rows = bins
+      .select(col(binCol).cast("long"), col(nCol).cast("long"),
+        col(sumCol).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(rows.forall(_._2 > 0), "calibration bin with n <= 0")
+    require(rows.map(_._1).distinct.length == rows.length,
+      "duplicate bin ids")
+    // pool adjacent violators: merge while prev pool mean >= cur pool
+    // mean (cross-multiplied — equal-mean merges are value-neutral)
+    val pools = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int)] // (sumL, n, firstRowIdx)
+    rows.zipWithIndex.foreach { case ((_, n, sl), i) =>
+      var cur = (sl, n, i)
+      while (pools.nonEmpty &&
+          pools.last._1 * cur._2 >= cur._1 * pools.last._2) {
+        val p = pools.remove(pools.size - 1)
+        cur = (p._1 + cur._1, p._2 + cur._2, p._3)
+      }
+      pools += cur
+    }
+    val out = pools.zipWithIndex.flatMap { case ((sl, n, start), pi) =>
+      val end = if (pi + 1 < pools.size) pools(pi + 1)._3 else rows.length
+      (start until end).map { i =>
+        val (bin, bn, bsl) = rows(i)
+        (bin, bn, bsl / bn, sl / n)
+      }
+    }.toSeq
+    import spark.implicits._
+    out.toDF(binCol, nCol, "raw_ppm", "calibrated_ppm")
+  }
+
   /** Map-only probe score `w₀ + ⟨w, v⟩` from broadcast literal weights
    * (native `vec_dot` — stays inside whole-stage codegen). */
   def score(vec: Column, weights: Array[Double]): Column =

@@ -225,4 +225,44 @@ class ProbeSpec extends SparkSpec {
     assert(kept === want)
     assert(kept.nonEmpty && kept.size < scores.length)
   }
+
+  private def isoOf(rows: Seq[(Long, Long, Long)]) =
+    Probe.isotonicCalibrate(rows.toDF("bin", "n", "sum_label_micro"))
+      .orderBy(col("bin"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+  test("isotonicCalibrate pools adjacent violators; hand case") {
+    // bin means 0.1, 0.5, 0.3, 0.8 -> middle two pool to 0.4
+    val bins = Seq(
+      (0L, 10L, 1000000L), (1L, 10L, 5000000L),
+      (2L, 10L, 3000000L), (3L, 10L, 8000000L))
+    assert(isoOf(bins).map(r => (r._1, r._4)) ==
+      Seq((0L, 100000L), (1L, 400000L), (2L, 400000L), (3L, 800000L)))
+  }
+
+  test("isotonicCalibrate: already-monotone input passes through; output monotone always") {
+    val mono = Seq((0L, 5L, 500000L), (1L, 5L, 1500000L), (2L, 5L, 4000000L))
+    assert(isoOf(mono).map(r => (r._1, r._4)) ==
+      mono.map(b => (b._1, b._3 / b._2)))
+    // pseudo-random table: output must be non-decreasing and mass-true
+    val rnd = (0L until 25L).map(i =>
+      (i, 3L + (i * 7) % 5, ((i * 2654435761L) % 9000000L)))
+    val out = isoOf(rnd)
+    assert(out.map(_._4) == out.map(_._4).sorted)
+  }
+
+  test("isotonicCalibrate equals the minimax formula exactly") {
+    // iso(i) = max_{j<=i} min_{k>=i} floor(avg ppm over [j..k]) — the
+    // independent representation the DuckDB oracle uses
+    val rnd = (0L until 20L).map(i =>
+      (i, 2L + (i * 13) % 7, ((i * 40503L + 7L) * 997L) % 8000000L))
+    val n = rnd.map(_._2)
+    val s = rnd.map(_._3)
+    def avg(j: Int, k: Int): Long =
+      (j to k).map(s).sum / (j to k).map(n).sum
+    val minimax = rnd.indices.map { i =>
+      (0 to i).map(j => (i until rnd.size).map(k => avg(j, k)).min).max
+    }
+    assert(isoOf(rnd).map(_._4) == minimax)
+  }
 }
