@@ -299,4 +299,61 @@ class DataPropertySpec extends SparkSpec {
       assert(got === expect)
     }
   }
+
+  test("Aho-Corasick scan equals the per-pattern sliding reference on arbitrary input") {
+    val text: Gen[String] =
+      Gen.listOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val pat: Gen[String] = Gen.chooseNum(1, 4)
+      .flatMap(l => Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    forAll(for { t <- text; ps <- Gen.nonEmptyListOf(pat) } yield (t, ps)) {
+      case (t, ps) =>
+        val ac = Lexicon.Automaton.build(ps)
+        val got = ac.scan(t).toSeq.groupBy(_._1).view
+          .mapValues(_.size.toLong).toMap
+          .map { case (pi, c) => ac.patterns(pi) -> c }
+        val want = ps.distinct.map { p =>
+          p -> (0 to t.length - p.length)
+            .count(i => t.regionMatches(i, p, 0, p.length)).toLong
+        }.filter(_._2 > 0).toMap
+        assert(got === want, s"text=$t pats=$ps")
+    }
+  }
+
+  test("isotonic PAV is monotone, mass-preserving, and idempotent on arbitrary bins") {
+    val bins: Gen[Seq[(Long, Long, Long)]] = Gen.chooseNum(1, 15)
+      .flatMap(sz => Gen.listOfN(sz,
+        for { n <- Gen.chooseNum(1L, 50L); m <- Gen.chooseNum(0L, 1000000L) }
+          yield (n, m * n)))
+      .map(_.zipWithIndex.map { case ((n, s), i) => (i.toLong, n, s) })
+    forAll(bins, n = 25) { bs =>
+      def run(rows: Seq[(Long, Long, Long)]) =
+        Probe.isotonicCalibrate(rows.toDF("bin", "n", "sum_label_micro"))
+          .orderBy($"bin").as[(Long, Long, Long, Long)].collect().toSeq
+      val out = run(bs)
+      val cal = out.map(_._4)
+      assert(cal == cal.sorted) // non-decreasing
+      // pool means conserve mass: sum over bins of n*calibrated is
+      // within a floor-loss of the raw label mass
+      val mass = out.map(r => r._2 * r._4).sum
+      val raw = bs.map(_._3).sum
+      assert((raw - mass) >= 0 && (raw - mass) < bs.map(_._2).sum,
+        s"raw=$raw pooled=$mass")
+      // idempotent: calibrating the calibrated (already-monotone) bins
+      // reproduces them (feed n * calibrated back as the label mass)
+      val again = run(out.map(r => (r._1, r._2, r._2 * r._4)))
+      assert(again.map(_._4) == cal)
+    }
+  }
+
+  test("rendezvous resharding n -> m only ever moves docs to NEW shards") {
+    val docs = spark.range(300).select($"id".as("doc_id"))
+    forAll(for { n <- Gen.chooseNum(1, 12); d <- Gen.chooseNum(1, 6) }
+        yield (n, n + d), n = 8) { case (n, m) =>
+      val d2 = Corpus.rendezvousShard(
+        Corpus.rendezvousShard(docs, "doc_id", n, outCol = "sn"),
+        "doc_id", m, outCol = "sm")
+      assert(d2.filter($"sn" =!= $"sm" && $"sm" < n).count() == 0L,
+        s"n=$n m=$m")
+    }
+  }
 }
