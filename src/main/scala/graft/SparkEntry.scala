@@ -1341,6 +1341,16 @@ object SparkEntry {
         e.filter(col("vec_id") % 5 === 0), "v", "label", nBins = 40)
       Probe.isotonicCalibrate(binsDf).orderBy(col("bin"))
     }),
+    // sorted-neighborhood dedup candidates: global rank by a 12-char
+    // normalized-prefix blocking key (NO single-task window — the
+    // range-partitioned two-pass rank) + explode/equi-join for the
+    // ±5 neighborhood — the "same start, edited tail" blocking family
+    "q192_snm_pairs" -> ((s, dir) => {
+      Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"), "doc_id",
+          substring(T.normalizeText(col("text")), 1, 12), window = 5)
+        .select(col("id_a"), col("id_b"), col("gap"))
+        .orderBy(col("id_a"), col("id_b"), col("gap"))
+    }),
     // inter-annotator agreement: Fleiss' kappa (variable raters) in
     // exact ppm — the "are these labels better than chance" gate
     "q185_agreement" -> ((s, dir) => {
@@ -4293,6 +4303,15 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |  CAST(CASE WHEN a.frst IS NOT NULL THEN 1000000 // a.frst
          |    ELSE 0 END AS BIGINT) AS rr_ppm
          |FROM agg a LEFT JOIN nr USING (query_id) ORDER BY query_id""".stripMargin,
+    "q192_snm_pairs" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 12)
+        |      AS k
+        |  FROM documents),
+        |r AS (SELECT id, k, row_number() OVER (ORDER BY k, id) AS rk FROM d)
+        |SELECT a.id AS id_a, b.id AS id_b, CAST(b.rk - a.rk AS BIGINT) AS gap
+        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 5
+        |ORDER BY id_a, id_b, gap""".stripMargin,
     "q189_retrieval_eval" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
         |  FROM embeddings),

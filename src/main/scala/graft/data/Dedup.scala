@@ -1531,6 +1531,42 @@ object Dedup {
           .as("containment"))
   }
 
+  /**
+   * SORTED-NEIGHBORHOOD candidate pairs (Hernández & Stolfo 1995) — the
+   * third blocking family next to LSH banding and pigeonhole chunking:
+   * sort the corpus by a blocking key and emit every pair within
+   * `window` positions of each other. Catches near-dups whose PREFIX
+   * agrees (title/URL/leading-text twins) with O(N·w) candidates and
+   * no hash-collision luck; the classic complement to minhash when the
+   * duplication mode is "same start, edited tail".
+   *
+   * Scale spelling: the global sort order comes from
+   * [[Relational.globalRank]] (range-partitioned two-pass rank — NO
+   * single-task window), and the ±window neighborhood becomes
+   * `explode(sequence(rk+1, rk+window))` + one rank-keyed equi join —
+   * shuffle keyed by integer rank, never a range join, never a
+   * cross product. The key must make (key, id) a total order — id
+   * breaks ties, so any key expression is safe.
+   *
+   * Returns `(id_a, id_b, key_a, key_b, gap)` with rank(a) < rank(b)
+   * and `gap = rank(b) − rank(a) ∈ [1, window]`.
+   */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+      key: Column, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val ranked = Relational.globalRank(
+      docs.select(col(idCol).as("id"), key.as("k")),
+      Seq(col("k"), col("id")), "rk")
+    val probes = ranked.select(col("id").as("id_a"), col("k").as("key_a"),
+      col("rk").as("__rka"),
+      explode(sequence(col("rk") + 1, col("rk") + window)).as("rk"))
+    probes.join(
+        ranked.select(col("id").as("id_b"), col("k").as("key_b"), col("rk")),
+        Seq("rk"))
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        (col("rk") - col("__rka")).as("gap"))
+  }
+
   /** Spread a (typically single-file) input across the session's
    * parallelism for CPU-bound pair scans. */
   private def repartitioned(df: DataFrame): DataFrame =

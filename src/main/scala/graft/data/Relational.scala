@@ -509,6 +509,44 @@ object Relational {
         "(column_name, n_nulls, n_distinct, min_value, max_value)"))
   }
 
+  /**
+   * EXACT global 1-based rank under a TOTAL order — the scalable
+   * spelling of `row_number() OVER (ORDER BY …)`: an unpartitioned
+   * rank window collapses to ONE task holding the whole table; this
+   * runs range-partitioned (each partition ranks locally, in parallel)
+   * plus a bounded per-partition count collect (one row per shuffle
+   * partition — metadata, never data) whose prefix sums become
+   * broadcast offsets. Exactness needs the order to be TOTAL (include
+   * a tiebreaker id in `sortCols`); with a total order the result is
+   * invariant to input partitioning (spec-pinned) because range
+   * partitions are disjoint and ascending by construction.
+   */
+  def globalRank(df: DataFrame, sortCols: Seq[Column],
+      outCol: String = "rk"): DataFrame = {
+    require(sortCols.nonEmpty, "globalRank needs at least one sort column")
+    val pid = "__rank_pid"
+    // lineage truncated once: the counts job and the output both read
+    // the range-shuffled frame (same discipline as prefixSum)
+    val src = df.repartitionByRange(sortCols: _*)
+      .withColumn(pid, spark_partition_id())
+      .localCheckpoint(false)
+    val counts = src.groupBy(col(pid)).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (p, c)) =>
+      (p, acc + c) }
+      .sliding(2).collect { case Array((_, acc), (p, _)) => (p, acc) }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (offsets.isEmpty) return src.withColumn(outCol, lit(0L)).drop(pid)
+    val offDf = broadcast(offsets.toDF(pid, "__off"))
+    src.withColumn("__local",
+        row_number().over(Window.partitionBy(col(pid))
+          .orderBy(sortCols: _*)).cast("long"))
+      .join(offDf, Seq(pid))
+      .withColumn(outCol, col("__local") + col("__off"))
+      .drop(pid, "__local", "__off")
+  }
+
   def prefixSum(df: DataFrame, orderCol: String, valueCol: Column,
       outCol: String): DataFrame = {
     val pid = "__prefix_pid"

@@ -271,4 +271,56 @@ class RelationalSpec extends SparkSpec {
     val nd = approx.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(nd("id") >= 2L && nd("id") <= 4L)
   }
+
+  test("globalRank equals the single-window row_number under a total order") {
+    val df = (0 until 500).map(i =>
+      (i.toLong, s"k${(i * 37) % 90}")).toDF("id", "k")
+    val got = Relational.globalRank(df, Seq(col("k"), col("id")))
+      .orderBy($"rk").select($"id").as[Long].collect().toSeq
+    val want = df.collect().map(r => (r.getString(1), r.getLong(0)))
+      .sortBy(identity).map(_._2).toSeq
+    assert(got == want)
+    // rank is a permutation 1..N
+    val rks = Relational.globalRank(df, Seq(col("k"), col("id")))
+      .select($"rk").as[Long].collect().sorted.toSeq
+    assert(rks == (1L to 500L))
+  }
+
+  test("globalRank is invariant to input partitioning; empty input is empty") {
+    val df = (0 until 300).map(i => (i.toLong, (i * 7919) % 50)).toDF("id", "k")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Relational.globalRank(d, Seq(col("k"), col("id")))
+        .select($"id", $"rk").as[(Long, Long)].collect().toMap
+    assert(run(df) == run(df.repartition(13)))
+    assert(Relational.globalRank(df.filter($"id" < 0),
+      Seq(col("id"))).count() == 0L)
+  }
+
+  test("globalRank never plans an unpartitioned window") {
+    val df = (0 until 50).map(i => (i.toLong, i % 5)).toDF("id", "k")
+    val plan = Relational.globalRank(df, Seq(col("k"), col("id")))
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+  }
+
+  test("sortedNeighborhoodPairs equals the brute rank-window reference") {
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"prefix${(i * 13) % 40} tail $i")).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+        substring($"text", 1, 8), window = 4)
+      .select($"id_a", $"id_b", $"gap").as[(Long, Long, Long)]
+      .collect().toSet
+    val ranked = docs.collect()
+      .map(r => (r.getString(1).substring(0, 8), r.getLong(0)))
+      .sortBy(identity).zipWithIndex
+    val want = (for {
+      ((_, a), ra) <- ranked.iterator
+      ((_, b), rb) <- ranked.iterator
+      if rb > ra && rb <= ra + 4
+    } yield (a, b, (rb - ra).toLong)).toSet
+    assert(got == want)
+  }
 }
