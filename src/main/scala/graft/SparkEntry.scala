@@ -1351,6 +1351,27 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("gap"))
         .orderBy(col("id_a"), col("id_b"), col("gap"))
     }),
+    // full multi-pass SNM: prefix key AND reversed-text key — a pair
+    // only needs to sort close under ONE key (the recall argument)
+    "q192b_snm_multikey" -> ((s, dir) => {
+      val norm = T.normalizeText(col("text"))
+      Dedup.sortedNeighborhoodMultiKey(t(s, dir, "documents"), "doc_id",
+          Seq(substring(norm, 1, 12), substring(reverse(norm), 1, 12)),
+          window = 5)
+        .orderBy(col("a"), col("b"))
+    }),
+    // expected calibration error over the probe's bin table — the
+    // one-number "is the score a probability" gate, exact ppm
+    "q193_ece" -> ((s, dir) => {
+      import graft.data.Probe
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 2).as("v"),
+          col("label"))
+      Probe.calibrationError(Probe.calibration2(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0), "v", "label", nBins = 40))
+    }),
     // inter-annotator agreement: Fleiss' kappa (variable raters) in
     // exact ppm — the "are these labels better than chance" gate
     "q185_agreement" -> ((s, dir) => {
@@ -4312,6 +4333,41 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
         |SELECT a.id AS id_a, b.id AS id_b, CAST(b.rk - a.rk AS BIGINT) AS gap
         |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 5
         |ORDER BY id_a, id_b, gap""".stripMargin,
+    "q192b_snm_multikey" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
+        |  FROM documents),
+        |k1 AS (SELECT id, substr(nt, 1, 12) AS k FROM d),
+        |k2 AS (SELECT id, substr(reverse(nt), 1, 12) AS k FROM d),
+        |r1 AS (SELECT id, row_number() OVER (ORDER BY k, id) AS rk FROM k1),
+        |r2 AS (SELECT id, row_number() OVER (ORDER BY k, id) AS rk FROM k2),
+        |p AS (
+        |  SELECT least(a.id, b.id) AS a, greatest(a.id, b.id) AS b, 0 AS pass
+        |  FROM r1 a JOIN r1 b ON b.rk > a.rk AND b.rk <= a.rk + 5
+        |  UNION ALL
+        |  SELECT least(a.id, b.id) AS a, greatest(a.id, b.id) AS b, 1 AS pass
+        |  FROM r2 a JOIN r2 b ON b.rk > a.rk AND b.rk <= a.rk + 5)
+        |SELECT a, b, CAST(count(DISTINCT pass) AS BIGINT) AS n_passes
+        |FROM p GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+    "q193_ece" ->
+      s"""WITH $probeWeights2Sql,
+         |te AS (SELECT CAST(embedding[1] AS DOUBLE) AS x1,
+         |    CAST(embedding[2] AS DOUBLE) AS x2, CAST(label AS DOUBLE) AS y
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |sc AS (SELECT w0 + x1*w1 + x2*w2 AS p, y FROM te, wv),
+         |bi AS (SELECT
+         |    least(greatest(CAST(floor((p - 0.0) / 0.25) AS BIGINT), 0), 39)
+         |      AS bin,
+         |    CAST(floor(p * 1e6) AS BIGINT) AS p6,
+         |    CAST(floor(y * 1e6) AS BIGINT) AS l6 FROM sc),
+         |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(p6) AS BIGINT) AS sp, CAST(sum(l6) AS BIGINT) AS sl
+         |  FROM bi GROUP BY bin)
+         |SELECT count(*) AS n_bins, CAST(sum(n) AS BIGINT) AS n_rows,
+         |  CAST(CAST(sum(abs(sp - sl)) AS BIGINT) // CAST(sum(n) AS BIGINT)
+         |    AS BIGINT) AS ece_ppm,
+         |  CAST(max(abs(sp - sl) // n) AS BIGINT) AS max_bin_gap_ppm
+         |FROM b""".stripMargin,
     "q189_retrieval_eval" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
         |  FROM embeddings),

@@ -1567,6 +1567,25 @@ object Dedup {
         (col("rk") - col("__rka")).as("gap"))
   }
 
+  /** Multi-pass sorted-neighborhood (the full Hernández-Stolfo recipe):
+   * one [[sortedNeighborhoodPairs]] pass per blocking key, pairs
+   * normalized to unordered (a < b by id) and merged — a near-dup only
+   * needs to sort close under ONE key to be caught, which is the
+   * method's recall argument. Returns `(a, b, n_passes)` where
+   * `n_passes` counts the keys that proposed the pair. */
+  def sortedNeighborhoodMultiKey(docs: DataFrame, idCol: String,
+      keys: Seq[Column], window: Int): DataFrame = {
+    require(keys.nonEmpty, "need at least one blocking key")
+    keys.zipWithIndex.map { case (k, i) =>
+      sortedNeighborhoodPairs(docs, idCol, k, window)
+        .select(least(col("id_a"), col("id_b")).as("a"),
+          greatest(col("id_a"), col("id_b")).as("b"),
+          lit(i).as("__pass"))
+    }.reduce(_.unionByName(_))
+      .groupBy(col("a"), col("b"))
+      .agg(countDistinct(col("__pass")).as("n_passes"))
+  }
+
   /** Spread a (typically single-file) input across the session's
    * parallelism for CPU-bound pair scans. */
   private def repartitioned(df: DataFrame): DataFrame =

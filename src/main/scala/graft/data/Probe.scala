@@ -351,6 +351,18 @@ object Probe {
     out.toDF(binCol, nCol, "raw_ppm", "calibrated_ppm")
   }
 
+  /** Expected-calibration-error panel over a [[calibration2]] bin
+   * table, exact integers: per bin the mean |pred − label| gap is
+   * `|Σp − Σl| div n` (micro sums make `n·|meanΔ| = |Σp − Σl|`), so
+   * `ece_ppm = Σ|Σp − Σl| div Σn` needs no float anywhere. One row:
+   * `(n_bins, n_rows, ece_ppm, max_bin_gap_ppm)`. */
+  def calibrationError(bins: DataFrame): DataFrame =
+    bins.agg(count(lit(1)).as("n_bins"), sum(col("n")).as("n_rows"),
+      expr("sum(abs(sum_pred_micro - sum_label_micro)) div sum(n)")
+        .as("ece_ppm"),
+      max(expr("abs(sum_pred_micro - sum_label_micro) div n"))
+        .as("max_bin_gap_ppm"))
+
   /** Map-only probe score `w₀ + ⟨w, v⟩` from broadcast literal weights
    * (native `vec_dot` — stays inside whole-stage codegen). */
   def score(vec: Column, weights: Array[Double]): Column =

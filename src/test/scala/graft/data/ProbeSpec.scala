@@ -251,6 +251,19 @@ class ProbeSpec extends SparkSpec {
     assert(out.map(_._4) == out.map(_._4).sorted)
   }
 
+  test("calibrationError: exact integer panel on hand bins") {
+    // bin0: pred sum 3.0, label sum 2.0 over 10 rows -> gap 1e6 micro
+    // bin1: pred sum 1.0, label sum 2.5 over 5 rows  -> gap 1.5e6 micro
+    val bins = Seq(
+      (0L, 10L, 3000000L, 2000000L),
+      (1L, 5L, 1000000L, 2500000L))
+      .toDF("bin", "n", "sum_pred_micro", "sum_label_micro")
+    val got = Probe.calibrationError(bins)
+      .as[(Long, Long, Long, Long)].head()
+    // ece = (1e6 + 1.5e6) div 15 = 166666; max bin gap = 1.5e6/5 = 300000
+    assert(got == ((2L, 15L, 166666L, 300000L)), got.toString)
+  }
+
   test("isotonicCalibrate equals the minimax formula exactly") {
     // iso(i) = max_{j<=i} min_{k>=i} floor(avg ppm over [j..k]) — the
     // independent representation the DuckDB oracle uses

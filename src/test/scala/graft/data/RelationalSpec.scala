@@ -306,6 +306,26 @@ class RelationalSpec extends SparkSpec {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
   }
 
+  test("sortedNeighborhoodMultiKey: a suffix twin is caught only by the reverse pass") {
+    // 10 decoy docs with distinct prefixes AND suffixes; docs 100/101
+    // share a SUFFIX but have prefixes that sort maximally apart
+    val docs = ((0 until 10).map(i =>
+      (i.toLong, f"mid$i%02d filler text body $i%02d")) ++ Seq(
+      (100L, "aaaa shared ending of the pair"),
+      (101L, "zzzz shared ending of the pair"))).toDF("doc_id", "text")
+    val fwd = org.apache.spark.sql.functions.substring($"text", 1, 6)
+    val rev = org.apache.spark.sql.functions.substring(
+      org.apache.spark.sql.functions.reverse($"text"), 1, 6)
+    val one = Dedup.sortedNeighborhoodPairs(docs, "doc_id", fwd, 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(!one.contains((100L, 101L)))
+    val multi = Dedup.sortedNeighborhoodMultiKey(docs, "doc_id",
+        Seq(fwd, rev), window = 1)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(multi.contains((100L, 101L)))
+    assert(multi((100L, 101L)) == 1L) // reverse pass only
+  }
+
   test("sortedNeighborhoodPairs equals the brute rank-window reference") {
     val docs = (0 until 200).map(i =>
       (i.toLong, s"prefix${(i * 13) % 40} tail $i")).toDF("doc_id", "text")
