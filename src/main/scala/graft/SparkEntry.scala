@@ -254,14 +254,15 @@ object SparkEntry {
     }),
     // chunked large×large GLOBAL as-of (the scale path where the
     // unpartitioned window variant is one task and the right side is too
-    // big to broadcast): 1-day chunks force matches through the carry
+    // big to broadcast): 32 range-derived chunks force matches through
+    // the carry
     "q13d_asof_chunked" -> ((s, dir) => {
       val ev = events(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("value"))
       val purch = ev.filter(col("event_type") === "purchase")
         .groupBy(col("ts")).agg(max(col("value")).as("pv"))
-      AsOfJoin.asofJoinChunked(clicks, purch, "ts", Nil, chunkDays = 1)
+      AsOfJoin.asofJoinChunked(clicks, purch, "ts", Nil, nChunks = 32)
         .groupBy(col("user_id"))
         .agg(count(col("right_pv")).as("n_matched"),
           round(sum(col("right_pv")), 4).as("sum_pv"))
@@ -4419,8 +4420,9 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
         |      // 1000000 AS BIGINT) AS pe_ppm
         |  FROM lt, tot GROUP BY tot.v)
         |SELECT po.n_items, pe.n_votes, po.po_ppm, pe.pe_ppm,
-        |  CAST(((po.po_ppm - pe.pe_ppm) * 1000000) // (1000000 - pe.pe_ppm)
-        |    AS BIGINT) AS kappa_ppm
+        |  CAST(CASE WHEN pe.pe_ppm >= 1000000 THEN 0
+        |    ELSE ((po.po_ppm - pe.pe_ppm) * 1000000) // (1000000 - pe.pe_ppm)
+        |    END AS BIGINT) AS kappa_ppm
         |FROM po, pe""".stripMargin,
     "q186_order_bias" ->
       """WITH ord AS (SELECT event_type, value,

@@ -992,8 +992,11 @@ object Dedup {
                       _: Repartition | _: RepartitionByExpression) => p
           }.nonEmpty
           if (heavy) None // computed plan without the literal: skip check
+          // null-safe: a store mixing pre-column files with new ones can
+          // surface a NULL hash_bits in the sampled row — that is the
+          // "persisted before the column existed" case, pass unverified
           else df.select(col("hash_bits").cast("long")).limit(1).collect()
-            .headOption.map(_.getLong(0))
+            .headOption.filterNot(_.isNullAt(0)).map(_.getLong(0))
         }
       }
     (widthOf(batchSigs), widthOf(storeSigs)) match {

@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
  *
  * Scope contract (documented, spec-pinned): tag-soup HTML of the common
  * shapes — nested block/inline tags, attributes, script/style/comment
- * islands, the HTML-4 named entities + numeric `&#NNN;` escapes. NOT a
+ * islands, the high-frequency named entities (`&lt; &gt; &quot; &apos;
+ * &nbsp; &amp;`) plus the numeric apostrophe `&#39;` — other numeric
+ * `&#NNN;` escapes pass through as literal text (a char-code decode
+ * needs a per-match lambda no codegen'd regex chain has). NOT a
  * browser-grade parser: CDATA, conditional comments, and broken
  * `<script>` nesting degrade gracefully (text may keep fragments) rather
  * than erroring — the 100 TB posture, where one malformed page must
@@ -38,8 +41,12 @@ object Html {
     regexp_replace(noScript, "(?is)<style\\b.*?</style\\s*>", "")
   }
 
-  /** Decode the high-frequency named entities + numeric escapes. Applied
-   * AFTER tag stripping so a decoded `&lt;` can never re-form a tag. */
+  /** Decode the high-frequency named entities + the numeric apostrophe
+   * (`&#39;`, the one numeric escape common in real pages). General
+   * `&#NNN;` escapes are OUT of scope (documented above) — they pass
+   * through undecoded rather than pulling a UDF into the hot path.
+   * Applied AFTER tag stripping so a decoded `&lt;` can never re-form a
+   * tag. */
   def decodeEntities(c: Column): Column = {
     val named = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
@@ -83,7 +90,7 @@ object Html {
     val blocks = blocksWithDensity(docs, idCol, htmlCol)
     val kept = when(col("n_chars") >= minChars &&
       col("link_ppm") <= maxLinkPpm, 1L).otherwise(0L)
-    blocks
+    val agg = blocks
       .withColumn("__keep", kept)
       .groupBy(col(idCol))
       .agg(
@@ -93,6 +100,14 @@ object Html {
           .getField("block_text")).as("text"),
         sum(col("__keep")).as("n_blocks_kept"),
         (count(lit(1)) - sum(col("__keep"))).as("n_blocks_dropped"))
+    // a doc whose every block is empty (html="", all-chrome page) has no
+    // exploded rows at all — join back so it surfaces as (id, "", 0, 0),
+    // matching the inline twin, instead of silently vanishing
+    docs.select(col(idCol)).distinct()
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_blocks_kept"), lit(0L)).as("n_blocks_kept"),
+        coalesce(col("n_blocks_dropped"), lit(0L)).as("n_blocks_dropped"))
   }
 
   /**

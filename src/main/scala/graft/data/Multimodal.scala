@@ -325,8 +325,16 @@ object Multimodal {
     val imgVec = dHashes(media).toDF()
       .select(col("media_id"), col("decoded"), dhashEmbed(col("dhash")).as("iv"))
     imgVec.join(capVec, Seq("media_id"))
+      // nanvl + coalesce: a caption whose hash embedding cancels to the
+      // zero vector makes cosine 0/0 = NaN — and Spark orders NaN
+      // GREATER than every double, so a bare `score >= minScore` would
+      // KEEP exactly the no-signal pairs; a NULL caption makes cosine
+      // null and `kept` null. Pin both to score 0.0 (no similarity
+      // evidence) so `kept` is always a real boolean.
       .withColumn("score",
-        when(col("decoded"), Similarity.cosine(col("cv"), col("iv")))
+        when(col("decoded"),
+          coalesce(nanvl(Similarity.cosine(col("cv"), col("iv")),
+            lit(0.0)), lit(0.0)))
           .otherwise(lit(0.0)))
       .select(col("media_id"), col("decoded"), col("score"),
         (col("decoded") && col("score") >= minScore).as("kept"))

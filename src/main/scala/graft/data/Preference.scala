@@ -205,9 +205,15 @@ object Preference {
           .as("pe2"))
         .select(col("v").as("n_votes"),
           expr("pe2 div 1000000L").as("pe_ppm"))
+      // Pe = 1e6 exactly (every eligible vote carries ONE label) makes
+      // kappa 0/0-undefined; pin it to 0 deterministically — Spark's
+      // non-ANSI div would ship a silent null while DuckDB's // errors,
+      // so the guard also keeps the two engines aligned
       po.crossJoin(pe)
         .select(col("n_items"), col("n_votes"), col("po_ppm"), col("pe_ppm"),
-          expr("((po_ppm - pe_ppm) * 1000000L) div (1000000L - pe_ppm)")
+          when(col("pe_ppm") >= 1000000L, lit(0L))
+            .otherwise(
+              expr("((po_ppm - pe_ppm) * 1000000L) div (1000000L - pe_ppm)"))
             .as("kappa_ppm"))
     } finally { c.unpersist() }
   }

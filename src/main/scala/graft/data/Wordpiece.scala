@@ -155,7 +155,14 @@ object Wordpiece {
     pairCounts.keysIterator.foreach(reinsert)
 
     val alphabet = symCounts.keysIterator.toArray.sortWith(utf8Cmp(_, _) < 0)
-    var vocab = Vector.empty[String] ++ alphabet.take(vocabSize)
+    // the documented contract is "alphabet always included": a vocabSize
+    // below the alphabet would silently drop characters and turn every
+    // word containing one into [UNK] — fail loudly instead
+    require(vocabSize >= alphabet.length,
+      s"vocabSize ($vocabSize) smaller than the initial alphabet " +
+        s"(${alphabet.length} symbols) — every piece of the alphabet " +
+        "must fit or encoding degenerates to [UNK]")
+    var vocab = Vector.empty[String] ++ alphabet
 
     def applyMerge(s: Array[String], l: String, r: String): Array[String] = {
       val out = Array.newBuilder[String]

@@ -134,7 +134,13 @@ object AsOfJoin {
    * replication):
    *
    *  1. union left/right exactly as [[asofJoin]], add `__chunk =
-   *     floor(ts / chunkDays)`;
+   *     floor((ts − lo) / width)` with `width = (hi − lo)/nChunks + 1`
+   *     derived from the measured ts range of the two inputs (two
+   *     narrow min/max scans) — UNIT-FREE, so integer-second,
+   *     integer-micro, and Timestamp columns all spread across
+   *     `nChunks` real chunks (a fixed calendar width would silently
+   *     collapse a differently-scaled long ts into one chunk = one
+   *     task, correct but serial);
    *  2. fill within each (keys, chunk) partition — parallel in #chunks;
    *  3. reduce each chunk to its LAST right payload (backward; FIRST for
    *     forward) — one row per (keys, chunk), a chunk-count-sized frame;
@@ -156,10 +162,10 @@ object AsOfJoin {
       partitionCols: Seq[String] = Nil,
       rightPrefix: String = "right_",
       direction: String = "backward",
-      chunkDays: Int = 1024): DataFrame = {
+      nChunks: Int = 64): DataFrame = {
     require(Set("backward", "forward", "nearest").contains(direction),
       s"direction must be backward|forward|nearest, got $direction")
-    require(chunkDays > 0, s"chunkDays must be positive, got $chunkDays")
+    require(nChunks > 0, s"nChunks must be positive, got $nChunks")
     val side = "__asof_side"
     val payload = "__asof_payload"
     val rightValueCols = right.columns.filterNot(c => c == tsCol || partitionCols.contains(c))
@@ -182,10 +188,23 @@ object AsOfJoin {
         case _ => unix_micros(c.cast("timestamp"))
       }
 
-    val chunkLen = chunkDays.toLong * 86400L * 1000000L // micros
+    // chunk width from the MEASURED ts range (two narrow min/max scans
+    // on the raw inputs — parquet-stat-prunable — never the union):
+    // unit-free, so any ts scale spreads across ~nChunks chunks
+    val b1 = left.agg(min(micros(col(tsCol))).as("lo"),
+      max(micros(col(tsCol))).as("hi")).collect().head
+    val b2 = right.agg(min(micros(col(tsCol))).as("lo"),
+      max(micros(col(tsCol))).as("hi")).collect().head
+    val los = Seq(b1, b2).filterNot(_.isNullAt(0)).map(_.getLong(0))
+    val his = Seq(b1, b2).filterNot(_.isNullAt(1)).map(_.getLong(1))
+    val lo = if (los.isEmpty) 0L else los.min
+    val width =
+      if (his.isEmpty) 1L
+      else math.max(1L, (his.max - lo) / nChunks + 1L)
     val keyCs = partitionCols.map(col)
     val base = l.select(l.columns.map(col).toSeq: _*).unionByName(r)
-      .withColumn("__chunk", floor(micros(col(tsCol)) / chunkLen))
+      .withColumn("__chunk",
+        floor((micros(col(tsCol)) - lit(lo)) / lit(width)))
 
     // in-chunk fills: same (ts, side) ordering contract as asofJoin, the
     // chunk id added to the partition keys — parallel in #chunks

@@ -456,6 +456,42 @@ object StreamingMarket {
    * not O(store), the same write-amplification discipline as the
    * delta-layout SCD-2 sink. Reassemble with [[loadCompactedStore]].
    */
+  /** Live-file names recorded as consumed by ANY published chunk's
+   * `_consumed` manifest (the `_` prefix keeps parquet readers away).
+   * The manifest is written INSIDE the staged chunk, so it becomes
+   * visible atomically with the pointer flip — the recovery anchor for
+   * the publish→delete crash window. Bounded: one small file per
+   * chunk. */
+  private def consumedLiveNames(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      storeDir: String): Set[String] =
+    Option(hfs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$storeDir/v*/_consumed")))
+      .getOrElse(Array.empty).iterator.flatMap { st =>
+        val in = hfs.open(st.getPath)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      }.toSet
+
+  /** Recovery sweep for the publish→delete crash window: delete any live
+   * file a published chunk's manifest records as consumed (its rows
+   * already live in the chunk). Runs at the top of every
+   * [[appendWithAutoCompact]] batch; callable directly after an
+   * out-of-band crash. */
+  def healConsumedLeftovers(spark: SparkSession, storeDir: String): Unit = {
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
+    val livePath = new org.apache.hadoop.fs.Path(s"$storeDir/live")
+    val ghost = consumedLiveNames(hfs, storeDir)
+    if (ghost.nonEmpty && hfs.exists(livePath))
+      hfs.listStatus(livePath).foreach { s =>
+        if (s.isFile && ghost(s.getPath.getName))
+          hfs.delete(s.getPath, false)
+      }
+  }
+
   def appendWithAutoCompact(
       rows: DataFrame,
       storeDir: String,
@@ -466,10 +502,36 @@ object StreamingMarket {
     rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val liveDir = s"$storeDir/live"
-      batch.write.mode("append").parquet(liveDir)
       val hfs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(liveDir), spark.sparkContext.hadoopConfiguration)
       val livePath = new org.apache.hadoop.fs.Path(liveDir)
+      // self-heal the publish→delete crash window FIRST: a live file
+      // already recorded in a chunk manifest holds rows the chunk also
+      // holds — delete the leftover before it can be re-compacted or
+      // double-counted
+      healConsumedLeftovers(spark, storeDir)
+      // IDEMPOTENT append: stage the batch, clear any prior live files of
+      // THIS batch id (an at-least-once replay re-delivers the batch),
+      // then rename the parts in under batch-scoped names — replaying a
+      // batch replaces its own files instead of appending a second copy.
+      // batchId is the idempotence key, so one store belongs to ONE
+      // checkpointed stream lineage (the standard foreachBatch contract).
+      val staging = new org.apache.hadoop.fs.Path(
+        s"$storeDir/_stage_b$batchId")
+      batch.write.mode("overwrite").parquet(staging.toString)
+      hfs.mkdirs(livePath)
+      hfs.listStatus(livePath).foreach { s =>
+        if (s.isFile && s.getPath.getName.startsWith(s"b$batchId-"))
+          hfs.delete(s.getPath, false)
+      }
+      hfs.listStatus(staging)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (s, i) =>
+          hfs.rename(s.getPath,
+            new org.apache.hadoop.fs.Path(livePath,
+              s"b$batchId-$i.parquet"))
+        }
+      hfs.delete(staging, true)
       val nLive = hfs.listStatus(livePath)
         .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       if (nLive > maxLiveFiles) {
@@ -478,6 +540,12 @@ object StreamingMarket {
           val plan = graft.risk.Sinks.compactSmallFiles(
             spark, liveDir, staged, targetBytes)
           consumed = plan.select(col("path")).collect().map(_.getString(0))
+          // consumed manifest rides the chunk: visible atomically with
+          // the pointer flip, so recovery always knows what to delete
+          val out = hfs.create(
+            new org.apache.hadoop.fs.Path(staged, "_consumed"))
+          try out.write(consumed.mkString("\n").getBytes("UTF-8"))
+          finally out.close()
         }
         consumed.foreach(name => hfs.delete(
           new org.apache.hadoop.fs.Path(livePath, name), false))
@@ -489,7 +557,10 @@ object StreamingMarket {
   /** Reader for [[appendWithAutoCompact]]'s layout: every immutable
    * compacted chunk `v<N>/` plus the live remainder, one union scan.
    * Chunks are append-only history, so no pointer coordination is
-   * needed beyond directory listing. */
+   * needed beyond directory listing. Live files recorded in a chunk's
+   * `_consumed` manifest are EXCLUDED — they only still exist if the
+   * writer died between the chunk publish and its deletes, and their
+   * rows already live in the chunk (reading both would double-count). */
   def loadCompactedStore(spark: SparkSession, storeDir: String): DataFrame = {
     val hfs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
@@ -499,13 +570,16 @@ object StreamingMarket {
       .filter(s => s.isDirectory &&
         s.getPath.getName.matches("v\\d+"))
       .map(_.getPath.toString)
+    val ghost = consumedLiveNames(hfs, storeDir)
     val live = new org.apache.hadoop.fs.Path(s"$storeDir/live")
-    val liveDirs =
-      if (hfs.exists(live) && hfs.listStatus(live).exists(f =>
-        f.isFile && f.getPath.getName.endsWith(".parquet")))
-        Seq(live.toString)
+    val liveFiles =
+      if (hfs.exists(live))
+        hfs.listStatus(live).filter(f => f.isFile &&
+            f.getPath.getName.endsWith(".parquet") &&
+            !ghost(f.getPath.getName))
+          .map(_.getPath.toString).toSeq
       else Seq.empty
-    val all = chunks.toSeq ++ liveDirs
+    val all = chunks.toSeq ++ liveFiles
     require(all.nonEmpty, s"no compacted chunks or live files under $storeDir")
     spark.read.parquet(all: _*)
   }

@@ -153,4 +153,24 @@ class HtmlSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("join"), plan)
   }
+
+  test("extractContent keeps zero-block docs as (id, '', 0, 0) — inline parity") {
+    // empty page, all-chrome page (script only), and a normal page: the
+    // grouped spelling must emit a row for ALL of them, exactly like the
+    // inline twin — a silently vanished doc breaks batch/stream parity
+    val docs = Seq(
+      (1L, ""),
+      (2L, "<script>var x = 1;</script>"),
+      (3L, "<p>a long enough paragraph of perfectly ordinary words to keep</p>")
+    ).toDF("doc_id", "html")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"text", $"n_blocks_kept", $"n_blocks_dropped")
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val grouped = canon(Html.extractContent(docs, "doc_id", "html"))
+    val inline = canon(Html.extractContentInline(docs, "doc_id", "html"))
+    assert(grouped.map(_._1) == Seq(1L, 2L, 3L), "no doc vanishes")
+    assert(grouped == inline)
+    assert(grouped(0) == ((1L, "", 0L, 0L)))
+    assert(grouped(1) == ((2L, "", 0L, 0L)))
+  }
 }

@@ -274,6 +274,16 @@ class IncrementalDedupSpec extends SparkSpec {
     val legacy = store.drop("hash_bits")
     assert(Dedup.crossNearDups(
       Dedup.signatures(batch, "doc_id", "text"), legacy).count() >= 0)
+    // a MIXED-schema store (old files gained the column on read, value
+    // NULL) also passes unverified — the null-sampled-row case must not
+    // NPE the guard whose doc promises back-compat
+    val dir = java.nio.file.Files.createTempDirectory("sig_store").toString + "/st"
+    legacy.withColumn("hash_bits",
+        org.apache.spark.sql.functions.lit(null).cast("long"))
+      .write.parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    assert(Dedup.crossNearDups(
+      Dedup.signatures(batch, "doc_id", "text"), loaded).count() >= 0)
   }
 
   test("short docs (no shingles) still dedup exactly, never via bands") {

@@ -127,4 +127,28 @@ class MultimodalHashSpec extends SparkSpec {
       assert(kept === (dec2 && sc >= -1.0), s"id=$id")
     }
   }
+
+  test("pairScores: null/degenerate captions score 0.0, kept is always a real boolean") {
+    // a NULL caption makes cosine null (kept would go null and crash
+    // downstream filters); a zero-cancelling caption embedding makes it
+    // 0/0 = NaN, which Spark orders ABOVE every double — both must pin
+    // to score 0.0, kept=false, never null/NaN
+    val media = Seq(0L, 1L, 2L).toDF("id").as[Long]
+      .map(id => Multimodal.MediaRow(id, "img/png", Multimodal.syntheticPng(id)))
+    val caps = Seq((0L, null.asInstanceOf[String]), (1L, "   "),
+      (2L, "ordinary caption words")).toDF("id", "caption")
+    val got = Multimodal.pairScores(caps, media, "id", "caption",
+        minScore = 0.05)
+      .select($"media_id", $"decoded", $"score", $"kept")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.isNullAt(2), r.getDouble(2), r.isNullAt(3),
+          r.getBoolean(3)))).toMap
+    got.foreach { case (id, (dec, scNull, sc, keptNull, kept)) =>
+      assert(dec, s"id=$id decodes")
+      assert(!scNull && !sc.isNaN, s"id=$id score=$sc")
+      assert(!keptNull, s"id=$id kept must be a real boolean")
+      assert(kept == (sc >= 0.05), s"id=$id gate consistency")
+    }
+    assert(got(0L)._3 == 0.0 && !got(0L)._5, "null caption: 0-score drop")
+  }
 }

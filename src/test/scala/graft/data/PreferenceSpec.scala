@@ -142,6 +142,15 @@ class PreferenceSpec extends SparkSpec {
       s"got=$got expect=(${elig.size},$v,$poPpm,$pePpm,$kappa)")
   }
 
+  test("agreementPanel: a single-label stream pins kappa to 0, not null/error") {
+    // Pe = 1e6 exactly — kappa is 0/0-undefined; both engines pin 0
+    val votes = (1L to 6L).flatMap(i => Seq((i, "t"), (i, "t"), (i, "t")))
+      .toDF("item", "lab")
+    val got = Preference.agreementPanel(votes, "item", "lab")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == ((6L, 18L, 1000000L, 1000000L, 0L)), got.toString)
+  }
+
   test("orderBias counts second-presented wins per unordered pair") {
     val comp = Seq(
       ("a", "b", "b"), ("a", "b", "a"), ("b", "a", "a"),

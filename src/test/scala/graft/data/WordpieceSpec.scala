@@ -30,7 +30,8 @@ class WordpieceSpec extends SparkSpec {
         s.zip(s.drop(1)).map(p => p -> f)
       }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
     val alphabet = symCounts.keys.toSeq.sortWith(utf8Lt)
-    var vocab = alphabet.take(vocabSize).toVector
+    require(vocabSize >= alphabet.size)
+    var vocab = alphabet.toVector
     var done = false
     while (vocab.size < vocabSize && !done) {
       val sc = symCounts; val pc = pairCounts
@@ -87,7 +88,7 @@ class WordpieceSpec extends SparkSpec {
       (w + (if (i % 7 == 0) "q" else ""), (rng.nextInt(40) + 1).toLong)
     }.distinct.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }
       .toArray
-    for (vs <- Seq(10, 25, 60)) {
+    for (vs <- Seq(19, 25, 60)) {
       val inc = Wordpiece.trainFromTypes(types, vs, minCount = 2L)
       val ref = referenceTrain(types, vs, minCount = 2L)
       assert(inc === ref, s"vocabSize=$vs")
@@ -106,7 +107,7 @@ class WordpieceSpec extends SparkSpec {
           .mkString
         (w, (rng.nextInt(30) + 1).toLong)
       }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
-      val vs = 5 + rng.nextInt(30)
+      val vs = 12 + rng.nextInt(25)
       val inc = Wordpiece.trainFromTypes(types, vs, minCount = 2L)
       val ref = referenceTrain(types, vs, minCount = 2L)
       assert(inc === ref, s"seed=$seed vocabSize=$vs types=${types.toSeq}")
@@ -168,5 +169,15 @@ class WordpieceSpec extends SparkSpec {
     val vocab = Seq("a", "##b", "ab", "[UNK]")
     Wordpiece.saveVocab(spark, vocab, dir)
     assert(Wordpiece.loadVocab(spark, dir) === vocab)
+  }
+
+  test("vocabSize below the initial alphabet fails loudly, never truncates") {
+    // a silently truncated alphabet turns every word holding a dropped
+    // char into [UNK] — the documented contract is alphabet-always-in
+    val docs = Seq("abcdefghij klmnop qrstuv").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      Wordpiece.train(docs, "text", vocabSize = 5)
+    }
+    assert(e.getMessage.contains("alphabet"), e.getMessage)
   }
 }

@@ -60,13 +60,13 @@ class AsOfJoinSpec extends SparkSpec {
 
   test("chunked variant passes the hand oracle, partitioned, tiny chunks") {
     check(AsOfJoin.asofJoinChunked(left, right, "date", Seq("ticker"),
-      chunkDays = 1))
+      nChunks = 40))
     check(AsOfJoin.asofJoinChunked(left, right, "date", Seq("ticker"),
-      chunkDays = 100000)) // one chunk: degenerates to plain asofJoin
+      nChunks = 1)) // one chunk: degenerates to plain asofJoin
   }
 
   test("chunked == single-task form: all directions, gappy 1-day chunks") {
-    // sparse right side over 40 days: at chunkDays=1 most chunks have no
+    // sparse right side over 40 days: at high nChunks most chunks have no
     // right rows, so matches must flow through the carry summary (and
     // leading left rows before any right row must stay null)
     val rng = new scala.util.Random(11)
@@ -81,7 +81,7 @@ class AsOfJoinSpec extends SparkSpec {
     val l = lrows.toDF("t", "lv")
     val r = rrows.toDF("t", "rv")
     for (dir <- Seq("backward", "forward", "nearest");
-         chunkDays <- Seq(1, 7)) {
+         nc <- Seq(1, 5, 40)) {
       def canon(df: org.apache.spark.sql.DataFrame) =
         df.select("t", "lv", "right_t", "right_rv").collect()
           .map(x => (x.get(0).toString, x.get(1),
@@ -89,8 +89,8 @@ class AsOfJoinSpec extends SparkSpec {
           .sortBy(_.toString).toSeq
       val plain = canon(AsOfJoin.asofJoin(l, r, "t", direction = dir))
       val chunked = canon(AsOfJoin.asofJoinChunked(l, r, "t",
-        direction = dir, chunkDays = chunkDays))
-      assert(chunked === plain, s"dir=$dir chunkDays=$chunkDays")
+        direction = dir, nChunks = nc))
+      assert(chunked === plain, s"dir=$dir nChunks=$nc")
     }
   }
 
@@ -101,7 +101,7 @@ class AsOfJoinSpec extends SparkSpec {
     val out = AsOfJoin.asofJoinChunked(left.drop("ticker"),
       right.drop("ticker").groupBy("date")
         .agg(org.apache.spark.sql.functions.max("rval").as("rval")),
-      "date", chunkDays = 1)
+      "date", nChunks = 20)
     val plan = out.queryExecution.optimizedPlan
     val windows = plan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
@@ -286,6 +286,26 @@ class AsOfJoinSpec extends SparkSpec {
           Option(row.getAs[Any]("right_rv")).map(_.asInstanceOf[Double]))
       }.toMap
       assert(got === bruteOf(dir), s"direction=$dir")
+    }
+  }
+
+  test("chunked variant is unit-free: integer-SECOND long ts, all directions") {
+    // the chunk width derives from the measured ts range, not a fixed
+    // micros calendar — a seconds-scale long ts (the events convention)
+    // must produce the same answers while genuinely spreading chunks
+    val l = (0 until 400).map(i => (1700000000L + i * 97L, i.toDouble))
+      .toDF("ts", "lv")
+    val r = (0 until 25).map(i => (1700000000L + i * 1501L, i * 2.0))
+      .toDF("ts", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("ts", "lv", "right_rv").collect()
+        .map(x => (x.getLong(0), x.getDouble(1), Option(x.get(2))))
+        .sortBy(_.toString).toSeq
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val plain = canon(AsOfJoin.asofJoin(l, r, "ts", direction = dir))
+      val chunked = canon(AsOfJoin.asofJoinChunked(l, r, "ts",
+        direction = dir, nChunks = 16))
+      assert(chunked === plain, s"dir=$dir")
     }
   }
 }

@@ -1067,6 +1067,72 @@ class StreamingMarketSpec extends SparkSpec {
     }
   }
 
+  test("appendWithAutoCompact: a crash between publish and delete never double-counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("autocompact_cw").toString + "/store"
+    val input = MemoryStream[(Long, String)]
+    val q = appendWithAutoCompact(
+      input.toDF().toDF("id", "payload").repartition(4),
+      dir, maxLiveFiles = 4, targetBytes = 1L << 20)().start()
+    val rows = (0 until 3).flatMap(b =>
+      (0 until 30).map(i => (b * 1000L + i, s"row_${b}_$i")))
+    rows.grouped(30).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+    // simulate the crash window: resurrect one consumed live file (its
+    // rows already live in a published chunk) under its manifest name
+    val manifest = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(d => new java.io.File(d, "_consumed")).find(_.exists()).get
+    val ghostName = scala.io.Source.fromFile(manifest).getLines()
+      .find(_.nonEmpty).get
+    val chunkParquet = new java.io.File(manifest.getParentFile.getPath)
+      .listFiles().find(_.getName.endsWith(".parquet")).get
+    val ghost = new java.io.File(s"$dir/live", ghostName)
+    java.nio.file.Files.copy(chunkParquet.toPath, ghost.toPath)
+    assert(ghost.exists())
+    // the loader must EXCLUDE the ghost — content stays exactly the input
+    val got = loadCompactedStore(spark, dir)
+      .select(col("id"), col("payload")).as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(got == rows.sorted)
+    // and the recovery sweep (run at the top of every batch) deletes it
+    healConsumedLeftovers(spark, dir)
+    assert(!ghost.exists(), "leftover consumed file must be deleted")
+    val got2 = loadCompactedStore(spark, dir)
+      .select(col("id"), col("payload")).as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(got2 == rows.sorted)
+  }
+
+  test("appendWithAutoCompact: a replayed batch replaces its files, never re-appends") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("autocompact_rp").toString + "/store"
+    // plant a poison live file under batch 0's name — exactly what an
+    // at-least-once redelivery of batch 0 would find on disk
+    val poisonSrc =
+      java.nio.file.Files.createTempDirectory("poison").toString + "/p"
+    Seq((666L, "stale")).toDF("id", "payload")
+      .coalesce(1).write.parquet(poisonSrc)
+    new java.io.File(s"$dir/live").mkdirs()
+    val poisonFile = new java.io.File(poisonSrc).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(poisonFile.toPath,
+      new java.io.File(s"$dir/live", "b0-0.parquet").toPath)
+    val input = MemoryStream[(Long, String)]
+    val q = appendWithAutoCompact(
+      input.toDF().toDF("id", "payload").repartition(2),
+      dir, maxLiveFiles = 100, targetBytes = 1L << 20)().start()
+    input.addData((1L, "fresh_a"), (2L, "fresh_b"))
+    q.processAllAvailable(); q.stop()
+    val got = loadCompactedStore(spark, dir)
+      .select(col("id"), col("payload")).as[(Long, String)]
+      .collect().sorted.toSeq
+    // batch 0's redelivery cleared the stale copy and wrote exactly once
+    assert(got == Seq((1L, "fresh_a"), (2L, "fresh_b")))
+  }
+
   test("streamingQuantileMonitor: batch-equal quantiles over any prefix, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
