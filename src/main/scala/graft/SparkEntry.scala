@@ -1373,6 +1373,17 @@ object SparkEntry {
         e.filter(col("vec_id") % 5 =!= 0),
         e.filter(col("vec_id") % 5 === 0), "v", "label", nBins = 40))
     }),
+    // distribution-shift panel: total-variation distance between the
+    // sources' length-decile distributions in exact ppm — the
+    // "did this source's profile move" gate (logs-free, cross-engine)
+    "q194_source_shift" -> ((s, dir) => {
+      import graft.data.Corpus
+      val rows = t(s, dir, "documents")
+        .select(col("source"),
+          least(expr("n_chars div 500"), lit(9L)).as("bkt"))
+      Corpus.totalVariationByGroup(rows, "source", "bkt")
+        .orderBy(col("a"), col("b"))
+    }),
     // inter-annotator agreement: Fleiss' kappa (variable raters) in
     // exact ppm — the "are these labels better than chance" gate
     "q185_agreement" -> ((s, dir) => {
@@ -4400,6 +4411,22 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
         |  CAST(CASE WHEN a.frst IS NOT NULL THEN 1000000 // a.frst
         |    ELSE 0 END AS BIGINT) AS rr_ppm
         |FROM agg a LEFT JOIN nr USING (query_id) ORDER BY query_id""".stripMargin,
+    "q194_source_shift" ->
+      """WITH r AS (SELECT source AS g, least(n_chars // 500, 9) AS bkt
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |c AS (SELECT g, bkt, count(*) AS n FROM r GROUP BY 1, 2),
+        |t AS (SELECT g, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+        |sh AS (SELECT c.g, c.bkt, (c.n * 1000000) // t.tot AS ppm
+        |  FROM c JOIN t ON c.g = t.g),
+        |grid AS (SELECT gs.g, bs.bkt,
+        |    CAST(coalesce(sh.ppm, 0) AS BIGINT) AS ppm
+        |  FROM (SELECT DISTINCT g FROM c) gs
+        |  CROSS JOIN (SELECT DISTINCT bkt FROM c) bs
+        |  LEFT JOIN sh ON sh.g = gs.g AND sh.bkt = bs.bkt)
+        |SELECT x.g AS a, y.g AS b,
+        |  CAST(sum(abs(x.ppm - y.ppm)) // 2 AS BIGINT) AS tv_ppm
+        |FROM grid x JOIN grid y ON x.bkt = y.bkt AND x.g < y.g
+        |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
     "q185_agreement" ->
       """WITH v AS (SELECT event_id % 500 AS item, event_type AS label
         |  FROM events

@@ -539,6 +539,43 @@ object Corpus {
     docs.withColumn(outCol, best.getField("s").cast("long"))
   }
 
+  /**
+   * DISTRIBUTION-SHIFT panel: total-variation distance between every
+   * pair of groups' bucket distributions, in exact ppm —
+   * `TV(P,Q) = ½ Σ_b |p_b − q_b|` with shares floored to ppm first, so
+   * the whole panel is integer arithmetic any engine reproduces (the
+   * PSI/KL alternatives need logs — irrational, never cross-engine
+   * exact). The standard "did this source's length/quality profile
+   * move" gate between crawls, and the pre-mixing check that two
+   * sources claiming different content actually differ.
+   *
+   * Scale: one map-combined (group, bucket) count, then everything runs
+   * on the |groups|·|buckets| CELL grid (both bounded by contract —
+   * sources × histogram bins, never rows). Missing buckets count as
+   * share 0 via the grid cross join. Returns `(a, b, tv_ppm)` for every
+   * unordered group pair, `tv_ppm ∈ [0, 1e6]`.
+   */
+  def totalVariationByGroup(rows: DataFrame, groupCol: String,
+      bucketCol: String): DataFrame = {
+    val c = rows
+      .filter(col(groupCol).isNotNull && col(bucketCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(bucketCol).as("bkt"))
+      .agg(count(lit(1)).as("n"))
+    val shares = c
+      .join(c.groupBy(col("g")).agg(sum(col("n")).as("tot")), Seq("g"))
+      .select(col("g"), col("bkt"),
+        expr("(n * 1000000L) div tot").as("ppm"))
+    val grid = c.select(col("g")).distinct()
+      .crossJoin(c.select(col("bkt")).distinct())
+      .join(shares, Seq("g", "bkt"), "left")
+      .select(col("g"), col("bkt"), coalesce(col("ppm"), lit(0L)).as("ppm"))
+    grid.as("x").join(grid.as("y"),
+        col("x.bkt") === col("y.bkt") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("a"), col("y.g").as("b"))
+      .agg(sum(abs(col("x.ppm") - col("y.ppm"))).as("__s"))
+      .select(col("a"), col("b"), expr("__s div 2").as("tv_ppm"))
+  }
+
   def snapshotDiff(
       oldDocs: DataFrame, newDocs: DataFrame,
       idCol: String = "id", textCol: String = "text"): DataFrame = {

@@ -49,6 +49,37 @@ class ShuffleMiningSpec extends SparkSpec {
     assert(agree < 30, s"$agree of 300 docs kept their slot across epochs")
   }
 
+  test("totalVariationByGroup: identical=0, disjoint=1e6, missing buckets=0 share") {
+    val rows = (
+      // g1 and g2: identical distributions (2 buckets, 50/50)
+      Seq(("g1", 0L), ("g1", 1L), ("g2", 0L), ("g2", 1L)) ++
+      // g3: all mass in bucket 2 (disjoint from g1/g2)
+      Seq(("g3", 2L), ("g3", 2L))
+    ).toDF("g", "bkt")
+    val got = Corpus.totalVariationByGroup(rows, "g", "bkt")
+      .orderBy($"a", $"b").as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("g1", "g2", 0L), ("g1", "g3", 1000000L), ("g2", "g3", 1000000L)))
+  }
+
+  test("totalVariationByGroup matches a scalar mirror on a skewed fixture") {
+    val rows = (0 until 300).map(i =>
+      (s"s${i % 3}", ((i * i + i / 3) % 7).toLong)).toDF("g", "bkt")
+    val got = Corpus.totalVariationByGroup(rows, "g", "bkt")
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val data = (0 until 300).map(i => (s"s${i % 3}", ((i * i + i / 3) % 7).toLong))
+    val byG = data.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val buckets = data.map(_._2).distinct
+    def ppm(g: String) = {
+      val n = byG(g).size.toLong
+      buckets.map(b => b -> byG(g).count(_ == b).toLong * 1000000L / n).toMap
+    }
+    for (a <- byG.keys; b <- byG.keys if a < b) {
+      val want = buckets.map(k => math.abs(ppm(a)(k) - ppm(b)(k))).sum / 2
+      assert(got((a, b)) == want, s"$a vs $b")
+    }
+  }
+
   test("hardNegatives returns only different-label neighbors, in cosine order") {
     // axis-aligned vectors make cosine exact: same axis = 1, else 0;
     // anchor 0 is label A, surrounded by A's — negatives must skip them all
