@@ -281,7 +281,11 @@ object Bm25 {
    * Mean-average them downstream with one more 1-row aggregate (exact:
    * `sum(x_ppm) div count`). Queries present in `results` but absent
    * from the qrels evaluate with n_rel = 0 (kept — a silent drop would
-   * inflate averaged metrics); duplicate qrel pairs collapse.
+   * inflate averaged metrics); symmetrically, queries present in the
+   * qrels but with ZERO result rows (retrieval returned nothing) emit
+   * `(hits = 0, precision = recall = rr = 0)` rather than vanishing —
+   * the full-outer join on the query set keeps both directions honest.
+   * Duplicate qrel pairs collapse.
    *
    * Scale: one distinct + count over qrels, one (query, doc)-keyed left
    * join of the CUT result list (≤ k rows/query), one per-query
@@ -296,15 +300,17 @@ object Bm25 {
       .join(rel.withColumn("__rel", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
     marked.groupBy(col("query_id"))
-      .agg(sum(coalesce(col("__rel"), lit(0L))).as("hits"),
+      .agg(sum(coalesce(col("__rel"), lit(0L))).as("__hits"),
         min(when(col("__rel") === 1L, col("rank"))).as("__first"))
-      .join(nRel, Seq("query_id"), "left")
+      .join(nRel, Seq("query_id"), "full")
       .select(col("query_id"),
-        coalesce(col("n_rel"), lit(0L)).as("n_rel"), col("hits"),
-        expr(s"(hits * 1000000L) div ${k}L").as("precision_ppm"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("__hits"), lit(0L)).as("hits"),
+        expr(s"(coalesce(__hits, 0L) * 1000000L) div ${k}L")
+          .as("precision_ppm"),
         when(coalesce(col("n_rel"), lit(0L)) > 0,
-          expr("(hits * 1000000L) div n_rel")).otherwise(lit(0L))
-          .as("recall_ppm"),
+          expr("(coalesce(__hits, 0L) * 1000000L) div n_rel"))
+          .otherwise(lit(0L)).as("recall_ppm"),
         when(col("__first").isNotNull,
           expr("1000000L div __first")).otherwise(lit(0L)).as("rr_ppm"))
   }

@@ -1459,9 +1459,13 @@ object Dedup {
       groupCol: String, minSharePpm: Long = 500000L,
       minDocs: Long = 2L): DataFrame = {
     require(minSharePpm > 0, s"minSharePpm must be > 0, got $minSharePpm")
+    // NULL text behaves like empty text: split(NULL) is NULL (no
+    // exploded lines AND size() = -1 for the total), which would emit
+    // n_dropped = -1 — coalesce both reads to "" instead
+    val rawText = coalesce(col(textCol), lit(""))
     val lines = docs
       .select(col(idCol).as("doc_id"), col(groupCol).as("g"),
-        posexplode(split(col(textCol), "\n")))
+        posexplode(split(rawText, "\n")))
       .select(col("doc_id"), col("g"), col("pos").as("line_no"),
         col("col").as("line"), TextFunctions.hash60(col("col")).as("h"))
     val groupDocs = docs.groupBy(col(groupCol).as("g"))
@@ -1479,7 +1483,7 @@ object Dedup {
           sort_array(collect_list(struct(col("line_no"), col("line")))),
           s => s("line")), "\n").as("text"))
     docs.select(col(idCol).as("doc_id"),
-        (size(split(col(textCol), "\n"))).cast("long").as("__total"))
+        (size(split(rawText, "\n"))).cast("long").as("__total"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id").as(idCol),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
@@ -1546,9 +1550,13 @@ object Dedup {
    * Scale spelling: the global sort order comes from
    * [[Relational.globalRank]] (range-partitioned two-pass rank — NO
    * single-task window), and the ±window neighborhood becomes
-   * `explode(sequence(rk+1, rk+window))` + one rank-keyed equi join —
-   * shuffle keyed by integer rank, never a range join, never a
-   * cross product. The key must make (key, id) a total order — id
+   * `explode(sequence(rk+1, least(rk+window, maxRk)))` + one
+   * rank-keyed equi join — shuffle keyed by integer rank, never a
+   * range join, never a cross product. The probe sequence is clamped
+   * at the corpus's max rank (one 1-row aggregate, broadcast), so a
+   * caller-sized window never fans out dead probes past the end of
+   * the corpus — `window = N` costs O(N²/2) candidates, not O(N·w)
+   * with a dead tail. The key must make (key, id) a total order — id
    * breaks ties, so any key expression is safe.
    *
    * Returns `(id_a, id_b, key_a, key_b, gap)` with rank(a) < rank(b)
@@ -1560,9 +1568,17 @@ object Dedup {
     val ranked = Relational.globalRank(
       docs.select(col(idCol).as("id"), key.as("k")),
       Seq(col("k"), col("id")), "rk")
-    val probes = ranked.select(col("id").as("id_a"), col("k").as("key_a"),
-      col("rk").as("__rka"),
-      explode(sequence(col("rk") + 1, col("rk") + window)).as("rk"))
+    // clamp probes at the last rank: a probe past maxRk joins nothing —
+    // pure dead shuffle rows when callers pass large windows. The last
+    // row (rk = maxRk) is filtered BEFORE the sequence so the clamp
+    // never produces a descending sequence(rk+1, rk).
+    val maxRk = ranked.agg(max(col("rk")).as("__maxrk"))
+    val probes = ranked.join(broadcast(maxRk))
+      .filter(col("rk") < col("__maxrk"))
+      .select(col("id").as("id_a"), col("k").as("key_a"),
+        col("rk").as("__rka"),
+        explode(sequence(col("rk") + 1,
+          least(col("rk") + window, col("__maxrk")))).as("rk"))
     probes.join(
         ranked.select(col("id").as("id_b"), col("k").as("key_b"), col("rk")),
         Seq("rk"))

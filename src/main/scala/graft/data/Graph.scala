@@ -322,7 +322,11 @@ object Graph {
    * min-struct argmax — no window over raw edges, nothing collected,
    * nothing broadcast from the graph side. Edges are cached once across
    * all rounds; the label table is |V| rows and its lineage is
-   * truncated every 10 rounds (matching [[pageRank]]'s discipline).
+   * truncated every 5 rounds (`localCheckpoint`), so a deep community
+   * run never carries more than 4 rounds of join/agg lineage into the
+   * next stage — re-computation on a lost partition is bounded, and
+   * the plan for the typical 3–5 round run keeps its pure declarative
+   * shape.
    * Like all fixed-point LPA, `iters` bounds work; 3–5 rounds settle
    * real web-host graphs (communities are diameter-bounded).
    *
@@ -349,7 +353,7 @@ object Graph {
           .groupBy(col("node"))
           .agg(min(struct((-col("c")).as("nc"), col("label"))).as("w"))
           .select(col("node"), col("w.label").as("label"))
-        if (i % 10 == 0) labels = labels.localCheckpoint()
+        if (i % 5 == 0 && i < iters) labels = labels.localCheckpoint()
       }
       val out = labels.cache()
       out.count() // materialize while the edge cache is warm

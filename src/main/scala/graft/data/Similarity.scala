@@ -181,8 +181,11 @@ object Similarity {
    * [[bruteForceTopK]] with the different-label predicate placed
    * BELOW the rank window, so rank counts negatives only (an anchor
    * surrounded by its own class still yields k true negatives, not a
-   * truncated list). NULL-labeled corpus rows are excluded — an
-   * unknown label can't be certified a negative.
+   * truncated list). NULL-labeled rows are excluded on BOTH sides —
+   * an unknown corpus label can't be certified a negative, and an
+   * unknown ANCHOR label can't certify anything a negative either
+   * (a NULL-labeled anchor emits no rows, consistent with the
+   * corpus-side rule).
    *
    * Serving shape (`broadcastAnchors = true`): anchor batch broadcasts,
    * corpus never shuffles. Corpus-vs-corpus mining passes `false` —
@@ -203,6 +206,7 @@ object Similarity {
     val q = anchors.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
       sqrt(dotNative(col(vecCol), col(vecCol))).as("q_n"),
       col(labelCol).as("q_label"))
+      .filter(col("q_label").isNotNull)
     val c = repartitioned(corpus).select(col(idCol).as("c_id"),
       col(vecCol).as("c_v"),
       sqrt(dotNative(col(vecCol), col(vecCol))).as("c_n"),

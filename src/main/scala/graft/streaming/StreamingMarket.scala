@@ -475,20 +475,44 @@ object StreamingMarket {
         txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
       }.toSet
 
+  private val liveNameBatchId = """^b(\d+)-\d+\.parquet$""".r
+
+  /** Batch ids whose rows already live in a published chunk, derived
+   * from the consumed manifests' `b<id>-<i>.parquet` names. Compaction
+   * consumes the FULL live listing and a batch's files are all renamed
+   * in before the compaction check, so a batch id appearing in any
+   * manifest means EVERY row of that batch is in a chunk — the
+   * batch-level idempotence anchor for post-compaction replays. */
+  private def consumedBatchIds(
+      hfs: org.apache.hadoop.fs.FileSystem,
+      storeDir: String): Set[Long] =
+    consumedLiveNames(hfs, storeDir).collect {
+      case liveNameBatchId(id) => id.toLong
+    }
+
   /** Recovery sweep for the publish→delete crash window: delete any live
    * file a published chunk's manifest records as consumed (its rows
-   * already live in the chunk). Runs at the top of every
-   * [[appendWithAutoCompact]] batch; callable directly after an
-   * out-of-band crash. */
+   * already live in the chunk) — matched by NAME and, for replayed
+   * batches that split into MORE part files than the attempt the chunk
+   * consumed (different parallelism/AQE split on replay), by BATCH ID:
+   * any `b<id>-*` live file whose batch id a manifest covers is a
+   * duplicate of chunk rows regardless of its part index. Runs at the
+   * top of every [[appendWithAutoCompact]] batch; callable directly
+   * after an out-of-band crash. */
   def healConsumedLeftovers(spark: SparkSession, storeDir: String): Unit = {
     val hfs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
     val livePath = new org.apache.hadoop.fs.Path(s"$storeDir/live")
     val ghost = consumedLiveNames(hfs, storeDir)
+    val ghostBatches = ghost.collect { case liveNameBatchId(id) => id.toLong }
     if (ghost.nonEmpty && hfs.exists(livePath))
       hfs.listStatus(livePath).foreach { s =>
-        if (s.isFile && ghost(s.getPath.getName))
-          hfs.delete(s.getPath, false)
+        val name = s.getPath.getName
+        val dup = ghost(name) || (name match {
+          case liveNameBatchId(id) => ghostBatches(id.toLong)
+          case _ => false
+        })
+        if (s.isFile && dup) hfs.delete(s.getPath, false)
       }
   }
 
@@ -510,46 +534,55 @@ object StreamingMarket {
       // holds — delete the leftover before it can be re-compacted or
       // double-counted
       healConsumedLeftovers(spark, storeDir)
-      // IDEMPOTENT append: stage the batch, clear any prior live files of
-      // THIS batch id (an at-least-once replay re-delivers the batch),
-      // then rename the parts in under batch-scoped names — replaying a
-      // batch replaces its own files instead of appending a second copy.
-      // batchId is the idempotence key, so one store belongs to ONE
-      // checkpointed stream lineage (the standard foreachBatch contract).
-      val staging = new org.apache.hadoop.fs.Path(
-        s"$storeDir/_stage_b$batchId")
-      batch.write.mode("overwrite").parquet(staging.toString)
-      hfs.mkdirs(livePath)
-      hfs.listStatus(livePath).foreach { s =>
-        if (s.isFile && s.getPath.getName.startsWith(s"b$batchId-"))
-          hfs.delete(s.getPath, false)
-      }
-      hfs.listStatus(staging)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (s, i) =>
-          hfs.rename(s.getPath,
-            new org.apache.hadoop.fs.Path(livePath,
-              s"b$batchId-$i.parquet"))
+      // batch-level idempotence for the replay-AFTER-compaction window:
+      // if this batch id already appears in a published chunk's
+      // manifest, every one of its rows lives in that chunk (compaction
+      // consumes the full live set) — re-appending would double-count
+      // even with name-keyed replacement, because a replay may split
+      // into MORE part files than the attempt the chunk consumed. Skip
+      // the whole batch.
+      if (!consumedBatchIds(hfs, storeDir)(batchId)) {
+        // IDEMPOTENT append: stage the batch, clear any prior live files of
+        // THIS batch id (an at-least-once replay re-delivers the batch),
+        // then rename the parts in under batch-scoped names — replaying a
+        // batch replaces its own files instead of appending a second copy.
+        // batchId is the idempotence key, so one store belongs to ONE
+        // checkpointed stream lineage (the standard foreachBatch contract).
+        val staging = new org.apache.hadoop.fs.Path(
+          s"$storeDir/_stage_b$batchId")
+        batch.write.mode("overwrite").parquet(staging.toString)
+        hfs.mkdirs(livePath)
+        hfs.listStatus(livePath).foreach { s =>
+          if (s.isFile && s.getPath.getName.startsWith(s"b$batchId-"))
+            hfs.delete(s.getPath, false)
         }
-      hfs.delete(staging, true)
-      val nLive = hfs.listStatus(livePath)
-        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      if (nLive > maxLiveFiles) {
-        var consumed: Array[String] = Array.empty
-        val v = graft.data.Versioned.publish(spark, storeDir) { staged =>
-          val plan = graft.risk.Sinks.compactSmallFiles(
-            spark, liveDir, staged, targetBytes)
-          consumed = plan.select(col("path")).collect().map(_.getString(0))
-          // consumed manifest rides the chunk: visible atomically with
-          // the pointer flip, so recovery always knows what to delete
-          val out = hfs.create(
-            new org.apache.hadoop.fs.Path(staged, "_consumed"))
-          try out.write(consumed.mkString("\n").getBytes("UTF-8"))
-          finally out.close()
+        hfs.listStatus(staging)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (s, i) =>
+            hfs.rename(s.getPath,
+              new org.apache.hadoop.fs.Path(livePath,
+                s"b$batchId-$i.parquet"))
+          }
+        hfs.delete(staging, true)
+        val nLive = hfs.listStatus(livePath)
+          .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        if (nLive > maxLiveFiles) {
+          var consumed: Array[String] = Array.empty
+          val v = graft.data.Versioned.publish(spark, storeDir) { staged =>
+            val plan = graft.risk.Sinks.compactSmallFiles(
+              spark, liveDir, staged, targetBytes)
+            consumed = plan.select(col("path")).collect().map(_.getString(0))
+            // consumed manifest rides the chunk: visible atomically with
+            // the pointer flip, so recovery always knows what to delete
+            val out = hfs.create(
+              new org.apache.hadoop.fs.Path(staged, "_consumed"))
+            try out.write(consumed.mkString("\n").getBytes("UTF-8"))
+            finally out.close()
+          }
+          consumed.foreach(name => hfs.delete(
+            new org.apache.hadoop.fs.Path(livePath, name), false))
+          onCompact(batchId, consumed.length, v)
         }
-        consumed.foreach(name => hfs.delete(
-          new org.apache.hadoop.fs.Path(livePath, name), false))
-        onCompact(batchId, consumed.length, v)
       }
     }
   }
@@ -596,6 +629,10 @@ object StreamingMarket {
    * floor). Driver state is the bucket map: bounded forever, so p50/p99
    * latency/size monitors run on unbounded streams at fixed memory.
    * Emits `(p_ppm → quantile)` pairs, rows seen, and batch id.
+   *
+   * NULL contract: NULL values are skipped (filtered before the
+   * histogram, like SQL aggregates skip NULLs) — they contribute to
+   * neither the buckets nor the row total, and never kill the query.
    */
   def streamingQuantileMonitor(
       values: DataFrame,
@@ -609,7 +646,8 @@ object StreamingMarket {
     var total = 0L
     values.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val rows = graft.data.Sketches.logHistogram(
-        batch.select(value.as("__v")), Seq.empty, col("__v"), subBits)
+        batch.select(value.as("__v")).filter(col("__v").isNotNull),
+        Seq.empty, col("__v"), subBits)
         .collect()
       rows.foreach { r =>
         val b = r.getLong(0); val n = r.getLong(1)

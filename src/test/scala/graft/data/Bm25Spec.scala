@@ -179,4 +179,19 @@ class Bm25Spec extends SparkSpec {
       (2L, 2L, 0L, 0L, 0L, 0L),
       (3L, 0L, 0L, 0L, 0L, 0L)))
   }
+
+  test("rankingMetrics: zero-result qrel queries emit a zero row, not a drop") {
+    // q1 retrieved something; q7 is in the qrels but retrieval returned
+    // NOTHING for it — dropping it would inflate downstream means, so it
+    // must surface as (n_rel=2, hits=0, all metrics 0)
+    val results = ranking((1L, 10L, 1))
+    val qrels = Seq((1L, 10L), (7L, 70L), (7L, 71L))
+      .toDF("query_id", "neighbor_id")
+    val got = Bm25.rankingMetrics(results, qrels, k = 2)
+      .orderBy($"query_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 500000L, 1000000L, 1000000L),
+      (7L, 2L, 0L, 0L, 0L, 0L)))
+  }
 }

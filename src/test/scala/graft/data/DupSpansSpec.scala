@@ -219,4 +219,22 @@ class DupSpansSpec extends SparkSpec {
       .select($"doc_id", $"n_lines").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 3L, 2L -> 1L))
   }
+
+  test("removeBoilerplate: NULL text behaves like empty text, never n_dropped=-1") {
+    // split(NULL) is NULL (size -1) — without the coalesce, doc 2 would
+    // emit (n_lines=0, n_dropped=-1); it must match the empty-string doc
+    val out = Dedup.removeBoilerplate(Seq(
+        (1L, "G", "body"),
+        (2L, "G", null.asInstanceOf[String]),
+        (3L, "G", "")
+      ).toDF("doc_id", "g", "text"), "doc_id", "text", "g")
+      .select($"doc_id", $"n_lines", $"n_dropped", $"text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 0L, "body")))
+    // NULL and "" both read as one empty line; that line appears in 2/3
+    // of the group (>= the 50% default gate) so it drops for both,
+    // leaving identical (0 lines, 1 dropped, "") rows — never -1
+    assert(out(2L) == ((2L, 0L, 1L, "")))
+    assert(out(3L) == ((3L, 0L, 1L, "")))
+  }
 }

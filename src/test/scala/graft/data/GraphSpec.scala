@@ -349,6 +349,16 @@ class GraphSpec extends SparkSpec {
     assert(comms === Set(Set("a", "b", "c"), Set("x", "y", "z")))
   }
 
+  test("labelPropagation: 10-round deep run exercises the checkpoint path") {
+    // a path graph keeps oscillating under synchronous LPA, so 10 rounds
+    // stay non-trivial; rounds 5 and 10 cross the localCheckpoint
+    // cadence — the result must still equal the scalar recurrence
+    val path = (0 until 12).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+    val got = Graph.labelPropagation(path.toDF("s", "d"), "s", "d", 10)
+      .as[(String, String)].collect().toMap
+    assert(got === refLpa(path, 10))
+  }
+
   test("labelPropagation: directed input symmetrizes; partition-invariant") {
     val fwd = twoTriangles.toDF("s", "d")
     val sym = (twoTriangles ++ twoTriangles.map(_.swap)).toDF("s", "d")

@@ -343,4 +343,23 @@ class RelationalSpec extends SparkSpec {
     } yield (a, b, (rb - ra).toLong)).toSet
     assert(got == want)
   }
+
+  test("sortedNeighborhoodPairs: window >= N clamps at the last rank") {
+    // 5 docs, window 100: every unordered pair exactly once — and the
+    // probe fan-out is clamped at maxRk (no dead probes past the end),
+    // so total candidates are C(5,2)=10, not 5*100
+    val docs = (0 until 5).map(i => (i.toLong, s"k$i")).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, "doc_id", $"text",
+        window = 100)
+      .select($"id_a", $"id_b", $"gap").as[(Long, Long, Long)]
+      .collect().toSet
+    val want = (for {
+      a <- 0 until 5; b <- 0 until 5 if b > a
+    } yield (a.toLong, b.toLong, (b - a).toLong)).toSet
+    assert(got == want)
+    // single-doc corpus: the rk < maxRk guard leaves nothing to probe
+    val one = Dedup.sortedNeighborhoodPairs(
+      Seq((7L, "only")).toDF("doc_id", "text"), "doc_id", $"text", 3)
+    assert(one.count() == 0L)
+  }
 }

@@ -99,6 +99,25 @@ class ShuffleMiningSpec extends SparkSpec {
     assert(out.toSeq == Seq((3L, 1), (4L, 2), (5L, 3)), out.mkString(","))
   }
 
+  test("hardNegatives: a NULL-labeled anchor emits no rows") {
+    // an unknown anchor label can't certify ANYTHING a negative — the
+    // same rule the corpus side already enforces; without the anchor-side
+    // filter every labeled row would count as "differing" via <=>
+    val rows = Seq(
+      (0L, Array(1.0, 0.0), null.asInstanceOf[String]),
+      (1L, Array(1.0, 0.1), "A"),
+      (2L, Array(0.9, 0.2), "B")
+    ).toDF("id", "v", "label")
+    val out = Similarity.hardNegatives(
+      rows.filter($"id" === 0), rows, "id", "v", "label", k = 5)
+    assert(out.count() == 0L)
+    // a labeled anchor against the same corpus still mines normally
+    val out2 = Similarity.hardNegatives(
+        rows.filter($"id" === 1), rows, "id", "v", "label", k = 5)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(out2 == Set(2L))
+  }
+
   test("hardNegatives: shuffle and broadcast plans agree") {
     val rows = (0L until 40L).map { i =>
       (i, Array(math.sin(i * 0.7), math.cos(i * 1.3), math.sin(i * 2.1)),

@@ -77,6 +77,81 @@ class SinksSpec extends SparkSpec {
     assert(idx3 == (0L until 64L).toSet)
   }
 
+  test("hilbert_index == an INDEPENDENT classic rotate-and-flip 2-d implementation") {
+    // second implementation from the geometric recurrence (the classic
+    // xy2d rotate/reflect form), sharing no code or structure with
+    // HilbertIndexExpr's Skilling transpose form — equality over full
+    // grids makes the q176 golden self-checking (the q121 two-impl
+    // pattern)
+    def xy2d(order: Int, x0: Long, y0: Long): Long = {
+      var x = x0; var y = y0; var d = 0L
+      var s = 1L << (order - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0L) 1L else 0L
+        val ry = if ((y & s) > 0L) 1L else 0L
+        d += s * s * ((3L * rx) ^ ry)
+        if (ry == 0L) { // rotate the quadrant so the sub-curve aligns
+          if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    for (bits <- 1 to 5; x <- 0L until (1L << bits); y <- 0L until (1L << bits))
+      assert(graft.plans.HilbertIndexExpr.index(
+          ArrayData.toArrayData(Array(x, y)), bits) == xy2d(bits, x, y),
+        s"bits=$bits ($x,$y)")
+  }
+
+  test("hilbert_index: inverse round-trips and the 3-d curve is grid-adjacent") {
+    // Skilling's TransposeToAxes (the paper's OTHER direction, written
+    // here independently): decode every index, re-encode through the
+    // production expression, and demand the identity — bijectivity —
+    // plus unit grid steps between consecutive decoded points, THE
+    // Hilbert property, in both 2-d and 3-d
+    def decode(idx: Long, bits: Int, n: Int): Array[Long] = {
+      val x = new Array[Long](n)
+      var pos = n * bits - 1
+      var j = bits - 1
+      while (j >= 0) {
+        var k = 0
+        while (k < n) { x(k) |= ((idx >>> pos) & 1L) << j; pos -= 1; k += 1 }
+        j -= 1
+      }
+      var t = x(n - 1) >> 1
+      var i = n - 1
+      while (i > 0) { x(i) ^= x(i - 1); i -= 1 }
+      x(0) ^= t
+      var q = 2L
+      while (q != (1L << bits)) {
+        val p = q - 1
+        var i2 = n - 1
+        while (i2 >= 0) {
+          if ((x(i2) & q) != 0L) x(0) ^= p
+          else { val t2 = (x(0) ^ x(i2)) & p; x(0) ^= t2; x(i2) ^= t2 }
+          i2 -= 1
+        }
+        q <<= 1
+      }
+      x
+    }
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    for ((n, bits) <- Seq((2, 5), (3, 3), (3, 4))) {
+      var prev: Array[Long] = null
+      (0L until (1L << (n * bits))).foreach { i =>
+        val p = decode(i, bits, n)
+        assert(graft.plans.HilbertIndexExpr.index(
+          ArrayData.toArrayData(p), bits) == i, s"n=$n bits=$bits idx=$i")
+        if (prev != null)
+          assert((0 until n).map(k => math.abs(p(k) - prev(k))).sum == 1,
+            s"jump at $i: ${prev.mkString(",")} -> ${p.mkString(",")}")
+        prev = p
+      }
+    }
+  }
+
   test("writeHilbertOrdered: locality on BOTH dims, per-file ranges disjoint") {
     val n = 4096
     val grid = (0 until n).map(i => (i % 64, i / 64, i)).toDF("a", "b", "v")

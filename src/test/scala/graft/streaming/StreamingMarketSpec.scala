@@ -1133,6 +1133,74 @@ class StreamingMarketSpec extends SparkSpec {
     assert(got == Seq((1L, "fresh_a"), (2L, "fresh_b")))
   }
 
+  test("appendWithAutoCompact: replay after compaction never double-counts, " +
+      "even when the replay splits into MORE part files") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("autocompact_rc").toString + "/store"
+    val input = MemoryStream[(Long, String)]
+    // maxLiveFiles=2 with repartition(4): batch 0 compacts immediately
+    val q = appendWithAutoCompact(
+      input.toDF().toDF("id", "payload").repartition(4),
+      dir, maxLiveFiles = 2, targetBytes = 1L << 20)().start()
+    val rows = (0 until 40).map(i => (i.toLong, s"row_$i"))
+    input.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    // batch 0 was consumed into a chunk; its manifest names b0-* files
+    val manifest = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(d => new java.io.File(d, "_consumed")).find(_.exists()).get
+    val consumedNames = scala.io.Source.fromFile(manifest).getLines()
+      .filter(_.nonEmpty).toSeq
+    assert(consumedNames.forall(_.startsWith("b0-")))
+    // simulate a post-compaction replay that wrote MORE part files than
+    // the consumed attempt: plant b0-<max+1> beyond the manifest's names
+    val chunkParquet = manifest.getParentFile.listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val extra = new java.io.File(s"$dir/live", s"b0-${consumedNames.size}.parquet")
+    java.nio.file.Files.copy(chunkParquet.toPath, extra.toPath)
+    // the heal sweep matches by BATCH ID, not just by name
+    healConsumedLeftovers(spark, dir)
+    assert(!extra.exists(), "extra-part replay leftover must be deleted")
+    val got = loadCompactedStore(spark, dir)
+      .select(col("id"), col("payload")).as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(got == rows.sorted)
+    // and a full batch-0 redelivery (fresh lineage, same store) is
+    // SKIPPED outright — its rows already live in the chunk
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = appendWithAutoCompact(
+      input2.toDF().toDF("id", "payload").repartition(4),
+      dir, maxLiveFiles = 100, targetBytes = 1L << 20)().start()
+    input2.addData(rows: _*)  // lands as batch 0 of the new lineage
+    q2.processAllAvailable(); q2.stop()
+    val liveAfter = new java.io.File(s"$dir/live").listFiles()
+      .count(_.getName.startsWith("b0-"))
+    assert(liveAfter == 0, s"consumed batch 0 must not re-append ($liveAfter files)")
+    val got2 = loadCompactedStore(spark, dir)
+      .select(col("id"), col("payload")).as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(got2 == rows.sorted)
+  }
+
+  test("streamingQuantileMonitor: NULL values are skipped, never kill the query") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[(Seq[(Long, Long)], Long)]
+    val input = MemoryStream[Long]
+    // negative sentinel -> NULL via when(): a mixed batch of 5 real
+    // values and 3 NULLs must count 5 and answer from the real values
+    val vals = input.toDF().toDF("raw")
+      .select(when(col("raw") >= 0L, col("raw")).as("v"))
+    val q = streamingQuantileMonitor(vals, col("v"), Seq(500000L)) {
+      (qs, total, _) => snaps += ((qs, total))
+    }.start()
+    input.addData(10L, 20L, 30L, 40L, 50L, -1L, -1L, -1L)
+    q.processAllAvailable(); q.stop()
+    assert(snaps.map(_._2).toList == List(5L))
+    assert(snaps.head._1.head._2 >= 16L && snaps.head._1.head._2 <= 30L)
+  }
+
   test("streamingQuantileMonitor: batch-equal quantiles over any prefix, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
