@@ -1205,6 +1205,25 @@ object SparkEntry {
           col("csize"))
         .orderBy(col("host"))
     }),
+    // k-core decomposition over the same host graph: 3 h-index rounds
+    // (degree -> neighbor H-index, the distributed stand-in for the
+    // sequential min-degree peel) — coreness isolates the dense
+    // mutual-citation cores that per-node triangle stats only score
+    // locally; one keyed shuffle + one partitioned rank window per round
+    "q195_kcore" -> ((s, dir) => {
+      import graft.data.Graph
+      val aug = concat(col("text"),
+        lit(" see http://ex"), (col("doc_id") % 5).cast("string"),
+        lit(".org/p/"), col("doc_id").cast("string"),
+        lit(" and https://cdn.example.com/x"), (col("doc_id") % 3).cast("string"))
+      val hosts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(T.urlHosts(aug)).as("host"))
+      Graph.coreness(
+          Graph.coOccurrenceEdges(hosts, "doc_id", "host"), "src", "dst",
+          iters = 3)
+        .select(col("node").as("host"), col("degree"), col("coreness"))
+        .orderBy(col("host"))
+    }),
     // deterministic per-epoch corpus shuffle: hash-mod shard + in-shard
     // rank — the scalable "ORDER BY rand()" replacement (no global sort,
     // no sampled range boundaries, bit-reproducible across cluster sizes)
@@ -3184,11 +3203,10 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
       |    + (17 * coalesce(c3.c, 0)) // 20 AS r
       |  FROM nodes nd LEFT JOIN c3 ON nd.node = c3.node)""".stripMargin
 
-  /** q177 oracle: same host co-occurrence edges as q85, then 3 unrolled
-   * synchronous label-propagation rounds — plurality neighbor label,
-   * ties to the smallest (row_number ordered by count DESC, label ASC
-   * is exactly the min-struct argmax on the Spark side). */
-  private val hostLabelPropSql =
+  /** Shared host co-occurrence graph (same edges as q85/q177/q195):
+   * synthetic URLs appended per doc, hosts extracted, symmetric
+   * distinct within-doc pairs. */
+  private val hostGraphSql =
     """aug AS (SELECT doc_id, concat(text,
       |    ' see http://ex', CAST(doc_id % 5 AS VARCHAR),
       |    '.org/p/', CAST(doc_id AS VARCHAR),
@@ -3201,8 +3219,16 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
       |      x -> len(x) > 0)) AS host
       |  FROM aug),
       |e AS (SELECT DISTINCT x.host AS src, y.host AS dst
-      |  FROM h x JOIN h y ON x.doc_id = y.doc_id AND x.host <> y.host),
-      |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+      |  FROM h x JOIN h y ON x.doc_id = y.doc_id AND x.host <> y.host)""".stripMargin
+
+  /** q177 oracle: same host co-occurrence edges as q85, then 3 unrolled
+   * synchronous label-propagation rounds — plurality neighbor label,
+   * ties to the smallest (row_number ordered by count DESC, label ASC
+   * is exactly the min-struct argmax on the Spark side). */
+  private val hostLabelPropSql =
+    s"""$hostGraphSql,
+      |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),""".stripMargin +
+    """
       |n1 AS (SELECT e.dst AS node, l.lab AS lab, count(*) AS c
       |  FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
       |l1 AS (SELECT node, lab FROM (SELECT node, lab, row_number() OVER
@@ -4473,6 +4499,30 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |SELECT l3.node AS host, l3.lab AS community,
          |  CAST(sz.csize AS BIGINT) AS csize
          |FROM l3 JOIN sz ON l3.lab = sz.lab ORDER BY host""".stripMargin,
+    // q195 oracle: same host graph, then 3 unrolled h-index rounds —
+    // h(v) <- max over neighbors of min(rank_by_desc_value, value),
+    // exactly the Spark side's partitioned rank window + max
+    "q195_kcore" ->
+      s"""WITH $hostGraphSql,
+         |h0 AS (SELECT src AS node, count(*) AS h FROM e GROUP BY 1),
+         |n1 AS (SELECT e.dst AS node, l.h AS hn
+         |  FROM e JOIN h0 l ON e.src = l.node),
+         |h1 AS (SELECT node, max(least(rn, hn)) AS h FROM (SELECT node, hn,
+         |    row_number() OVER (PARTITION BY node ORDER BY hn DESC) AS rn
+         |  FROM n1) GROUP BY node),
+         |n2 AS (SELECT e.dst AS node, l.h AS hn
+         |  FROM e JOIN h1 l ON e.src = l.node),
+         |h2 AS (SELECT node, max(least(rn, hn)) AS h FROM (SELECT node, hn,
+         |    row_number() OVER (PARTITION BY node ORDER BY hn DESC) AS rn
+         |  FROM n2) GROUP BY node),
+         |n3 AS (SELECT e.dst AS node, l.h AS hn
+         |  FROM e JOIN h2 l ON e.src = l.node),
+         |h3 AS (SELECT node, max(least(rn, hn)) AS h FROM (SELECT node, hn,
+         |    row_number() OVER (PARTITION BY node ORDER BY hn DESC) AS rn
+         |  FROM n3) GROUP BY node)
+         |SELECT h0.node AS host, CAST(h0.h AS BIGINT) AS degree,
+         |  CAST(h3.h AS BIGINT) AS coreness
+         |FROM h0 JOIN h3 ON h0.node = h3.node ORDER BY host""".stripMargin,
     "q178_boilerplate" ->
       """WITH aug AS (SELECT doc_id, source, concat(text,
         |    chr(10), '(c) ', source, ' media group - all rights reserved',

@@ -433,4 +433,80 @@ object Graph {
       out
     } finally { und.unpersist(); () }
   }
+
+  /**
+   * CORENESS (k-core decomposition) by H-INDEX ITERATION (Lü, Zhou,
+   * Zhang & Stanley 2016, "The H-index of a network node and its
+   * relation to degree and coreness", Nature Communications 7:10168):
+   * start every node at its degree and repeatedly replace `h(v)` with
+   * the H-index of its neighbors' current values — the largest `h`
+   * such that at least `h` neighbors hold a value ≥ `h`. Per node the
+   * sequence is monotone non-increasing and its fixed point IS the
+   * node's coreness (the largest `k` with the node inside the k-core),
+   * so the sequential min-degree peel never has to be serialized onto
+   * one machine. Like [[labelPropagation]], a fixed `iters` bounds
+   * work: intermediate rounds are exact coreness UPPER bounds, and the
+   * value settles once peel waves stop passing through the node —
+   * dense cores and their fringes converge in a few rounds (the peel
+   * depth, not the graph diameter, drives it; a long induced path is
+   * the slow case).
+   *
+   * This is the dense-subgraph isolator the crawl-quality panel needs
+   * next to [[pageRank]]/[[trustRank]]/[[triangleStats]]: a link
+   * farm's mutual-citation core keeps `coreness ≈ core size` while
+   * organically linked hosts shed theirs in the first rounds — filter
+   * `coreness >= k` for the k-core subgraph.
+   *
+   * Edges symmetrize + dedup exactly like [[labelPropagation]] (pass
+   * directed or undirected lists; multi-edges collapse). Scale shape
+   * per round: ONE |V|-row value-table join into the cached symmetric
+   * edge list (shuffle keyed by src) and one H-index aggregation spelt
+   * as a PARTITIONED rank window + map-combinable max —
+   * `h = max over neighbors of min(rank_by_desc_value, value)` — so no
+   * per-node neighbor array ever materializes and a 10⁷-degree hub
+   * costs sort-shuffle, never executor memory. The value table is |V|
+   * rows, lineage truncated every 5 rounds.
+   *
+   * Returns `(node, degree, coreness)`.
+   */
+  def coreness(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 8): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct().cache()
+    try {
+      val deg = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree")).cache()
+      var h = deg.select(col("node"), col("degree").as("h"))
+      for (i <- 1 to iters) {
+        h = hIndexRound(e, h)
+        if (i % 5 == 0 && i < iters) h = h.localCheckpoint()
+      }
+      val out = deg.join(h, Seq("node"))
+        .select(col("node"), col("degree"), col("h").as("coreness"))
+        .cache()
+      out.count() // materialize while the edge cache is warm
+      deg.unpersist()
+      out
+    } finally { e.unpersist(); () }
+  }
+
+  /** One h-index round: every node's value becomes the H-index of its
+   * neighbors' values. Neighbor values stream through a rank window
+   * PARTITIONED by the receiving node (ties order arbitrarily — the
+   * H-index depends only on the sorted multiset, so the result is
+   * deterministic and partition-invariant), then a map-combinable max
+   * of `min(rank, value)`. Package-private so `PlanSpec` can pin the
+   * un-materialized round plan. */
+  private[data] def hIndexRound(e: DataFrame, h: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("dst")).orderBy(col("hn").desc)
+    e.join(h.withColumnRenamed("node", "src"), Seq("src"))
+      .select(col("dst"), col("h").as("hn"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("dst").as("node"))
+      .agg(max(least(col("rn"), col("hn"))).as("h"))
+  }
 }

@@ -369,6 +369,83 @@ class GraphSpec extends SparkSpec {
     assert(run(fwd.repartition(7)) === run(fwd))
   }
 
+  /** Scalar reference: the classic sequential min-degree peel (coreness
+   * of v = the max k in force when v is removed). Removal order among
+   * equal-degree nodes is arbitrary — coreness is order-invariant. */
+  private def bruteCoreness(edges: Seq[(String, String)]): Map[String, Long] = {
+    val sym = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2).distinct
+    val adj = scala.collection.mutable.Map(sym.groupBy(_._1).map {
+      case (n, xs) => n -> scala.collection.mutable.Set(xs.map(_._2): _*)
+    }.toSeq: _*)
+    val core = scala.collection.mutable.Map.empty[String, Long]
+    var k = 0L
+    while (adj.nonEmpty) {
+      val minDeg = adj.valuesIterator.map(_.size).min
+      if (minDeg > k) k = minDeg
+      val v = adj.collectFirst { case (n, s) if s.size <= k => n }.get
+      core(v) = k
+      adj(v).foreach(u => adj.get(u).foreach(_.remove(v)))
+      adj.remove(v)
+    }
+    core.toMap
+  }
+
+  test("coreness: K4 + tail + triangle by hand") {
+    // K4 (coreness 3) with a 2-node tail (coreness 1) and a separate
+    // triangle (coreness 2)
+    val k4 = for { a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b } yield (a, b)
+    val g = k4 ++ Seq(("d", "t1"), ("t1", "t2"),
+      ("x", "y"), ("y", "z"), ("z", "x"))
+    val got = Graph.coreness(g.toDF("s", "d"), "s", "d", iters = 8)
+      .select($"node", $"coreness").as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L,
+      "t1" -> 1L, "t2" -> 1L, "x" -> 2L, "y" -> 2L, "z" -> 2L))
+    assert(got === bruteCoreness(g))
+  }
+
+  test("coreness matches the sequential peel on a hashed random graph") {
+    val edges = (0 until 400).map { i =>
+      val a = (i * 2654435761L) % 60; val b = (i * 40503L + 17) % 60
+      (s"n$a", s"n$b")
+    }.filter(e => e._1 != e._2)
+    val got = Graph.coreness(edges.toDF("s", "d"), "s", "d", iters = 20)
+      .select($"node", $"coreness").as[(String, Long)].collect().toMap
+    assert(got === bruteCoreness(edges))
+    // degree column is the symmetric-dedup degree
+    val degs = Graph.coreness(edges.toDF("s", "d"), "s", "d", iters = 0)
+      .select($"node", $"degree", $"coreness")
+      .as[(String, Long, Long)].collect()
+    degs.foreach { case (n, d, c) => assert(c == d, s"iters=0 must be degree: $n") }
+  }
+
+  test("coreness: h-index rounds are monotone non-increasing upper bounds") {
+    val edges = (0 until 300).map { i =>
+      val a = (i * 48271L) % 40; val b = (i * 69621L + 5) % 40
+      (s"n$a", s"n$b")
+    }.filter(e => e._1 != e._2)
+    val runs = Seq(1, 2, 4, 20).map { it =>
+      Graph.coreness(edges.toDF("s", "d"), "s", "d", iters = it)
+        .select($"node", $"coreness").as[(String, Long)].collect().toMap
+    }
+    val brute = bruteCoreness(edges)
+    runs.sliding(2).foreach { case Seq(hi, lo) =>
+      hi.keys.foreach(n => assert(hi(n) >= lo(n), s"not monotone at $n")) }
+    runs.foreach(r => r.keys.foreach(n =>
+      assert(r(n) >= brute(n), s"not an upper bound at $n")))
+    assert(runs.last === brute)
+  }
+
+  test("coreness: deep path graph exercises the checkpoint path, still exact") {
+    // a 14-node path peels 1 wave per round from each end — 10+ rounds
+    // cross the localCheckpoint cadence twice; everything is coreness 1
+    val path = (0 until 14).map(i => (f"p$i%02d", f"p${i + 1}%02d"))
+    val got = Graph.coreness(path.toDF("s", "d"), "s", "d", iters = 12)
+      .select($"node", $"coreness").as[(String, Long)].collect().toMap
+    assert(got === bruteCoreness(path))
+    assert(got.values.forall(_ == 1L))
+  }
+
   test("triangleStats: wheel graph W5 by hand") {
     // 5-cycle h0..h4 + hub connected to all: 5 triangles total;
     // rim nodes sit in 2 (deg 3), the hub in all 5 (deg 5)

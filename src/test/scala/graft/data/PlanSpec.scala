@@ -487,6 +487,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("coreness: per-round value join is keyed; H-index window is partitioned") {
+    val edges = (0 until 200).map(i =>
+      (s"n${i % 37}", s"n${(i * 7) % 37}")).toDF("s", "d")
+    withNoAutoBroadcast {
+      // the un-materialized single round: value table joins EDGES (never
+      // a doc-sized side), keyed — and the H-index rank window rides the
+      // node key, never a global single-task window
+      val e = edges.select(col("s").as("src"), col("d").as("dst"))
+      val h0 = e.select(col("src").as("node")).distinct()
+        .withColumn("h", lit(3L))
+      val round = Graph.hIndexRound(e, h0)
+      val p = plan(round)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p.take(2000))
+      val windows = round.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+      assert(windows.nonEmpty)
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+      // the full operator: no nested loop anywhere across rounds
+      val out = Graph.coreness(edges, "s", "d", iters = 2)
+      val pf = plan(out)
+      assert(!pf.contains("BroadcastNestedLoopJoin") &&
+        !pf.contains("CartesianProduct"), pf.take(2000))
+      out.unpersist()
+      ()
+    }
+  }
+
   test("removeBoilerplate: line stream is never broadcast; anti join keyed") {
     val docs = (0 until 60).map(i =>
       (i.toLong, s"s${i % 3}", s"nav line\nbody $i\nfooter")).toDF("id", "g", "text")
