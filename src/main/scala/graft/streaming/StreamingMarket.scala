@@ -671,6 +671,111 @@ object StreamingMarket {
   }
 
   /**
+   * Streaming DISTRIBUTION-SHIFT monitor — the continuous twin of
+   * [[graft.data.Corpus.totalVariationByGroup]], the per-micro-batch
+   * gate a continuous-ingest pipeline wants on source profiles: each
+   * batch aggregates to its own bounded (group, bucket) COUNT-CELL
+   * table (one map-combined Spark aggregation; |groups|·|buckets| cells
+   * regardless of batch size), which merges into the running cell state
+   * by summing — TV is a pure function of those sufficient statistics,
+   * so the re-answered panel after any stream prefix is BIT-EQUAL to
+   * the batch kernel over the same rows (same ppm floor division, same
+   * ½Σ|p−q|; spec-pinned across arbitrary batch splits). Driver state
+   * is the cell map, bounded by contract (sources × histogram bins).
+   * NULL group/bucket rows are skipped, like the batch kernel's filter.
+   * Emits the full pairwise `(a, b, tv_ppm)` panel (a < b), rows seen,
+   * and batch id.
+   */
+  def streamingShiftMonitor(
+      rows: DataFrame,
+      group: org.apache.spark.sql.Column,
+      bucket: org.apache.spark.sql.Column)(
+      sink: (Seq[(String, String, Long)], Long, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val state = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    var total = 0L
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val cells = batch
+        .select(group.cast("string").as("g"), bucket.cast("string").as("b"))
+        .filter(col("g").isNotNull && col("b").isNotNull)
+        .groupBy(col("g"), col("b")).agg(count(lit(1)).as("n"))
+        .collect()
+      cells.foreach { r =>
+        val k = (r.getString(0), r.getString(1))
+        state.update(k, state.getOrElse(k, 0L) + r.getLong(2))
+        total += r.getLong(2)
+      }
+      // exact-integer TV over the cell grid, the batch kernel's
+      // arithmetic verbatim: per-group ppm shares floored first, then
+      // ½ Σ_b |p_b − q_b| (longs are non-negative, so / is div)
+      val groups = state.keysIterator.map(_._1).toSeq.distinct.sorted
+      val buckets = state.keysIterator.map(_._2).toSeq.distinct.sorted
+      val ppm = groups.map { g =>
+        val tot = buckets.iterator.map(b => state.getOrElse((g, b), 0L)).sum
+        g -> buckets.map(b => state.getOrElse((g, b), 0L) * 1000000L / tot)
+      }.toMap
+      val panel = for {
+        i <- groups.indices; j <- groups.indices if i < j
+      } yield (groups(i), groups(j),
+        buckets.indices.iterator
+          .map(k => math.abs(ppm(groups(i))(k) - ppm(groups(j))(k))).sum / 2)
+      sink(panel, total, batchId)
+    }
+  }
+
+  /**
+   * Streaming CALIBRATION-DRIFT monitor — the continuous twin of
+   * [[graft.data.Probe.calibrationError]]: scored rows bin by the SAME
+   * clamped fixed-width rule as [[graft.data.Probe.calibration2]]
+   * (`least(greatest(floor((pred−lo)/width), 0), nBins−1)`, micro-unit
+   * floors per row), each micro-batch aggregates to its own ≤ nBins
+   * `(bin, n, Σpred_micro, Σlabel_micro)` cell table, and cells merge
+   * into the running state by summing — count-cell sufficient
+   * statistics, so the 1-row ECE panel re-answered per batch
+   * (`n_bins, n_rows, ece_ppm = Σ|Σp−Σl| div Σn,
+   * max_bin_gap_ppm = max |Σp−Σl| div n`) is bit-equal to the batch
+   * kernel over any stream prefix (spec-pinned across arbitrary batch
+   * splits). Driver state is nBins cells forever. Rows with a NULL
+   * pred or label are skipped.
+   */
+  def streamingCalibrationMonitor(
+      rows: DataFrame,
+      pred: org.apache.spark.sql.Column,
+      label: org.apache.spark.sql.Column,
+      nBins: Int = 10, lo: Double = 0.0, hi: Double = 10.0)(
+      sink: (Long, Long, Long, Long, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(nBins > 0, s"nBins must be > 0, got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val width = (hi - lo) / nBins
+    val state = scala.collection.mutable.HashMap.empty[Long, (Long, Long, Long)]
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val p = pred.cast("double")
+      val l = label.cast("double")
+      val bin = least(greatest(floor((p - lit(lo)) / lit(width)), lit(0L)),
+        lit(nBins - 1L))
+      val cells = batch
+        .filter(p.isNotNull && l.isNotNull)
+        .select(bin.as("bin"), floor(p * lit(1e6)).as("p6"),
+          floor(l * lit(1e6)).as("l6"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("p6")).as("sp"),
+          sum(col("l6")).as("sl"))
+        .collect()
+      cells.foreach { r =>
+        val (b, n, sp, sl) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        val (n0, sp0, sl0) = state.getOrElse(b, (0L, 0L, 0L))
+        state.update(b, (n0 + n, sp0 + sp, sl0 + sl))
+      }
+      val nRows = state.valuesIterator.map(_._1).sum
+      val gaps = state.valuesIterator.map { case (_, sp, sl) => math.abs(sp - sl) }
+      val ece = if (nRows > 0) gaps.sum / nRows else 0L
+      val maxGap = if (state.nonEmpty)
+        state.valuesIterator.map { case (n, sp, sl) => math.abs(sp - sl) / n }.max
+      else 0L
+      sink(state.size.toLong, nRows, ece, maxGap, batchId)
+    }
+  }
+
+  /**
    * Streaming DECONTAMINATION with a versioned benchmark hot-reload —
    * the streaming face of [[graft.data.Corpus.decontaminateExact]]: each
    * micro-batch is bloom-guard-screened map-side (the 8 KB dense word

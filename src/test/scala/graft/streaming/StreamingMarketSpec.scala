@@ -1239,6 +1239,90 @@ class StreamingMarketSpec extends SparkSpec {
     }
   }
 
+  test("streamingShiftMonitor: TV panel batch-equal over any prefix, bounded cells") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.data.Corpus
+    import spark.implicits._
+    val snaps = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(String, String, Long)], Long)]
+    val input = MemoryStream[(String, Long)]
+    val q = streamingShiftMonitor(
+      input.toDF().toDF("src", "bkt"), col("src"), col("bkt")) {
+      (panel, total, batchId) => snaps += ((batchId, panel, total))
+    }.start()
+    // three groups with different bucket profiles, split into UNEVEN
+    // batches so per-batch cells never coincide with the totals
+    def mk(g: String, seed: Long, n: Int) =
+      (0 until n).map(i => (g, (i * seed + seed) % 5))
+    val all = mk("a", 7L, 101) ++ mk("b", 13L, 57) ++ mk("c", 3L, 88)
+    val batches = Seq(all.take(40), all.slice(40, 151), all.drop(151))
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    def batchPanel(rows: Seq[(String, Long)]): Set[(String, String, Long)] =
+      Corpus.totalVariationByGroup(
+          rows.toDF("src", "bkt").select(col("src"),
+            col("bkt").cast("string").as("bkt")), "src", "bkt")
+        .as[(String, String, Long)].collect().toSet
+    assert(snaps.map(_._3).toList ==
+      batches.scanLeft(0)(_ + _.size).drop(1).map(_.toLong).toList)
+    snaps.zipWithIndex.foreach { case ((_, panel, _), i) =>
+      val prefix = batches.take(i + 1).flatten
+      assert(panel.toSet === batchPanel(prefix), s"after batch $i")
+    }
+    // NULL rows are skipped like the batch kernel's filter
+    val input2 = MemoryStream[(String, java.lang.Long)]
+    var last: Long = -1L
+    val q2 = streamingShiftMonitor(
+      input2.toDF().toDF("src", "bkt"), col("src"), col("bkt")) {
+      (_, total, _) => last = total
+    }.start()
+    input2.addData(("a", 1L), ("a", null), ("b", 2L))
+    q2.processAllAvailable(); q2.stop()
+    assert(last == 2L)
+  }
+
+  test("streamingCalibrationMonitor: ECE panel batch-equal over any prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.data.Probe
+    import spark.implicits._
+    val snaps = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    val input = MemoryStream[(Double, Double)]
+    val q = streamingCalibrationMonitor(
+      input.toDF().toDF("pred", "label"), col("pred"), col("label")) {
+      (nb, nr, ece, mg, bid) => snaps += ((nb, nr, ece, mg, bid))
+    }.start()
+    // scores across the [0,10) bin range incl. out-of-range clamps;
+    // labels drift from the score so the gap is non-trivial
+    val all = (0 until 230).map { i =>
+      val p = (i % 23) * 0.5 - 0.7        // clamps at both ends
+      val l = p + math.sin(i * 1.3) * 2.0
+      (p, l)
+    }
+    val batches = Seq(all.take(31), all.slice(31, 170), all.drop(170))
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // batch kernel over each prefix: same clamped binning + micro floors
+    def batchPanel(rows: Seq[(Double, Double)]): (Long, Long, Long, Long) = {
+      val bin = least(greatest(floor(col("pred") / lit(1.0)), lit(0L)),
+        lit(9L))
+      val bins = rows.toDF("pred", "label")
+        .select(bin.as("bin"), floor(col("pred") * lit(1e6)).as("p6"),
+          floor(col("label") * lit(1e6)).as("l6"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("p6")).as("sum_pred_micro"),
+          sum(col("l6")).as("sum_label_micro"))
+      Probe.calibrationError(bins)
+        .as[(Long, Long, Long, Long)].head()
+    }
+    snaps.zipWithIndex.foreach { case ((nb, nr, ece, mg, _), i) =>
+      val want = batchPanel(batches.take(i + 1).flatten)
+      assert((nb, nr, ece, mg) === want, s"after batch $i")
+    }
+  }
+
   test("streamingFunnel: prefix-equal to the batch funnel, bounded state") {
     implicit val s2 = spark
     implicit val sqlCtx = spark.sqlContext
