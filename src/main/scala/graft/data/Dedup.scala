@@ -290,12 +290,18 @@ object Dedup {
    * certifies the documents are literally a few edits apart, which is
    * what "same page, new timestamp" crawl dups actually are. Candidates
    * come from [[minhashNearDups]] with `threshold = 0` (i.e. every pair
-   * sharing an LSH band); each is verified with the BANDED Levenshtein —
-   * Spark's 3-arg `levenshtein(a, b, max)` stops at `maxDist + 1` and
-   * costs O(len·maxDist), not O(len²), so the bound is what makes the
-   * verify affordable on book-length documents. Pairs above the bound
-   * are dropped; survivors carry `lev` and `edit_sim = 1 −
-   * lev/max(len)`.
+   * sharing an LSH band); each is verified with the native BIT-PARALLEL
+   * banded Levenshtein ([[graft.plans.EditDistanceBand]], Myers 1999 /
+   * Hyyrö 2003 — 64 DP cells per word op, O(⌈len/64⌉·len) vs the
+   * classic banded DP's O(len·maxDist); identical `levenshtein(a, b,
+   * max)` semantics, random-parity spec-pinned). The kernel choice is
+   * the honest lever here: the Probe105b measurement showed every LSH
+   * candidate on the bench corpus PASSES the verify (median lev 300 at
+   * max 500), so no sound pre-filter — length band, q-gram count bound
+   * (Ukkonen 1992), positional pigeonhole — can prune a single pair;
+   * the verify cost is true-positive work and only a faster exact
+   * kernel reduces it. Pairs above the bound are dropped; survivors
+   * carry `lev` and `edit_sim = 1 − lev/max(len)`.
    *
    * Scale shape: texts are NOT carried through the band-key shuffle
    * (that would move `bands ×` the corpus text volume); the candidate
@@ -327,7 +333,8 @@ object Dedup {
     cands
       .join(txt.select(col("id").as("id_a"), col("txt").as("text_a")), Seq("id_a"))
       .join(txt.select(col("id").as("id_b"), col("txt").as("text_b")), Seq("id_b"))
-      .withColumn("lev", levenshtein(col("text_a"), col("text_b"), maxDist))
+      .withColumn("lev",
+        call_function("lev_banded", col("text_a"), col("text_b"), lit(maxDist)))
       .filter(col("lev") >= 0)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
         col("lev").cast("long").as("lev"),

@@ -150,6 +150,183 @@ object SortedJaccard {
 }
 
 /**
+ * BANDED Levenshtein distance via Myers' bit-parallel algorithm
+ * (Myers 1999, JACM 46(3); multi-word blocked formulation per Hyyrö
+ * 2003) — the hot kernel of the edit-distance near-dup verify tier.
+ * Semantics are EXACTLY Spark's 3-arg `levenshtein(a, b, max)`: the
+ * code-point edit distance when ≤ `max`, else −1 (spec-pinned by
+ * random parity against the built-in, including surrogate pairs).
+ *
+ * Why: the banded DP costs O(n·max) cell ops per pair; the bit-vector
+ * core advances 64 DP cells per word op — O(⌈m/64⌉·n). At the q105
+ * shape (~2k-char docs, max = 500) that is ~16× fewer operations for
+ * identical output. The Probe105b measurement showed EVERY LSH
+ * candidate on that corpus passes the verify (median lev 300), so no
+ * sound pre-filter can prune anything — making the exact kernel
+ * cheaper is the only honest lever. The degenerate regime where the
+ * band is narrower than the bit-vector (m > 64·(2·max+1), i.e. book-
+ * length docs with a tight bound) falls back to a conventional banded
+ * DP, still O(n·max).
+ */
+case class EditDistanceBand(left: Expression, right: Expression, max: Int)
+    extends BinaryExpression {
+
+  require(max >= 0, s"max must be >= 0, got $max")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "lev_banded"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt == org.apache.spark.sql.types.StringType
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two string arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    EditDistanceBand.dist(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], max)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.EditDistanceBand.dist($a, $b, $max);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object EditDistanceBand {
+
+  /** `levenshtein(a, b, max)` semantics: code-point edit distance if
+   * ≤ max, else −1. Shorter side becomes the bit-vector pattern. */
+  def dist(a: UTF8String, b: UTF8String, max: Int): Int = {
+    val x = a.toString.codePoints().toArray
+    val y = b.toString.codePoints().toArray
+    val p = if (x.length <= y.length) x else y
+    val t = if (x.length <= y.length) y else x
+    if (t.length - p.length > max) return -1
+    if (p.length == 0) return if (t.length <= max) t.length else -1
+    if (p.length.toLong > 64L * (2L * max + 1L)) bandedDp(p, t, max)
+    else myers(p, t, max)
+  }
+
+  /** Blocked Myers: ⌈m/64⌉ words of (VP, VN) advance one text char per
+   * outer step; horizontal deltas carry between blocks through bit 63,
+   * the score rides the (m−1 mod 64) bit of the last block. */
+  private def myers(p: Array[Int], t: Array[Int], max: Int): Int = {
+    val m = p.length
+    val n = t.length
+    val b = (m + 63) >>> 6
+    // Peq: pattern-position bitmask per character; dense ASCII fast
+    // path, boxed map only for the rare wide code points
+    val peqAscii = new Array[Array[Long]](128)
+    var peqOther: java.util.HashMap[Integer, Array[Long]] = null
+    var i = 0
+    while (i < m) {
+      val c = p(i)
+      var arr: Array[Long] = null
+      if (c < 128) {
+        arr = peqAscii(c)
+        if (arr == null) { arr = new Array[Long](b); peqAscii(c) = arr }
+      } else {
+        if (peqOther == null)
+          peqOther = new java.util.HashMap[Integer, Array[Long]]()
+        arr = peqOther.get(c)
+        if (arr == null) { arr = new Array[Long](b); peqOther.put(c, arr) }
+      }
+      arr(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    val vp = new Array[Long](b)
+    java.util.Arrays.fill(vp, -1L)
+    val vn = new Array[Long](b)
+    val zeros = new Array[Long](b)
+    var score = m
+    val lastMask = 1L << ((m - 1) & 63)
+    var j = 0
+    while (j < n) {
+      val c = t(j)
+      val eqs =
+        if (c < 128) { val e = peqAscii(c); if (e == null) zeros else e }
+        else if (peqOther != null) {
+          val e = peqOther.get(c); if (e == null) zeros else e
+        } else zeros
+      var hin = 1 // row 0 of the DP grows by one per text char
+      var k = 0
+      while (k < b) {
+        val eq0 = eqs(k)
+        val pv = vp(k)
+        val mv = vn(k)
+        val xv = eq0 | mv
+        val eq = if (hin < 0) eq0 | 1L else eq0
+        val xh = (((eq & pv) + pv) ^ pv) | eq
+        var ph = mv | ~(xh | pv)
+        var mh = pv & xh
+        val msk = if (k == b - 1) lastMask else java.lang.Long.MIN_VALUE
+        val hout =
+          if ((ph & msk) != 0L) 1 else if ((mh & msk) != 0L) -1 else 0
+        ph <<= 1
+        mh <<= 1
+        if (hin > 0) ph |= 1L else if (hin < 0) mh |= 1L
+        vp(k) = mh | ~(xv | ph)
+        vn(k) = ph & xv
+        hin = hout
+        k += 1
+      }
+      score += hin
+      j += 1
+    }
+    if (score <= max) score else -1
+  }
+
+  /** Ukkonen-banded two-row DP for the m > 64·(2·max+1) regime: only
+   * cells within `max` of the diagonal are touched (plus one INF
+   * sentinel on each side of the band). */
+  private def bandedDp(p: Array[Int], t: Array[Int], max: Int): Int = {
+    val m = p.length
+    val n = t.length
+    val inf = max + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 0
+    while (i <= m && i <= max + 1) { prev(i) = if (i <= max) i else inf; i += 1 }
+    var j = 1
+    while (j <= n) {
+      val lo = math.max(1, j - max)
+      val hi = math.min(m, j + max)
+      var k = lo - 1
+      while (k <= math.min(m, hi + 1)) { cur(k) = inf; k += 1 }
+      if (lo == 1 && j <= max) cur(0) = j
+      var rowMin = cur(lo - 1)
+      k = lo
+      while (k <= hi) {
+        var v = prev(k - 1) + (if (p(k - 1) == t(j - 1)) 0 else 1)
+        val d = cur(k - 1) + 1
+        if (d < v) v = d
+        val u = prev(k) + 1
+        if (u < v) v = u
+        if (v > inf) v = inf
+        cur(k) = v
+        if (v < rowMin) rowMin = v
+        k += 1
+      }
+      if (rowMin >= inf) return -1
+      val tmp = prev; prev = cur; cur = tmp
+      j += 1
+    }
+    if (prev(m) <= max) prev(m) else -1
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("lev_banded"),
+    new ExpressionInfo(classOf[EditDistanceBand].getName, "lev_banded"),
+    (children: Seq[Expression]) => EditDistanceBand(children(0), children(1),
+      children(2).eval().asInstanceOf[Number].intValue()))
+}
+
+/**
  * One-pass k-function MinHash signature of an `array<long>` of 28-bit
  * element hashes: `sig[i] = min over h of (h·(2i+1) + (7919i+13)) mod
  * (2^31−1)`.
@@ -1341,7 +1518,8 @@ object GraftExtensions {
       TopNgramFrac.descriptor,
       HashEmbed.descriptor,
       LogBucketExpr.descriptor,
-      HilbertIndexExpr.descriptor)
+      HilbertIndexExpr.descriptor,
+      EditDistanceBand.descriptor)
 
   /** Registered SQL function names, in registration order. */
   def functionNames: Seq[String] = descriptors.map(_._1.funcName)

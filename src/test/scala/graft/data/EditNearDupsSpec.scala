@@ -62,6 +62,55 @@ class EditNearDupsSpec extends SparkSpec {
       carried.mkString(","))
   }
 
+  test("lev_banded == Spark's levenshtein(a, b, max) on random pairs") {
+    // both code paths: bit-parallel (short patterns incl. multi-block
+    // m > 64) and the banded-DP fallback (m > 64*(2*max+1), via max=0/1
+    // on long strings); plus empties, equals, and surrogate pairs
+    val rnd = new scala.util.Random(20260815L)
+    val alphabets = Seq("ab", "abcde ", "abcdefghijklmnopqrstuvwxyz .,!",
+      "a😀bé") // incl. a non-BMP code point + accents
+    def randStr(maxLen: Int, alpha: String): String = {
+      val cps = alpha.codePoints().toArray
+      val n = rnd.nextInt(maxLen + 1)
+      val sb = new StringBuilder
+      (0 until n).foreach(_ => sb.appendAll(
+        Character.toChars(cps(rnd.nextInt(cps.length)))))
+      sb.toString
+    }
+    val cases = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int)]
+    for (_ <- 0 until 400) {
+      val alpha = alphabets(rnd.nextInt(alphabets.length))
+      val a = randStr(90, alpha)
+      // half the time: b = a mutated a little (exercises small lev)
+      val b =
+        if (rnd.nextBoolean()) randStr(90, alpha)
+        else a.toCharArray.zipWithIndex.collect {
+          case (c, i) if rnd.nextInt(10) > 0 => c }.mkString
+      cases += ((a, b, rnd.nextInt(8)))
+      cases += ((a, b, 200)) // always within bound: exact value parity
+    }
+    // banded-DP fallback regime: 400-char patterns, max 0..2
+    for (_ <- 0 until 30) {
+      val a = randStr(400, "ab") + "x" * 200
+      val b = if (rnd.nextBoolean()) a.patch(rnd.nextInt(a.length), "q", 1)
+        else randStr(600, "ab")
+      cases += ((a, b, rnd.nextInt(3)))
+    }
+    cases += (("", "", 0))
+    cases += (("", "abc", 2))
+    cases += (("abc", "abc", 0))
+    val df = cases.toSeq.toDF("a", "b", "mx")
+    val maxes = cases.map(_._3).distinct
+    maxes.foreach { mx =>
+      val part = df.filter(col("mx") === mx)
+      val got = part.select(
+        call_function("lev_banded", col("a"), col("b"), lit(mx)),
+        levenshtein(col("a"), col("b"), mx))
+        .as[(Int, Int)].collect()
+      got.foreach { case (ours, ref) => assert(ours === ref, s"max=$mx") }
+    }
+  }
+
   test("crossSourceOverlap: matrix matches brute-force pair sources, unordered") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(

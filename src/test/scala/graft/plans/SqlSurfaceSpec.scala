@@ -85,13 +85,17 @@ class SqlSurfaceSpec extends SparkSpec {
     // 2-d, 1-bit U-curve: (1,0) is the last corner -> index 3
     "hilbert_index" -> (
       "SELECT hilbert_index(array(1L, 0L), 1)",
+      "3"),
+    // classic pair: kitten -> sitting is 3 edits, within the bound
+    "lev_banded" -> (
+      "SELECT lev_banded('kitten', 'sitting', 5)",
       "3"))
 
   test("every registered function has a census entry and answers via spark.sql") {
     val registered = GraftExtensions.functionNames
     assert(registered.sorted === census.keys.toSeq.sorted,
       "census out of sync with GraftExtensions.descriptors")
-    assert(registered.size === 18)
+    assert(registered.size === 19)
     registered.foreach { name =>
       val (sql, expected) = census(name)
       val rows = spark.sql(sql).collect()
