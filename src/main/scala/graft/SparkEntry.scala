@@ -775,6 +775,16 @@ object SparkEntry {
           k = 30)
         .orderBy(col("doc_id"))
     }),
+    // the EXACT tier: same spans via distributed suffix ranks (Manber-
+    // Myers prefix doubling on globalRank, log k rounds) — no gram-hash
+    // collision caveat; oracle groups by the LITERAL substring
+    "q63c_dup_spans_exact" -> ((s, dir) => {
+      Dedup.duplicateSpansExact(t(s, dir, "documents"), "doc_id", "text",
+          k = 30)
+        .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"), col("n_grams"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
     // ------------------------------- product quantization (PQ) retrieval
     "q62_pq_encode" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -4135,6 +4145,24 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
          |  count(*) AS n_grams
          |FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+    // q63c oracle: the LITERAL 30-char substring is the group key — no
+    // hash anywhere, the strongest possible span check
+    "q63c_dup_spans_exact" ->
+      """WITH norm AS (SELECT doc_id,
+        |  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |p AS (SELECT doc_id, t,
+        |  CAST(unnest(range(1, greatest(len(t) - 28, 1))) AS BIGINT) AS pos FROM norm),
+        |g AS (SELECT doc_id, pos, substr(t, CAST(pos AS INT), 30) AS sub FROM p),
+        |dup AS (SELECT sub FROM g GROUP BY sub HAVING count(*) >= 2),
+        |d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (sub)),
+        |b AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
+        |    THEN 0 ELSE 1 END AS brk FROM d),
+        |s AS (SELECT doc_id, pos,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM b)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
+        |  count(*) AS n_grams
+        |FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
     "q65b_decontaminate_spans" ->
       s"""WITH base AS (SELECT doc_id, text,
          |    ${h60Sql("concat(CAST(doc_id AS VARCHAR), '')")} % 10000 AS slot

@@ -1206,8 +1206,12 @@ object Dedup {
    * Exact duplicate-SUBSTRING span detection — the suffix-array pass of
    * Lee et al., "Deduplicating Training Data Makes Language Models
    * Better" (ACL 2022), re-expressed as a distributed k-gram join (their
-   * single-node suffix array cannot shard; the k-gram form is the
-   * standard distributed equivalent and finds the same ≥ k-char repeats).
+   * single-node suffix array cannot shard; the k-gram form finds the
+   * same ≥ k-char repeats up to 60-bit hash collisions). The hash-free
+   * reference tier is [[duplicateSpansExact]] — distributed suffix
+   * ranks via prefix doubling, spec-pinned span-identical to this form
+   * on collision-free corpora; this one-round spelling stays the
+   * default for cost.
    *
    * A position is "duplicated" when its k-character gram (of the
    * NORMALIZED text — [[TextFunctions.normalizeText]]) occurs at ≥
@@ -1250,10 +1254,19 @@ object Dedup {
    * step of this plan, and the flagged side is a post-aggregation
    * distinct set — hash-joinable at any scale. */
   private def mergeSpans(grams: DataFrame, flagged: DataFrame,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    mergeHitPositions(
+      grams.join(flagged.hint("shuffle_hash"), Seq("h"))
+        .select(col("doc_id"), col("pos")), k)
+
+  /** Merge flagged `(doc_id, pos)` gram starts into maximal per-doc
+   * spans: gaps ≤ k fuse, so any shared substring of length L ≥ k
+   * yields exactly one span. Shared by the k-gram and suffix-rank
+   * span tiers. */
+  private def mergeHitPositions(hits: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    grams.join(flagged.hint("shuffle_hash"), Seq("h"))
+    hits
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(w) <= k, lit(0)).otherwise(lit(1)))
       .withColumn("grp", sum(col("brk")).over(w))
@@ -1276,6 +1289,103 @@ object Dedup {
       .filter(col("cnt") >= minCount)
       .select(col("h"))
     mergeSpans(grams, dupHashes, k)
+  }
+
+  /**
+   * EXACT duplicate-substring spans via DISTRIBUTED SUFFIX RANKS — the
+   * hash-free tier next to [[duplicateSpans]]: same output contract
+   * (`(doc_id, span_start, span_end, n_grams)`, 1-based offsets into
+   * the normalized text, gaps ≤ k fused), but positions group by their
+   * literal k-character substring instead of its 60-bit hash, so there
+   * is NO collision caveat at any corpus size. This is Lee et al. 2022's
+   * suffix-array pass (ACL 2022, "Deduplicating Training Data Makes
+   * Language Models Better") made distributable: their single-node
+   * suffix array is replaced by Manber–Myers PREFIX DOUBLING
+   * (SIAM J. Comput. 1993) on [[Relational.globalRank]] —
+   *
+   *   seed:     rank each position by its literal
+   *             min(8, 2^⌊log₂k⌋)-char substring — fusing the first
+   *             three doubling rounds into one sort (a standard
+   *             constant-factor move; the doubling structure is
+   *             unchanged);
+   *   round r:  rank by the PAIR (rank_L(p), rank_L(p + L)), L the
+   *             current prefix length — equal rank ⟺ equal 2L-char
+   *             prefix, missing continuation = sentinel 0;
+   *   finish:   k-char equality from the two overlapping 2^⌊log₂k⌋
+   *             windows (rank(p), rank(p + k − 2^⌊log₂k⌋)) — the
+   *             sparse-table trick, so k needs no padding to a power
+   *             of two.
+   *
+   * ⌈log₂(k/8)⌉ rounds, each: one (doc, pos)-keyed self-join to fetch
+   * the shifted rank, one range-partitioned two-pass sort rank
+   * (globalRank — never a single-task window), one keyed min-window to
+   * relabel ties (equality-exact: any relabeling that is injective on
+   * distinct pairs works, so the dense-rank prefix-sum pass is not
+   * needed). All state is the |total chars| position table — the same
+   * honest cost as the k-gram stream, ×log k rounds; nothing is
+   * collected or broadcast beyond globalRank's partition-offset table.
+   *
+   * The k-gram form stays the default (one round, no rank state);
+   * this tier is the reference its spans are certified against
+   * (spec-pinned equal on collision-free corpora, oracle-pinned via
+   * literal substring enumeration in DuckDB).
+   */
+  def duplicateSpansExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minCount: Long = 2L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val seedLen = math.min(8, Integer.highestOneBit(k))
+    // one row per position of the normalized text, carrying its literal
+    // seed substring; the repartition barrier materializes the
+    // normalization ONCE (same no-CSE hazard as kgramStream)
+    val positions = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.normalizeText(col(textCol)).as("t"))
+      .repartition()
+      .filter(length(col("t")) >= 1)
+      .select(col("doc_id"), length(col("t")).as("len"), col("t"),
+        explode(sequence(lit(1), length(col("t")))).as("pos"))
+      .select(col("doc_id"), col("len"), col("pos"),
+        col("t").substr(col("pos"), lit(seedLen)).as("sub"))
+    // equality-exact relabel: total-order rank, then min over the tie
+    // group — equal keys get equal labels, distinct keys distinct ones
+    def relabel(df: DataFrame, keys: Seq[Column]): DataFrame =
+      Relational.globalRank(df, keys ++ Seq(col("doc_id"), col("pos")), "__rk")
+        .withColumn("__r", min(col("__rk")).over(Window.partitionBy(keys: _*)))
+        .drop("__rk")
+    var cur = relabel(positions, Seq(col("sub")))
+      .select(col("doc_id"), col("len"), col("pos"), col("__r").as("r"))
+    var half = seedLen
+    while (half * 2 <= k) { // stop at 2^floor(log2 k)
+      val nxt = cur.select(col("doc_id"), (col("pos") - lit(half)).as("pos"),
+        col("r").as("__r2"))
+      val paired = cur.join(nxt, Seq("doc_id", "pos"), "left")
+        .withColumn("__r2", coalesce(col("__r2"), lit(0L)))
+      cur = relabel(paired, Seq(col("r"), col("__r2")))
+        .select(col("doc_id"), col("len"), col("pos"), col("__r").as("r"))
+      half *= 2
+    }
+    // positions carrying a FULL k-gram, keyed by the two overlapping
+    // `half`-wide rank windows covering exactly chars [pos, pos+k)
+    val off = k - half
+    val full = cur.filter(col("pos") <= col("len") - lit(k - 1))
+      .select(col("doc_id"), col("pos"), col("r").as("k1"))
+    val keyed =
+      if (off == 0) full.withColumn("k2", col("k1"))
+      else full.join(
+        cur.select(col("doc_id"), (col("pos") - lit(off)).as("pos"),
+          col("r").as("k2")),
+        Seq("doc_id", "pos"))
+    val flagged = keyed
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("k1"), col("k2"))))
+      .filter(col("__n") >= minCount)
+      .select(col("doc_id"), col("pos"))
+    mergeHitPositions(flagged, k)
   }
 
   /**

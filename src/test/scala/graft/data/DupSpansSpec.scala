@@ -66,6 +66,97 @@ class DupSpansSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  private def spansOf(df: org.apache.spark.sql.DataFrame,
+      fn: (org.apache.spark.sql.DataFrame, Int) =>
+        org.apache.spark.sql.DataFrame,
+      kk: Int): Set[(Long, Long, Long, Long)] =
+    fn(df, kk)
+      
+      .select($"doc_id", $"span_start".cast("long"),
+        $"span_end".cast("long"), $"n_grams".cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  private val exactFn = (d: org.apache.spark.sql.DataFrame, kk: Int) =>
+    Dedup.duplicateSpansExact(d, "doc_id", "text", kk)
+  private val kgramFn = (d: org.apache.spark.sql.DataFrame, kk: Int) =>
+    Dedup.duplicateSpans(d, "doc_id", "text", kk)
+
+  test("duplicateSpansExact == duplicateSpans on every planted case") {
+    // the suffix-rank tier must reproduce the k-gram tier span for span
+    // (collision-free corpora — the only regime where they can differ
+    // is a 60-bit hash collision, which the exact tier exists to close)
+    val shared = "the quick brown fox jumped"
+    val corpora = Seq(
+      Seq(1L -> s"aleph bet gimel $shared dalet he vav",
+        2L -> s"zxqwv $shared plugh xyzzy thud"),
+      Seq(1L -> "completely unique first document body",
+        2L -> "another entirely different second text"),
+      Seq(3L -> "prefix one common shared block middle common shared block suffix"),
+      Seq(1L -> "tiny", 2L -> "tiny"),
+      Seq(10L -> "exact duplicated body here",
+        11L -> "exact duplicated body here"),
+      Seq(1L -> s"$shared abcdefghijklmnopqrstuvwxyz second shared ending portion",
+        2L -> shared, 3L -> "second shared ending portion"))
+    for (c <- corpora; kk <- Seq(8, 10, 16)) {
+      val df = c.toDF("doc_id", "text")
+      assert(spansOf(df, exactFn, kk) ===
+        spansOf(df, kgramFn, kk), s"k=$kk corpus=$c")
+    }
+  }
+
+  test("duplicateSpansExact == duplicateSpans on a random shared-phrase corpus") {
+    // 40 docs assembled from a small phrase pool: plenty of genuine
+    // cross- and within-doc repeats at every alignment, incl. k a power
+    // of two (off = 0 path) and k odd (overlapping-window path)
+    val rnd = new scala.util.Random(63L)
+    val pool = Vector("alpha beta gamma", "delta epsilon", "zeta eta theta",
+      "iota kappa lambda mu", "nu xi", "omicron pi rho sigma tau")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 3 + rnd.nextInt(5))
+        .map(_ => pool(rnd.nextInt(pool.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    // seed/doubling paths: k=7 (seed 4, overlap 3), k=16 (seed 8, one
+    // doubling, zero overlap), k=32 (two doublings), k=33 (two
+    // doublings + overlap 1)
+    for (kk <- Seq(7, 16, 32, 33)) {
+      assert(spansOf(docs, exactFn, kk) ===
+        spansOf(docs, kgramFn, kk), s"k=$kk")
+    }
+  }
+
+  test("duplicateSpansExact: scalar brute-force substring parity") {
+    // independent reference: enumerate every k-substring of the
+    // normalized text, count occurrences, merge flagged starts — no
+    // hashes, no Spark machinery
+    val kk = 9
+    val texts = Map(
+      1L -> "roses are red violets are blue roses are red sugar is sweet",
+      2L -> "violets are blue and so is the sea",
+      3L -> "nothing in common with the others at all")
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val grams = texts.toSeq.flatMap { case (id, t0) =>
+      val t = norm(t0)
+      (1 to t.length - kk + 1).map(p => (id, p, t.substring(p - 1, p - 1 + kk)))
+    }
+    val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val want = grams.filter(g => counts(g._3) >= 2)
+      .groupBy(_._1).flatMap { case (id, hits) =>
+        val ps = hits.map(_._2).sorted
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var start = ps.head; var prev = ps.head; var n = 1L
+        ps.tail.foreach { p =>
+          if (p - prev <= kk) { prev = p; n += 1 }
+          else { spans += ((id, start.toLong, prev.toLong + kk - 1, n))
+            start = p; prev = p; n = 1L }
+        }
+        spans += ((id, start.toLong, prev.toLong + kk - 1, n))
+        spans
+      }.toSet
+    val got = spansOf(texts.toSeq.map { case (i, t) => (i, t) }
+      .toDF("doc_id", "text"), exactFn, kk)
+    assert(got === want)
+  }
+
   test("removeDuplicateSpans excises exactly the found spans") {
     val shared = "the quick brown fox jumped"
     val docs = Seq(

@@ -515,6 +515,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpansExact: every window is keyed; no nested loop") {
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"shared prefix body number ${i % 4} tail $i")).toDF("id", "text")
+    withNoAutoBroadcast {
+      val out = Dedup.duplicateSpansExact(docs, "id", "text", k = 12)
+      val p = plan(out)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p.take(2000))
+      // the rank-relabel min windows and the final count window all ride
+      // partition keys — never a global single-task window
+      val windows = out.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+      assert(windows.nonEmpty)
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+    }
+  }
+
   test("removeBoilerplate: line stream is never broadcast; anti join keyed") {
     val docs = (0 until 60).map(i =>
       (i.toLong, s"s${i % 3}", s"nav line\nbody $i\nfooter")).toDF("id", "g", "text")
