@@ -706,9 +706,14 @@ object StreamingMarket {
       }
       // exact-integer TV over the cell grid, the batch kernel's
       // arithmetic verbatim: per-group ppm shares floored first, then
-      // ½ Σ_b |p_b − q_b| (longs are non-negative, so / is div)
-      val groups = state.keysIterator.map(_._1).toSeq.distinct.sorted
-      val buckets = state.keysIterator.map(_._2).toSeq.distinct.sorted
+      // ½ Σ_b |p_b − q_b| (longs are non-negative, so / is div).
+      // Group pairs order by UTF-8 BYTES — Spark's string `<` — not
+      // Scala's UTF-16 code units (they disagree beyond the BMP)
+      val utf8Order = Ordering.comparatorToOrdering(
+        java.util.Comparator.comparing((s: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+      val groups = state.keysIterator.map(_._1).toSeq.distinct.sorted(utf8Order)
+      val buckets = state.keysIterator.map(_._2).toSeq.distinct.sorted(utf8Order)
       val ppm = groups.map { g =>
         val tot = buckets.iterator.map(b => state.getOrElse((g, b), 0L)).sum
         g -> buckets.map(b => state.getOrElse((g, b), 0L) * 1000000L / tot)

@@ -1280,6 +1280,21 @@ class StreamingMarketSpec extends SparkSpec {
     input2.addData(("a", 1L), ("a", null), ("b", 2L))
     q2.processAllAvailable(); q2.stop()
     assert(last == 2L)
+    // pair (a, b) ordering follows Spark's UTF-8 byte `<`, not Scala's
+    // UTF-16 order: U+FFFD sorts BELOW U+1F600 in UTF-8 bytes (EF < F0)
+    // but above its surrogates in UTF-16 — the batch kernel decides
+    val gA = "�"
+    val gB = new String(Character.toChars(0x1F600))
+    val input3 = MemoryStream[(String, Long)]
+    var panel3: Seq[(String, String, Long)] = Seq.empty
+    val q3 = streamingShiftMonitor(
+      input3.toDF().toDF("src", "bkt"), col("src"), col("bkt")) {
+      (panel, _, _) => panel3 = panel
+    }.start()
+    input3.addData((gA, 1L), (gA, 1L), (gB, 1L), (gB, 2L))
+    q3.processAllAvailable(); q3.stop()
+    val want3 = batchPanel(Seq((gA, 1L), (gA, 1L), (gB, 1L), (gB, 2L)))
+    assert(panel3.toSet === want3)
   }
 
   test("streamingCalibrationMonitor: ECE panel batch-equal over any prefix") {
