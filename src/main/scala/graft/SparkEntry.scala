@@ -775,6 +775,13 @@ object SparkEntry {
           k = 30)
         .orderBy(col("doc_id"))
     }),
+    // the WHAT-is-duplicated report: top literal 30-char substrings by
+    // corpus occurrence count + distinct carrying docs (Lee 2022's
+    // "most duplicated passages" table) — exact, one keyed agg + top-N
+    "q196_top_dup_substrings" -> ((s, dir) => {
+      Dedup.topDuplicateSubstrings(t(s, dir, "documents"), "doc_id", "text",
+        k = 30, topN = 20)
+    }),
     // the EXACT tier: same spans via distributed suffix ranks (Manber-
     // Myers prefix doubling on globalRank, log k rounds) — no gram-hash
     // collision caveat; oracle groups by the LITERAL substring
@@ -4145,6 +4152,18 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
          |  count(*) AS n_grams
          |FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+    // q196 oracle: literal substring counts + distinct docs, top 20
+    "q196_top_dup_substrings" ->
+      """WITH norm AS (SELECT doc_id,
+        |  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |p AS (SELECT doc_id, t,
+        |  CAST(unnest(range(1, greatest(len(t) - 28, 1))) AS BIGINT) AS pos
+        |  FROM norm WHERE len(t) >= 30)
+        |SELECT substr(t, CAST(pos AS INT), 30) AS sub,
+        |  count(*) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM p GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY n_occurrences DESC, sub LIMIT 20""".stripMargin,
     // q63c oracle: the LITERAL 30-char substring is the group key — no
     // hash anywhere, the strongest possible span check
     "q63c_dup_spans_exact" ->

@@ -1389,6 +1389,53 @@ object Dedup {
   }
 
   /**
+   * MOST-DUPLICATED PASSAGES leaderboard — the report Lee et al. 2022
+   * open with ("the same ~60-word passage appears 60k times"): the
+   * `topN` literal k-char substrings of the normalized text by
+   * corpus-wide occurrence count, with how many distinct documents
+   * carry each. The curation question this answers is "WHAT is being
+   * duplicated" (license boilerplate? an SEO template? a scraped
+   * notice?) before [[duplicateSpans]]/[[removeDuplicateSpans]] decide
+   * what to do about it. Exact — the literal substring is the group
+   * key, no hashes anywhere.
+   *
+   * Scale shape: one position explode (|total chars| rows, the honest
+   * cost of substring-level analysis — same as the span tiers), ONE
+   * aggregation keyed by the k-char substring (count is map-side
+   * combinable; the distinct-doc count rides Spark's two-phase
+   * distinct-agg expansion on the same key), then a TakeOrdered top-N —
+   * nothing else shuffles, nothing is collected beyond the N-row
+   * leaderboard. Ties break by substring for determinism.
+   *
+   * Returns `(sub, n_occurrences, n_docs)`, `n_occurrences >= minCount`,
+   * ordered by count desc then substring, at most `topN` rows.
+   */
+  def topDuplicateSubstrings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      topN: Int,
+      minCount: Long = 2L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.normalizeText(col(textCol)).as("t"))
+      .repartition()
+      .filter(length(col("t")) >= k)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - lit(k - 1))).as("p"))
+      .select(col("doc_id"), col("t").substr(col("p"), lit(k)).as("sub"))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occurrences") >= minCount)
+      .orderBy(col("n_occurrences").desc, col("sub"))
+      .limit(topN)
+  }
+
+  /**
    * Exact-substring DECONTAMINATION spans — the verbatim-overlap tier of
    * train/benchmark decontamination ([[contamination]] is the
    * shingle-containment tier): every maximal span of a candidate

@@ -157,6 +157,43 @@ class DupSpansSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("topDuplicateSubstrings: hand-counted leaderboard, deterministic ties") {
+    val kk = 12
+    // "shared block " (12 chars incl. trailing space windows) repeats:
+    // construct docs where one passage appears 3x across 2 docs and
+    // another 2x in one doc
+    val docs = Seq(
+      (1L, "AAAA the common passage here BBBB the common passage here"),
+      (2L, "CCCC the common passage here DDDD"),
+      (3L, "once only text with repeat me twice repeat me twice end"),
+      (4L, "nothing shared in this document at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.topDuplicateSubstrings(docs, "doc_id", "text",
+        k = kk, topN = 500)
+      .as[(String, Long, Long)].collect()
+    // scalar reference
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val grams = Seq(
+      1L -> "AAAA the common passage here BBBB the common passage here",
+      2L -> "CCCC the common passage here DDDD",
+      3L -> "once only text with repeat me twice repeat me twice end",
+      4L -> "nothing shared in this document at all"
+    ).flatMap { case (id, t0) =>
+      val t = norm(t0)
+      (0 to t.length - kk).map(p => (id, t.substring(p, p + kk)))
+    }
+    val want = grams.groupBy(_._2).map { case (sub, xs) =>
+      (sub, xs.size.toLong, xs.map(_._1).distinct.size.toLong)
+    }.filter(_._2 >= 2L).toSeq
+      .sortBy { case (sub, n, _) => (-n, sub) }
+    assert(got.toSeq === want)
+    // topN truncates after the deterministic order
+    val top3 = Dedup.topDuplicateSubstrings(docs, "doc_id", "text",
+        k = kk, topN = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(top3 === want.take(3))
+  }
+
   test("removeDuplicateSpans excises exactly the found spans") {
     val shared = "the quick brown fox jumped"
     val docs = Seq(
