@@ -99,6 +99,16 @@ class EditNearDupsSpec extends SparkSpec {
     cases += (("", "", 0))
     cases += (("", "abc", 2))
     cases += (("abc", "abc", 0))
+    // word-boundary pattern lengths: the score bit sits at 62/63/0 of
+    // the last block and the block count flips 1->2->3 — each with an
+    // equal pair, a 1-edit pair, and a shifted (all-insert) pair
+    for (m <- Seq(63, 64, 65, 127, 128, 129)) {
+      val a = (0 until m).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+      cases += ((a, a, 2))
+      cases += ((a, a.updated(m / 2, 'Z'), 2))
+      cases += ((a, "XY" + a, 3))
+      cases += ((a, a.drop(3), 2))
+    }
     val df = cases.toSeq.toDF("a", "b", "mx")
     val maxes = cases.map(_._3).distinct
     maxes.foreach { mx =>
