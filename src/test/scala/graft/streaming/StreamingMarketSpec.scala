@@ -1028,6 +1028,43 @@ class StreamingMarketSpec extends SparkSpec {
     assert(res("hot") <= 70L && res("hot") >= 70L - 130L / 7)
   }
 
+  test("heavyHitterMonitor over a substring stream: streaming q196 composition") {
+    // the streaming twin of topDuplicateSubstrings needs NO new
+    // operator: explode each micro-batch's docs into k-char substrings
+    // of the normalized text and the MG monitor surfaces the dominant
+    // passages at bounded state — pin that the planted boilerplate
+    // passage is present after any prefix
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.data.TextFunctions
+    val kk = 16
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[(Seq[(String, Long)], Long)]
+    val input = MemoryStream[String]
+    val subs = input.toDF().toDF("text")
+      .select(TextFunctions.normalizeText(col("text")).as("t"))
+      .filter(length(col("t")) >= kk)
+      .select(col("t"),
+        explode(sequence(lit(1), length(col("t")) - lit(kk - 1))).as("p"))
+      .select(col("t").substr(col("p"), lit(kk)).as("sub"))
+    val q = heavyHitterMonitor(subs, col("sub"), counters = 60) {
+      (cands, total, _) => snaps += ((cands, total))
+    }.start()
+    val boiler = "all rights reserved worldwide"
+    input.addData((0 until 12).map(i => s"doc body $i $boiler tail $i"): _*)
+    q.processAllAvailable()
+    input.addData((12 until 20).map(i => s"other text $i $boiler end $i"): _*)
+    q.processAllAvailable()
+    q.stop()
+    // every 16-gram inside the planted passage repeats 12x then 20x —
+    // far above N/(counters+1); MG must hold at least one of them at
+    // every snapshot
+    snaps.foreach { case (cands, _) =>
+      assert(cands.exists { case (s, _) => boiler.contains(s) },
+        cands.map(_._1).mkString("|"))
+    }
+    assert(snaps.forall(_._1.size <= 60))
+  }
+
   test("appendWithAutoCompact: content-exact store, live file count stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
