@@ -333,8 +333,16 @@ object Dedup {
     cands
       .join(txt.select(col("id").as("id_a"), col("txt").as("text_a")), Seq("id_a"))
       .join(txt.select(col("id").as("id_b"), col("txt").as("text_b")), Seq("id_b"))
+      // the banded kernel is constructed DIRECTLY (no call_function):
+      // this DataFrame entry point must analyze on any SparkSession,
+      // not only ones configured with graft.plans.GraftExtensions —
+      // the SQL name `lev_banded` stays registered for SQL users
       .withColumn("lev",
-        call_function("lev_banded", col("text_a"), col("text_b"), lit(maxDist)))
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.plans.EditDistanceBand(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("text_a")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("text_b")),
+            maxDist)))
       .filter(col("lev") >= 0)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
         col("lev").cast("long").as("lev"),

@@ -322,8 +322,34 @@ object EditDistanceBand {
   val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("lev_banded"),
     new ExpressionInfo(classOf[EditDistanceBand].getName, "lev_banded"),
-    (children: Seq[Expression]) => EditDistanceBand(children(0), children(1),
-      children(2).eval().asInstanceOf[Number].intValue()))
+    (children: Seq[Expression]) => {
+      // validate the SQL-surface arguments up front: a wrong arity or a
+      // non-literal/NULL/negative max must fail analysis with a clear
+      // message, not an NPE/ClassCastException from a blind eval()
+      def bad(msg: String): Nothing =
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" -> s"lev_banded: $msg"))
+      if (children.size != 3)
+        bad(s"expects exactly 3 arguments (str, str, max), got ${children.size}")
+      val m = children(2)
+      if (!m.foldable)
+        bad("max must be a foldable integer literal, got " + m.sql)
+      val v = try m.eval() catch {
+        case e: Exception => bad(s"max failed to evaluate: ${e.getMessage}")
+      }
+      val max = v match {
+        case null => bad("max must be a non-null integer literal")
+        case n: java.lang.Byte => n.longValue()
+        case n: java.lang.Short => n.longValue()
+        case n: java.lang.Integer => n.longValue()
+        case n: java.lang.Long => n.longValue()
+        case other => bad("max must be an integer literal, got " +
+          s"${other.getClass.getSimpleName} ${m.sql}")
+      }
+      if (max < 0 || max > Int.MaxValue)
+        bad(s"max must be in [0, ${Int.MaxValue}], got $max")
+      EditDistanceBand(children(0), children(1), max.toInt)
+    })
 }
 
 /**

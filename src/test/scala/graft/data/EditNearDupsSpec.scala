@@ -62,6 +62,43 @@ class EditNearDupsSpec extends SparkSpec {
       carried.mkString(","))
   }
 
+  test("editNearDups builds the banded kernel registration-free") {
+    // the DataFrame entry point must not depend on GraftExtensions: the
+    // kernel is constructed directly, so the UNRESOLVED logical plan
+    // already carries an EditDistanceBand node (call_function would
+    // leave an UnresolvedFunction until the registry resolves it)
+    val plan = Dedup.editNearDups(docs, "doc_id", "text", maxDist = 10)
+      .queryExecution.logical
+    val allExprs = plan.collect { case n => n.expressions }.flatten
+    val direct = allExprs.flatMap(_.collect {
+      case e: graft.plans.EditDistanceBand => e })
+    val unresolved = allExprs.flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if u.nameParts == Seq("lev_banded") => u })
+    assert(direct.nonEmpty && unresolved.isEmpty,
+      s"direct=${direct.size} unresolved=${unresolved.size}")
+  }
+
+  test("lev_banded SQL surface rejects bad arguments with a clear error") {
+    import org.apache.spark.sql.AnalysisException
+    def msg(sql: String): String =
+      intercept[AnalysisException](spark.sql(sql).collect()).getMessage
+    assert(msg("SELECT lev_banded('a', 'b')").contains("exactly 3 arguments"))
+    assert(msg("SELECT lev_banded('a', 'b', 1, 2)").contains("exactly 3 arguments"))
+    assert(msg("SELECT lev_banded('a', 'b', CAST(NULL AS INT))")
+      .contains("non-null integer literal"))
+    assert(msg("SELECT lev_banded('a', 'b', -1)").contains("must be in [0,"))
+    assert(msg("SELECT lev_banded('a', 'b', 'x')").contains("integer literal"))
+    // non-foldable max: a column reference cannot parameterize the band
+    val viewName = "lev_banded_args_src"
+    Seq(("ab", "ba", 2)).toDF("a", "b", "m").createOrReplaceTempView(viewName)
+    assert(msg(s"SELECT lev_banded(a, b, m) FROM $viewName")
+      .contains("foldable integer literal"))
+    // and the good spelling still evaluates
+    assert(spark.sql("SELECT lev_banded('kitten', 'sitting', 5)")
+      .head().getInt(0) === 3)
+  }
+
   test("lev_banded == Spark's levenshtein(a, b, max) on random pairs") {
     // both code paths: bit-parallel (short patterns incl. multi-block
     // m > 64) and the banded-DP fallback (m > 64*(2*max+1), via max=0/1
