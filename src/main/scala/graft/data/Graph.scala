@@ -470,7 +470,23 @@ object Graph {
    * Returns `(node, degree, coreness)`.
    */
   def coreness(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 8): DataFrame = {
+      iters: Int = 8): DataFrame =
+    corenessWithRounds(edges, srcCol, dstCol, iters)._1
+
+  /** [[coreness]] plus the number of h-index rounds actually RUN —
+   * `iters` is a CAP, not a schedule: the loop exits as soon as a round
+   * changes nothing. Detection is one cheap `sum(h)` action per round:
+   * every node's h-sequence is monotone non-increasing (Lü 2016, the
+   * H-operator is monotone and h₁ ≤ h₀ = degree), so the |V|-row sum is
+   * strictly decreasing until the global fixed point and equal sums ⇔
+   * no node changed ⇔ every later round is the identity. Each round is
+   * localCheckpoint-ed (eager): the convergence action and the next
+   * round both read the materialized |V|-row table instead of replaying
+   * the full round lineage — the per-round truncation that replaces the
+   * old every-5-rounds cadence now that every round runs its own job.
+   * Package-private so GraphSpec can pin rounds-to-convergence. */
+  private[data] def corenessWithRounds(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int): (DataFrame, Int) = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -480,16 +496,25 @@ object Graph {
       val deg = e.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("degree")).cache()
       var h = deg.select(col("node"), col("degree").as("h"))
-      for (i <- 1 to iters) {
-        h = hIndexRound(e, h)
-        if (i % 5 == 0 && i < iters) h = h.localCheckpoint()
+      def sumOf(df: DataFrame, c: String): Long = {
+        val r = df.agg(sum(col(c))).head // NULL on an empty graph
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      var prevSum = sumOf(deg, "degree")
+      var rounds = 0
+      var converged = false
+      while (rounds < iters && !converged) {
+        rounds += 1
+        h = hIndexRound(e, h).localCheckpoint()
+        val s = sumOf(h, "h")
+        if (s == prevSum) converged = true else prevSum = s
       }
       val out = deg.join(h, Seq("node"))
         .select(col("node"), col("degree"), col("h").as("coreness"))
         .cache()
       out.count() // materialize while the edge cache is warm
       deg.unpersist()
-      out
+      (out, rounds)
     } finally { e.unpersist(); () }
   }
 

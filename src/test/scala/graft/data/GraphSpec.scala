@@ -446,6 +446,29 @@ class GraphSpec extends SparkSpec {
     assert(got.values.forall(_ == 1L))
   }
 
+  test("coreness: early-exits at the fixed point, iters is only a cap") {
+    // K4 is its own fixed point (every neighbor multiset is [3,3,3], H =
+    // 3 = degree): one round proves no change, 99 capped rounds never run
+    val k4 = for { a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b } yield (a, b)
+    val (k4Out, k4Rounds) =
+      Graph.corenessWithRounds(k4.toDF("s", "d"), "s", "d", iters = 100)
+    assert(k4Rounds === 1, s"K4 must converge in 1 round, ran $k4Rounds")
+    assert(k4Out.select($"coreness").as[Long].collect().forall(_ == 3L))
+    // a 24-node path needs ~11 peel waves (> the default cap of 8) —
+    // the early-exit makes a generous cap safe: exact coreness, and the
+    // loop stops at the fixed point instead of running all 100 rounds
+    val path = (0 until 23).map(i => (f"p$i%02d", f"p${i + 1}%02d"))
+    val (got, rounds) =
+      Graph.corenessWithRounds(path.toDF("s", "d"), "s", "d", iters = 100)
+    val vals = got.select($"node", $"coreness").as[(String, Long)]
+      .collect().toMap
+    assert(vals === bruteCoreness(path))
+    assert(vals.values.forall(_ == 1L))
+    assert(rounds > 8 && rounds < 20,
+      s"expected ~12 rounds (peel depth + 1 no-change round), ran $rounds")
+  }
+
   test("triangleStats: wheel graph W5 by hand") {
     // 5-cycle h0..h4 + hub connected to all: 5 triangles total;
     // rim nodes sit in 2 (deg 3), the hub in all 5 (deg 5)
