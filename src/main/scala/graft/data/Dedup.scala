@@ -1309,29 +1309,55 @@ object Dedup {
    * suffix-array pass (ACL 2022, "Deduplicating Training Data Makes
    * Language Models Better") made distributable: their single-node
    * suffix array is replaced by Manber–Myers PREFIX DOUBLING
-   * (SIAM J. Comput. 1993) on [[Relational.globalRank]] —
+   * (SIAM J. Comput. 1993) —
    *
-   *   seed:     rank each position by its literal
-   *             min(8, 2^⌊log₂k⌋)-char substring — fusing the first
-   *             three doubling rounds into one sort (a standard
-   *             constant-factor move; the doubling structure is
-   *             unchanged);
-   *   round r:  rank by the PAIR (rank_L(p), rank_L(p + L)), L the
-   *             current prefix length — equal rank ⟺ equal 2L-char
-   *             prefix, missing continuation = sentinel 0;
-   *   finish:   k-char equality from the two overlapping 2^⌊log₂k⌋
-   *             windows (rank(p), rank(p + k − 2^⌊log₂k⌋)) — the
-   *             sparse-table trick, so k needs no padding to a power
-   *             of two.
+   *   k ≤ 32:   no doubling at all — the literal k-char substring is
+   *             the group key directly ([[duplicateSpansDirect]]; the
+   *             key is no wider than the doubling tier's pair key, so
+   *             label compression cannot pay yet);
+   *   seed:     label each position by its literal 32-char substring —
+   *             fusing the first five doubling rounds into one pass (a
+   *             standard constant-factor move; the doubling structure
+   *             is unchanged);
+   *   round r:  label by the PAIR (label_L(p), label_L(p + L)), L the
+   *             current prefix length — equal label ⟺ equal 2L-char
+   *             prefix, missing continuation = sentinel (−1, 0);
+   *   finish:   k-char equality from the two overlapping L-wide
+   *             windows (label(p), label(p + k − L)), L the last
+   *             doubled width ≤ k — the sparse-table trick, so k needs
+   *             no padding to a power of two.
    *
-   * ⌈log₂(k/8)⌉ rounds, each: one (doc, pos)-keyed self-join to fetch
-   * the shifted rank, one range-partitioned two-pass sort rank
-   * (globalRank — never a single-task window), one keyed min-window to
-   * relabel ties (equality-exact: any relabeling that is injective on
-   * distinct pairs works, so the dense-rank prefix-sum pass is not
-   * needed). All state is the |total chars| position table — the same
-   * honest cost as the k-gram stream, ×log k rounds; nothing is
-   * collected or broadcast beyond globalRank's partition-offset table.
+   * ⌈log₂(k/32)⌉ rounds, each: one (doc, pos)-keyed self-join to fetch
+   * the shifted label, then a relabel spelt as groupBy(key).count +
+   * an injective id per DISTINCT key + a join back — map-combinable
+   * and AQE-skew-tolerant, so a boilerplate substring repeated millions
+   * of times never concentrates into one window task. Equality-exact:
+   * any labeling injective on distinct keys works (no rank, no global
+   * sort — monotonically_increasing_id over the pinned group table).
+   *
+   * SINGLETON-GROUP PRUNING makes the round inputs shrink instead of
+   * carrying every position through every round: a position whose rank
+   * group has size 1 holds a corpus-UNIQUE substring, and rank groups
+   * only refine, so it can never be part of a duplicate k-gram — at
+   * this round or any later one. Such positions leave the live set but
+   * are KEPT as frozen (doc, pos, round, label) rows for the
+   * shifted-label lookups of later rounds (a live position may still
+   * need its pruned right neighbor's label). Soundness of the frozen
+   * labels: every label carries the round that assigned it as a
+   * separate key part, so a frozen label can never collide with a
+   * later round's labels, and a singleton's label equals nothing but
+   * itself — any receiver pairing with a frozen provider forms a
+   * singleton group and is itself pruned next round, which is the
+   * correct answer (its extension is corpus-unique). Completeness:
+   * every sub-window of a genuinely duplicated k-gram is itself
+   * duplicated, so all positions a true duplicate's rank chain touches
+   * have group size ≥ 2 at every round and are never pruned. On
+   * natural corpora the seed round alone removes most positions
+   * (measured survivor fractions: `graft.Probe63c` + SCALING.md).
+   *
+   * Nothing is collected or broadcast beyond globalRank's
+   * partition-offset table; all state is ≤ the |total chars| position
+   * table, shrinking per round.
    *
    * The k-gram form stays the default (one round, no rank state);
    * this tier is the reference its spans are certified against
@@ -1343,13 +1369,21 @@ object Dedup {
       idCol: String,
       textCol: String,
       k: Int,
-      minCount: Long = 2L): DataFrame = {
+      minCount: Long = 2L,
+      roundStats: Option[(Int, Long, Long) => Unit] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    import org.apache.spark.sql.expressions.Window
-    val seedLen = math.min(8, Integer.highestOneBit(k))
+    if (k <= 32) return duplicateSpansDirect(docs, idCol, textCol, k,
+      minCount, roundStats)
+    // seed at 32 literal chars: every doubling round costs two
+    // full-table shuffles, while a wider seed only widens the seed
+    // round's key (32 B vs the 20 B pair key — the same order), so
+    // fusing the first doubling rounds into the seed sort is pure win;
+    // k = 400 (Lee 2022's widest window) needs 4 rounds instead of 6
+    val seedLen = 32
     // one row per position of the normalized text, carrying its literal
-    // seed substring; the repartition barrier materializes the
-    // normalization ONCE (same no-CSE hazard as kgramStream)
+    // seed substring; localCheckpoint: the seed relabel reads it twice
+    // (group pass + label join-back) and must not re-run the
+    // normalization + explode lineage
     val positions = docs
       .select(col(idCol).as("doc_id"),
         TextFunctions.normalizeText(col(textCol)).as("t"))
@@ -1359,39 +1393,141 @@ object Dedup {
         explode(sequence(lit(1), length(col("t")))).as("pos"))
       .select(col("doc_id"), col("len"), col("pos"),
         col("t").substr(col("pos"), lit(seedLen)).as("sub"))
-    // equality-exact relabel: total-order rank, then min over the tie
-    // group — equal keys get equal labels, distinct keys distinct ones
-    def relabel(df: DataFrame, keys: Seq[Column]): DataFrame =
-      Relational.globalRank(df, keys ++ Seq(col("doc_id"), col("pos")), "__rk")
-        .withColumn("__r", min(col("__rk")).over(Window.partitionBy(keys: _*)))
-        .drop("__rk")
-    var cur = relabel(positions, Seq(col("sub")))
-      .select(col("doc_id"), col("len"), col("pos"), col("__r").as("r"))
+      .localCheckpoint()
+    // equality-exact, skew-tolerant relabel: count each key group
+    // (map-combinable) and give every DISTINCT key an injective label —
+    // no rank, no global sort: ANY labeling injective on distinct keys
+    // is equality-exact, so monotonically_increasing_id over the group
+    // table (pinned by the eager localCheckpoint so every consumer and
+    // every later round sees ONE assignment) is enough. Labels carry
+    // their round in a separate column: ids from different rounds can
+    // collide numerically, (round, id) never does. Two shuffles per
+    // round — the group-by and the label join-back, both AQE-skew-
+    // tolerant (a mega-duplicated substring is one GROUP row, and the
+    // join back splits its hot key) — where a whole-partition window
+    // would funnel it into one task. __n rides for the pruning split.
+    def relabel(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val groups = df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__rv", monotonically_increasing_id())
+        .localCheckpoint()
+      df.join(groups, keys)
+    }
+    def emitStats(round: Int, rel: DataFrame): Unit =
+      roundStats.foreach { cb =>
+        val r = rel.agg(
+          coalesce(sum(when(col("__n") >= 2, 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("__n") === 1, 1L).otherwise(0L)), lit(0L)))
+          .head
+        cb(round, r.getLong(0), r.getLong(1))
+      }
+    // one materialization per round (seeded / rel): live and frozen are
+    // lazy filters over the checkpointed frame, so every later consumer
+    // re-reads local blocks instead of re-running the round's join; the
+    // key columns are projected away before the write — labels replace
+    // them
+    val slim = Seq(col("doc_id"), col("len"), col("pos"), col("__rv"),
+      col("__n"))
+    val seeded = relabel(positions, Seq("sub")).select(slim: _*)
+      .localCheckpoint()
+    emitStats(0, seeded)
+    var live = seeded.filter(col("__n") >= 2)
+      .select(col("doc_id"), col("len"), col("pos"), col("__rv").as("r"))
+    // pruned positions stay visible to later rounds' shifted-rank
+    // lookups — (round, label)-only; their uniqueness is the contract
+    var frozen = List(seeded.filter(col("__n") === 1)
+      .select(col("doc_id"), col("pos"), lit(0).as("rq"),
+        col("__rv").as("r")))
     var half = seedLen
+    var round = 0
     while (half * 2 <= k) { // stop at 2^floor(log2 k)
-      val nxt = cur.select(col("doc_id"), (col("pos") - lit(half)).as("pos"),
-        col("r").as("__r2"))
-      val paired = cur.join(nxt, Seq("doc_id", "pos"), "left")
-        .withColumn("__r2", coalesce(col("__r2"), lit(0L)))
-      cur = relabel(paired, Seq(col("r"), col("__r2")))
-        .select(col("doc_id"), col("len"), col("pos"), col("__r").as("r"))
+      round += 1
+      // all LIVE rows were labeled in the same round, so their label
+      // round is implicit; only providers mix rounds and need (rq, r)
+      val providers = (live.select(col("doc_id"), col("pos"),
+        lit(round - 1).as("rq"), col("r")) :: frozen).reduce(_ union _)
+      val shifted = providers.select(col("doc_id"),
+        (col("pos") - lit(half)).as("pos"),
+        col("rq").as("__r2q"), col("r").as("__r2v"))
+      val paired = live.join(shifted, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("len"), col("pos"), col("r"),
+          coalesce(col("__r2q"), lit(-1)).as("__r2q"),
+          coalesce(col("__r2v"), lit(0L)).as("__r2v"))
+      val rel = relabel(paired, Seq("r", "__r2q", "__r2v"))
+        .select(slim: _*).localCheckpoint()
+      emitStats(round, rel)
+      live = rel.filter(col("__n") >= 2)
+        .select(col("doc_id"), col("len"), col("pos"), col("__rv").as("r"))
+      frozen ::= rel.filter(col("__n") === 1)
+        .select(col("doc_id"), col("pos"), lit(round).as("rq"),
+          col("__rv").as("r"))
       half *= 2
     }
     // positions carrying a FULL k-gram, keyed by the two overlapping
-    // `half`-wide rank windows covering exactly chars [pos, pos+k)
+    // `half`-wide rank windows covering exactly chars [pos, pos+k); a
+    // true duplicate's anchor AND its +off window are both live (every
+    // sub-window of a duplicated k-gram is duplicated), so the live set
+    // alone is complete here
     val off = k - half
-    val full = cur.filter(col("pos") <= col("len") - lit(k - 1))
+    val full = live.filter(col("pos") <= col("len") - lit(k - 1))
       .select(col("doc_id"), col("pos"), col("r").as("k1"))
+    // checkpointed: the qualify count and the semi-join probe both read
+    // it — without the pin the overlap join would run twice
     val keyed =
-      if (off == 0) full.withColumn("k2", col("k1"))
-      else full.join(
-        cur.select(col("doc_id"), (col("pos") - lit(off)).as("pos"),
-          col("r").as("k2")),
-        Seq("doc_id", "pos"))
-    val flagged = keyed
-      .withColumn("__n",
-        count(lit(1)).over(Window.partitionBy(col("k1"), col("k2"))))
-      .filter(col("__n") >= minCount)
+      (if (off == 0) full.withColumn("k2", col("k1"))
+       else full.join(
+         live.select(col("doc_id"), (col("pos") - lit(off)).as("pos"),
+           col("r").as("k2")),
+         Seq("doc_id", "pos"))).localCheckpoint()
+    // qualify (k1, k2) groups with a map-combinable count + semi-join —
+    // skew-tolerant where a whole-partition count window would funnel a
+    // mega-duplicated passage into one task
+    val dupKeys = keyed.groupBy(col("k1"), col("k2"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .select(col("k1"), col("k2"))
+    val flagged = keyed.join(dupKeys, Seq("k1", "k2"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    mergeHitPositions(flagged, k)
+  }
+
+  /** The k ≤ 32 regime of [[duplicateSpansExact]]: the literal k-char
+   * substring IS the group key — [[duplicateSpans]]' exact plan with
+   * the hash replaced by the substring itself, so no rank state, no
+   * doubling, no overlap join. Honest at any corpus size: the key
+   * rides the two keyed shuffles at ≤ 32 B/row, the same order as the
+   * doubling tier's 20 B pair key — label compression only pays once
+   * the window is wider than the label, which is why the doubling
+   * machinery takes over beyond 32. One grouped count (map-combinable,
+   * a mega-duplicated passage is ONE group row), one semi-join back
+   * (AQE-skew-tolerant), one per-doc merge window. */
+  private def duplicateSpansDirect(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minCount: Long,
+      roundStats: Option[(Int, Long, Long) => Unit]): DataFrame = {
+    val positions = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.normalizeText(col(textCol)).as("t"))
+      .repartition()
+      .filter(length(col("t")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("t")) - lit(k - 1))).as("pos"),
+        col("t"))
+      .select(col("doc_id"), col("pos"),
+        col("t").substr(col("pos"), lit(k)).as("sub"))
+      .localCheckpoint() // the count pass and the semi-join probe both read it
+    val groups = positions.groupBy(col("sub")).agg(count(lit(1)).as("__n"))
+    roundStats.foreach { cb =>
+      val r = groups.agg(
+        coalesce(sum(when(col("__n") >= 2, col("__n"))), lit(0L)),
+        coalesce(sum(when(col("__n") === 1, lit(1L))), lit(0L))).head
+      cb(0, r.getLong(0), r.getLong(1))
+    }
+    val dupSubs = groups.filter(col("__n") >= minCount).select(col("sub"))
+    val flagged = positions.join(dupSubs, Seq("sub"), "left_semi")
       .select(col("doc_id"), col("pos"))
     mergeHitPositions(flagged, k)
   }

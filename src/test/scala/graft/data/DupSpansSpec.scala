@@ -96,8 +96,14 @@ class DupSpansSpec extends SparkSpec {
       Seq(10L -> "exact duplicated body here",
         11L -> "exact duplicated body here"),
       Seq(1L -> s"$shared abcdefghijklmnopqrstuvwxyz second shared ending portion",
-        2L -> shared, 3L -> "second shared ending portion"))
-    for (c <- corpora; kk <- Seq(8, 10, 16)) {
+        2L -> shared, 3L -> "second shared ending portion"),
+      // a 108-char shared block: nonempty spans at k=70, so the
+      // doubling round + frozen-provider path runs over real duplicates
+      Seq(20L -> ("intro text then " + shared + " " + shared + " " +
+          shared + " " + shared + " outro"),
+        21L -> ("other head " + shared + " " + shared + " " + shared +
+          " " + shared + " and a different tail")))
+    for (c <- corpora; kk <- Seq(8, 10, 16, 70)) {
       val df = c.toDF("doc_id", "text")
       assert(spansOf(df, exactFn, kk) ===
         spansOf(df, kgramFn, kk), s"k=$kk corpus=$c")
@@ -115,10 +121,12 @@ class DupSpansSpec extends SparkSpec {
       (i.toLong, (0 until 3 + rnd.nextInt(5))
         .map(_ => pool(rnd.nextInt(pool.size))).mkString(" "))
     }.toDF("doc_id", "text")
-    // seed/doubling paths: k=7 (seed 4, overlap 3), k=16 (seed 8, one
-    // doubling, zero overlap), k=32 (two doublings), k=33 (two
-    // doublings + overlap 1)
-    for (kk <- Seq(7, 16, 32, 33)) {
+    // seed/doubling paths: k=7 (seed 4, overlap 3), k=16/32 (seed-only,
+    // zero overlap), k=33 (seed 32, overlap 1), k=64 (seed 32, one
+    // doubling, zero overlap), k=70 (one doubling + overlap 6 —
+    // exercises the frozen-provider pruning across rounds), k=130 (two
+    // doublings; mostly-empty span sets must agree too)
+    for (kk <- Seq(7, 16, 32, 33, 64, 70, 130)) {
       assert(spansOf(docs, exactFn, kk) ===
         spansOf(docs, kgramFn, kk), s"k=$kk")
     }
