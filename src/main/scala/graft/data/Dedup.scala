@@ -1551,6 +1551,22 @@ object Dedup {
    * nothing else shuffles, nothing is collected beyond the N-row
    * leaderboard. Ties break by substring for determinism.
    *
+   * A hash PRE-AGGREGATION (group by `xxhash64(sub)` first, resolve
+   * literal winners after) was designed, built, and MEASURED OUT
+   * (`graft.Probe196`, sf0.1): (a) top-M bucket selection with an
+   * exactness certificate never certifies on passage-duplication
+   * corpora, because every k-window of a duplicated passage ties at
+   * the passage count — the top of the bucket-count distribution is a
+   * 336-bucket plateau, not a separable margin; (b) even the
+   * always-exact cutoff variant (resolve top-N seeds → threshold L →
+   * literal agg over buckets ≥ L) measured MORE shuffle (28.6 vs
+   * 21.5 MiB) and 2.6× the wall time, because the 8-byte-hash
+   * aggregation barely map-combines on near-unique keys while the
+   * literal substring keys LZ4-compress to almost hash size, and the
+   * cutoff's h-keyed semi-join re-shuffles the full position table.
+   * The literal single-agg plan is the measured optimum; ties broken
+   * by substring need the literal key in the shuffle anyway.
+   *
    * Returns `(sub, n_occurrences, n_docs)`, `n_occurrences >= minCount`,
    * ordered by count desc then substring, at most `topN` rows.
    */

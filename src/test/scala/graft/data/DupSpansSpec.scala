@@ -202,6 +202,43 @@ class DupSpansSpec extends SparkSpec {
     assert(top3 === want.take(3))
   }
 
+  test("topDuplicateSubstrings: skewed counts and mass boundary ties " +
+      "both match an independent reference plan") {
+    val kk = 8
+    def literal(df: org.apache.spark.sql.DataFrame, topN: Int) = {
+      // the single-agg reference, spelled out independently
+      df.select($"doc_id", TextFunctions.normalizeText($"text").as("t"))
+        .filter(length($"t") >= kk)
+        .select($"doc_id",
+          explode(sequence(lit(1), length($"t") - lit(kk - 1))).as("p"), $"t")
+        .select($"doc_id", $"t".substr($"p", lit(kk)).as("sub"))
+        .groupBy($"sub")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct($"doc_id").as("n_docs"))
+        .filter($"n_occurrences" >= 2)
+        .orderBy($"n_occurrences".desc, $"sub")
+        .limit(topN)
+        .as[(String, Long, Long)].collect().toSeq
+    }
+    // well-separated counts: a passage planted 9x dominates
+    val boiler = "all rights reserved worldwide notice"
+    val sep = (0 until 9).map(i => (i.toLong, s"doc body $i $boiler"))
+      .toDF("doc_id", "text")
+    val gotSep = Dedup.topDuplicateSubstrings(sep, "doc_id", "text",
+      k = kk, topN = 1).as[(String, Long, Long)].collect().toSeq
+    assert(gotSep === literal(sep, 1))
+    // mass boundary ties: 60 distinct repeated passages, every count
+    // equal — the exact order of the tied board is lexicographic
+    val tied = (0 until 60).flatMap { i =>
+      val p = f"unique passage nr $i%02d body"
+      Seq((i * 2L, s"first doc $i carries $p"),
+        (i * 2L + 1L, s"second doc $i carries $p"))
+    }.toDF("doc_id", "text")
+    val gotTied = Dedup.topDuplicateSubstrings(tied, "doc_id", "text",
+      k = kk, topN = 1).as[(String, Long, Long)].collect().toSeq
+    assert(gotTied === literal(tied, 1))
+  }
+
   test("removeDuplicateSpans excises exactly the found spans") {
     val shared = "the quick brown fox jumped"
     val docs = Seq(
