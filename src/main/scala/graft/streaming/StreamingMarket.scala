@@ -462,17 +462,31 @@ object StreamingMarket {
    * visible atomically with the pointer flip — the recovery anchor for
    * the publish→delete crash window. Bounded: one small file per
    * chunk. */
+  private def readManifest(hfs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Set[String] = {
+    val in = hfs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  /** `cache` (chunk-manifest path → names) skips re-READING manifests
+   * already seen: chunks are immutable once published, so a per-writer
+   * cache only ever grows — the per-batch cost stays one directory
+   * listing instead of one read per chunk per micro-batch. Pass null
+   * for the uncached one-shot paths (loader, out-of-band heal). */
   private def consumedLiveNames(
       hfs: org.apache.hadoop.fs.FileSystem,
-      storeDir: String): Set[String] =
+      storeDir: String,
+      cache: scala.collection.mutable.Map[String, Set[String]] = null)
+      : Set[String] =
     Option(hfs.globStatus(
         new org.apache.hadoop.fs.Path(s"$storeDir/v*/_consumed")))
       .getOrElse(Array.empty).iterator.flatMap { st =>
-        val in = hfs.open(st.getPath)
-        val txt =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        if (cache == null) readManifest(hfs, st.getPath)
+        else cache.getOrElseUpdate(st.getPath.toString,
+          readManifest(hfs, st.getPath))
       }.toSet
 
   private val liveNameBatchId = """^b(\d+)-\d+\.parquet$""".r
@@ -485,8 +499,10 @@ object StreamingMarket {
    * batch-level idempotence anchor for post-compaction replays. */
   private def consumedBatchIds(
       hfs: org.apache.hadoop.fs.FileSystem,
-      storeDir: String): Set[Long] =
-    consumedLiveNames(hfs, storeDir).collect {
+      storeDir: String,
+      cache: scala.collection.mutable.Map[String, Set[String]] = null)
+      : Set[Long] =
+    consumedLiveNames(hfs, storeDir, cache).collect {
       case liveNameBatchId(id) => id.toLong
     }
 
@@ -499,11 +515,15 @@ object StreamingMarket {
    * duplicate of chunk rows regardless of its part index. Runs at the
    * top of every [[appendWithAutoCompact]] batch; callable directly
    * after an out-of-band crash. */
-  def healConsumedLeftovers(spark: SparkSession, storeDir: String): Unit = {
+  def healConsumedLeftovers(spark: SparkSession, storeDir: String): Unit =
+    healConsumedLeftovers(spark, storeDir, null)
+
+  private def healConsumedLeftovers(spark: SparkSession, storeDir: String,
+      cache: scala.collection.mutable.Map[String, Set[String]]): Unit = {
     val hfs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
     val livePath = new org.apache.hadoop.fs.Path(s"$storeDir/live")
-    val ghost = consumedLiveNames(hfs, storeDir)
+    val ghost = consumedLiveNames(hfs, storeDir, cache)
     val ghostBatches = ghost.collect { case liveNameBatchId(id) => id.toLong }
     if (ghost.nonEmpty && hfs.exists(livePath))
       hfs.listStatus(livePath).foreach { s =>
@@ -516,24 +536,57 @@ object StreamingMarket {
       }
   }
 
+  /** `lineageId` (pass the stream's checkpointLocation, or any id
+   * stable across restarts of the SAME checkpointed stream) turns the
+   * one-lineage-per-store contract from documentation into an ENFORCED
+   * guard: the first writer persists it under `storeDir/_lineage`, and
+   * any later writer presenting a different id fails fast instead of
+   * silently having its early batches skipped by the batch-id
+   * idempotence keys. Empty (the default) keeps the legacy tolerant
+   * behavior — skipped batches are then at least WARN-logged. */
   def appendWithAutoCompact(
       rows: DataFrame,
       storeDir: String,
       maxLiveFiles: Int,
-      targetBytes: Long)(
+      targetBytes: Long,
+      lineageId: String = "")(
       onCompact: (Long, Int, Long) => Unit = (_, _, _) => ()): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(maxLiveFiles > 0, s"maxLiveFiles must be positive, got $maxLiveFiles")
+    // per-writer manifest cache: chunks are immutable, so each manifest
+    // is read ONCE per writer lifetime instead of once per micro-batch
+    val manifestCache =
+      scala.collection.mutable.HashMap.empty[String, Set[String]]
     rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val liveDir = s"$storeDir/live"
       val hfs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(liveDir), spark.sparkContext.hadoopConfiguration)
       val livePath = new org.apache.hadoop.fs.Path(liveDir)
+      if (lineageId.nonEmpty) {
+        // fail fast on a second lineage writing the same store: batch
+        // ids only mean "already consumed" within ONE checkpointed
+        // stream, so a different checkpoint must not reuse the store
+        val marker = new org.apache.hadoop.fs.Path(s"$storeDir/_lineage")
+        val existing =
+          if (hfs.exists(marker)) readManifest(hfs, marker).headOption
+          else None
+        existing match {
+          case Some(other) if other != lineageId =>
+            throw new IllegalStateException(
+              s"store $storeDir belongs to stream lineage '$other'; " +
+                s"refusing writes from lineage '$lineageId' — use a new " +
+                "store, or pass the original checkpoint's lineage id")
+          case Some(_) => ()
+          case None =>
+            val out = hfs.create(marker, false) // no overwrite: first writer wins
+            try out.write(lineageId.getBytes("UTF-8")) finally out.close()
+        }
+      }
       // self-heal the publish→delete crash window FIRST: a live file
       // already recorded in a chunk manifest holds rows the chunk also
       // holds — delete the leftover before it can be re-compacted or
       // double-counted
-      healConsumedLeftovers(spark, storeDir)
+      healConsumedLeftovers(spark, storeDir, manifestCache)
       // batch-level idempotence for the replay-AFTER-compaction window:
       // if this batch id already appears in a published chunk's
       // manifest, every one of its rows lives in that chunk (compaction
@@ -541,7 +594,15 @@ object StreamingMarket {
       // even with name-keyed replacement, because a replay may split
       // into MORE part files than the attempt the chunk consumed. Skip
       // the whole batch.
-      if (!consumedBatchIds(hfs, storeDir)(batchId)) {
+      if (consumedBatchIds(hfs, storeDir, manifestCache)(batchId)) {
+        // observable, not silent: on one lineage this is a benign
+        // replay; seeing it from a FRESH checkpoint means the
+        // one-lineage contract was violated (pass lineageId to enforce)
+        org.apache.logging.log4j.LogManager
+          .getLogger("graft.streaming.StreamingMarket")
+          .warn(s"appendWithAutoCompact: skipping batch $batchId for " +
+            s"$storeDir — its rows already live in a published chunk")
+      } else {
         // IDEMPOTENT append: stage the batch, clear any prior live files of
         // THIS batch id (an at-least-once replay re-delivers the batch),
         // then rename the parts in under batch-scoped names — replaying a
@@ -1238,6 +1299,75 @@ object StreamingMarket {
       val ratings = Preference.bradleyTerryFromCounts(
         spark.read.parquet(s"$storeDir/v$v"), refitIters)
       sink(ratings, batchId, v)
+    }
+  }
+
+  /**
+   * Streaming MOST-DUPLICATED-PASSAGES ingest — the EXACT continuous
+   * form of [[graft.data.Dedup.topDuplicateSubstrings]] (the
+   * bounded-state APPROXIMATE twin is the [[heavyHitterMonitor]]
+   * composition over the substring explode, spec-pinned): each
+   * micro-batch's documents explode to `(sub, doc_id, n)` COUNT CELLS
+   * (one map-combined aggregation over the batch) which merge into a
+   * versioned cell store by re-summing — the cells are SUFFICIENT
+   * STATISTICS for the leaderboard, so the per-batch refit from the
+   * published store is IDENTICAL to the batch operator over every
+   * document ever streamed, across ARBITRARY batch splits
+   * (spec-pinned). The document stream itself is never retained.
+   *
+   * Contracts: each document arrives WHOLE in one row (cells of one
+   * doc never straddle batches — the same append expectation as
+   * [[preferenceIngest]]'s judgments); the store holds one row per
+   * distinct (substring, doc) pair — the honest sufficient-statistic
+   * size for substring-level analysis, rewritten per publish like the
+   * win-count store. `n_docs` is a plain count over cells (they are
+   * distinct on (sub, doc) by construction — no distinct-agg pass).
+   * `sink` receives the refit board, the batch id, and the version.
+   */
+  def topSubstringsIngest(
+      docs: DataFrame,
+      storeDir: String,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      topN: Int,
+      minCount: Long = 2L,
+      pruneKeep: Option[Int] = None)(
+      sink: (DataFrame, Long, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(k >= 1 && topN >= 1, s"k=$k topN=$topN must be >= 1")
+    import graft.data.{TextFunctions, Versioned}
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val batchCells = batch
+        .select(col(idCol).as("doc_id"),
+          TextFunctions.normalizeText(col(textCol)).as("t"))
+        .filter(length(col("t")) >= k)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("t")) - lit(k - 1))).as("p"),
+          col("t"))
+        .select(col("doc_id"), col("t").substr(col("p"), lit(k)).as("sub"))
+        .groupBy(col("sub"), col("doc_id")).agg(count(lit(1)).as("n"))
+      val merged = Versioned.latestVersion(spark, storeDir) match {
+        case None => batchCells
+        case Some(v) =>
+          spark.read.parquet(s"$storeDir/v$v")
+            .select(col("sub"), col("doc_id"), col("n"))
+            .unionByName(batchCells)
+            .groupBy(col("sub"), col("doc_id"))
+            .agg(sum(col("n")).as("n"))
+      }
+      val v = Versioned.publish(spark, storeDir)(p =>
+        merged.write.parquet(p))
+      pruneKeep.foreach(keep =>
+        Versioned.pruneVersions(spark, storeDir, keep, Some(v)))
+      val board = spark.read.parquet(s"$storeDir/v$v")
+        .groupBy(col("sub"))
+        .agg(sum(col("n")).as("n_occurrences"),
+          count(lit(1)).as("n_docs"))
+        .filter(col("n_occurrences") >= minCount)
+        .orderBy(col("n_occurrences").desc, col("sub"))
+        .limit(topN)
+      sink(board, batchId, v)
     }
   }
 

@@ -1065,6 +1065,49 @@ class StreamingMarketSpec extends SparkSpec {
     assert(snaps.forall(_._1.size <= 60))
   }
 
+  test("topSubstringsIngest: streamed board == batch operator on the " +
+      "union, across arbitrary batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.data.Dedup
+    val kk = 12
+    val boiler = "all rights reserved worldwide notice"
+    val docsAll = (0 until 18).map { i =>
+      val body = if (i % 3 == 0) s"unique body nr $i with no repeats"
+        else s"doc $i carries $boiler plus tail $i"
+      (i.toLong, body)
+    }
+    def batchBoard(upTo: Int): Seq[(String, Long, Long)] =
+      Dedup.topDuplicateSubstrings(
+          docsAll.take(upTo).toDF("doc_id", "text"), "doc_id", "text",
+          k = kk, topN = 5)
+        .as[(String, Long, Long)].collect().toSeq
+    // two different splits of the same stream must land on the same
+    // boards at matching prefixes
+    for (splits <- Seq(Seq(6, 12, 18), Seq(1, 9, 18))) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("subs_ingest").toString + "/cells"
+      val boards = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Seq[(String, Long, Long)])]
+      val input = MemoryStream[(Long, String)]
+      val q = topSubstringsIngest(input.toDF().toDF("doc_id", "text"),
+        dir, "doc_id", "text", k = kk, topN = 5) { (board, _, v) =>
+        boards += ((v, board.as[(String, Long, Long)].collect().toSeq))
+      }.start()
+      var prev = 0
+      splits.foreach { upTo =>
+        input.addData(docsAll.slice(prev, upTo): _*)
+        q.processAllAvailable()
+        prev = upTo
+      }
+      q.stop()
+      assert(boards.size == splits.size)
+      boards.map(_._2).zip(splits.map(batchBoard)).foreach {
+        case (streamed, batch) => assert(streamed === batch)
+      }
+    }
+  }
+
   test("appendWithAutoCompact: content-exact store, live file count stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
@@ -1102,6 +1145,51 @@ class StreamingMarketSpec extends SparkSpec {
         .count(_.getName.endsWith(".parquet"))
       assert(nChunkFiles < consumed, s"v$v: $nChunkFiles vs $consumed consumed")
     }
+  }
+
+  test("appendWithAutoCompact: lineage guard refuses a second checkpoint " +
+      "lineage while the original replays cleanly") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("autocompact_lg").toString + "/store"
+    val rows = (0 until 12).map(i => (i.toLong, s"row_$i"))
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = appendWithAutoCompact(in1.toDF().toDF("id", "payload"),
+      dir, maxLiveFiles = 100, targetBytes = 1L << 20,
+      lineageId = "ckpt-A")().start()
+    in1.addData(rows: _*); q1.processAllAvailable(); q1.stop()
+    // a DIFFERENT lineage on the same store must fail fast, not have
+    // its batches silently skipped or silently replace files
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = appendWithAutoCompact(in2.toDF().toDF("id", "payload"),
+      dir, maxLiveFiles = 100, targetBytes = 1L << 20,
+      lineageId = "ckpt-B")().start()
+    in2.addData((100L, "intruder"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("ckpt-A")), ex.getMessage)
+    // store content untouched by the refused writer
+    val got = loadCompactedStore(spark, dir)
+      .select(col("id"), col("payload")).as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(got == rows.sorted)
+    // the ORIGINAL lineage replays cleanly (at-least-once redelivery of
+    // batch 0 with the same rows replaces its own files, no dupes)
+    val in3 = MemoryStream[(Long, String)]
+    val q3 = appendWithAutoCompact(in3.toDF().toDF("id", "payload"),
+      dir, maxLiveFiles = 100, targetBytes = 1L << 20,
+      lineageId = "ckpt-A")().start()
+    in3.addData(rows: _*); q3.processAllAvailable(); q3.stop()
+    val got2 = loadCompactedStore(spark, dir)
+      .select(col("id"), col("payload")).as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(got2 == rows.sorted)
   }
 
   test("appendWithAutoCompact: a crash between publish and delete never double-counts") {
