@@ -2108,26 +2108,37 @@ object SparkEntry {
         .orderBy(col("ensemble_ppm").desc, col("doc_id")).limit(30)
     }),
     // tokenizer fertility panel: BPE vs unigram tokens/word and
-    // chars/token in exact ppm on the same corpus (golden — models)
+    // chars/token in exact ppm on the same corpus. The trained encode
+    // is deterministic but not SQL-expressible, so the exploded pieces
+    // are STAGED to parquet (the q33b hand-off pattern) and the metrics
+    // are computed FROM the staged table — the DuckDB oracle recomputes
+    // them from the same parquet, turning a golden pin into a value-
+    // exact oracle (only the metric arithmetic needs cross-checking;
+    // the encodes themselves are spec- and golden-pinned at q87b/q113)
     "q126_tokenizer_eval" -> ((s, dir) => {
       import graft.data.{Bpe, Unigram}
       val docs = t(s, dir, "documents")
+      val merges = Bpe.trainMerges(docs, "text", nMerges = 20)
+      val uni = Unigram.train(docs, "text", vocabSize = 60, maxPieceLen = 4)
+      val pieces = Bpe.encode(docs, "text", merges)
+        .select(lit("bpe_20merges").as("tokenizer"),
+          explode(col("bpe_tokens")).as("p"))
+        .unionByName(Unigram.encode(docs, "doc_id", "text", uni)
+          .select(lit("unigram_60").as("tokenizer"),
+            explode(col("pieces")).as("p")))
+      // fixed path — the oracle SQL is a static string; one Verify flow
+      // per host at a time (same caveat class as q33b's warehouse dir)
+      pieces.write.mode("overwrite").parquet(q126StageDir)
       val wordStats = docs.select(explode(T.bpeTokens(col("text"))).as("w"))
         .agg(count(lit(1)).as("n_words"),
           sum(length(col("w"))).cast("long").as("n_chars"))
-      def row(name: String, pieces: DataFrame, pieceCol: String) =
-        pieces.select(explode(col(pieceCol)).as("p"))
-          .agg(count(lit(1)).as("n_tokens"))
-          .crossJoin(wordStats)
-          .select(lit(name).as("tokenizer"), col("n_words"), col("n_chars"),
-            col("n_tokens"),
-            expr("n_tokens * 1000000 div n_words").as("tokens_per_word_ppm"),
-            expr("n_chars * 1000000 div n_tokens").as("chars_per_token_ppm"))
-      val merges = Bpe.trainMerges(docs, "text", nMerges = 20)
-      val uni = Unigram.train(docs, "text", vocabSize = 60, maxPieceLen = 4)
-      row("bpe_20merges", Bpe.encode(docs, "text", merges), "bpe_tokens")
-        .union(row("unigram_60",
-          Unigram.encode(docs, "doc_id", "text", uni), "pieces"))
+      s.read.parquet(q126StageDir)
+        .groupBy(col("tokenizer")).agg(count(lit(1)).as("n_tokens"))
+        .crossJoin(wordStats)
+        .select(col("tokenizer"), col("n_words"), col("n_chars"),
+          col("n_tokens"),
+          expr("n_tokens * 1000000 div n_words").as("tokens_per_word_ppm"),
+          expr("n_chars * 1000000 div n_tokens").as("chars_per_token_ppm"))
         .orderBy(col("tokenizer"))
     }),
     // histogram-ECDF score normalization: exact integer-ppm empirical
@@ -2961,6 +2972,13 @@ object SparkEntry {
         .orderBy(col("date"))
     })
   )
+
+  /** Staged-parquet hand-off for q126: the Spark query writes the
+   * exploded tokenizer pieces here and the DuckDB oracle re-reads the
+   * same files via read_parquet — both engines compute the fertility
+   * metrics from one staged table. Fixed path because the oracle SQL
+   * is a static string. */
+  private[graft] val q126StageDir = "/tmp/graft_stage/q126_pieces"
 
   private[graft] val miniCfg = VarPipeline.Config(
     runs = 500, days = 120, tickers = (1 to 6).map(i => s"TICK0$i"),
@@ -5644,6 +5662,20 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |    AS ensemble_ppm
          |FROM b3 JOIN c3 ON c3.bw = b3.bw
          |ORDER BY ensemble_ppm DESC, doc_id LIMIT 30""".stripMargin,
+    // q126 oracle: fertility metrics recomputed from the STAGED pieces
+    // parquet the Spark query just wrote (the staged-encode hand-off) —
+    // words/chars come straight from documents via the bpeTokens mirror
+    "q126_tokenizer_eval" ->
+      s"""WITH words AS (SELECT count(*) AS n_words,
+         |  CAST(sum(len(w)) AS BIGINT) AS n_chars
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text),
+         |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w FROM documents)),
+         |tok AS (SELECT tokenizer, count(*) AS n_tokens
+         |  FROM read_parquet('$q126StageDir/*.parquet') GROUP BY 1)
+         |SELECT tokenizer, n_words, n_chars, n_tokens,
+         |  n_tokens * 1000000 // n_words AS tokens_per_word_ppm,
+         |  n_chars * 1000000 // n_tokens AS chars_per_token_ppm
+         |FROM tok CROSS JOIN words ORDER BY tokenizer""".stripMargin,
     "q127_ecdf_normalize" ->
       s"""WITH d AS (SELECT doc_id, n_chars,
          |  CAST(least(greatest(floor((n_chars - 0.0) * 0.05), 0), 49) AS BIGINT)

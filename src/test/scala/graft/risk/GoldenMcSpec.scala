@@ -36,7 +36,7 @@ class GoldenMcSpec extends SparkSpec {
     "q87b_bpe_encode", "q87c_bpe_token_ids", "q91b_simhash_hamming64",
     "q112_unigram_train", "q113_unigram_encode", "q115_sampled_encode",
     "q119_mmr_rerank", "q120_image_neardups", "q121_compression_signal",
-    "q126_tokenizer_eval", "q142_audio_features", "q156_oov_rate",
+    "q142_audio_features", "q156_oov_rate",
     "q158_video_neardups", "q161_wordpiece", "q162b_html_content",
     "q176_hilbert_layout", "q179_pair_filter")
 
