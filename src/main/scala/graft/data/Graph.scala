@@ -484,8 +484,9 @@ object Graph {
    * round both read the materialized |V|-row table instead of replaying
    * the full round lineage — the per-round truncation that replaces the
    * old every-5-rounds cadence now that every round runs its own job.
-   * Package-private so GraphSpec can pin rounds-to-convergence. */
-  private[data] def corenessWithRounds(edges: DataFrame, srcCol: String,
+   * Package-private so GraphSpec and the deep-iters probe can pin
+   * rounds-to-convergence. */
+  private[graft] def corenessWithRounds(edges: DataFrame, srcCol: String,
       dstCol: String, iters: Int): (DataFrame, Int) = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
