@@ -2126,13 +2126,13 @@ object SparkEntry {
         .unionByName(Unigram.encode(docs, "doc_id", "text", uni)
           .select(lit("unigram_60").as("tokenizer"),
             explode(col("pieces")).as("p")))
-      // fixed path — the oracle SQL is a static string; one Verify flow
-      // per host at a time (same caveat class as q33b's warehouse dir)
-      pieces.write.mode("overwrite").parquet(q126StageDir)
+      // path keyed by the sf dir (concurrent scales never clobber);
+      // the static oracle string pins the sf0.01 stage — the gate's SF
+      pieces.write.mode("overwrite").parquet(q126StageDir(dir))
       val wordStats = docs.select(explode(T.bpeTokens(col("text"))).as("w"))
         .agg(count(lit(1)).as("n_words"),
           sum(length(col("w"))).cast("long").as("n_chars"))
-      s.read.parquet(q126StageDir)
+      s.read.parquet(q126StageDir(dir))
         .groupBy(col("tokenizer")).agg(count(lit(1)).as("n_tokens"))
         .crossJoin(wordStats)
         .select(col("tokenizer"), col("n_words"), col("n_chars"),
@@ -2976,9 +2976,13 @@ object SparkEntry {
   /** Staged-parquet hand-off for q126: the Spark query writes the
    * exploded tokenizer pieces here and the DuckDB oracle re-reads the
    * same files via read_parquet — both engines compute the fertility
-   * metrics from one staged table. Fixed path because the oracle SQL
-   * is a static string. */
-  private[graft] val q126StageDir = "/tmp/graft_stage/q126_pieces"
+   * metrics from one staged table. The path is keyed by the input
+   * dir's basename so a sf0.1 Bench run between the sf0.01 Verify and
+   * the driver's DuckDB compare cannot clobber the gate's stage; the
+   * ORACLE string is static and pins the sf0.01 stage (the only scale
+   * the correctness gate runs at). */
+  private[graft] def q126StageDir(dir: String): String =
+    s"/tmp/graft_stage/q126_pieces_${new java.io.File(dir).getName}"
 
   private[graft] val miniCfg = VarPipeline.Config(
     runs = 500, days = 120, tickers = (1 to 6).map(i => s"TICK0$i"),
@@ -5671,7 +5675,7 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |  FROM (SELECT unnest(regexp_extract_all(lower(text),
          |    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w FROM documents)),
          |tok AS (SELECT tokenizer, count(*) AS n_tokens
-         |  FROM read_parquet('$q126StageDir/*.parquet') GROUP BY 1)
+         |  FROM read_parquet('${q126StageDir("sf0.01")}/*.parquet') GROUP BY 1)
          |SELECT tokenizer, n_words, n_chars, n_tokens,
          |  n_tokens * 1000000 // n_words AS tokens_per_word_ppm,
          |  n_chars * 1000000 // n_tokens AS chars_per_token_ppm
