@@ -519,16 +519,29 @@ class PlanSpec extends SparkSpec {
     val docs = (0 until 30).map(i =>
       (i.toLong, s"shared prefix body number ${i % 4} tail $i")).toDF("id", "text")
     withNoAutoBroadcast {
-      val out = Dedup.duplicateSpansExact(docs, "id", "text", k = 12)
-      val p = plan(out)
-      assert(!p.contains("BroadcastNestedLoopJoin") &&
-        !p.contains("CartesianProduct"), p.take(2000))
-      // the rank-relabel min windows and the final count window all ride
-      // partition keys — never a global single-task window
-      val windows = out.queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
-      assert(windows.nonEmpty)
-      windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+      // k = 12 → the direct literal tier; k = 70 → the doubling tier
+      // (its per-round relabels sit behind localCheckpoints, so the
+      // visible plan is the qualify + merge stage — the round plans'
+      // skew posture is by construction: groupBy + join, no windows)
+      for (kk <- Seq(12, 70)) {
+        val out = Dedup.duplicateSpansExact(docs, "id", "text", k = kk)
+        val p = plan(out)
+        assert(!p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct"), p.take(2000))
+        // the dup-key qualify is a count + SEMI-JOIN, never a
+        // whole-partition count window (a mega-duplicated passage must
+        // not funnel into one task); the only window left is the
+        // per-doc span merge — keyed by doc_id
+        assert(p.contains("LeftSemi"), p.take(2000))
+        val windows = out.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+        assert(windows.nonEmpty)
+        windows.foreach { w =>
+          assert(w.partitionSpec.nonEmpty, w.toString)
+          assert(w.partitionSpec.forall(_.references.exists(
+            _.name == "doc_id")), w.toString)
+        }
+      }
     }
   }
 
