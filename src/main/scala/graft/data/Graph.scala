@@ -475,7 +475,9 @@ object Graph {
 
   /** [[coreness]] plus the number of h-index rounds actually RUN —
    * `iters` is a CAP, not a schedule: the loop exits as soon as a round
-   * changes nothing. Detection is one cheap `sum(h)` action per round:
+   * changes nothing (caps ≤ 3 excepted — they run exactly `iters` lazy
+   * fused rounds, since so small a cap cannot amortize per-round
+   * convergence actions). Detection is one cheap `sum(h)` action per round:
    * every node's h-sequence is monotone non-increasing (Lü 2016, the
    * H-operator is monotone and h₁ ≤ h₀ = degree), so the |V|-row sum is
    * strictly decreasing until the global fixed point and equal sums ⇔
@@ -497,18 +499,28 @@ object Graph {
       val deg = e.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("degree")).cache()
       var h = deg.select(col("node"), col("degree").as("h"))
-      def sumOf(df: DataFrame, c: String): Long = {
-        val r = df.agg(sum(col(c))).head // NULL on an empty graph
-        if (r.isNullAt(0)) 0L else r.getLong(0)
-      }
-      var prevSum = sumOf(deg, "degree")
       var rounds = 0
-      var converged = false
-      while (rounds < iters && !converged) {
-        rounds += 1
-        h = hIndexRound(e, h).localCheckpoint()
-        val s = sumOf(h, "h")
-        if (s == prevSum) converged = true else prevSum = s
+      if (iters <= 3) {
+        // a tiny cap cannot amortize per-round convergence actions (the
+        // early exit saves at most iters−1 rounds but costs a
+        // materialization + a sum job per round — measured dominant on
+        // small graphs): keep the rounds LAZY and fused into the final
+        // job, the pre-convergence behavior
+        for (i <- 1 to iters) h = hIndexRound(e, h)
+        rounds = iters
+      } else {
+        def sumOf(df: DataFrame, c: String): Long = {
+          val r = df.agg(sum(col(c))).head // NULL on an empty graph
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
+        var prevSum = sumOf(deg, "degree")
+        var converged = false
+        while (rounds < iters && !converged) {
+          rounds += 1
+          h = hIndexRound(e, h).localCheckpoint()
+          val s = sumOf(h, "h")
+          if (s == prevSum) converged = true else prevSum = s
+        }
       }
       val out = deg.join(h, Seq("node"))
         .select(col("node"), col("degree"), col("h").as("coreness"))
