@@ -1355,9 +1355,9 @@ object Dedup {
    * natural corpora the seed round alone removes most positions
    * (measured survivor fractions: `graft.Probe63c` + SCALING.md).
    *
-   * Nothing is collected or broadcast beyond globalRank's
-   * partition-offset table; all state is ≤ the |total chars| position
-   * table, shrinking per round.
+   * Nothing is collected to the driver at any size (the injective ids
+   * need no rank, so no partition-count pass); all state is ≤ the
+   * |total chars| position table, shrinking per round.
    *
    * The k-gram form stays the default (one round, no rank state);
    * this tier is the reference its spans are certified against

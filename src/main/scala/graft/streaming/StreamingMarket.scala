@@ -570,16 +570,28 @@ object StreamingMarket {
         val existing =
           if (hfs.exists(marker)) readManifest(hfs, marker).headOption
           else None
+        def refuse(other: String): Nothing =
+          throw new IllegalStateException(
+            s"store $storeDir belongs to stream lineage '$other'; " +
+              s"refusing writes from lineage '$lineageId' — use a new " +
+              "store, or pass the original checkpoint's lineage id")
         existing match {
-          case Some(other) if other != lineageId =>
-            throw new IllegalStateException(
-              s"store $storeDir belongs to stream lineage '$other'; " +
-                s"refusing writes from lineage '$lineageId' — use a new " +
-                "store, or pass the original checkpoint's lineage id")
+          case Some(other) if other != lineageId => refuse(other)
           case Some(_) => ()
           case None =>
-            val out = hfs.create(marker, false) // no overwrite: first writer wins
-            try out.write(lineageId.getBytes("UTF-8")) finally out.close()
+            try {
+              val out = hfs.create(marker, false) // no overwrite: first writer wins
+              try out.write(lineageId.getBytes("UTF-8")) finally out.close()
+            } catch {
+              case _: java.io.IOException =>
+                // lost the create race to a concurrent first writer:
+                // re-read the winner and apply the same comparison,
+                // so the loser gets the clear refusal, not a raw
+                // FileAlreadyExistsException
+                val winner = readManifest(hfs, marker).headOption
+                if (!winner.contains(lineageId))
+                  refuse(winner.getOrElse("<unreadable>"))
+            }
         }
       }
       // self-heal the publish→delete crash window FIRST: a live file
