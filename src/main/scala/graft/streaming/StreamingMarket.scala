@@ -1239,6 +1239,38 @@ object StreamingMarket {
    * downstream sees is what durably exists), the batch id, and the
    * published version.
    */
+  /** Replay-idempotent publish for the merge-into-versioned-store
+   * ingests: after a crash between a successful publish and the
+   * checkpoint commit, foreachBatch re-delivers the SAME batch id —
+   * re-merging it would double-count every additive cell. Each
+   * published version carries a `_batch` marker (written inside the
+   * staged dir, so it appears atomically with the pointer flip); when
+   * the latest version already records the incoming id, the merge is
+   * skipped and that version is simply re-served. Exactly-once store
+   * state per batch id, on top of the engine's at-least-once. */
+  private def publishOnce(spark: SparkSession, storeDir: String,
+      batchId: Long, pruneKeep: Option[Int])(
+      merged: => DataFrame): Long = {
+    import graft.data.Versioned
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
+    val replayOf = Versioned.latestVersion(spark, storeDir).filter { v =>
+      val m = new org.apache.hadoop.fs.Path(s"$storeDir/v$v/_batch")
+      hfs.exists(m) && readManifest(hfs, m).headOption
+        .contains(batchId.toString)
+    }
+    replayOf.getOrElse {
+      val v = Versioned.publish(spark, storeDir) { p =>
+        merged.write.parquet(p)
+        val out = hfs.create(new org.apache.hadoop.fs.Path(s"$p/_batch"))
+        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      }
+      pruneKeep.foreach(keep =>
+        Versioned.pruneVersions(spark, storeDir, keep, Some(v)))
+      v
+    }
+  }
+
   def linkGraphIngest(
       pages: DataFrame,
       storeDir: String,
@@ -1251,21 +1283,20 @@ object StreamingMarket {
     pages.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val batchEdges = Html.linkGraph(batch, idCol, htmlCol, hostCol)
-      val merged = Versioned.latestVersion(spark, storeDir) match {
-        case None => batchEdges
-        case Some(v) =>
-          spark.read.parquet(s"$storeDir/v$v")
-            .select(col("src_host"), col("dst_host"), col("w"))
-            .unionByName(batchEdges)
-            .groupBy(col("src_host"), col("dst_host"))
-            .agg(sum(col("w")).as("w"))
+      // publishOnce: GC runs after the publish, anchored on v; a
+      // replayed batch id re-serves its already-published version
+      // instead of re-summing the weights
+      val v = publishOnce(spark, storeDir, batchId, pruneKeep) {
+        Versioned.latestVersion(spark, storeDir) match {
+          case None => batchEdges
+          case Some(v0) =>
+            spark.read.parquet(s"$storeDir/v$v0")
+              .select(col("src_host"), col("dst_host"), col("w"))
+              .unionByName(batchEdges)
+              .groupBy(col("src_host"), col("dst_host"))
+              .agg(sum(col("w")).as("w"))
+        }
       }
-      val v = Versioned.publish(spark, storeDir)(p =>
-        merged.write.parquet(p))
-      // GC AFTER the publish, anchored on v (a concurrent publish
-      // landing between our write and the prune must not delete v)
-      pruneKeep.foreach(keep =>
-        Versioned.pruneVersions(spark, storeDir, keep, Some(v)))
       sink(spark.read.parquet(s"$storeDir/v$v"), batchId, v)
     }
   }
@@ -1295,19 +1326,19 @@ object StreamingMarket {
     comparisons.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val batchWins = Preference.winCounts(batch, winnerCol, loserCol)
-      val merged = Versioned.latestVersion(spark, storeDir) match {
-        case None => batchWins
-        case Some(v) =>
-          spark.read.parquet(s"$storeDir/v$v")
-            .select(col("winner"), col("loser"), col("n"))
-            .unionByName(batchWins)
-            .groupBy(col("winner"), col("loser"))
-            .agg(sum(col("n")).as("n"))
+      // a replayed batch id re-serves its already-published version
+      // instead of re-summing the win counts (publishOnce)
+      val v = publishOnce(spark, storeDir, batchId, pruneKeep) {
+        Versioned.latestVersion(spark, storeDir) match {
+          case None => batchWins
+          case Some(v0) =>
+            spark.read.parquet(s"$storeDir/v$v0")
+              .select(col("winner"), col("loser"), col("n"))
+              .unionByName(batchWins)
+              .groupBy(col("winner"), col("loser"))
+              .agg(sum(col("n")).as("n"))
+        }
       }
-      val v = Versioned.publish(spark, storeDir)(p =>
-        merged.write.parquet(p))
-      pruneKeep.foreach(keep =>
-        Versioned.pruneVersions(spark, storeDir, keep, Some(v)))
       val ratings = Preference.bradleyTerryFromCounts(
         spark.read.parquet(s"$storeDir/v$v"), refitIters)
       sink(ratings, batchId, v)
@@ -1359,19 +1390,19 @@ object StreamingMarket {
           col("t"))
         .select(col("doc_id"), col("t").substr(col("p"), lit(k)).as("sub"))
         .groupBy(col("sub"), col("doc_id")).agg(count(lit(1)).as("n"))
-      val merged = Versioned.latestVersion(spark, storeDir) match {
-        case None => batchCells
-        case Some(v) =>
-          spark.read.parquet(s"$storeDir/v$v")
-            .select(col("sub"), col("doc_id"), col("n"))
-            .unionByName(batchCells)
-            .groupBy(col("sub"), col("doc_id"))
-            .agg(sum(col("n")).as("n"))
+      // a replayed batch id re-serves its already-published version
+      // instead of re-summing the cells (publishOnce)
+      val v = publishOnce(spark, storeDir, batchId, pruneKeep) {
+        Versioned.latestVersion(spark, storeDir) match {
+          case None => batchCells
+          case Some(v0) =>
+            spark.read.parquet(s"$storeDir/v$v0")
+              .select(col("sub"), col("doc_id"), col("n"))
+              .unionByName(batchCells)
+              .groupBy(col("sub"), col("doc_id"))
+              .agg(sum(col("n")).as("n"))
+        }
       }
-      val v = Versioned.publish(spark, storeDir)(p =>
-        merged.write.parquet(p))
-      pruneKeep.foreach(keep =>
-        Versioned.pruneVersions(spark, storeDir, keep, Some(v)))
       val board = spark.read.parquet(s"$storeDir/v$v")
         .groupBy(col("sub"))
         .agg(sum(col("n")).as("n_occurrences"),

@@ -1108,6 +1108,59 @@ class StreamingMarketSpec extends SparkSpec {
     }
   }
 
+  test("versioned ingests: a replayed batch id never double-counts the store") {
+    // after a crash between publish and checkpoint commit, foreachBatch
+    // re-delivers the LAST batch under the same id — simulate with a
+    // fresh query on the same store re-sending batch 0's rows (same id,
+    // same data); the _batch marker must re-serve the published version
+    // instead of re-summing
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // preference ingest: win counts would double
+    val prefDir = java.nio.file.Files
+      .createTempDirectory("pref_replay").toString + "/wins"
+    val judgments = Seq(("a", "b"), ("a", "b"), ("b", "c"))
+    var lastV = -1L
+    def runPref(): Unit = {
+      val in = MemoryStream[(String, String)]
+      val q = preferenceIngest(in.toDF().toDF("w", "l"), prefDir, "w", "l") {
+        (_, _, v) => lastV = v
+      }.start()
+      in.addData(judgments: _*); q.processAllAvailable(); q.stop()
+    }
+    runPref()
+    val v1 = lastV
+    val counts1 = spark.read.parquet(s"$prefDir/v$v1")
+      .as[(String, String, Long)].collect().sorted.toSeq
+    runPref() // replay: same batch id 0, same rows
+    assert(lastV == v1, s"replay must re-serve v$v1, published v$lastV")
+    val counts2 = spark.read.parquet(s"$prefDir/v$lastV")
+      .as[(String, String, Long)].collect().sorted.toSeq
+    assert(counts2 == counts1, s"$counts2 vs $counts1")
+    // substring-leaderboard ingest: occurrence counts would double
+    val subsDir = java.nio.file.Files
+      .createTempDirectory("subs_replay").toString + "/cells"
+    val docsRows = (0 until 6).map(i =>
+      (i.toLong, s"doc $i carries all rights reserved worldwide here"))
+    var board1: Seq[(String, Long, Long)] = Seq.empty
+    var vSub = -1L
+    def runSubs(): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = topSubstringsIngest(in.toDF().toDF("doc_id", "text"),
+        subsDir, "doc_id", "text", k = 12, topN = 3) { (b, _, v) =>
+        board1 = b.as[(String, Long, Long)].collect().toSeq; vSub = v
+      }.start()
+      in.addData(docsRows: _*); q.processAllAvailable(); q.stop()
+    }
+    runSubs()
+    val (firstBoard, firstV) = (board1, vSub)
+    runSubs() // replay
+    assert(vSub == firstV, s"replay must re-serve v$firstV, got v$vSub")
+    assert(board1 == firstBoard)
+    assert(firstBoard.nonEmpty && firstBoard.head._2 == 6L,
+      s"planted passage must count 6, not 12: $firstBoard")
+  }
+
   test("appendWithAutoCompact: content-exact store, live file count stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
