@@ -132,6 +132,36 @@ class DupSpansSpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpansExact: minCount > 2 stays exact in both tiers " +
+      "(pruning keeps groups of 2 that the final filter then drops)") {
+    val shared = "the quick brown fox jumped"
+    val big = shared + " " + shared + " " + shared // 80 chars
+    val pairBlock = "entirely distinct pair passage"
+    val docs = Seq(
+      1L -> s"first $big one",
+      2L -> s"second $big two",
+      3L -> s"third $big three", // big appears 3x; k=70 windows inside
+      4L -> s"pair only $pairBlock here",
+      5L -> s"pair again $pairBlock there") // pairBlock: exactly 2x
+    for (kk <- Seq(10, 70); mc <- Seq(2L, 3L)) {
+      val df = docs.toDF("doc_id", "text")
+      val exact = Dedup.duplicateSpansExact(df, "doc_id", "text", kk,
+          minCount = mc)
+        .select($"doc_id", $"span_start".cast("long"),
+          $"span_end".cast("long"), $"n_grams".cast("long"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val kgram = Dedup.duplicateSpans(df, "doc_id", "text", kk,
+          minCount = mc)
+        .select($"doc_id", $"span_start".cast("long"),
+          $"span_end".cast("long"), $"n_grams".cast("long"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(exact === kgram, s"k=$kk minCount=$mc")
+      if (mc == 3L)
+        assert(exact.forall(_._1 <= 3L),
+          s"k=$kk: the 2x-only block must vanish at minCount=3: $exact")
+    }
+  }
+
   test("duplicateSpansExact: scalar brute-force substring parity") {
     // independent reference: enumerate every k-substring of the
     // normalized text, count occurrences, merge flagged starts — no
