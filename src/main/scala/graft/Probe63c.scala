@@ -43,7 +43,12 @@ object Probe63c {
     val seedW = math.min(32, k)
     stats.foreach { case (r, live, pruned) =>
       val in = live + pruned
-      val name = if (r == 0) s"seed($seedW)" else s"double->${seedW << r}"
+      // k <= 32 (direct tier): one stage, the hash prefilter. k > 32:
+      // stage 0 = hash prefilter, 1 = literal seed relabel, 2+ = doubling
+      val name =
+        if (r == 0) s"hash-prefilter($seedW)"
+        else if (r == 1) s"seed($seedW)"
+        else s"double->${seedW << (r - 1)}"
       val ofPrev = if (prevLive < 0) "" else f" (${100.0 * in / prevLive}%.1f%% of prior live)"
       println(f"round $r%d [$name%-12s] in=$in%,12d live=$live%,12d " +
         f"pruned=$pruned%,12d survive=${100.0 * live / math.max(in, 1)}%5.1f%%$ofPrev")

@@ -1311,11 +1311,15 @@ object Dedup {
    * suffix array is replaced by Manber–Myers PREFIX DOUBLING
    * (SIAM J. Comput. 1993) —
    *
-   *   k ≤ 32:   no doubling at all — the literal k-char substring is
-   *             the group key directly ([[duplicateSpansDirect]]; the
-   *             key is no wider than the doubling tier's pair key, so
-   *             label compression cannot pay yet);
-   *   seed:     label each position by its literal 32-char substring —
+   *   k ≤ 32:   no doubling at all — the rolling-hash gram plan plus a
+   *             literal-substring verify on the flagged slice
+   *             ([[duplicateSpansDirect]]: hash counts are an exact
+   *             superset, the literal re-count removes collisions);
+   *   prefilter: the same hash pass fronts the seed — hash-singleton
+   *             positions freeze immediately with their hash as the
+   *             label (unique by singleton-ness, free), so only the
+   *             surviving candidates pay string shuffles;
+   *   seed:     label each candidate by its literal 32-char substring —
    *             fusing the first five doubling rounds into one pass (a
    *             standard constant-factor move; the doubling structure
    *             is unchanged);
@@ -1380,19 +1384,16 @@ object Dedup {
     // fusing the first doubling rounds into the seed sort is pure win;
     // k = 400 (Lee 2022's widest window) needs 4 rounds instead of 6
     val seedLen = 32
-    // one row per position of the normalized text, carrying its literal
-    // seed substring; localCheckpoint: the seed relabel reads it twice
-    // (group pass + label join-back) and must not re-run the
-    // normalization + explode lineage
-    val positions = docs
+    // the checkpoint sits on the COMPACT (doc, text) form (1× corpus
+    // volume — the order the repartition shuffle writes anyway); every
+    // position stream re-derives from the local compact copy, where
+    // checkpointing an exploded position table would materialize a
+    // ~(seedLen+24)× amplification of the corpus onto executor disks
+    val norm = docs
       .select(col(idCol).as("doc_id"),
         TextFunctions.normalizeText(col(textCol)).as("t"))
       .repartition()
       .filter(length(col("t")) >= 1)
-      .select(col("doc_id"), length(col("t")).as("len"), col("t"),
-        explode(sequence(lit(1), length(col("t")))).as("pos"))
-      .select(col("doc_id"), col("len"), col("pos"),
-        col("t").substr(col("pos"), lit(seedLen)).as("sub"))
       .localCheckpoint()
     // equality-exact, skew-tolerant relabel: count each key group
     // (map-combinable) and give every DISTINCT key an injective label —
@@ -1421,6 +1422,47 @@ object Dedup {
           .head
         cb(round, r.getLong(0), r.getLong(1))
       }
+    // HASH PREFILTER before the seed's literal relabel: the 60-bit
+    // rolling-hash gram stream (native kernel, 8-byte keys, no string
+    // allocation) counts 32-windows, and positions whose hash bucket is
+    // a SINGLETON are frozen immediately — a hash-singleton is a
+    // literal-singleton (collisions only merge buckets), and its hash
+    // value doubles as its frozen label for free: two hash-frozen
+    // positions sharing a label would share a hash, contradicting
+    // singleton-ness. Only the surviving candidates (measured 12.4% at
+    // sf0.1, graft.Probe63c) pay the 32-char-string relabel shuffles.
+    def hashStream = norm
+      .select(col("doc_id"), length(col("t")).as("len"),
+        posexplode(call_function("kgram_hashes", col("t"), lit(seedLen),
+          lit(15))))
+      .select(col("doc_id"), col("len"), (col("pos") + 1).as("pos"),
+        col("col").as("h"))
+    val candHash = hashStream.groupBy(col("h"))
+      .agg(count(lit(1)).as("__hc")).filter(col("__hc") >= 2)
+      .select(col("h"))
+    // truncated-tail positions (no full 32-window) are never part of a
+    // duplicate k-gram's support, but their labels must exist and be
+    // UNIQUE so a live position with a truncated provider can never
+    // falsely merge with one whose provider is missing or different —
+    // pinned ids (monotonically_increasing_id is assignment-unstable
+    // without the checkpoint)
+    val tails = norm
+      .select(col("doc_id"), explode(sequence(
+        greatest(length(col("t")) - lit(seedLen - 2), lit(1)),
+        length(col("t")))).as("pos"))
+      .select(col("doc_id"), col("pos"), lit(-3).as("rq"),
+        monotonically_increasing_id().as("r"))
+      .localCheckpoint()
+    val hashFrozen = hashStream
+      .join(candHash, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("pos"), lit(-2).as("rq"), col("h").as("r"))
+      .localCheckpoint()
+    val candidates = hashStream
+      .join(candHash.hint("shuffle_hash"), Seq("h"))
+      .select(col("doc_id"), col("len"), col("pos"))
+      .join(norm.select(col("doc_id"), col("t")), Seq("doc_id"))
+      .select(col("doc_id"), col("len"), col("pos"),
+        col("t").substr(col("pos"), lit(seedLen)).as("sub"))
     // one materialization per round (seeded / rel): live and frozen are
     // lazy filters over the checkpointed frame, so every later consumer
     // re-reads local blocks instead of re-running the round's join; the
@@ -1428,16 +1470,24 @@ object Dedup {
     // them
     val slim = Seq(col("doc_id"), col("len"), col("pos"), col("__rv"),
       col("__n"))
-    val seeded = relabel(positions, Seq("sub")).select(slim: _*)
+    val seeded = relabel(candidates, Seq("sub")).select(slim: _*)
       .localCheckpoint()
-    emitStats(0, seeded)
+    roundStats.foreach { cb =>
+      val total = norm
+        .agg(coalesce(sum(length(col("t"))), lit(0L))).head.getLong(0)
+      val cand = seeded.count()
+      cb(0, cand, total - cand) // hash-prefilter stage
+    }
+    emitStats(1, seeded) // literal seed relabel stage
     var live = seeded.filter(col("__n") >= 2)
       .select(col("doc_id"), col("len"), col("pos"), col("__rv").as("r"))
     // pruned positions stay visible to later rounds' shifted-rank
     // lookups — (round, label)-only; their uniqueness is the contract
-    var frozen = List(seeded.filter(col("__n") === 1)
-      .select(col("doc_id"), col("pos"), lit(0).as("rq"),
-        col("__rv").as("r")))
+    var frozen = List(
+      seeded.filter(col("__n") === 1)
+        .select(col("doc_id"), col("pos"), lit(0).as("rq"),
+          col("__rv").as("r")),
+      hashFrozen, tails)
     var half = seedLen
     var round = 0
     while (half * 2 <= k) { // stop at 2^floor(log2 k)
@@ -1455,7 +1505,7 @@ object Dedup {
           coalesce(col("__r2v"), lit(0L)).as("__r2v"))
       val rel = relabel(paired, Seq("r", "__r2q", "__r2v"))
         .select(slim: _*).localCheckpoint()
-      emitStats(round, rel)
+      emitStats(round + 1, rel) // stages 0/1 are the prefilter + seed
       live = rel.filter(col("__n") >= 2)
         .select(col("doc_id"), col("len"), col("pos"), col("__rv").as("r"))
       frozen ::= rel.filter(col("__n") === 1)
@@ -1491,16 +1541,26 @@ object Dedup {
     mergeHitPositions(flagged, k)
   }
 
-  /** The k ≤ 32 regime of [[duplicateSpansExact]]: the literal k-char
-   * substring IS the group key — [[duplicateSpans]]' exact plan with
-   * the hash replaced by the substring itself, so no rank state, no
-   * doubling, no overlap join. Honest at any corpus size: the key
-   * rides the two keyed shuffles at ≤ 32 B/row, the same order as the
-   * doubling tier's 20 B pair key — label compression only pays once
-   * the window is wider than the label, which is why the doubling
-   * machinery takes over beyond 32. One grouped count (map-combinable,
-   * a mega-duplicated passage is ONE group row), one semi-join back
-   * (AQE-skew-tolerant), one per-doc merge window. */
+  /** The k ≤ 32 regime of [[duplicateSpansExact]]: [[duplicateSpans]]'
+   * fast hash plan plus a LITERAL-substring verify on the candidate
+   * slice — exact with no rank state, no doubling, no overlap join.
+   *
+   * Why this shape: hash-bucket counts ≥ minCount give an exact
+   * SUPERSET of the duplicated positions (a collision can only merge
+   * two groups UPWARD, never hide one), so the 60-bit gram stream —
+   * the native rolling-hash kernel, no per-position string allocation,
+   * 8-byte shuffle keys — does all the heavy lifting, and the literal
+   * `substr` group-count runs only on the flagged slice, removing
+   * every collision artifact. Two q63-priced passes + one slice-sized
+   * pass, instead of shuffling a k-byte string key per position.
+   *
+   * Scale notes: the compact normalized text is localCheckpoint-ed at
+   * 1× corpus volume (the order the repartition shuffle writes anyway)
+   * and the gram stream re-derives from that local copy per consumer —
+   * never materialized exploded. The verify slice is checkpointed; its
+   * size is the duplicated-region position count (the answer's
+   * support), degrading toward ~k× corpus only on a wholly-duplicated
+   * corpus — the same bound class as the doubling tier's round state. */
   private def duplicateSpansDirect(
       docs: DataFrame,
       idCol: String,
@@ -1508,26 +1568,38 @@ object Dedup {
       k: Int,
       minCount: Long,
       roundStats: Option[(Int, Long, Long) => Unit]): DataFrame = {
-    val positions = docs
+    val norm = docs
       .select(col(idCol).as("doc_id"),
         TextFunctions.normalizeText(col(textCol)).as("t"))
       .repartition()
       .filter(length(col("t")) >= k)
+      .localCheckpoint()
+    def hashStream = norm
       .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("t")) - lit(k - 1))).as("pos"),
-        col("t"))
+        posexplode(call_function("kgram_hashes", col("t"), lit(k), lit(15))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val candHashes = hashStream.groupBy(col("h"))
+      .agg(count(lit(1)).as("__hc"))
+      .filter(col("__hc") >= minCount).select(col("h"))
+    val candPos = hashStream.join(candHashes.hint("shuffle_hash"), Seq("h"))
+      .select(col("doc_id"), col("pos"))
+    // literal verify slice: recover the substring for candidate
+    // positions only, then re-count on the literal key
+    val withSub = candPos
+      .join(norm.select(col("doc_id"), col("t")), Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
         col("t").substr(col("pos"), lit(k)).as("sub"))
-      .localCheckpoint() // the count pass and the semi-join probe both read it
-    val groups = positions.groupBy(col("sub")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint() // the re-count and the flag probe both read it
     roundStats.foreach { cb =>
-      val r = groups.agg(
-        coalesce(sum(when(col("__n") >= 2, col("__n"))), lit(0L)),
-        coalesce(sum(when(col("__n") === 1, lit(1L))), lit(0L))).head
-      cb(0, r.getLong(0), r.getLong(1))
+      val total = norm
+        .agg(coalesce(sum(length(col("t")) - lit(k - 1)), lit(0L))).head
+        .getLong(0)
+      val cand = withSub.count()
+      cb(0, cand, total - cand)
     }
-    val dupSubs = groups.filter(col("__n") >= minCount).select(col("sub"))
-    val flagged = positions.join(dupSubs, Seq("sub"), "left_semi")
+    val dupSubs = withSub.groupBy(col("sub")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount).select(col("sub"))
+    val flagged = withSub.join(dupSubs, Seq("sub"), "left_semi")
       .select(col("doc_id"), col("pos"))
     mergeHitPositions(flagged, k)
   }
