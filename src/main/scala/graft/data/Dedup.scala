@@ -1429,8 +1429,9 @@ object Dedup {
     // literal-singleton (collisions only merge buckets), and its hash
     // value doubles as its frozen label for free: two hash-frozen
     // positions sharing a label would share a hash, contradicting
-    // singleton-ness. Only the surviving candidates (measured 12.4% at
-    // sf0.1, graft.Probe63c) pay the 32-char-string relabel shuffles.
+    // singleton-ness. Only the surviving candidates (measured 8.3% at
+    // k=70/sf0.1, graft.Probe63c) pay the 32-char-string relabel
+    // shuffles.
     def hashStream = norm
       .select(col("doc_id"), length(col("t")).as("len"),
         posexplode(call_function("kgram_hashes", col("t"), lit(seedLen),
