@@ -28,6 +28,17 @@ object Dedup {
   /** Large Mersenne prime 2^31−1 for the universal-hash family. */
   val P: Long = 2147483647L
 
+  /** Positional k-gram hash stream, constructed DIRECTLY (no
+   * call_function): the span-dedup DataFrame entry points must analyze
+   * on any SparkSession, not only ones configured with
+   * graft.plans.GraftExtensions — the SQL name `kgram_hashes` stays
+   * registered for SQL users (the same registration-free contract as
+   * [[editNearDups]]'s `lev_banded`). */
+  private def kgramHashes(t: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.KgramHashStream(
+        org.apache.spark.sql.graft.ColumnBridge.expression(t), k, 15))
+
   /** a_i, b_i for minhash function i — small odd multipliers keep
    * `a*h28+b` well under 2^63 (h < 2^28, a < 2^7 for k ≤ 64). */
   def hashParams(i: Int): (Long, Long) = (2L * i + 1, 7919L * i + 13)
@@ -1252,7 +1263,7 @@ object Dedup {
         TextFunctions.normalizeText(col(textCol)).as("t"))
       .repartition()
       .select(col("doc_id"),
-        posexplode(call_function("kgram_hashes", col("t"), lit(k), lit(15))))
+        posexplode(kgramHashes(col("t"), k)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
 
   /** Join the gram stream to a flagged-hash set and merge hit positions
@@ -1376,6 +1387,21 @@ object Dedup {
       minCount: Long = 2L,
       roundStats: Option[(Int, Long, Long) => Unit] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    if (minCount <= 1L) {
+      // count >= 1 holds for EVERY position carrying a full k-gram, so
+      // the exact answer is each doc's full normalized text as one span
+      // — computed directly rather than routed through the doubling
+      // tier, whose hash prefilter and singleton pruning are keyed to
+      // "appears at least twice" and would silently drop unique spans
+      // at this degenerate (but accepted) parameter
+      return docs
+        .select(col(idCol).as("doc_id"),
+          TextFunctions.normalizeText(col(textCol)).as("t"))
+        .filter(length(col("t")) >= k)
+        .select(col("doc_id"), lit(1).as("span_start"),
+          length(col("t")).as("span_end"),
+          (length(col("t")) - lit(k - 1)).cast("long").as("n_grams"))
+    }
     if (k <= 32) return duplicateSpansDirect(docs, idCol, textCol, k,
       minCount, roundStats)
     // seed at 32 literal chars: every doubling round costs two
@@ -1434,8 +1460,7 @@ object Dedup {
     // shuffles.
     def hashStream = norm
       .select(col("doc_id"), length(col("t")).as("len"),
-        posexplode(call_function("kgram_hashes", col("t"), lit(seedLen),
-          lit(15))))
+        posexplode(kgramHashes(col("t"), seedLen)))
       .select(col("doc_id"), col("len"), (col("pos") + 1).as("pos"),
         col("col").as("h"))
     val candHash = hashStream.groupBy(col("h"))
@@ -1577,7 +1602,7 @@ object Dedup {
       .localCheckpoint()
     def hashStream = norm
       .select(col("doc_id"),
-        posexplode(call_function("kgram_hashes", col("t"), lit(k), lit(15))))
+        posexplode(kgramHashes(col("t"), k)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
     val candHashes = hashStream.groupBy(col("h"))
       .agg(count(lit(1)).as("__hc"))

@@ -162,6 +162,57 @@ class DupSpansSpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpansExact: minCount = 1 flags every full-k position " +
+      "in both tiers (degenerate but accepted parameter)") {
+    // count >= 1 holds for every position, so the answer is each doc's
+    // full normalized text as one span — the doubling tier's hash
+    // prefilter and singleton pruning are keyed to "at least twice" and
+    // must be routed around, not silently applied
+    val shared = "the quick brown fox jumped"
+    val docs = Seq(
+      1L -> s"aleph bet gimel $shared dalet he vav",
+      2L -> "a wholly unique second body with nothing repeated anywhere",
+      3L -> "tiny").toDF("doc_id", "text")
+    for (kk <- Seq(10, 70)) {
+      val exact = spansOf(docs, (d, key) =>
+        Dedup.duplicateSpansExact(d, "doc_id", "text", key, minCount = 1L), kk)
+      val kgram = spansOf(docs, (d, key) =>
+        Dedup.duplicateSpans(d, "doc_id", "text", key, minCount = 1L), kk)
+      assert(exact === kgram, s"k=$kk")
+      // every doc long enough for one k-gram is one full span
+      val wantDocs = Seq(1L, 2L).filter { id =>
+        val t = docs.filter($"doc_id" === id).head().getString(1)
+          .trim.toLowerCase.replaceAll("\\s+", " ")
+        t.length >= kk
+      }.toSet
+      assert(exact.map(_._1) === wantDocs, s"k=$kk: $exact")
+      exact.foreach { case (_, s0, _, _) => assert(s0 === 1L) }
+    }
+  }
+
+  test("duplicateSpans tiers build the k-gram kernel registration-free") {
+    // the DataFrame entry points must not depend on GraftExtensions: the
+    // hash-stream kernel is constructed directly, so the UNRESOLVED
+    // logical plan already carries a KgramHashStream node
+    // (call_function would leave an UnresolvedFunction until the session
+    // registry resolves it — an analysis failure on plain sessions)
+    // (the exact tiers construct their gram streams through the SAME
+    // private helper, but their eager localCheckpoints cut the final
+    // plan's lineage — the k-gram tier's uncut plan is the observable)
+    val docs = Seq(1L -> "some body text here long enough for grams")
+      .toDF("doc_id", "text")
+    val df = Dedup.duplicateSpans(docs, "doc_id", "text", 10)
+    val allExprs = df.queryExecution.logical
+      .collect { case n => n.expressions }.flatten
+    val direct = allExprs.flatMap(_.collect {
+      case e: graft.plans.KgramHashStream => e })
+    val unresolved = allExprs.flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if u.nameParts == Seq("kgram_hashes") => u })
+    assert(direct.nonEmpty && unresolved.isEmpty,
+      s"direct=${direct.size} unresolved=${unresolved.size}")
+  }
+
   test("duplicateSpansExact: scalar brute-force substring parity") {
     // independent reference: enumerate every k-substring of the
     // normalized text, count occurrences, merge flagged starts — no
