@@ -2132,7 +2132,7 @@ object SparkEntry {
       val wordStats = docs.select(explode(T.bpeTokens(col("text"))).as("w"))
         .agg(count(lit(1)).as("n_words"),
           sum(length(col("w"))).cast("long").as("n_chars"))
-      s.read.parquet(q126StageDir(dir))
+      readStage(s, q126StageDir(dir))
         .groupBy(col("tokenizer")).agg(count(lit(1)).as("n_tokens"))
         .crossJoin(wordStats)
         .select(col("tokenizer"), col("n_words"), col("n_chars"),
@@ -2973,16 +2973,47 @@ object SparkEntry {
     })
   )
 
-  /** Staged-parquet hand-off for q126: the Spark query writes the
-   * exploded tokenizer pieces here and the DuckDB oracle re-reads the
-   * same files via read_parquet — both engines compute the fertility
-   * metrics from one staged table. The path is keyed by the input
-   * dir's basename so a sf0.1 Bench run between the sf0.01 Verify and
-   * the driver's DuckDB compare cannot clobber the gate's stage; the
-   * ORACLE string is static and pins the sf0.01 stage (the only scale
-   * the correctness gate runs at). */
+  /** Root for the staged-parquet hand-offs (q126 and the staged-encode
+   * oracles): a Spark query writes a deterministic intermediate here
+   * and the DuckDB oracle re-reads the same files via read_parquet, so
+   * both engines compute the final metrics from one staged table.
+   *
+   * The root is keyed by USER + JVM PID: the oracle SQL strings embed
+   * the path at dump time and `Verify` dumps them from the same JVM
+   * that ran the queries, so the oracle always reads exactly the stage
+   * this run wrote — two concurrent sessions at the same scale cannot
+   * clobber each other, a leftover dir owned by another user cannot
+   * fail the write, and a stale stage from a crashed previous run can
+   * never silently feed a later run's oracle (its path is dead the
+   * moment that JVM is). Each per-query path is further keyed by the
+   * input dir's basename so a sf0.1 Bench stage never collides with
+   * the sf0.01 gate's. */
+  private[graft] val stageRoot: String = {
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
+    val user = sys.props.getOrElse("user.name", "nouser")
+    s"$tmp/graft_stage_${user}_pid${ProcessHandle.current().pid()}"
+  }
+
+  private[graft] def stageDir(name: String, dir: String): String =
+    s"$stageRoot/${name}_${new java.io.File(dir).getName}"
+
+  /** Read a staged table back, refusing an absent or half-written
+   * stage: the parquet job committer writes `_SUCCESS` last, so its
+   * absence means the stage write never completed — fail loudly here
+   * instead of letting a partial stage feed the query's metrics (and,
+   * through the shared path, the DuckDB oracle compare). */
+  private[graft] def readStage(s: SparkSession, path: String): DataFrame = {
+    val marker = new java.io.File(path, "_SUCCESS")
+    if (!marker.isFile)
+      throw new IllegalStateException(
+        s"stage $path is absent or incomplete (no _SUCCESS marker) — " +
+          "a staged-parquet query must complete its stage write before " +
+          "the read-back")
+    s.read.parquet(path)
+  }
+
   private[graft] def q126StageDir(dir: String): String =
-    s"/tmp/graft_stage/q126_pieces_${new java.io.File(dir).getName}"
+    stageDir("q126_pieces", dir)
 
   private[graft] val miniCfg = VarPipeline.Config(
     runs = 500, days = 120, tickers = (1 to 6).map(i => s"TICK0$i"),
