@@ -1044,20 +1044,25 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
     // the ENCODE half of BPE at the query level: corpus re-tokenized
-    // under the 20 trained merges, top subwords by count (golden-pinned
-    // like q87 — the trainer's argmax chain is not SQL-expressible)
+    // under the 20 trained merges, top subwords by count. The encode is
+    // deterministic given the merge ladder (itself golden-pinned at
+    // q87) but not SQL-expressible, so the exploded tokens are STAGED
+    // to parquet and the histogram computed FROM the stage — the DuckDB
+    // oracle recounts the same files (the q126 hand-off pattern)
     "q87b_bpe_encode" -> ((s, dir) => {
       import graft.data.Bpe
       val docs = t(s, dir, "documents")
       Bpe.encode(docs, "text", Bpe.trainMerges(docs, "text", 20))
         .select(explode(col("bpe_tokens")).as("tok"))
+        .write.mode("overwrite").parquet(stageDir("q87b_tokens", dir))
+      readStage(s, stageDir("q87b_tokens", dir))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok"))
         .limit(30)
     }),
     // the tokenize-to-IDS surface a training pipeline feeds the model:
     // alphabet-first GPT-2-style vocabulary over the trained merges,
-    // full token-id histogram (golden-pinned like q87/q87b)
+    // full token-id histogram recounted from the staged ids (oracle)
     "q87c_bpe_token_ids" -> ((s, dir) => {
       import graft.data.Bpe
       val docs = t(s, dir, "documents")
@@ -1065,19 +1070,24 @@ object SparkEntry {
       val vocab = Bpe.vocabulary(docs, "text", merges)
       Bpe.encodeIds(docs, "text", merges, vocab)
         .select(explode(col("token_ids")).as("tok_id"))
+        .write.mode("overwrite").parquet(stageDir("q87c_ids", dir))
+      readStage(s, stageDir("q87c_ids", dir))
         .groupBy(col("tok_id")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("tok_id"))
     }),
     // WordPiece (BERT) tokenizer: likelihood-ratio merges over
-    // position-aware symbols, greedy longest-match encode. No SQL
-    // oracle reproduces the training loop — golden-pinned; the trainer
-    // itself is spec-pinned against a from-scratch recount reference
-    // (WordpieceSpec) and the encode against hand cases
+    // position-aware symbols, greedy longest-match encode. The trainer
+    // is spec-pinned against a from-scratch recount (WordpieceSpec) and
+    // the encode against hand cases; the deterministic encoded pieces
+    // are staged and the usage panel recounted from the stage (oracle)
     "q161_wordpiece" -> ((s, dir) => {
       import graft.data.Wordpiece
       val docs = t(s, dir, "documents")
       val vocab = Wordpiece.train(docs, "text", vocabSize = 60)
-      Wordpiece.pieceStats(Wordpiece.encode(docs, "doc_id", "text", vocab))
+      Wordpiece.encode(docs, "doc_id", "text", vocab)
+        .select(col("piece"))
+        .write.mode("overwrite").parquet(stageDir("q161_pieces", dir))
+      Wordpiece.pieceStats(readStage(s, stageDir("q161_pieces", dir)))
         .orderBy(col("piece"))
     }),
     // HTML -> text extraction (crawl front door): the whole extractor is
@@ -1708,8 +1718,11 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
     // tokenizer OOV-rate panel: vocab trained on a SUBSET (%3==0),
-    // held-out docs carry planted unseen symbols -> per-source unk_ppm
-    // (golden - BPE segmentation not ANSI-expressible)
+    // held-out docs carry planted unseen symbols -> per-source unk_ppm.
+    // The segmentation is deterministic but not ANSI-expressible, so
+    // the (source, id) stream is staged and the per-source panel
+    // recomputed from the stage — the DuckDB oracle recounts it (the
+    // q126 hand-off pattern)
     "q156_oov_rate" -> ((s, dir) => {
       import graft.data.Bpe
       val docs = t(s, dir, "documents").withColumn("text",
@@ -1720,6 +1733,8 @@ object SparkEntry {
       val vocab = Bpe.vocabulary(train, "text", merges)
       Bpe.encodeIds(docs, "text", merges, vocab)
         .select(col("source"), explode(col("token_ids")).as("id"))
+        .write.mode("overwrite").parquet(stageDir("q156_ids", dir))
+      readStage(s, stageDir("q156_ids", dir))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_ids"),
           sum(when(col("id") === -1, 1L).otherwise(0L)).as("n_unk"))
@@ -2341,13 +2356,17 @@ object SparkEntry {
         .toSeq.toDF("piece", "score_micro")
         .orderBy(col("score_micro").desc, col("piece"))
     }),
-    // Viterbi corpus encode under the trained unigram model (golden)
+    // Viterbi corpus encode under the trained unigram model: the encode
+    // is deterministic given the model (itself golden-pinned at q112)
+    // — pieces staged, histogram recounted from the stage (oracle)
     "q113_unigram_encode" -> ((s, dir) => {
       import graft.data.Unigram
       val docs = t(s, dir, "documents")
       val model = Unigram.train(docs, "text", vocabSize = 60, maxPieceLen = 4)
       Unigram.encode(docs, "doc_id", "text", model)
         .select(explode(col("pieces")).as("piece"))
+        .write.mode("overwrite").parquet(stageDir("q113_pieces", dir))
+      readStage(s, stageDir("q113_pieces", dir))
         .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("piece")).limit(30)
     }),
@@ -5711,6 +5730,38 @@ FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node ORDER BY node""")
          |  n_tokens * 1000000 // n_words AS tokens_per_word_ppm,
          |  n_chars * 1000000 // n_tokens AS chars_per_token_ppm
          |FROM tok CROSS JOIN words ORDER BY tokenizer""".stripMargin,
+    // staged-encode oracles (the q126 hand-off pattern): the Spark query
+    // stages its deterministic encode to parquet and DuckDB recounts the
+    // histogram/panel from the same files — only the aggregation
+    // arithmetic crosses engines; the encodes themselves stay pinned by
+    // BpeSpec/UnigramSpec/WordpieceSpec hand cases and the q87/q112
+    // trained-ladder goldens
+    "q87b_bpe_encode" ->
+      s"""SELECT tok, count(*) AS cnt
+         |FROM read_parquet('${stageDir("q87b_tokens", "sf0.01")}/*.parquet')
+         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 30""".stripMargin,
+    "q87c_bpe_token_ids" ->
+      s"""SELECT tok_id, count(*) AS cnt
+         |FROM read_parquet('${stageDir("q87c_ids", "sf0.01")}/*.parquet')
+         |GROUP BY tok_id ORDER BY tok_id""".stripMargin,
+    "q113_unigram_encode" ->
+      s"""SELECT piece, count(*) AS cnt
+         |FROM read_parquet('${stageDir("q113_pieces", "sf0.01")}/*.parquet')
+         |GROUP BY piece ORDER BY cnt DESC, piece LIMIT 30""".stripMargin,
+    "q156_oov_rate" ->
+      s"""WITH g AS (SELECT source, count(*) AS n_ids,
+         |  CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+         |  FROM read_parquet('${stageDir("q156_ids", "sf0.01")}/*.parquet')
+         |  GROUP BY source)
+         |SELECT source, n_ids, n_unk, n_unk * 1000000 // n_ids AS unk_ppm
+         |FROM g ORDER BY source""".stripMargin,
+    "q161_wordpiece" ->
+      s"""WITH p AS (SELECT piece
+         |  FROM read_parquet('${stageDir("q161_pieces", "sf0.01")}/*.parquet')),
+         |t AS (SELECT count(*) AS tt FROM p)
+         |SELECT piece, count(*) AS n,
+         |  CAST(count(*) * 1000000 // tt AS BIGINT) AS share_ppm
+         |FROM p, t GROUP BY piece, tt ORDER BY piece""".stripMargin,
     "q127_ecdf_normalize" ->
       s"""WITH d AS (SELECT doc_id, n_chars,
          |  CAST(least(greatest(floor((n_chars - 0.0) * 0.05), 0), 49) AS BIGINT)

@@ -33,11 +33,11 @@ class GoldenMcSpec extends SparkSpec {
     "q32_compliance", "q33_mc_trials", "q33b_mc_trials_stored",
     "q34_risk_contribution", "q35_compliance_daily", "q37_file_config",
     "q23b_minhash64", "q54_pca", "q54b_pca_ann", "q54c_pca_sampled", "q87_bpe_merges",
-    "q87b_bpe_encode", "q87c_bpe_token_ids", "q91b_simhash_hamming64",
-    "q112_unigram_train", "q113_unigram_encode", "q115_sampled_encode",
+    "q91b_simhash_hamming64",
+    "q112_unigram_train", "q115_sampled_encode",
     "q119_mmr_rerank", "q120_image_neardups", "q121_compression_signal",
-    "q142_audio_features", "q156_oov_rate",
-    "q158_video_neardups", "q161_wordpiece", "q162b_html_content",
+    "q142_audio_features",
+    "q158_video_neardups", "q162b_html_content",
     "q176_hilbert_layout", "q179_pair_filter")
 
   /** Canonical text form: columns sorted by name, one CSV line per row,
