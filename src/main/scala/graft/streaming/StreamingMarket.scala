@@ -557,6 +557,26 @@ object StreamingMarket {
     val manifestCache =
       scala.collection.mutable.HashMap.empty[String, Set[String]]
     rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      appendBatch(batch, batchId, storeDir, maxLiveFiles, targetBytes,
+        lineageId, manifestCache, onCompact)
+    }
+  }
+
+  /** The per-micro-batch body of [[appendWithAutoCompact]], reusable by
+   * ingests that append a derived per-batch table (delta cells) rather
+   * than the raw stream rows ([[topSubstringsIngest]]): idempotent
+   * batch-scoped append into `storeDir/live`, self-healing of the
+   * publish→delete crash window, batch-id replay skip, and threshold
+   * compaction into immutable `v<N>` chunks. */
+  private def appendBatch(
+      batch: DataFrame,
+      batchId: Long,
+      storeDir: String,
+      maxLiveFiles: Int,
+      targetBytes: Long,
+      lineageId: String,
+      manifestCache: scala.collection.mutable.HashMap[String, Set[String]],
+      onCompact: (Long, Int, Long) => Unit): Unit = {
       val spark = batch.sparkSession
       val liveDir = s"$storeDir/live"
       val hfs = org.apache.hadoop.fs.FileSystem.get(
@@ -657,7 +677,6 @@ object StreamingMarket {
           onCompact(batchId, consumed.length, v)
         }
       }
-    }
   }
 
   /** Reader for [[appendWithAutoCompact]]'s layout: every immutable
@@ -1360,12 +1379,25 @@ object StreamingMarket {
    *
    * Contracts: each document arrives WHOLE in one row (cells of one
    * doc never straddle batches — the same append expectation as
-   * [[preferenceIngest]]'s judgments); the store holds one row per
-   * distinct (substring, doc) pair — the honest sufficient-statistic
-   * size for substring-level analysis, rewritten per publish like the
-   * win-count store. `n_docs` is a plain count over cells (they are
-   * distinct on (sub, doc) by construction — no distinct-agg pass).
-   * `sink` receives the refit board, the batch id, and the version.
+   * [[preferenceIngest]]'s judgments).
+   *
+   * SCALE SHAPE — per-batch WRITE work is O(batch), not O(store): the
+   * cell store is position-scale (a multiple of corpus bytes), so the
+   * earlier union-and-republish refit did quadratic-in-stream-length
+   * total work and rewrote a corpus-sized artifact every micro-batch.
+   * Cells are ADDITIVE sufficient statistics, so each batch instead
+   * APPENDS its delta cells to `storeDir/cells` (the
+   * [[appendWithAutoCompact]] layout: batch-scoped live files,
+   * threshold-compacted into immutable chunks) and the leaderboard
+   * aggregates MERGE-ON-READ across chunks + live — bit-exact to the
+   * batch operator over every document ever streamed, across arbitrary
+   * batch splits (spec-pinned; `sum` over delta cells re-merges any
+   * (sub, doc) pair that appears in several chunks). Only the
+   * topN-row BOARD is published per batch (`storeDir/board/v<N>`,
+   * [[publishOnce]]-keyed by batch id, so a replayed batch re-serves
+   * its board instead of re-aggregating). `sink` receives the board
+   * read back from its published version, the batch id, and the board
+   * version; `pruneKeep` GCs old board versions.
    */
   def topSubstringsIngest(
       docs: DataFrame,
@@ -1375,10 +1407,18 @@ object StreamingMarket {
       k: Int,
       topN: Int,
       minCount: Long = 2L,
-      pruneKeep: Option[Int] = None)(
+      pruneKeep: Option[Int] = None,
+      maxLiveFiles: Int = 64,
+      targetBytes: Long = 64L << 20,
+      lineageId: String = "")(
       sink: (DataFrame, Long, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(k >= 1 && topN >= 1, s"k=$k topN=$topN must be >= 1")
-    import graft.data.{TextFunctions, Versioned}
+    require(maxLiveFiles > 0, s"maxLiveFiles must be positive, got $maxLiveFiles")
+    import graft.data.TextFunctions
+    val cellsDir = s"$storeDir/cells"
+    val boardDir = s"$storeDir/board"
+    val manifestCache =
+      scala.collection.mutable.HashMap.empty[String, Set[String]]
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val batchCells = batch
@@ -1390,27 +1430,25 @@ object StreamingMarket {
           col("t"))
         .select(col("doc_id"), col("t").substr(col("p"), lit(k)).as("sub"))
         .groupBy(col("sub"), col("doc_id")).agg(count(lit(1)).as("n"))
-      // a replayed batch id re-serves its already-published version
-      // instead of re-summing the cells (publishOnce)
-      val v = publishOnce(spark, storeDir, batchId, pruneKeep) {
-        Versioned.latestVersion(spark, storeDir) match {
-          case None => batchCells
-          case Some(v0) =>
-            spark.read.parquet(s"$storeDir/v$v0")
-              .select(col("sub"), col("doc_id"), col("n"))
-              .unionByName(batchCells)
-              .groupBy(col("sub"), col("doc_id"))
-              .agg(sum(col("n")).as("n"))
-        }
+      // O(batch) append: batch-scoped file names make a replay replace
+      // its own delta instead of double-counting; compaction bounds the
+      // live file count without ever rewriting published chunks
+      appendBatch(batchCells, batchId, cellsDir, maxLiveFiles,
+        targetBytes, lineageId, manifestCache, (_, _, _) => ())
+      // a replayed batch id re-serves its already-published board
+      // instead of re-aggregating the store (publishOnce)
+      val v = publishOnce(spark, boardDir, batchId, pruneKeep) {
+        loadCompactedStore(spark, cellsDir)
+          .groupBy(col("sub"))
+          .agg(sum(col("n")).as("n_occurrences"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_occurrences") >= minCount)
+          .orderBy(col("n_occurrences").desc, col("sub"))
+          .limit(topN)
       }
-      val board = spark.read.parquet(s"$storeDir/v$v")
-        .groupBy(col("sub"))
-        .agg(sum(col("n")).as("n_occurrences"),
-          count(lit(1)).as("n_docs"))
-        .filter(col("n_occurrences") >= minCount)
-        .orderBy(col("n_occurrences").desc, col("sub"))
-        .limit(topN)
-      sink(board, batchId, v)
+      sink(spark.read.parquet(s"$boardDir/v$v")
+          .orderBy(col("n_occurrences").desc, col("sub")),
+        batchId, v)
     }
   }
 

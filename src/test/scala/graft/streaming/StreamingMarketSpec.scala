@@ -1108,6 +1108,48 @@ class StreamingMarketSpec extends SparkSpec {
     }
   }
 
+  test("topSubstringsIngest: per-batch written bytes scale with the " +
+      "batch, not the store (append + merge-on-read, no store rewrite)") {
+    implicit val sqlCtx = spark.sqlContext
+    // six equal-shape batches, compaction disabled: the old O(store)
+    // refit republished the FULL cell store every micro-batch, so its
+    // per-batch byte delta grew ~linearly with stream length; the
+    // append layout writes one batch-sized delta plus a topN-row board
+    val dir = java.nio.file.Files
+      .createTempDirectory("subs_incr").toString + "/store"
+    def du(p: String): Long = {
+      val root = new java.io.File(p)
+      if (!root.exists) 0L
+      else {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).getOrElse(Array.empty).map(walk).sum
+        walk(root)
+      }
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = topSubstringsIngest(input.toDF().toDF("doc_id", "text"),
+      dir, "doc_id", "text", k = 12, topN = 5,
+      maxLiveFiles = 10000) { (_, _, _) => () }.start()
+    val sizes = scala.collection.mutable.ArrayBuffer(du(dir))
+    (0 until 6).foreach { b =>
+      input.addData((0 until 10).map(i =>
+        (b * 100L + i, f"doc ${b * 100 + i}%04d carries all rights " +
+          "reserved worldwide notice body")): _*)
+      q.processAllAvailable()
+      sizes += du(dir)
+    }
+    q.stop()
+    val deltas = sizes.toSeq.sliding(2).map(w => w(1) - w(0)).toSeq
+    assert(deltas.forall(_ > 0), deltas.mkString(","))
+    // flat, not growing: the last batch writes no more than 1.5x the
+    // first (identical batch shapes; the old refit wrote ~6x here)
+    assert(deltas.last <= (deltas.head * 3) / 2,
+      s"per-batch bytes grew with the store: ${deltas.mkString(",")}")
+    assert(deltas.max.toDouble / deltas.min <= 2.0,
+      s"per-batch bytes not flat: ${deltas.mkString(",")}")
+  }
+
   test("versioned ingests: a replayed batch id never double-counts the store") {
     // after a crash between publish and checkpoint commit, foreachBatch
     // re-delivers the LAST batch under the same id — simulate with a
