@@ -1310,6 +1310,37 @@ object Dedup {
     mergeSpans(grams, dupHashes, k)
   }
 
+  /** Per-corpus k-gram hash COUNTS `(h, cnt)` of NORMALIZED
+   * `(doc_id, t)` rows — the additive sufficient statistic behind
+   * [[duplicateSpans]]' flagged-hash set: counts of two corpus slices
+   * sum to the counts of their union, which is what lets a streaming
+   * ingest append per-batch deltas and aggregate merge-on-read
+   * ([[graft.streaming.StreamingMarket.duplicateSpansIngest]]). One
+   * map-combinable aggregation over the slice's gram stream. */
+  private[graft] def kgramCountsFromNorm(norm: DataFrame, k: Int): DataFrame =
+    norm
+      .select(explode(kgramHashes(col("t"), k)).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+
+  /** [[duplicateSpans]] split at its sufficient statistic: given the
+   * NORMALIZED corpus `(doc_id, t)` and (possibly chunked, un-merged)
+   * k-gram hash count deltas `(h, cnt)`, re-sum the counts, flag
+   * hashes at `minCount`, and merge flagged positions into maximal
+   * spans — bit-equal to `duplicateSpans` over the corpus the counts
+   * were derived from (the re-sum makes arbitrary delta splits
+   * invisible). */
+  private[graft] def spansFromCounts(norm: DataFrame, counts: DataFrame,
+      k: Int, minCount: Long): DataFrame = {
+    val flagged = counts.groupBy(col("h"))
+      .agg(sum(col("cnt")).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("h"))
+    val grams = norm
+      .select(col("doc_id"), posexplode(kgramHashes(col("t"), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    mergeSpans(grams, flagged, k)
+  }
+
   /**
    * EXACT duplicate-substring spans via DISTRIBUTED SUFFIX RANKS — the
    * hash-free tier next to [[duplicateSpans]]: same output contract

@@ -1452,6 +1452,68 @@ object StreamingMarket {
     }
   }
 
+  /**
+   * Streaming DUPLICATE-SPAN monitor — the EXACT continuous form of
+   * [[graft.data.Dedup.duplicateSpans]]: per-batch k-gram hash COUNT
+   * deltas `(h, cnt)` are additive sufficient statistics for the
+   * flagged-hash set (counts of two corpus slices sum to the counts of
+   * their union), so each micro-batch APPENDS its delta counts and its
+   * normalized `(doc_id, t)` rows into two auto-compacting stores
+   * ([[appendWithAutoCompact]]'s layout — O(batch) write per batch,
+   * batch-scoped file names keep replays idempotent), and the flagged
+   * spans are recomputed merge-on-read: re-sum the count chunks, flag
+   * at `minCount`, join the full text store's gram stream, merge
+   * positions — bit-equal to the batch operator over every document
+   * ever streamed, across arbitrary batch splits (spec-pinned).
+   *
+   * Contracts: each document arrives WHOLE in one row, exactly once
+   * (the same append expectation as [[topSubstringsIngest]] — a
+   * re-sent doc_id would double its grams, exactly as it would if fed
+   * twice to the batch operator). Disk posture matches the batch
+   * operator's: the text store is the 1× compact corpus, the count
+   * store is ≤ one row per distinct gram hash; exploded positions are
+   * never materialized. `sink` receives the span table
+   * `(doc_id, span_start, span_end, n_grams)` over the union so far,
+   * plus the batch id.
+   */
+  def duplicateSpansIngest(
+      docs: DataFrame,
+      storeDir: String,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minCount: Long = 2L,
+      maxLiveFiles: Int = 64,
+      targetBytes: Long = 64L << 20,
+      lineageId: String = "")(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(k >= 1 && minCount >= 1, s"k=$k minCount=$minCount must be >= 1")
+    require(maxLiveFiles > 0, s"maxLiveFiles must be positive, got $maxLiveFiles")
+    import graft.data.{Dedup, TextFunctions}
+    val docsDir = s"$storeDir/docs"
+    val countsDir = s"$storeDir/counts"
+    val docsCache =
+      scala.collection.mutable.HashMap.empty[String, Set[String]]
+    val countsCache =
+      scala.collection.mutable.HashMap.empty[String, Set[String]]
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      // normalize ONCE per doc (the batch operator's first step) — the
+      // text store holds the normalized form so the span join and the
+      // count deltas read identical bytes
+      val norm = batch.select(col(idCol).as("doc_id"),
+        TextFunctions.normalizeText(col(textCol)).as("t"))
+      appendBatch(norm, batchId, docsDir, maxLiveFiles, targetBytes,
+        lineageId, docsCache, (_, _, _) => ())
+      appendBatch(Dedup.kgramCountsFromNorm(norm, k), batchId, countsDir,
+        maxLiveFiles, targetBytes, lineageId, countsCache, (_, _, _) => ())
+      sink(Dedup.spansFromCounts(
+          loadCompactedStore(spark, docsDir),
+          loadCompactedStore(spark, countsDir), k, minCount),
+        batchId)
+    }
+  }
+
   /** Input row of the streaming weighted sampler. */
   case class SampleRow(group: String, id: Long, w: Double)
 

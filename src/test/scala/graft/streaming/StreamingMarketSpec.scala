@@ -1108,6 +1108,69 @@ class StreamingMarketSpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpansIngest: streamed spans == batch operator on the " +
+      "union, across arbitrary batch splits; replay never double-counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.data.Dedup
+    val kk = 10
+    val shared = "the quick brown fox jumped"
+    val docsAll = (0 until 18).map { i =>
+      val body =
+        if (i % 3 == 0) s"unique body number $i with no repeats at all"
+        else s"doc $i carries $shared plus tail $i"
+      (i.toLong, body)
+    }
+    def spanSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.select(col("doc_id").cast("long"), col("span_start").cast("long"),
+          col("span_end").cast("long"), col("n_grams").cast("long"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    def batchSpans(upTo: Int): Set[(Long, Long, Long, Long)] =
+      spanSet(Dedup.duplicateSpans(
+        docsAll.take(upTo).toDF("doc_id", "text"), "doc_id", "text", kk))
+    for (splits <- Seq(Seq(6, 12, 18), Seq(1, 9, 18))) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("spans_ingest").toString + "/store"
+      val seen = scala.collection.mutable.ArrayBuffer
+        .empty[Set[(Long, Long, Long, Long)]]
+      val input = MemoryStream[(Long, String)]
+      val q = duplicateSpansIngest(input.toDF().toDF("doc_id", "text"),
+        dir, "doc_id", "text", k = kk) { (spans, _) =>
+        seen += spanSet(spans)
+      }.start()
+      var prev = 0
+      splits.foreach { upTo =>
+        input.addData(docsAll.slice(prev, upTo): _*)
+        q.processAllAvailable()
+        prev = upTo
+      }
+      q.stop()
+      assert(seen.size == splits.size)
+      seen.zip(splits.map(batchSpans)).foreach { case (streamed, batch) =>
+        assert(streamed === batch)
+      }
+    }
+    // replay: a fresh query on the same store re-delivers batch 0 (same
+    // id, same rows) — batch-scoped file names must REPLACE the old
+    // delta, not append a second copy (a double-counted gram would flag
+    // the unique docs' grams at minCount=2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("spans_replay").toString + "/store"
+    var last: Set[(Long, Long, Long, Long)] = Set.empty
+    def runOnce(): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = duplicateSpansIngest(in.toDF().toDF("doc_id", "text"),
+        dir, "doc_id", "text", k = kk) { (spans, _) => last = spanSet(spans) }
+        .start()
+      in.addData(docsAll.take(6): _*); q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    val first = last
+    runOnce() // replay of batch id 0
+    assert(last === first)
+    assert(last === batchSpans(6))
+  }
+
   test("topSubstringsIngest: per-batch written bytes scale with the " +
       "batch, not the store (append + merge-on-read, no store rewrite)") {
     implicit val sqlCtx = spark.sqlContext
