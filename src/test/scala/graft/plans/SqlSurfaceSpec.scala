@@ -107,6 +107,23 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("lev_banded SQL surface crosses into the banded-DP fallback " +
+      "(m > 64*(2*max+1)); both code paths stay pinned at the census") {
+    // the census fixture ('kitten', max=5) runs the Myers/Hyyrö
+    // bit-parallel kernel; these cross the width gate into the
+    // Ukkonen-banded two-row DP — same SQL name, same semantics
+    def one(sql: String): Int = spark.sql(sql).head().getInt(0)
+    // max=0: m=100 > 64 — equality test in the fallback regime
+    assert(one("SELECT lev_banded(repeat('ab', 50), repeat('ab', 50), 0)") === 0)
+    assert(one("SELECT lev_banded(repeat('ab', 50), " +
+      "concat(repeat('ab', 49), 'ax'), 0)") === -1)
+    // max=1: m=200 > 192 — one substitution inside the band, two beyond
+    assert(one("SELECT lev_banded(repeat('a', 200), " +
+      "concat(repeat('a', 199), 'b'), 1)") === 1)
+    assert(one("SELECT lev_banded(repeat('a', 200), " +
+      "concat('b', concat(repeat('a', 198), 'b')), 1)") === -1)
+  }
+
   test("SQL and Column-API spellings agree on a shared pipeline") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
