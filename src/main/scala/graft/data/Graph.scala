@@ -40,8 +40,9 @@ object Graph {
    * each iteration folds the dangling mass `D = Σ r(dangling)` back
    * uniformly — `r' = base + (17 · (contrib + D div N)) div 20`, the
    * classic teleporting-dangling correction — at the cost of ONE extra
-   * 1-row aggregate per iteration (an anti-join sum cross-joined back
-   * into the lazy plan; nothing is collected, the chain stays one job).
+   * 1-row aggregate per iteration (a single-column sum over the rank
+   * table, whose carried `sw` column marks dangling nodes as null;
+   * nothing is collected, the sum is cross-joined back into the plan).
    * Still exact integer micro-units: total mass is invariant up to
    * deterministic floor truncation (< |E| + 3N micros per iteration),
    * where the leaking default loses ~0.85·D per iteration instead.
@@ -84,38 +85,48 @@ object Graph {
           .groupBy(col("src"), col("dst"))
           .agg(sum(col("__w")).as("w"))
     }).cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
     try {
-      val n = nodes.count()
+      // iteration-INVARIANT node table, built once and localCheckpoint'd:
+      // (node, sw) with sw = total out-weight, null for dangling nodes.
+      // Carrying sw ON the rank table turns the former two joins per
+      // iteration (rank + an out-degree table re-aggregated from the
+      // edge cache every round) into one, and turns the dangling-mass
+      // anti-join into a single column scan of the rank table.
+      val nodeStat = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .join(e.groupBy(col("src").as("node")).agg(sum(col("w")).as("sw")),
+          Seq("node"), "left")
+        .localCheckpoint()
+      val n = nodeStat.count()
       require(n > 0, "pageRank on an empty edge list")
-      val outDeg = e.groupBy(col("src")).agg(sum(col("w")).as("sw"))
       val init = 1000000000L / n     // floor, same as the oracle's `//`
       val base = 150000000L / n      // (1 - d)/N with d = 0.85, in micros
-      var r = nodes.withColumn("r", lit(init))
+      var r = nodeStat.withColumn("r", lit(init))
       for (i <- 1 to iters) {
+        // every src in e has out-edges, so its carried sw is non-null
+        // and equals the former outDeg join's sw bit-for-bit
         val contrib = e
-          .join(r.withColumnRenamed("node", "src"), Seq("src"))
-          .join(outDeg, Seq("src"))
+          .join(r.select(col("node").as("src"), col("sw"), col("r")),
+            Seq("src"))
           .select(col("dst").as("node"), expr("(r * w) div sw").as("t"))
           .groupBy(col("node")).agg(sum(col("t")).as("c"))
         r =
           if (!redistributeDangling)
-            nodes.join(contrib, Seq("node"), "left")
-              .select(col("node"),
+            nodeStat.join(contrib, Seq("node"), "left")
+              .select(col("node"), col("sw"),
                 (lit(base) + expr("(17 * coalesce(c, 0L)) div 20")).as("r"))
           else {
-            // dangling mass this iteration: rank held by nodes absent
-            // from the out-degree table. A 1-row LAZY aggregate
-            // cross-joined back in (Catalyst broadcasts the single
-            // row) — a driver-side collect here would execute the
-            // whole lineage once per iteration
+            // dangling mass this iteration: rank held by nodes with no
+            // out-edges (sw null) — ONE 1-row LAZY aggregate over the
+            // checkpointed rank table, cross-joined back in (Catalyst
+            // broadcasts the single row); no anti-join, nothing
+            // collected
             val dang = r
-              .join(outDeg.select(col("src").as("node")), Seq("node"), "left_anti")
-              .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
-            nodes.join(contrib, Seq("node"), "left")
+              .agg(coalesce(sum(when(col("sw").isNull, col("r"))), lit(0L))
+                .as("dm"))
+            nodeStat.join(contrib, Seq("node"), "left")
               .crossJoin(dang)
-              .select(col("node"),
+              .select(col("node"), col("sw"),
                 (lit(base) +
                   expr(s"(17 * (coalesce(c, 0L) + dm div ${n}L)) div 20")).as("r"))
           }
@@ -130,9 +141,9 @@ object Graph {
       val out = r.select(col("node"), col("r").as("rank_micro"),
           (col("r").cast("double") / lit(1e9)).as("rank"))
         .cache()
-      out.count() // eager: runs the iterations while e/nodes are cached
+      out.count() // eager: runs the iterations while e is cached
       out
-    } finally { e.unpersist(); nodes.unpersist(); () }
+    } finally { e.unpersist(); () }
   }
 
   /**
@@ -176,30 +187,35 @@ object Graph {
           .agg(sum(col("__w")).as("w"))
     }).cache()
     val sd = seeds.select(col(seedCol).as("node")).distinct()
-    // seed flag rides the node table: 1 row per node, joined once
+    // seed flag AND out-weight ride the node table: 1 row per node,
+    // built once and localCheckpoint'd (the former per-iteration outDeg
+    // join re-aggregated the edge cache every round — same rework as
+    // [[pageRank]])
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .join(sd.withColumn("__s", lit(1L)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
-      .cache()
+      .join(e.groupBy(col("src").as("node")).agg(sum(col("w")).as("sw")),
+        Seq("node"), "left")
+      .localCheckpoint()
     try {
       val nSeeds =
         nodes.agg(sum(col("__s"))).head().getLong(0) // bounded: one long
       require(nSeeds > 0,
         "personalizedPageRank: no seed appears in the edge set")
-      val outDeg = e.groupBy(col("src")).agg(sum(col("w")).as("sw"))
       val init = 1000000000L / nSeeds
       val base = 150000000L / nSeeds
       var r = nodes.withColumn("r", col("__s") * init)
-        .select(col("node"), col("r"))
+        .select(col("node"), col("sw"), col("r"))
       for (i <- 1 to iters) {
+        // every src in e has out-edges, so its carried sw is non-null
         val contrib = e
-          .join(r.withColumnRenamed("node", "src"), Seq("src"))
-          .join(outDeg, Seq("src"))
+          .join(r.select(col("node").as("src"), col("sw"), col("r")),
+            Seq("src"))
           .select(col("dst").as("node"), expr("(r * w) div sw").as("t"))
           .groupBy(col("node")).agg(sum(col("t")).as("c"))
         r = nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"),
+          .select(col("node"), col("sw"),
             (col("__s") * lit(base) +
               expr("(17 * coalesce(c, 0L)) div 20")).as("r"))
         if (i % 10 == 0) r = r.localCheckpoint()
@@ -209,7 +225,7 @@ object Graph {
         .cache()
       out.count()
       out
-    } finally { e.unpersist(); nodes.unpersist(); () }
+    } finally { e.unpersist(); () }
   }
 
   /**
@@ -234,10 +250,12 @@ object Graph {
    * rescales). Headroom: after normalization each score table sums to
    * ≤ 1e9, so a node's raw sum is ≤ 1e9 and `raw · 1e9 ≤ 1e18 < 2^63`.
    *
-   * Both score tables are `localCheckpoint`ed per iteration (each is
-   * read twice: by its Σ and by the next half-step), keeping lineage
-   * — and planner time — constant in `iters`. Result is cached and
-   * materialized while the edge cache is warm, like [[pageRank]].
+   * Each half-step's FLOW AGGREGATION (the keyed shuffle) is
+   * `localCheckpoint`ed — it is read twice (its Σ and the outer join) —
+   * while the |nodes|-row normalization stays lazy over the checkpoint,
+   * keeping lineage — and planner time — constant in `iters` without
+   * materializing the cheap half. Result is cached and materialized
+   * while the edge cache is warm, like [[pageRank]].
    * Nodes with no in-edges get authority 0; no out-edges, hub 0.
    *
    * Returns `(node, auth_micro, hub_micro, auth, hub)` — exact longs
@@ -257,17 +275,23 @@ object Graph {
       var hub = nodes.withColumn("v", lit(init))
       var auth = nodes.withColumn("v", lit(0L))
       // one half-step: scores flow across edges from `from` to `to`,
-      // then L1-renormalize to 1e9 total (floor division, exact longs)
+      // then L1-renormalize to 1e9 total (floor division, exact longs).
+      // The expensive half — the keyed shuffle over the edge cache — is
+      // what gets localCheckpoint'd; the |nodes|-row normalization stays
+      // LAZY (read at most twice: the next half-step's join + the final
+      // output join, each a shallow plan over the checkpoint), so each
+      // half-step materializes the flow aggregation exactly once instead
+      // of evaluating it under both the Σ-aggregate and the outer join.
       def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {
         val raw = e
           .join(scores.withColumnRenamed("node", from), Seq(from))
           .groupBy(col(to).as("node")).agg(sum(col("v")).as("raw"))
+          .localCheckpoint()
         val tot = raw.agg(coalesce(sum(col("raw")), lit(0L)).as("s"))
         nodes.join(raw, Seq("node"), "left")
           .crossJoin(tot)
           .select(col("node"),
             coalesce(expr("raw * 1000000000 div s"), lit(0L)).as("v"))
-          .localCheckpoint()
       }
       for (_ <- 1 to iters) {
         auth = halfStep(hub, "src", "dst")

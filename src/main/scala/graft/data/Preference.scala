@@ -58,9 +58,13 @@ object Preference {
    *
    * Scale: the update joins the ≤|items|² pair-count table with the
    * |items|-row rating table — comparison-stream size only enters the one
-   * [[winCounts]] aggregation up front. The rating table is
-   * localCheckpoint'd per round (it is read three times per update:
-   * both pair sides + the normalization total), the iterative-lineage
+   * [[winCounts]] aggregation up front. The rating table is BROADCAST
+   * into both pair-side joins (it fits by the same contract that bounds
+   * the pair table) so the pair table is never shuffled; the per-pair
+   * term is computed once and exploded to both endpoints, making each
+   * round ONE map-side-combined aggregation. The rating table is
+   * localCheckpoint'd per round (read three times per update: both
+   * broadcast sides + the normalization total), the iterative-lineage
    * rule from pageRank. The normalization total rides a 1-row lazy
    * aggregate cross-joined back (broadcast), never a driver collect.
    *
@@ -87,27 +91,51 @@ object Preference {
         col("n"))
       .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
       .cache()
-    val items = wins.select(col("winner").as("item"))
-      .union(wins.select(col("loser").as("item"))).distinct().cache()
     try {
-      val nItems = items.count()
-      require(nItems > 0, "bradleyTerry on an empty comparison stream")
-      val w = items.join(
+      // iteration-INVARIANT per-item statistics (wins W_i, games), built
+      // once and localCheckpoint'd: the former per-iteration re-derive of
+      // `w` from the caches cost a join + aggregation chain every round.
+      val stat = wins.select(col("winner").as("item"))
+        .union(wins.select(col("loser").as("item"))).distinct()
+        .join(
           wins.groupBy(col("winner").as("item")).agg(sum(col("n")).as("w")),
           Seq("item"), "left")
-        .select(col("item"), coalesce(col("w"), lit(0L)).as("w"))
-      var r = items.withColumn("p", lit(1000000L))
+        .join(
+          pairs.select(col("a").as("item"), col("n"))
+            .union(pairs.select(col("b").as("item"), col("n")))
+            .groupBy(col("item")).agg(sum(col("n")).as("games")),
+          Seq("item"), "left")
+        .select(col("item"), coalesce(col("w"), lit(0L)).as("w"),
+          col("games"))
+        .localCheckpoint()
+      val nItems = stat.count()
+      require(nItems > 0, "bradleyTerry on an empty comparison stream")
+      var r = stat.select(col("item")).withColumn("p", lit(1000000L))
       for (_ <- 1 to iters) {
+        // the |items|-row rating table is BROADCAST into both pair-side
+        // joins (guide §3.1: broadcast the side that fits — the rating
+        // table is |items| rows by the same contract that bounds the
+        // ≤|items|² pair table): the pair table, the loop's big side,
+        // is never shuffled. The per-pair term t is computed ONCE and
+        // exploded to both endpoints (the former union of two selects
+        // over `terms` evaluated the double-join subtree twice), so
+        // each iteration is one map-side-combined aggregation plus
+        // broadcast hash joins — one real exchange instead of five.
         val terms = pairs
-          .join(r.select(col("item").as("a"), col("p").as("pa")), Seq("a"))
-          .join(r.select(col("item").as("b"), col("p").as("pb")), Seq("b"))
+          .join(broadcast(r.select(col("item").as("a"), col("p").as("pa"))),
+            Seq("a"))
+          .join(broadcast(r.select(col("item").as("b"), col("p").as("pb"))),
+            Seq("b"))
           .withColumn("t", expr("(n * 1000000000000L) div (pa + pb)"))
-        val denom = terms.select(col("a").as("item"), col("t"))
-          .union(terms.select(col("b").as("item"), col("t")))
+        val denom = terms
+          .select(explode(array(
+              struct(col("a").as("item"), col("t")),
+              struct(col("b").as("item"), col("t")))).as("s"))
+          .select(col("s.item").as("item"), col("s.t").as("t"))
           .groupBy(col("item")).agg(sum(col("t")).as("d"))
         // every item has >= 1 pair by construction; the null arm is a
         // belt-and-braces identity for a disconnected future caller
-        val raw = w.join(denom, Seq("item"), "left")
+        val raw = stat.join(broadcast(denom), Seq("item"), "left")
           .select(col("item"),
             when(col("d").isNull, lit(1000000L))
               .otherwise(greatest(expr("(w * 1000000000000L) div d"), lit(1L)))
@@ -119,19 +147,13 @@ object Preference {
               .as("p"))
           .localCheckpoint()
       }
-      // materialize the |items|-row result WHILE the wins/pairs caches
-      // are warm — the finally below releases them, and a lazy return
-      // would re-derive the whole comparison aggregation on first use
-      r.join(w, Seq("item"))
-        .join(
-          pairs.select(col("a").as("item"), col("n"))
-            .union(pairs.select(col("b").as("item"), col("n")))
-            .groupBy(col("item")).agg(sum(col("n")).as("games")),
-          Seq("item"))
+      // r and stat are both checkpointed |items|-row RDDs, so the
+      // returned plan is independent of the wins/pairs caches released
+      // in the finally below
+      r.join(stat, Seq("item"))
         .select(col("item"), col("p").as("rating_micro"),
           col("w").as("wins"), col("games"))
-        .localCheckpoint()
-    } finally { wins.unpersist(); pairs.unpersist(); items.unpersist() }
+    } finally { wins.unpersist(); pairs.unpersist() }
   }
 
   /** Per-(item, label) vote counts — the cell table every consensus
