@@ -42,7 +42,8 @@ object Probe196 {
 
     val pos = docs.select(col("doc_id"),
         graft.data.TextFunctions.normalizeText(col("text")).as("t"))
-      .repartition().filter(length(col("t")) >= k)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .filter(length(col("t")) >= k)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("t")) - lit(k - 1))).as("p"),
         col("t"))

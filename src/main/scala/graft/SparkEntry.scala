@@ -513,12 +513,15 @@ object SparkEntry {
       // materializes fp ONCE — without it the 3-column projection and the
       // global sort's range-sampling pass each re-run the winnow
       // expression (no subexpression elimination across collapsed
-      // projections; measured 3.4s -> 1.8s at sf0.1)
+      // projections; measured 3.4s -> 1.8s at sf0.1). Widths are
+      // EXPLICIT: argless repartition() is an AQE REBALANCE sized by the
+      // exchange's input bytes, which collapsed the winnow stage to one
+      // task at sf0.1 — defaultParallelism keeps it cluster-derived
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"))
-        .repartition()
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), T.winnowFingerprintsNative(col("text"), 5, 4).as("fp"))
-        .repartition()
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), size(col("fp")).as("n_fp"),
           try_element_at(col("fp"), lit(1)).as("fp_min"),
           try_element_at(col("fp"), lit(-1)).as("fp_max"))
@@ -2790,7 +2793,9 @@ object SparkEntry {
       // would re-split the text per bigram index (O(n^2) — the q38 trap)
       val tokenized = t(s, dir, "documents")
         .select(col("source"), T.tokens(lower(col("text"))).as("toks"))
-        .repartition()
+        // explicit width: the bigram explode amplifies rows ~|toks|×, so
+        // an input-sized AQE REBALANCE would under-partition (q38 note)
+        .repartition(s.sparkContext.defaultParallelism)
       val toks = col("toks")
       val bigrams = when(size(toks) > 1,
         transform(sequence(lit(1), size(toks) - 1),

@@ -52,7 +52,11 @@ object Corpus {
       .select(col(idCol).as("id"),
         TextFunctions.redactPii(
           TextFunctions.c4CleanText(col(textCol), minWords)).as("text"))
-      .repartition() // count from spark.sql.shuffle.partitions — scales with cluster config
+      // explicit cluster-derived width: argless repartition() is an AQE
+      // REBALANCE sized by input bytes, and the tokenize/tag consumers
+      // below amplify per-row work — AQE coalesced the whole tag stage
+      // onto one task at sf0.1
+      .repartition(gated.sparkSession.sparkContext.defaultParallelism)
     val ltoks = TextFunctions.tokens(lower(col("text")))
     val tagged = cleaned.select(
       col("id"),

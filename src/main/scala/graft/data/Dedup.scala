@@ -1269,7 +1269,13 @@ object Dedup {
     docs
       .select(col(idCol).as("doc_id"),
         TextFunctions.normalizeText(col(textCol)).as("t"))
-      .repartition()
+      // EXPLICIT width: an argless repartition() is an AQE REBALANCE
+      // sized by its INPUT bytes, but the k-gram explode below amplifies
+      // rows ~k× — AQE coalesced the whole gram generation onto ONE task
+      // (measured at sf0.1: a 1-task 2.3 s stage inside a 3.5 s query).
+      // defaultParallelism keeps the spread cluster-derived, never a
+      // constant (same convention as [[repartitioned]]).
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         posexplode(kgramHashes(col("t"), k)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
@@ -1457,7 +1463,9 @@ object Dedup {
     val norm = docs
       .select(col(idCol).as("doc_id"),
         TextFunctions.normalizeText(col(textCol)).as("t"))
-      .repartition()
+      // explicit width — the gram stream explodes ~k× downstream; an
+      // AQE-coalesced REBALANCE would checkpoint the corpus onto one task
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .filter(length(col("t")) >= 1)
       .localCheckpoint()
     // equality-exact, skew-tolerant relabel: count each key group
@@ -1636,7 +1644,9 @@ object Dedup {
     val norm = docs
       .select(col(idCol).as("doc_id"),
         TextFunctions.normalizeText(col(textCol)).as("t"))
-      .repartition()
+      // explicit width — see kgramStream: the downstream explode
+      // amplifies ~k×, so the AQE REBALANCE under-partitions
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .filter(length(col("t")) >= k)
       .localCheckpoint()
     def hashStream = norm
@@ -1719,7 +1729,11 @@ object Dedup {
     docs
       .select(col(idCol).as("doc_id"),
         TextFunctions.normalizeText(col(textCol)).as("t"))
-      .repartition()
+      // explicit width — the per-position substring explode below
+      // amplifies ~|t|×; an AQE REBALANCE sized on the compact text ran
+      // the whole explode+partial-agg on ONE task (measured 2.6 s of a
+      // 3.7 s query at sf0.1)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .filter(length(col("t")) >= k)
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), length(col("t")) - lit(k - 1))).as("p"))

@@ -295,16 +295,36 @@ object Pq {
   def saveIndex(index: Index, dir: String): Unit = {
     val spark = index.rows.sparkSession
     import spark.implicits._
-    index.rows.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/rows")
-    index.coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "cent").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/coarse")
-    index.cb.zipWithIndex.flatMap { case (codes, sub) =>
-      codes.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
-    }.toSeq.toDF("sub", "code", "cent").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/codebook")
-    Seq(Tuple1(index.residual)).toDF("residual").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the four outputs are independent tables under distinct paths —
+    // submit them CONCURRENTLY (guide §2.6: actions are only sequential
+    // because driver code calls them sequentially). The three
+    // driver-local tables are one-task writes that back-fill executors
+    // while the row write's tail drains; a publish was four sequential
+    // job round-trips, now it is wall-clocked by the row write alone.
+    val writes = Seq(
+      Future {
+        index.rows.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$dir/rows")
+      },
+      Future {
+        index.coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "cent").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/coarse")
+      },
+      Future {
+        index.cb.zipWithIndex.flatMap { case (codes, sub) =>
+          codes.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
+        }.toSeq.toDF("sub", "code", "cent").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/codebook")
+      },
+      Future {
+        Seq(Tuple1(index.residual)).toDF("residual").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/meta")
+      })
+    writes.foreach(Await.result(_, Duration.Inf))
   }
 
   /** Publish `index` as a NEW immutable version under `dir`
@@ -342,18 +362,31 @@ object Pq {
   }
 
   def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
-    val coarse = spark.read.parquet(s"$dir/coarse")
-      .orderBy("cell").collect()
-      .map(r => r.getSeq[Double](r.fieldIndex("cent")).toArray)
-    val cbRows = spark.read.parquet(s"$dir/codebook")
-      .orderBy("sub", "code").collect()
-    val m = cbRows.map(_.getInt(0)).max + 1
-    val cb = Array.tabulate(m) { sub =>
-      cbRows.filter(_.getInt(0) == sub).sortBy(_.getInt(1))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // three independent KB-scale collects — overlap them (guide §2.6)
+    // so a snapshot load pays one job round-trip, not three
+    val coarseF = Future {
+      spark.read.parquet(s"$dir/coarse")
+        .orderBy("cell").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("cent")).toArray)
     }
-    val residual = spark.read.parquet(s"$dir/meta").collect().head.getBoolean(0)
-    Index(spark.read.parquet(s"$dir/rows"), coarse, cb, residual)
+    val cbF = Future {
+      val cbRows = spark.read.parquet(s"$dir/codebook")
+        .orderBy("sub", "code").collect()
+      val m = cbRows.map(_.getInt(0)).max + 1
+      Array.tabulate(m) { sub =>
+        cbRows.filter(_.getInt(0) == sub).sortBy(_.getInt(1))
+          .map(r => r.getSeq[Double](r.fieldIndex("cent")).toArray)
+      }
+    }
+    val residualF = Future {
+      spark.read.parquet(s"$dir/meta").collect().head.getBoolean(0)
+    }
+    Index(spark.read.parquet(s"$dir/rows"),
+      Await.result(coarseF, Duration.Inf), Await.result(cbF, Duration.Inf),
+      Await.result(residualF, Duration.Inf))
   }
 
   /** Query-side probe prep shared by batch [[searchIndex]] and
