@@ -1069,8 +1069,12 @@ object SparkEntry {
     "q87c_bpe_token_ids" -> ((s, dir) => {
       import graft.data.Bpe
       val docs = t(s, dir, "documents")
-      val merges = Bpe.trainMerges(docs, "text", 20)
-      val vocab = Bpe.vocabulary(docs, "text", merges)
+      // ONE corpus word-type pass shared by the trainer and the
+      // alphabet (each used to re-run the wordTypes aggregation);
+      // checkpointed so both consumers read the materialized table
+      val types = Bpe.wordTypes(docs, "text").localCheckpoint()
+      val merges = Bpe.trainMergesFromTypes(types, 20)
+      val vocab = Bpe.vocabularyFromTypes(types, merges)
       Bpe.encodeIds(docs, "text", merges, vocab)
         .select(explode(col("token_ids")).as("tok_id"))
         .write.mode("overwrite").parquet(stageDir("q87c_ids", dir))
@@ -1458,7 +1462,9 @@ object SparkEntry {
       import s.implicits._
       implicit val sp: SparkSession = s
       val docs = t(s, dir, "documents")
-      val media = docs.select(col("doc_id")).as[Long]
+      // spread ids before synthesis/decode (q120 rationale)
+      val media = docs.select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
         .map { id =>
           val png = Multimodal.syntheticPng(id)
           Multimodal.MediaRow(id, "img/png",
@@ -1732,8 +1738,10 @@ object SparkEntry {
         when(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 2,
           concat(col("text"), lit(" ssigß"))).otherwise(col("text")))
       val train = docs.filter(col("doc_id") % 3 === 0)
-      val merges = Bpe.trainMerges(train, "text", 20)
-      val vocab = Bpe.vocabulary(train, "text", merges)
+      // one shared word-type pass for trainer + alphabet (q87c pattern)
+      val types = Bpe.wordTypes(train, "text").localCheckpoint()
+      val merges = Bpe.trainMergesFromTypes(types, 20)
+      val vocab = Bpe.vocabularyFromTypes(types, merges)
       Bpe.encodeIds(docs, "text", merges, vocab)
         .select(col("source"), explode(col("token_ids")).as("id"))
         .write.mode("overwrite").parquet(stageDir("q156_ids", dir))
@@ -2136,8 +2144,12 @@ object SparkEntry {
     "q126_tokenizer_eval" -> ((s, dir) => {
       import graft.data.{Bpe, Unigram}
       val docs = t(s, dir, "documents")
-      val merges = Bpe.trainMerges(docs, "text", nMerges = 20)
-      val uni = Unigram.train(docs, "text", vocabSize = 60, maxPieceLen = 4)
+      // BOTH tokenizers train from the same word-type table — one
+      // corpus aggregation instead of two (q87c pattern)
+      val types = Bpe.wordTypes(docs, "text").localCheckpoint()
+      val merges = Bpe.trainMergesFromTypes(types, nMerges = 20)
+      val uni = Unigram.trainFromTypes(types, vocabSize = 60,
+        maxPieceLen = 4)
       val pieces = Bpe.encode(docs, "text", merges)
         .select(lit("bpe_20merges").as("tokenizer"),
           explode(col("bpe_tokens")).as("p"))
@@ -2247,7 +2259,11 @@ object SparkEntry {
     "q120_image_neardups" -> ((s, dir) => {
       import s.implicits._
       implicit val sp: SparkSession = s
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      // spread the 8-byte ids BEFORE the PNG synthesis + decode: the
+      // single-file scan is 1 task, and mapPartitions inherits it —
+      // measured 1.7 s of ImageIO work on one core at sf0.1
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
         .map(id => Multimodal.MediaRow(id, "img/png",
           Multimodal.syntheticPng(id)))
       Multimodal.imageNearDups(media, maxHamming = 6)

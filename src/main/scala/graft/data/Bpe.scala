@@ -117,10 +117,21 @@ object Bpe {
    */
   def trainMerges(
       docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L, maxTypes: Long = 20000000L): Seq[(String, String)] =
+    trainMergesFromTypes(wordTypes(docs, textCol), nMerges, minCount,
+      maxTypes)
+
+  /** [[trainMerges]] from a PRECOMPUTED `(word, n)` type table — lets a
+   * pipeline that also needs the types for other steps (e.g.
+   * [[vocabulary]]'s alphabet) pay the corpus aggregation ONCE and
+   * share it (checkpoint the table at the call site); semantics are
+   * exactly [[trainMerges]]'. */
+  def trainMergesFromTypes(
+      types: DataFrame, nMerges: Int,
       minCount: Long = 2L, maxTypes: Long = 20000000L): Seq[(String, String)] = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
     // cache so the guard count and the collect share ONE corpus pass
-    val typesDf = wordTypes(docs, textCol).cache()
+    val typesDf = types.select(col("word"), col("n")).cache()
     val collected = try {
       val nTypes = typesDf.count()
       require(nTypes <= maxTypes,
@@ -341,13 +352,22 @@ object Bpe {
    */
   def vocabulary(
       docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): Seq[(Int, String)] =
+    vocabularyFromTypes(wordTypes(docs, textCol), merges)
+
+  /** [[vocabulary]] from a precomputed `(word, n)` type table — the
+   * shared-pass twin of [[trainMergesFromTypes]]: a tokenize-to-ids
+   * pipeline needs BOTH the merges and the alphabet, and each used to
+   * re-run the corpus-wide [[wordTypes]] aggregation. */
+  def vocabularyFromTypes(
+      types: DataFrame,
       merges: Seq[(String, String)]): Seq[(Int, String)] = {
     // code-point splitting via the same kernel as segmentWord, so
     // vocabulary symbols are exactly the symbols segmentation emits
     // (an astral-plane character is ONE symbol, not two UTF-16 halves)
     val cpSplit = udf((w: String) => w.codePoints().toArray
       .map(cp => new String(Character.toChars(cp))).toSeq)
-    val alphabet = wordTypes(docs, textCol)
+    val alphabet = types
       .select(explode(cpSplit(col("word"))).as("sym"))
       .distinct()
       .collect().map(_.getString(0))

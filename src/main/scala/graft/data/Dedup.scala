@@ -258,6 +258,10 @@ object Dedup {
     // and the 16 element_at(sig,·) band-key references each re-inline the
     // whole minhash+md5 chain (generator projections get no subexpression
     // elimination) — measured 25× slower at sf0.1.
+    // (the minhash chain runs on the scan task below the barrier, but
+    // it measured only ~0.25 s there at sf0.1 — a pre-spread exchange
+    // was tried and cost more in extra stages than it recovered; the
+    // heavy band fan-out is already above the barrier)
     def sigs(src: DataFrame) = src
       .select(col(idCol).as("id"), length(col(textCol)).as("len"),
         shCol.as("sh"))
@@ -457,7 +461,12 @@ object Dedup {
       bits: Int = 28,
       maxHamming: Int = 3): DataFrame =
     hammingPairs(
-      docs.select(col(idCol), simhashFor(col(textCol), bits).as("__sh")),
+      // pre-spread the RAW text when the scan is narrow so the simhash
+      // walk computes across the cluster, not on the scan's single task
+      // (hammingPairs' own barrier sits above this projection and only
+      // spreads its OUTPUT)
+      spreadIfNarrow(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol), simhashFor(col(textCol), bits).as("__sh")),
       idCol, "__sh", bits, maxHamming)
 
   /**
@@ -2084,4 +2093,19 @@ object Dedup {
    * parallelism for CPU-bound pair scans. */
   private def repartitioned(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Spread `df` round-robin to the session's parallelism ONLY when its
+   * scan is narrower — the single-file / few-row-group case where an
+   * expensive downstream projection (minhash chain, simhash walk) would
+   * otherwise run on one task because the existing repartition barriers
+   * sit ABOVE the projection (their exchange's map side IS the scan
+   * stage; measured: q91's simhash + chunk explode ran 1-task, 23.7 MB
+   * written from one core). When the input already has >= parallelism
+   * partitions (the at-scale case: many files/splits) this is a NO-OP —
+   * no extra pass over the corpus. Never used on streaming plans. */
+  private def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (!df.isStreaming && df.rdd.getNumPartitions < p) df.repartition(p)
+    else df
+  }
 }

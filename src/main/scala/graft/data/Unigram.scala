@@ -226,9 +226,20 @@ object Unigram {
   def train(
       docs: DataFrame, textCol: String, vocabSize: Int,
       maxPieceLen: Int = 4, seedSize: Int = 0,
+      emIters: Int = 2, postPruneIters: Int = 1): Model =
+    trainFromTypes(Bpe.wordTypes(docs, textCol), vocabSize, maxPieceLen,
+      seedSize, emIters, postPruneIters)
+
+  /** [[train]] from a PRECOMPUTED `(word, n)` type table — the
+   * shared-pass twin of [[Bpe.trainMergesFromTypes]]: a tokenizer-
+   * comparison pipeline training BPE and unigram on the same corpus
+   * pays the corpus-wide word-type aggregation once. */
+  def trainFromTypes(
+      typeTable: DataFrame, vocabSize: Int,
+      maxPieceLen: Int = 4, seedSize: Int = 0,
       emIters: Int = 2, postPruneIters: Int = 1): Model = {
     val seedN = if (seedSize > 0) seedSize else vocabSize * 4
-    val types = Bpe.wordTypes(docs, textCol).cache()
+    val types = typeTable.select(col("word"), col("n")).cache()
     try {
       var model = seedModel(types, maxPieceLen, seedN)
       def round(m: Model): Model = {
