@@ -2809,9 +2809,11 @@ object SparkEntry {
       // would re-split the text per bigram index (O(n^2) — the q38 trap)
       val tokenized = t(s, dir, "documents")
         .select(col("source"), T.tokens(lower(col("text"))).as("toks"))
-        // explicit width: the bigram explode amplifies rows ~|toks|×, so
-        // an input-sized AQE REBALANCE would under-partition (q38 note)
-        .repartition(s.sparkContext.defaultParallelism)
+        // argless (AQE REBALANCE) on purpose: an explicit 32-way width
+        // was tried and measured SLOWER (0.73 → 1.06 s min-of-3) — the
+        // bigram stage is small enough that task overhead dominates,
+        // and the barrier is here for CSE, not parallelism
+        .repartition()
       val toks = col("toks")
       val bigrams = when(size(toks) > 1,
         transform(sequence(lit(1), size(toks) - 1),

@@ -461,12 +461,12 @@ object Dedup {
       bits: Int = 28,
       maxHamming: Int = 3): DataFrame =
     hammingPairs(
-      // pre-spread the RAW text when the scan is narrow so the simhash
-      // walk computes across the cluster, not on the scan's single task
-      // (hammingPairs' own barrier sits above this projection and only
-      // spreads its OUTPUT)
-      spreadIfNarrow(docs.select(col(idCol), col(textCol)))
-        .select(col(idCol), simhashFor(col(textCol), bits).as("__sh")),
+      // NOTE: the simhash walk runs on the scan task (hammingPairs'
+      // barrier sits above this projection); a pre-spread of the raw
+      // text was tried and measured SLOWER min-of-3 (q91 2.84 → 3.05,
+      // q91b 1.35 → 1.52) — the extra exchange/stage costs more than
+      // the single-task walk at bench scale
+      docs.select(col(idCol), simhashFor(col(textCol), bits).as("__sh")),
       idCol, "__sh", bits, maxHamming)
 
   /**
@@ -2094,18 +2094,4 @@ object Dedup {
   private def repartitioned(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** Spread `df` round-robin to the session's parallelism ONLY when its
-   * scan is narrower — the single-file / few-row-group case where an
-   * expensive downstream projection (minhash chain, simhash walk) would
-   * otherwise run on one task because the existing repartition barriers
-   * sit ABOVE the projection (their exchange's map side IS the scan
-   * stage; measured: q91's simhash + chunk explode ran 1-task, 23.7 MB
-   * written from one core). When the input already has >= parallelism
-   * partitions (the at-scale case: many files/splits) this is a NO-OP —
-   * no extra pass over the corpus. Never used on streaming plans. */
-  private def spreadIfNarrow(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (!df.isStreaming && df.rdd.getNumPartitions < p) df.repartition(p)
-    else df
-  }
 }

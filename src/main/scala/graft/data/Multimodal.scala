@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
  */
 object Multimodal {
 
+  // Memory-backed ImageIO streams: the JDK default `useCache = true`
+  // spools every `ImageIO.write` through a TEMP FILE
+  // (FileCacheImageOutputStream) — one create/write/delete per encoded
+  // image, filesystem-contended across concurrent tasks. All payloads
+  // here are small in-memory byte arrays; cache off is strictly faster
+  // (runs once per JVM at first use of this object, executors included).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed row for the media pipeline. */
   case class MediaRow(media_id: Long, format: String, content: Array[Byte])
 
