@@ -1055,7 +1055,11 @@ object SparkEntry {
     "q87b_bpe_encode" -> ((s, dir) => {
       import graft.data.Bpe
       val docs = t(s, dir, "documents")
-      Bpe.encode(docs, "text", Bpe.trainMerges(docs, "text", 20))
+      // spread the ENCODE input: the per-word merge UDF is the heavy
+      // stage and a map-only chain inherits the single-file scan's one
+      // task (measured 1.2 s single-task before the spread)
+      Bpe.encode(docs.repartition(s.sparkContext.defaultParallelism),
+          "text", Bpe.trainMerges(docs, "text", 20))
         .select(explode(col("bpe_tokens")).as("tok"))
         .write.mode("overwrite").parquet(stageDir("q87b_tokens", dir))
       readStage(s, stageDir("q87b_tokens", dir))
@@ -1075,7 +1079,9 @@ object SparkEntry {
       val types = Bpe.wordTypes(docs, "text").localCheckpoint()
       val merges = Bpe.trainMergesFromTypes(types, 20)
       val vocab = Bpe.vocabularyFromTypes(types, merges)
-      Bpe.encodeIds(docs, "text", merges, vocab)
+      // spread the encode input off the single-task scan (q87b note)
+      Bpe.encodeIds(docs.repartition(s.sparkContext.defaultParallelism),
+          "text", merges, vocab)
         .select(explode(col("token_ids")).as("tok_id"))
         .write.mode("overwrite").parquet(stageDir("q87c_ids", dir))
       readStage(s, stageDir("q87c_ids", dir))
@@ -1091,7 +1097,9 @@ object SparkEntry {
       import graft.data.Wordpiece
       val docs = t(s, dir, "documents")
       val vocab = Wordpiece.train(docs, "text", vocabSize = 60)
-      Wordpiece.encode(docs, "doc_id", "text", vocab)
+      // spread the greedy longest-match encode off the single-task scan
+      Wordpiece.encode(docs.repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", vocab)
         .select(col("piece"))
         .write.mode("overwrite").parquet(stageDir("q161_pieces", dir))
       Wordpiece.pieceStats(readStage(s, stageDir("q161_pieces", dir)))
@@ -1742,7 +1750,10 @@ object SparkEntry {
       val types = Bpe.wordTypes(train, "text").localCheckpoint()
       val merges = Bpe.trainMergesFromTypes(types, 20)
       val vocab = Bpe.vocabularyFromTypes(types, merges)
-      Bpe.encodeIds(docs, "text", merges, vocab)
+      // spread the encode input off the single-task scan (q87b note;
+      // measured 2.7 s single-task before)
+      Bpe.encodeIds(docs.repartition(s.sparkContext.defaultParallelism),
+          "text", merges, vocab)
         .select(col("source"), explode(col("token_ids")).as("id"))
         .write.mode("overwrite").parquet(stageDir("q156_ids", dir))
       readStage(s, stageDir("q156_ids", dir))
@@ -2150,10 +2161,12 @@ object SparkEntry {
       val merges = Bpe.trainMergesFromTypes(types, nMerges = 20)
       val uni = Unigram.trainFromTypes(types, vocabSize = 60,
         maxPieceLen = 4)
-      val pieces = Bpe.encode(docs, "text", merges)
+      // spread both encode inputs off the single-task scan (q87b note)
+      val spreadDocs = docs.repartition(s.sparkContext.defaultParallelism)
+      val pieces = Bpe.encode(spreadDocs, "text", merges)
         .select(lit("bpe_20merges").as("tokenizer"),
           explode(col("bpe_tokens")).as("p"))
-        .unionByName(Unigram.encode(docs, "doc_id", "text", uni)
+        .unionByName(Unigram.encode(spreadDocs, "doc_id", "text", uni)
           .select(lit("unigram_60").as("tokenizer"),
             explode(col("pieces")).as("p")))
       // path keyed by the sf dir (concurrent scales never clobber);
@@ -2343,7 +2356,11 @@ object SparkEntry {
       import graft.data.Unigram
       val docs = t(s, dir, "documents")
       val model = Unigram.train(docs, "text", vocabSize = 60, maxPieceLen = 4)
-      Unigram.sampleEncode(docs, "doc_id", "text", model, alpha = 0.5,
+      // spread the FFBS lattice sampler off the single-task scan
+      // (measured 3.0 s single-task before — the heaviest encode UDF)
+      Unigram.sampleEncode(
+          docs.repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", model, alpha = 0.5,
           salt = "sr")
         .select(explode(col("pieces")).as("piece"))
         .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
@@ -2382,7 +2399,9 @@ object SparkEntry {
       import graft.data.Unigram
       val docs = t(s, dir, "documents")
       val model = Unigram.train(docs, "text", vocabSize = 60, maxPieceLen = 4)
-      Unigram.encode(docs, "doc_id", "text", model)
+      // spread the Viterbi encode off the single-task scan (q87b note)
+      Unigram.encode(docs.repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", model)
         .select(explode(col("pieces")).as("piece"))
         .write.mode("overwrite").parquet(stageDir("q113_pieces", dir))
       readStage(s, stageDir("q113_pieces", dir))
