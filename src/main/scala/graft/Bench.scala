@@ -69,6 +69,13 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","n_err":${errs.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // the driver captures only the last ~2 KB of output, and the full
+    // per-query line is ~9 KB with the total at its HEAD — r12's whole
+    // PERF comparison came back empty because the total was truncated
+    // away. Print a SECOND, compact summary line AFTER the big one
+    // (additive only; the full line above is unchanged) so any tail
+    // capture longer than ~200 bytes always contains the totals.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_err":${errs.size},"sf":"$sfDir"}""")
     // the driver's BENCH_r*.json artifact truncates the per-query map to a
     // tail — self-persist the COMPLETE table so cross-round regression
     // diffs always have every query (path overridable for local runs)

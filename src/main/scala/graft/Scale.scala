@@ -13,20 +13,27 @@ import org.apache.spark.sql.SparkSession
  */
 object Scale {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // width + dirs overridable so the same harness produces the
+    // two-width SF-1 table (VERDICT r12 task 7) — measurement harness
+    // only, not the bench contract
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+    val dirs = sys.env.get("SPARK_GRAFT_SCALE_DIRS")
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("sf0.001", "sf0.01", "sf0.1")
+        .map(sf => s"/root/testdata/$sf"))
     val queries = if (args.nonEmpty) args.toSeq else Seq(
       "q63_dup_spans", "q57_corpus_prepare", "q29_dedup_clusters",
       "q29b_dedup_survivors", "q08_rolling_global_chunked",
       "q72_sql_surface", "q38_winnow", "q06_rolling_window")
-    for (q <- queries; sf <- sfs) {
-      val dir = s"/root/testdata/$sf"
+    for (q <- queries; dir <- dirs) {
+      val sf = new java.io.File(dir).getName
       def once(): Double = {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir)

@@ -906,11 +906,23 @@ object SparkEntry {
       val qEmb = qChunks.withColumn("__hs", Similarity.tokenHashes(col("text")))
         .select(col("id"), Similarity.hashEmbed(col("__hs"), 64).as("v"))
       val idxDir = java.nio.file.Files.createTempDirectory("rag_idx").toString
+      // OVERLAP the independent offline and online halves (guide §2.6):
+      // the BM25 lexical chain doesn't read the index, so it
+      // materializes on a background thread while the index build +
+      // publish jobs run on this one — BM25 tasks back-fill executors
+      // freed by the publish's stragglers instead of waiting for the
+      // whole offline half to drain. localCheckpoint (eager) pins the
+      // lexical top-k so the fused plan below reads the materialized
+      // blocks; rrfFuse's result is unchanged.
+      val lexF = scala.concurrent.Future {
+        Bm25.bm25TopK(chunks, qChunks, "id", "text", k = 20).localCheckpoint()
+      }(scala.concurrent.ExecutionContext.global)
       Pq.saveIndexVersioned(
         Pq.buildIndex(emb, "id", "v", Similarity.planes(8, 64), pqCb), idxDir)
       val (_, idx) = Pq.loadIndexVersioned(s, idxDir)
       val sem = Pq.searchIndex(idx, qEmb, "id", "v", k = 20, nProbe = 2)
-      val lex = Bm25.bm25TopK(chunks, qChunks, "id", "text", k = 20)
+      val lex = scala.concurrent.Await.result(lexF,
+        scala.concurrent.duration.Duration.Inf)
       Bm25.rrfFuse(lex, sem, k = 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("score"), 6).as("score"))
@@ -1055,10 +1067,11 @@ object SparkEntry {
     "q87b_bpe_encode" -> ((s, dir) => {
       import graft.data.Bpe
       val docs = t(s, dir, "documents")
-      // spread the ENCODE input: the per-word merge UDF is the heavy
-      // stage and a map-only chain inherits the single-file scan's one
-      // task (measured 1.2 s single-task before the spread)
-      Bpe.encode(docs.repartition(s.sparkContext.defaultParallelism),
+      // spread the ENCODE input off a NARROW scan only (the per-word
+      // merge UDF is the heavy stage and a map-only chain inherits the
+      // single-file scan's one task); gated — at scale the scan has many
+      // splits and no exchange is planted (r12 §10 / VERDICT r12 task 1)
+      Bpe.encode(spreadIfNarrow(docs),
           "text", Bpe.trainMerges(docs, "text", 20))
         .select(explode(col("bpe_tokens")).as("tok"))
         .write.mode("overwrite").parquet(stageDir("q87b_tokens", dir))
@@ -1079,9 +1092,11 @@ object SparkEntry {
       val types = Bpe.wordTypes(docs, "text").localCheckpoint()
       val merges = Bpe.trainMergesFromTypes(types, 20)
       val vocab = Bpe.vocabularyFromTypes(types, merges)
-      // spread the encode input off the single-task scan (q87b note)
-      Bpe.encodeIds(docs.repartition(s.sparkContext.defaultParallelism),
-          "text", merges, vocab)
+      // the trainers returned driver-side values: free the checkpoint's
+      // executor blocks before the (eager) stage write below
+      unpersistCheckpoint(types)
+      // spread the encode input off a narrow scan only (q87b note)
+      Bpe.encodeIds(spreadIfNarrow(docs), "text", merges, vocab)
         .select(explode(col("token_ids")).as("tok_id"))
         .write.mode("overwrite").parquet(stageDir("q87c_ids", dir))
       readStage(s, stageDir("q87c_ids", dir))
@@ -1097,9 +1112,9 @@ object SparkEntry {
       import graft.data.Wordpiece
       val docs = t(s, dir, "documents")
       val vocab = Wordpiece.train(docs, "text", vocabSize = 60)
-      // spread the greedy longest-match encode off the single-task scan
-      Wordpiece.encode(docs.repartition(s.sparkContext.defaultParallelism),
-          "doc_id", "text", vocab)
+      // spread the greedy longest-match encode off a narrow scan only
+      // (q87b note)
+      Wordpiece.encode(spreadIfNarrow(docs), "doc_id", "text", vocab)
         .select(col("piece"))
         .write.mode("overwrite").parquet(stageDir("q161_pieces", dir))
       Wordpiece.pieceStats(readStage(s, stageDir("q161_pieces", dir)))
@@ -1750,10 +1765,10 @@ object SparkEntry {
       val types = Bpe.wordTypes(train, "text").localCheckpoint()
       val merges = Bpe.trainMergesFromTypes(types, 20)
       val vocab = Bpe.vocabularyFromTypes(types, merges)
-      // spread the encode input off the single-task scan (q87b note;
+      unpersistCheckpoint(types)
+      // spread the encode input off a narrow scan only (q87b note;
       // measured 2.7 s single-task before)
-      Bpe.encodeIds(docs.repartition(s.sparkContext.defaultParallelism),
-          "text", merges, vocab)
+      Bpe.encodeIds(spreadIfNarrow(docs), "text", merges, vocab)
         .select(col("source"), explode(col("token_ids")).as("id"))
         .write.mode("overwrite").parquet(stageDir("q156_ids", dir))
       readStage(s, stageDir("q156_ids", dir))
@@ -2161,8 +2176,9 @@ object SparkEntry {
       val merges = Bpe.trainMergesFromTypes(types, nMerges = 20)
       val uni = Unigram.trainFromTypes(types, vocabSize = 60,
         maxPieceLen = 4)
-      // spread both encode inputs off the single-task scan (q87b note)
-      val spreadDocs = docs.repartition(s.sparkContext.defaultParallelism)
+      unpersistCheckpoint(types)
+      // spread both encode inputs off a narrow scan only (q87b note)
+      val spreadDocs = spreadIfNarrow(docs)
       val pieces = Bpe.encode(spreadDocs, "text", merges)
         .select(lit("bpe_20merges").as("tokenizer"),
           explode(col("bpe_tokens")).as("p"))
@@ -2356,10 +2372,10 @@ object SparkEntry {
       import graft.data.Unigram
       val docs = t(s, dir, "documents")
       val model = Unigram.train(docs, "text", vocabSize = 60, maxPieceLen = 4)
-      // spread the FFBS lattice sampler off the single-task scan
-      // (measured 3.0 s single-task before — the heaviest encode UDF)
-      Unigram.sampleEncode(
-          docs.repartition(s.sparkContext.defaultParallelism),
+      // spread the FFBS lattice sampler off a narrow scan only
+      // (measured 3.0 s single-task unspread — the heaviest encode UDF;
+      // gated like q87b)
+      Unigram.sampleEncode(spreadIfNarrow(docs),
           "doc_id", "text", model, alpha = 0.5,
           salt = "sr")
         .select(explode(col("pieces")).as("piece"))
@@ -2399,9 +2415,8 @@ object SparkEntry {
       import graft.data.Unigram
       val docs = t(s, dir, "documents")
       val model = Unigram.train(docs, "text", vocabSize = 60, maxPieceLen = 4)
-      // spread the Viterbi encode off the single-task scan (q87b note)
-      Unigram.encode(docs.repartition(s.sparkContext.defaultParallelism),
-          "doc_id", "text", model)
+      // spread the Viterbi encode off a narrow scan only (q87b note)
+      Unigram.encode(spreadIfNarrow(docs), "doc_id", "text", model)
         .select(explode(col("pieces")).as("piece"))
         .write.mode("overwrite").parquet(stageDir("q113_pieces", dir))
       readStage(s, stageDir("q113_pieces", dir))
@@ -3075,6 +3090,28 @@ object SparkEntry {
 
   private[graft] def q126StageDir(dir: String): String =
     stageDir("q126_pieces", dir)
+
+  /** Spread a map-only UDF chain off a NARROW scan, and only then: at
+   * scale inputs have many splits and this is a no-op (no exchange is
+   * planted), while an unconditional `repartition(defaultParallelism)`
+   * always shuffles the full corpus — measured regressive at bench
+   * scale in r12 (§10: q87b/q113/q161 consistently slower). The
+   * partition probe reads only the plan (no job runs). */
+  private[graft] def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** Free the executor blocks of a localCheckpoint'd frame once its
+   * consumers are done: `Dataset.unpersist` only reaches CacheManager
+   * entries, not RDD-level checkpoint blocks, which otherwise linger
+   * until RDD GC (ADVICE r12). Reaches the underlying RDD through the
+   * plan; a non-checkpointed frame is a no-op. */
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+    }.getOrElse(())
 
   private[graft] val miniCfg = VarPipeline.Config(
     runs = 500, days = 120, tickers = (1 to 6).map(i => s"TICK0$i"),

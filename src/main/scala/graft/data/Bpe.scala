@@ -117,29 +117,36 @@ object Bpe {
    */
   def trainMerges(
       docs: DataFrame, textCol: String, nMerges: Int,
-      minCount: Long = 2L, maxTypes: Long = 20000000L): Seq[(String, String)] =
-    trainMergesFromTypes(wordTypes(docs, textCol), nMerges, minCount,
-      maxTypes)
+      minCount: Long = 2L, maxTypes: Long = 20000000L): Seq[(String, String)] = {
+    // cache HERE (not in FromTypes): the guard count and the collect
+    // below share one corpus pass; FromTypes callers pass an already-
+    // materialized (checkpointed) table, for which an inner cache held
+    // the same small table twice (ADVICE r12)
+    val types = wordTypes(docs, textCol).cache()
+    try trainMergesFromTypes(types, nMerges, minCount, maxTypes)
+    finally { types.unpersist(); () }
+  }
 
   /** [[trainMerges]] from a PRECOMPUTED `(word, n)` type table — lets a
    * pipeline that also needs the types for other steps (e.g.
    * [[vocabulary]]'s alphabet) pay the corpus aggregation ONCE and
    * share it (checkpoint the table at the call site); semantics are
-   * exactly [[trainMerges]]'. */
+   * exactly [[trainMerges]]'. Callers should pass a MATERIALIZED table
+   * (checkpointed or cached) — the guard count and the collect below
+   * each read it once. */
   def trainMergesFromTypes(
       types: DataFrame, nMerges: Int,
       minCount: Long = 2L, maxTypes: Long = 20000000L): Seq[(String, String)] = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
-    // cache so the guard count and the collect share ONE corpus pass
-    val typesDf = types.select(col("word"), col("n")).cache()
-    val collected = try {
+    val typesDf = types.select(col("word"), col("n"))
+    val collected = {
       val nTypes = typesDf.count()
       require(nTypes <= maxTypes,
         s"$nTypes word types exceed maxTypes = $maxTypes; raise the cap or " +
           "use trainMergesDistributed (all-Spark per-iteration aggregation)")
       // bounded collect: the word-TYPE table — vocab-scale, not corpus-scale
       typesDf.collect()
-    } finally { typesDf.unpersist(); () }
+    }
     val syms = new Array[Array[String]](collected.length)
     val freq = new Array[Long](collected.length)
     var i = 0

@@ -425,10 +425,13 @@ object Dedup {
     else shiftrightunsigned(sh, lo).bitwiseAND(lit((1L << width) - 1))
   }
 
-  /** `(chunk_idx, chunk_value)` string keys for the pigeonhole join. */
-  private def chunkKeys(sh: Column, nChunks: Int, w: Int, bits: Int): Column =
-    array((0 until nChunks).map(i =>
-      concat_ws(":", lit(i), chunkOf(sh, i, w, bits))): _*)
+  /** Chunk values for the pigeonhole join, one long per chunk — joined
+   * together with their POSITION (posexplode's index) as a two-column
+   * key. Longs, not the former `"i:v"` strings: no per-row string
+   * allocation on either join side and cheaper key hashing/compares in
+   * the build and probe (guide §2.3 narrower keys). */
+  private def chunkVals(sh: Column, nChunks: Int, w: Int, bits: Int): Column =
+    array((0 until nChunks).map(i => chunkOf(sh, i, w, bits)): _*)
 
   /** Index of the FIRST chunk two simhashes agree on (−1 if none) —
    * the per-pair dedup filter that replaces a distinct shuffle. */
@@ -485,24 +488,28 @@ object Dedup {
       bits: Int,
       maxHamming: Int): DataFrame = {
     val (nChunks, w) = hammingChunks(bits, maxHamming)
-    def sides(idAs: String, shAs: String, withIdx: Boolean) = {
-      val base = repartitioned(items)
+    def sides(idAs: String, shAs: String) =
+      repartitioned(items)
         .select(col(idCol).as(idAs), col(hashCol).as(shAs))
-      val keys = chunkKeys(col(shAs), nChunks, w, bits)
-      if (withIdx) base.select(col(idAs), col(shAs),
-        posexplode(keys).as(Seq("chunk_idx", "chunk")))
-      else base.select(col(idAs), col(shAs), explode(keys).as("chunk"))
-    }
-    val a = sides("id_a", "sh_a", withIdx = true)
-    val b = sides("id_b", "sh_b", withIdx = false)
-    a.hint("shuffle_hash").join(b, Seq("chunk"))
+        .select(col(idAs), col(shAs),
+          posexplode(chunkVals(col(shAs), nChunks, w, bits))
+            .as(Seq("chunk_idx", "chunk")))
+    val a = sides("id_a", "sh_a")
+    val b = sides("id_b", "sh_b")
+    // chunks can only agree at the SAME index, so the index is part of
+    // the equi-join key (it was baked into the former string key)
+    a.hint("shuffle_hash").join(b, Seq("chunk_idx", "chunk"))
       .filter(col("id_a") < col("id_b"))
+      // CHEAP verify first (guide §2.3): one xor + popcount rejects the
+      // ~all-false candidate volume before the O(nChunks) shift/compare
+      // chain below runs — predicate order inside the fused filter is
+      // evaluation order
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
       // a pair within the ball agrees on >= 1 chunk; keep only the FIRST
       // agreeing chunk per pair — O(nChunks) compares, no distinct shuffle
       .filter(col("chunk_idx") ===
         firstAgreeingChunk(col("sh_a"), col("sh_b"), nChunks, w, bits))
-      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
-      .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"), col("hamming"))
   }
 
@@ -1142,20 +1149,24 @@ object Dedup {
     requireHammingCompatible(storeSigs, bits, "store")
     val n = batchSigs.filter(col("simh").isNotNull)
       .select(col("id").as("id_new"), col("simh").as("sh_n"),
-        posexplode(chunkKeys(col("simh"), nChunks, w, bits))
+        posexplode(chunkVals(col("simh"), nChunks, w, bits))
           .as(Seq("chunk_idx", "chunk")))
     val o = storeSigs.filter(col("simh").isNotNull)
       .select(col("id").as("id_old"), col("simh").as("sh_o"),
-        explode(chunkKeys(col("simh"), nChunks, w, bits)).as("chunk"))
+        posexplode(chunkVals(col("simh"), nChunks, w, bits))
+          .as(Seq("chunk_idx", "chunk")))
+    // same-index chunks only, as part of the equi-join key ([[hammingPairs]])
     val joined =
-      if (broadcastBatch) o.join(broadcast(n), Seq("chunk"))
-      else n.hint("shuffle_hash").join(o, Seq("chunk"))
+      if (broadcastBatch) o.join(broadcast(n), Seq("chunk_idx", "chunk"))
+      else n.hint("shuffle_hash").join(o, Seq("chunk_idx", "chunk"))
     joined
       .filter(col("id_new") =!= col("id_old"))
-      .filter(col("chunk_idx") ===
-        firstAgreeingChunk(col("sh_n"), col("sh_o"), nChunks, w, bits))
+      // cheap bit_count verify BEFORE the O(nChunks) dedup chain
+      // ([[hammingPairs]] ordering note)
       .withColumn("hamming", hamming(col("sh_n"), col("sh_o")))
       .filter(col("hamming") <= maxHamming)
+      .filter(col("chunk_idx") ===
+        firstAgreeingChunk(col("sh_n"), col("sh_o"), nChunks, w, bits))
       .select(col("id_new"), col("id_old"), col("sh_n"), col("sh_o"),
         col("hamming"))
   }
@@ -1205,23 +1216,71 @@ object Dedup {
     val sigs = signatures(newDocs, idCol, textCol, shingleN, k,
       if (maxHamming >= 0) simhashBits else 0, hashBits).cache()
     sigs.count()
-    // 1. exact: min id per batch fingerprint, minus store fingerprints
-    val keepExact = sigs.groupBy(col("fp")).agg(min(col("id")).as("id"))
-      .join(store.select(col("fp")).distinct(), Seq("fp"), "left_anti")
-      .select(col("id"))
-    val s1 = sigs.join(keepExact, Seq("id"), "left_semi")
-    // 2. near-dup vs store: Jaccard tier, plus the optional Hamming tier
-    // (both probes run against s1 and the hit ids union before the ONE
-    // corpus-side anti join)
-    val hitJaccard = crossNearDups(s1, store, k, bands, threshold, broadcastBatch)
+    // 1. within-batch exact collapse (store-independent): the min id per
+    // batch fingerprint is the group's representative
+    val reps = sigs.join(sigs.groupBy(col("fp")).agg(min(col("id")).as("id"))
+      .select(col("id")), Seq("id"), "left_semi")
+    // 2. FUSED store probe: ONE store pass serves both the exact-
+    // fingerprint tier and the Jaccard band tier (guide §1.2, §2.4 —
+    // the former spelling scanned the store twice: once projected to
+    // fp for the anti join, once through the band explode; for an
+    // inline store each pass re-derived the signatures from raw text).
+    // Every row explodes to one fp-keyed row plus its band-keyed rows
+    // — the "f:" prefix keeps the fp key space disjoint from band keys
+    // (which always start "<digit>:") — and both tiers share one
+    // exchange. Probing from `reps` instead of the post-exact
+    // survivors is equivalent: probes are per-doc independent, so the
+    // extra hits are only for docs the exact tier drops anyway, and
+    // the drop set is a union.
+    requireMinhashCompatible(sigs, store)
+    val rowsPerBand = k / bands
+    val shT = sigs.schema("sh").dataType
+    val sigT = sigs.schema("sig").dataType
+    def probeKeyed(df: DataFrame) = {
+      val fpRow = struct(concat(lit("f:"), col("fp").cast("string")).as("key"),
+        lit(-1).as("band_idx"),
+        lit(null).cast(shT).as("sh"), lit(null).cast(sigT).as("sig"))
+      // the band-key spelling must stay bit-identical to [[bandKeys]]
+      val bandRows = (0 until bands).map { b =>
+        struct(
+          concat_ws(":", lit(b) +: (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"),
+          lit(b).as("band_idx"), col("sh").as("sh"), col("sig").as("sig"))
+      }
+      df.select(col("id"),
+        explode(when(col("sig").isNotNull, array((fpRow +: bandRows): _*))
+          .otherwise(array(fpRow))).as("kr"))
+        .select(col("id"), col("kr.key").as("key"),
+          col("kr.band_idx").as("band_idx"), col("kr.sh").as("sh"),
+          col("kr.sig").as("sig"))
+    }
+    val bKeys = probeKeyed(reps).select(col("id").as("id_new"), col("key"),
+      col("band_idx"), col("sh").as("sh_n"), col("sig").as("sig_n"))
+    val oKeys = probeKeyed(store).select(col("id").as("id_old"), col("key"),
+      col("sh").as("sh_o"), col("sig").as("sig_o"))
+    val probed =
+      if (broadcastBatch) oKeys.join(broadcast(bKeys), Seq("key"))
+      else bKeys.hint("shuffle_hash").join(oKeys, Seq("key"))
+    val firstAgreeingBand = (0 until bands).foldRight(lit(-1)) { (bd, rest) =>
+      val bandAgrees = (0 until rowsPerBand)
+        .map(r => element_at(col("sig_n"), bd * rowsPerBand + r + 1) ===
+          element_at(col("sig_o"), bd * rowsPerBand + r + 1))
+        .reduce(_ && _)
+      when(bandAgrees, lit(bd)).otherwise(rest)
+    }
+    val hitJaccard = probed.filter(
+      col("key").startsWith("f:") ||
+        (col("id_new") =!= col("id_old") &&
+          col("band_idx") === firstAgreeingBand &&
+          jaccardSorted(col("sh_n"), col("sh_o")) >= threshold))
       .select(col("id_new").as("id"))
     val hitStore = (
       if (maxHamming >= 0)
         hitJaccard.union(
-          crossHammingPairs(s1, store, simhashBits, maxHamming, broadcastBatch)
+          crossHammingPairs(reps, store, simhashBits, maxHamming, broadcastBatch)
             .select(col("id_new").as("id")))
       else hitJaccard).distinct()
-    val s2 = s1.join(hitStore, Seq("id"), "left_anti")
+    val s2 = reps.join(hitStore, Seq("id"), "left_anti")
     // 3. within-batch near-dup clusters -> min-id survivors
     val jaccardPairs = crossNearDups(s2, s2, k, bands, threshold)
       .filter(col("id_new") < col("id_old"))
@@ -1325,9 +1384,31 @@ object Dedup {
       textCol: String,
       k: Int,
       minCount: Long = 2L): DataFrame = {
+    // ONE h-keyed exchange of the gram stream, REUSED by both consumers
+    // (guide §2.4 "share one exchange"): the count aggregation and the
+    // join-back each need the stream keyed by h, and without the
+    // explicit repartition each planned its own subtree — the explode +
+    // rolling-hash generation ran TWICE and the aggregation shuffled a
+    // second, near-stream-sized (h, partial-cnt) exchange (60-bit hashes
+    // barely map-combine). Keyed by h the agg and the shuffle-hash join
+    // are both exchange-free above the reused stage. Skew note: same
+    // exposure as before — the join-back already keyed the full stream
+    // by h; a corpus-hot gram lands in one aggregation partition either
+    // way (60-bit hashes are uniform; hot keys are bounded by passage
+    // duplication, and the count agg still partially aggregates within
+    // the partition before emitting one row).
     val grams = kgramStream(docs, idCol, textCol, k)
+      .repartition(col("h"))
+    // count argument: never null (pos ≥ 1 always — posexplode index + 1 —
+    // and the coalesce is non-null), so count == count(1) bit-for-bit for
+    // EVERY input; spelled this way so the aggregate REFERENCES doc_id
+    // and pos — otherwise column pruning rewrites this branch's exchange
+    // subtree to an h-only projection, the subtrees stop canonicalizing
+    // equal, and the ReusedExchange above never fires (verified in the
+    // plan: with count(1) the gram stream generated twice)
     val dupHashes = grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(when(col("pos") >= 1,
+        coalesce(col("doc_id"), lit(0L)))).as("cnt"))
       .filter(col("cnt") >= minCount)
       .select(col("h"))
     mergeSpans(grams, dupHashes, k)
@@ -1514,6 +1595,12 @@ object Dedup {
     // singleton-ness. Only the surviving candidates (measured 8.3% at
     // k=70/sf0.1, graft.Probe63c) pay the 32-char-string relabel
     // shuffles.
+    // NOTE on exchange sharing: [[duplicateSpans]]/[[duplicateSpansDirect]]
+    // share one h-keyed exchange between their two stream consumers; here
+    // the stream has THREE consumers with three different column needs
+    // (count: h; frozen: doc_id/pos/h; candidates: doc_id/len/pos/h), so
+    // column pruning de-aligns any shared exchange's subtrees and the
+    // regeneration-per-consumer `def` stays the honest shape.
     def hashStream = norm
       .select(col("doc_id"), length(col("t")).as("len"),
         posexplode(kgramHashes(col("t"), seedLen)))
@@ -1658,14 +1745,30 @@ object Dedup {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .filter(length(col("t")) >= k)
       .localCheckpoint()
-    def hashStream = norm
+    // ONE h-keyed exchange of the gram stream, REUSED by the count agg
+    // and the join-back (guide §2.4; same shape and skew notes as
+    // [[duplicateSpans]]) — the stream was generated twice before.
+    // The explicit isnotnull(doc_id) makes the candidate join's inferred
+    // constraint a no-op (already established), so both branches keep
+    // IDENTICAL subtrees and the exchange reuse actually fires. It is
+    // output-identical: every output row flows through the inner join on
+    // doc_id (null-id rows never surface), and the hash prefilter is a
+    // monotone superset gate — a literal-flagged group needs >= minCount
+    // rows in the (non-null) verify slice, and those rows' shared hash
+    // reaches >= minCount from the non-null docs alone.
+    val grams = norm
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
         posexplode(kgramHashes(col("t"), k)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
-    val candHashes = hashStream.groupBy(col("h"))
-      .agg(count(lit(1)).as("__hc"))
+      .repartition(col("h"))
+    val candHashes = grams.groupBy(col("h"))
+      // references doc_id/pos so pruning can't de-align the reused
+      // exchange subtrees; never null ⇒ == count(1) ([[duplicateSpans]])
+      .agg(count(when(col("pos") >= 1,
+        coalesce(col("doc_id"), lit(0L)))).as("__hc"))
       .filter(col("__hc") >= minCount).select(col("h"))
-    val candPos = hashStream.join(candHashes.hint("shuffle_hash"), Seq("h"))
+    val candPos = grams.join(candHashes.hint("shuffle_hash"), Seq("h"))
       .select(col("doc_id"), col("pos"))
     // literal verify slice: recover the substring for candidate
     // positions only, then re-count on the literal key
@@ -1811,6 +1914,13 @@ object Dedup {
       // disjoint intervals: independently sorted starts/ends stay aligned
       .agg(sort_array(collect_list(col("span_start"))).as("ss"),
         sort_array(collect_list(col("span_end"))).as("es"))
+      // materialize the per-doc span lists (tiny — one row per doc WITH
+      // spans): the corpus left join below otherwise pushes an inferred
+      // isnotnull(doc_id) into ONE of the span finder's two gram-stream
+      // branches, de-aligning the shared h-keyed exchange
+      // ([[duplicateSpans]]) so the stream generates and shuffles twice
+      // (observed: two full-stream exchanges without this cut)
+      .localCheckpoint()
     val cut = udf((t: String, ss: Seq[Int], es: Seq[Int]) =>
       if (ss == null || ss.isEmpty) t
       else {

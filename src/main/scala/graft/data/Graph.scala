@@ -92,10 +92,16 @@ object Graph {
       // iteration (rank + an out-degree table re-aggregated from the
       // edge cache every round) into one, and turns the dangling-mass
       // anti-join into a single column scan of the rank table.
-      val nodeStat = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-        .join(e.groupBy(col("src").as("node")).agg(sum(col("w")).as("sw")),
-          Seq("node"), "left")
+      // Built in ONE map-combinable aggregation: src rows carry their
+      // weight, dst rows a null — `sum` ignores nulls, so a node seen
+      // only as a dst sums to null (dangling) and a src node sums its
+      // exact out-weight, bit-identical to the former distinct-union +
+      // out-degree left join at a third of the exchanges (the up-front
+      // job r12 measured as a net loss on small simple-path graphs).
+      val nodeStat = e.select(col("src").as("node"), col("w"))
+        .union(e.select(col("dst").as("node"),
+          lit(null).cast("long").as("w")))
+        .groupBy(col("node")).agg(sum(col("w")).as("sw"))
         .localCheckpoint()
       val n = nodeStat.count()
       require(n > 0, "pageRank on an empty edge list")
@@ -191,12 +197,13 @@ object Graph {
     // built once and localCheckpoint'd (the former per-iteration outDeg
     // join re-aggregated the edge cache every round — same rework as
     // [[pageRank]])
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = e.select(col("src").as("node"), col("w"))
+      .union(e.select(col("dst").as("node"),
+        lit(null).cast("long").as("w")))
+      .groupBy(col("node")).agg(sum(col("w")).as("sw"))
       .join(sd.withColumn("__s", lit(1L)), Seq("node"), "left")
-      .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
-      .join(e.groupBy(col("src").as("node")).agg(sum(col("w")).as("sw")),
-        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"),
+        col("sw"))
       .localCheckpoint()
     try {
       val nSeeds =
@@ -273,23 +280,30 @@ object Graph {
       require(n > 0, "hits on an empty edge list")
       val init = 1000000000L / n
       var hub = nodes.withColumn("v", lit(init))
-      var auth = nodes.withColumn("v", lit(0L))
+      var auth = nodes.withColumn("v", lit(0L)).filter(col("v") =!= 0L)
       // one half-step: scores flow across edges from `from` to `to`,
       // then L1-renormalize to 1e9 total (floor division, exact longs).
       // The expensive half — the keyed shuffle over the edge cache — is
-      // what gets localCheckpoint'd; the |nodes|-row normalization stays
-      // LAZY (read at most twice: the next half-step's join + the final
-      // output join, each a shallow plan over the checkpoint), so each
+      // what gets localCheckpoint'd; the normalization stays LAZY (read
+      // at most twice: the next half-step's join + the final output
+      // join, each a shallow plan over the checkpoint), so each
       // half-step materializes the flow aggregation exactly once instead
       // of evaluating it under both the Σ-aggregate and the outer join.
+      // Score tables stay SPARSE between half-steps: a node missing from
+      // `raw` received no flow — exactly a v = 0 row, and zero rows
+      // neither contribute to the next flow join's sums nor to Σraw, so
+      // the per-half-step |nodes| outer join (one more join + exchange
+      // per half-step, r12's remaining q98 job floor) is dropped and the
+      // zeros are densified ONCE at the output join. Bit-identical: the
+      // normalization `raw·1e9 div s` never maps a present row to a
+      // different value, and absent ⟺ 0 throughout.
       def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {
         val raw = e
           .join(scores.withColumnRenamed("node", from), Seq(from))
           .groupBy(col(to).as("node")).agg(sum(col("v")).as("raw"))
           .localCheckpoint()
         val tot = raw.agg(coalesce(sum(col("raw")), lit(0L)).as("s"))
-        nodes.join(raw, Seq("node"), "left")
-          .crossJoin(tot)
+        raw.crossJoin(tot)
           .select(col("node"),
             coalesce(expr("raw * 1000000000 div s"), lit(0L)).as("v"))
       }
@@ -297,8 +311,14 @@ object Graph {
         auth = halfStep(hub, "src", "dst")
         hub = halfStep(auth, "dst", "src")
       }
-      val out = auth.select(col("node"), col("v").as("auth_micro"))
-        .join(hub.select(col("node"), col("v").as("hub_micro")), Seq("node"))
+      val out = nodes
+        .join(auth.select(col("node"), col("v").as("auth_micro")),
+          Seq("node"), "left")
+        .join(hub.select(col("node"), col("v").as("hub_micro")),
+          Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("auth_micro"), lit(0L)).as("auth_micro"),
+          coalesce(col("hub_micro"), lit(0L)).as("hub_micro"))
         .select(col("node"), col("auth_micro"), col("hub_micro"),
           (col("auth_micro").cast("double") / lit(1e9)).as("auth"),
           (col("hub_micro").cast("double") / lit(1e9)).as("hub"))

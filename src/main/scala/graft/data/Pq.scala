@@ -324,7 +324,16 @@ object Pq {
         Seq(Tuple1(index.residual)).toDF("residual").coalesce(1)
           .write.mode("overwrite").parquet(s"$dir/meta")
       })
-    writes.foreach(Await.result(_, Duration.Inf))
+    // await ALL writes before returning, success or failure: a plain
+    // fail-fast await could return failure while sibling writes are
+    // still running, and an immediate retry (mode overwrite) would race
+    // them on the same paths. Lift each outcome, await everything, then
+    // rethrow the first failure.
+    val outcomes = Await.result(
+      Future.sequence(writes.map(_.transform(scala.util.Success(_)))),
+      Duration.Inf)
+    outcomes.collectFirst { case scala.util.Failure(e) => throw e }
+    ()
   }
 
   /** Publish `index` as a NEW immutable version under `dir`

@@ -226,9 +226,16 @@ object Unigram {
   def train(
       docs: DataFrame, textCol: String, vocabSize: Int,
       maxPieceLen: Int = 4, seedSize: Int = 0,
-      emIters: Int = 2, postPruneIters: Int = 1): Model =
-    trainFromTypes(Bpe.wordTypes(docs, textCol), vocabSize, maxPieceLen,
-      seedSize, emIters, postPruneIters)
+      emIters: Int = 2, postPruneIters: Int = 1): Model = {
+    // cache HERE (not in trainFromTypes): the seed pass and every EM
+    // round re-read the type table; FromTypes callers pass an already-
+    // materialized table, for which an inner cache held the same small
+    // table twice (ADVICE r12)
+    val types = Bpe.wordTypes(docs, textCol).cache()
+    try trainFromTypes(types, vocabSize, maxPieceLen, seedSize, emIters,
+      postPruneIters)
+    finally { types.unpersist(); () }
+  }
 
   /** [[train]] from a PRECOMPUTED `(word, n)` type table — the
    * shared-pass twin of [[Bpe.trainMergesFromTypes]]: a tokenizer-
@@ -238,21 +245,21 @@ object Unigram {
       typeTable: DataFrame, vocabSize: Int,
       maxPieceLen: Int = 4, seedSize: Int = 0,
       emIters: Int = 2, postPruneIters: Int = 1): Model = {
+    // callers pass a MATERIALIZED table ([[train]] caches; pipeline
+    // callers checkpoint) — no inner cache (ADVICE r12)
     val seedN = if (seedSize > 0) seedSize else vocabSize * 4
-    val types = typeTable.select(col("word"), col("n")).cache()
-    try {
-      var model = seedModel(types, maxPieceLen, seedN)
-      def round(m: Model): Model = {
-        // bounded collect: one row per surviving piece — vocab-scale
-        val counts = emCounts(types, m, maxPieceLen)
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        mStep(m, counts)
-      }
-      for (_ <- 0 until emIters) model = round(model)
-      model = prune(model, vocabSize)
-      for (_ <- 0 until postPruneIters) model = round(model)
-      model
-    } finally { types.unpersist(); () }
+    val types = typeTable.select(col("word"), col("n"))
+    var model = seedModel(types, maxPieceLen, seedN)
+    def round(m: Model): Model = {
+      // bounded collect: one row per surviving piece — vocab-scale
+      val counts = emCounts(types, m, maxPieceLen)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      mStep(m, counts)
+    }
+    for (_ <- 0 until emIters) model = round(model)
+    model = prune(model, vocabSize)
+    for (_ <- 0 until postPruneIters) model = round(model)
+    model
   }
 
   /** Viterbi best segmentation under long micro-scores — exact integer
