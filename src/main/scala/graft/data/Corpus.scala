@@ -47,15 +47,28 @@ object Corpus {
     // would re-run the whole chain per consumer — materialize it behind
     // ONE exchange instead; the self-join below then reuses that shuffle
     // output (ReusedExchange) rather than recomputing.
-    val cleaned = gated
-      .filter(TextFunctions.c4Keep(col(textCol), minWords = minWords))
+    // spread the RAW rows first when the scan is narrow: the clean+redact
+    // chain below otherwise runs on the exchange's MAP side — one task
+    // per input split (q57's two union legs measured as twin 1.2 s
+    // 2-task stages). Gated: at scale inputs have many splits and no
+    // exchange is planted.
+    val spread = {
+      val p = gated.sparkSession.sparkContext.defaultParallelism
+      val filtered = gated
+        .filter(TextFunctions.c4Keep(col(textCol), minWords = minWords))
+      if (filtered.rdd.getNumPartitions < p) filtered.repartition(p)
+      else filtered
+    }
+    val cleaned = spread
       .select(col(idCol).as("id"),
         TextFunctions.redactPii(
           TextFunctions.c4CleanText(col(textCol), minWords)).as("text"))
       // explicit cluster-derived width: argless repartition() is an AQE
       // REBALANCE sized by input bytes, and the tokenize/tag consumers
       // below amplify per-row work — AQE coalesced the whole tag stage
-      // onto one task at sf0.1
+      // onto one task at sf0.1. This barrier ALSO materializes the
+      // cleaned text so the self-join diamond below reuses one exchange
+      // instead of re-running the regex chain per consumer.
       .repartition(gated.sparkSession.sparkContext.defaultParallelism)
     val ltoks = TextFunctions.tokens(lower(col("text")))
     val tagged = cleaned.select(

@@ -270,11 +270,19 @@ object Dedup {
       .repartition(src.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"), col("len"), col("sh"), col("sig"),
         posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band_idx", "band")))
+    // BOTH sides keep band_idx and the join keys on (band_idx, band):
+    // the band string already embeds its index prefix, so matched rows
+    // always agree on band_idx and the extra key changes nothing — but
+    // it makes the two sides' projections IDENTICAL, so their band
+    // exchanges canonicalize equal and AQE materializes the signature
+    // fan-out ONCE instead of twice (measured before: twin 9.1 MB
+    // exchange writes per query; after: one, read by both join sides)
     val a = sigs(docs).select(col("band"), col("band_idx"),
       col("id").as("id_a"), col("len").as("len_a"),
       col("sh").as("sh_a"), col("sig").as("sig_a"))
-    val b = sigs(docs).select(col("band"), col("id").as("id_b"),
-      col("len").as("len_b"), col("sh").as("sh_b"), col("sig").as("sig_b"))
+    val b = sigs(docs).select(col("band"), col("band_idx"),
+      col("id").as("id_b"), col("len").as("len_b"),
+      col("sh").as("sh_b"), col("sig").as("sig_b"))
     // a pair sharing m bands appears m times; keep only the FIRST agreeing
     // band per pair — O(k) integer compares, vs. a distinct() shuffle AND
     // m-fold duplicated est/exact-jaccard work
@@ -289,7 +297,7 @@ object Dedup {
     // doc's shingle set + signature, i.e. the corpus. Band keys are
     // MD5-derived strings (high cardinality, uniform), so the shuffle
     // spreads evenly and each reducer sees only docs sharing a band.
-    a.hint("shuffle_hash").join(b, Seq("band"))
+    a.hint("shuffle_hash").join(b, Seq("band_idx", "band"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("band_idx") === firstAgreeingBand)
       .select(col("id_a"), col("id_b"), col("len_a"), col("len_b"),
@@ -488,12 +496,22 @@ object Dedup {
       bits: Int,
       maxHamming: Int): DataFrame = {
     val (nChunks, w) = hammingChunks(bits, maxHamming)
+    // EXPLICIT width on the chunk exchange: the exploded key sides are
+    // byte-small (ids + hashes) but the self-join's candidate volume is
+    // ~N²/2^w-amplified WORK — AQE's size-based coalesce ran the whole
+    // candidate evaluation on ONE task (measured at sf0.1: a 1-task
+    // 1.2 s stage writing 23.8 MB inside a 2.7 s query). Width is
+    // cluster-derived (defaultParallelism), the same convention as the
+    // explode-amplified spreads; both sides share the identical subtree,
+    // so the exchange still canonicalizes equal and materializes once.
     def sides(idAs: String, shAs: String) =
       repartitioned(items)
         .select(col(idCol).as(idAs), col(hashCol).as(shAs))
         .select(col(idAs), col(shAs),
           posexplode(chunkVals(col(shAs), nChunks, w, bits))
             .as(Seq("chunk_idx", "chunk")))
+        .repartition(items.sparkSession.sparkContext.defaultParallelism,
+          col("chunk_idx"), col("chunk"))
     val a = sides("id_a", "sh_a")
     val b = sides("id_b", "sh_b")
     // chunks can only agree at the SAME index, so the index is part of
@@ -653,8 +671,16 @@ object Dedup {
       .distinct()
       // candidate rows are BYTE-small (two longs) but WORK-heavy (a set
       // intersection each): AQE's size-based coalesce would funnel them
-      // onto one task — spread the verify explicitly (measured 3×)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      // onto one task — spread the verify explicitly (measured 3×).
+      // Keyed by id_a (not round-robin): the verify joins below need
+      // hashpartitioning on the id anyway, so a round-robin spread was
+      // immediately re-exchanged by EnsureRequirements and AQE coalesced
+      // THAT exchange back to 2–3 tasks (measured: the intersect stage,
+      // the query's hottest, ran at 3 tasks). Keying the explicit-width
+      // spread by the first join key makes the join reuse it at full
+      // width.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"))
     // exact verify: token sets come BACK by id (cheap map-side re-tokenize,
     // no second pass through the frequency join)
     val setsA = toks0.select(col("id").as("id_a"), col("toks").as("t_a"),
