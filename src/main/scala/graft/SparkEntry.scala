@@ -1088,7 +1088,8 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       // ONE corpus word-type pass shared by the trainer and the
       // alphabet (each used to re-run the wordTypes aggregation);
-      // checkpointed so both consumers read the materialized table
+      // checkpointed so both consumers read the materialized table;
+      // map side spread off the narrow scan (gated — no-op at scale)
       val types = Bpe.wordTypes(docs, "text").localCheckpoint()
       val merges = Bpe.trainMergesFromTypes(types, 20)
       val vocab = Bpe.vocabularyFromTypes(types, merges)
@@ -1761,7 +1762,8 @@ object SparkEntry {
         when(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 2,
           concat(col("text"), lit(" ssigß"))).otherwise(col("text")))
       val train = docs.filter(col("doc_id") % 3 === 0)
-      // one shared word-type pass for trainer + alphabet (q87c pattern)
+      // one shared word-type pass for trainer + alphabet (q87c pattern),
+      // its map side spread off the narrow scan (gated — no-op at scale)
       val types = Bpe.wordTypes(train, "text").localCheckpoint()
       val merges = Bpe.trainMergesFromTypes(types, 20)
       val vocab = Bpe.vocabularyFromTypes(types, merges)
@@ -2171,14 +2173,35 @@ object SparkEntry {
       import graft.data.{Bpe, Unigram}
       val docs = t(s, dir, "documents")
       // BOTH tokenizers train from the same word-type table — one
-      // corpus aggregation instead of two (q87c pattern)
+      // corpus aggregation instead of two (q87c pattern); its map side
+      // spread off the narrow scan (gated — no-op at scale)
       val types = Bpe.wordTypes(docs, "text").localCheckpoint()
       val merges = Bpe.trainMergesFromTypes(types, nMerges = 20)
       val uni = Unigram.trainFromTypes(types, vocabSize = 60,
         maxPieceLen = 4)
-      unpersistCheckpoint(types)
-      // spread both encode inputs off a narrow scan only (q87b note)
-      val spreadDocs = spreadIfNarrow(docs)
+      // word/char totals from the TYPE table, not a third corpus pass:
+      // Σ_occurrences len(w) = Σ_types len(word)·n — bit-equal, and the
+      // agg runs over |types| rows instead of re-tokenizing the corpus.
+      // Lazy (part of the final job), so the types checkpoint must stay
+      // alive through execution — a |types|-row block, traded for the
+      // removed corpus pass (the ADVICE-r12 unpersist stays in q87c/q156
+      // where nothing reads the table after training).
+      val wordStats = types.agg(
+          sum(col("n")).cast("long").as("n_words"),
+          sum(length(col("word")).cast("long") * col("n")).cast("long")
+            .as("n_chars"))
+      // spread both encode inputs off a narrow scan only (q87b note).
+      // The two encoders prune the spread exchange to DIFFERENT
+      // projections (text vs doc_id+text), so the exchanges never
+      // canonicalize equal and the scan+spread ran twice (profiled:
+      // twin single-task map stages) — when the spread fires, checkpoint
+      // the spread rows so both encoders read ONE materialization; at
+      // scale the gate is a no-op and nothing is pinned.
+      val encIn = docs.select(col("doc_id"), col("text"))
+      val spreadDocs = {
+        val sd = spreadIfNarrow(encIn)
+        if (sd ne encIn) sd.localCheckpoint(false) else sd
+      }
       val pieces = Bpe.encode(spreadDocs, "text", merges)
         .select(lit("bpe_20merges").as("tokenizer"),
           explode(col("bpe_tokens")).as("p"))
@@ -2188,9 +2211,6 @@ object SparkEntry {
       // path keyed by the sf dir (concurrent scales never clobber);
       // the static oracle string pins the sf0.01 stage — the gate's SF
       pieces.write.mode("overwrite").parquet(q126StageDir(dir))
-      val wordStats = docs.select(explode(T.bpeTokens(col("text"))).as("w"))
-        .agg(count(lit(1)).as("n_words"),
-          sum(length(col("w"))).cast("long").as("n_chars"))
       readStage(s, q126StageDir(dir))
         .groupBy(col("tokenizer")).agg(count(lit(1)).as("n_tokens"))
         .crossJoin(wordStats)

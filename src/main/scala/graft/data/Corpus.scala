@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
  *   5. deterministic train/valid/test labeling ([[Sampling.hashSplit]]).
  *
  * Every stage is a narrow codegen'd projection or one keyed shuffle
- * (fingerprint groupBy, the only exchange) — the whole prepare is TWO
- * stages at any scale. Near-duplicate clustering is deliberately not
+ * (the fingerprint-keyed window exchange, the only one at scale) — the
+ * whole prepare is TWO stages at any scale. Near-duplicate clustering is deliberately not
  * inlined here: run [[Dedup.dedupCorpus]] on the output when shingle-level
  * near-dup is wanted (it is its own multi-stage pipeline).
  *
@@ -52,8 +52,8 @@ object Corpus {
     // per input split (q57's two union legs measured as twin 1.2 s
     // 2-task stages). Gated: at scale inputs have many splits and no
     // exchange is planted.
+    val p = gated.sparkSession.sparkContext.defaultParallelism
     val spread = {
-      val p = gated.sparkSession.sparkContext.defaultParallelism
       val filtered = gated
         .filter(TextFunctions.c4Keep(col(textCol), minWords = minWords))
       if (filtered.rdd.getNumPartitions < p) filtered.repartition(p)
@@ -63,31 +63,38 @@ object Corpus {
       .select(col(idCol).as("id"),
         TextFunctions.redactPii(
           TextFunctions.c4CleanText(col(textCol), minWords)).as("text"))
-      // explicit cluster-derived width: argless repartition() is an AQE
-      // REBALANCE sized by input bytes, and the tokenize/tag consumers
-      // below amplify per-row work — AQE coalesced the whole tag stage
-      // onto one task at sf0.1. This barrier ALSO materializes the
-      // cleaned text so the self-join diamond below reuses one exchange
-      // instead of re-running the regex chain per consumer.
-      .repartition(gated.sparkSession.sparkContext.defaultParallelism)
-    val ltoks = TextFunctions.tokens(lower(col("text")))
-    val tagged = cleaned.select(
-      col("id"),
-      col("text"),
-      TextFunctions.langIdFromTokens(ltoks).as("lang"),
-      TextFunctions.qualityScoreFromParts(TextFunctions.wordCount(col("text")),
-        TextFunctions.punctCount(col("text")), length(col("text")),
-        TextFunctions.stopwordHits(ltoks, TextFunctions.StopEn)).as("quality"),
-      TextFunctions.wordCount(col("text")).as("n_words"),
-      TextFunctions.fingerprint(col("text")).as("__fp"))
     // exact dedup: smallest id per redacted-text fingerprint survives.
-    // Semi-join on BOTH (fingerprint, id): on id alone, a duplicate row
-    // whose id happens to equal another fingerprint's min id would
-    // survive when ids are not unique.
-    val survivors = tagged
-      .groupBy(col("__fp")).agg(min(col("id")).as("id"))
-    tagged.join(survivors, Seq("__fp", "id"), "leftsemi")
-      .drop("__fp")
+    // Spelled as a WINDOW MIN over the fingerprint key, not the classical
+    // groupBy(min) + semi-join-back: the diamond's two exchange subtrees
+    // get pruned to different projections, never canonicalize equal, and
+    // so materialize TWICE — the whole clean+redact chain (and the spread
+    // below it) ran once per side (q57 profile: twin map stages). The
+    // window needs ONE fp-keyed exchange, below which the chain runs
+    // exactly once. Provably identical output, including null keys: the
+    // semi-join drops null-fp rows (null never equi-matches) and rows
+    // whose id is null or above the group min — the isNotNull guard and
+    // the null-propagating `===` reproduce both. Explicit width: the
+    // exchange carries byte-small compressed text but the tag stage
+    // above it amplifies per-row work, so AQE's size-based coalesce
+    // would funnel it onto one task at bench scale (§2.5).
+    val deduped = cleaned
+      .withColumn("__fp", TextFunctions.fingerprint(col("text")))
+      .repartition(p, col("__fp"))
+      .withColumn("__minid", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+      .filter(col("__fp").isNotNull && col("id") === col("__minid"))
+    // lang/quality tagging runs on SURVIVORS only (dedup keys on
+    // (fp, id) alone, so tagging cannot change who survives — same
+    // columns, strictly fewer rows tagged than the tag-then-dedup order)
+    val ltoks = TextFunctions.tokens(lower(col("text")))
+    deduped.select(
+        col("id"),
+        col("text"),
+        TextFunctions.langIdFromTokens(ltoks).as("lang"),
+        TextFunctions.qualityScoreFromParts(TextFunctions.wordCount(col("text")),
+          TextFunctions.punctCount(col("text")), length(col("text")),
+          TextFunctions.stopwordHits(ltoks, TextFunctions.StopEn)).as("quality"),
+        TextFunctions.wordCount(col("text")).as("n_words"))
       .withColumn("split", Sampling.hashSplit(col("id"), splits))
   }
 

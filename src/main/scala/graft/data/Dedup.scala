@@ -633,9 +633,16 @@ object Dedup {
       if (shingleN <= 1)
         sort_array(array_distinct(transform(tokens(col(textCol)), t => hash28(t))))
       else shingleHashes(col(textCol), shingleN)
+    // ONE materialized token table: four consumers read this subtree
+    // (the frequency agg, the prefix chain, both verify sides), and
+    // column pruning rewrites each consumer's projection differently,
+    // so without the cut the scan + spread + shingle kernel runs FOUR
+    // times per query (verified in the q130 plan: four FileScans).
+    // Lazy localCheckpoint = one corpus pass, one docs exchange.
     val toks0 = repartitioned(docs)
       .select(col(idCol).as("id"), units.as("toks"))
       .filter(size(col("toks")) > 0)
+      .localCheckpoint(false)
     val dfreq = toks0.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // rarest-first rank per doc via a keyed WINDOW (row_number over
